@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline (events -> sessions -> user daily
+features) on sf0.001. ``queries()`` — one callable per implemented
+operator from SURVEY.md §2 (plus the 100 TB extension ops);
+``oracle_sql()`` — the DuckDB-equivalent SQL for each.
+
+Column names are aliased identically on both sides; floating-point
+outputs are rounded (2 decimals for rates/averages, as the reference
+does — e.g. reference silver_user_session_events.py:118) so the driver's
+order-insensitive value hash is stable across engines. Timestamps are
+emitted as epoch-millisecond BIGINTs (epoch_ms / unix_millis) to avoid
+cross-engine timestamp serialization differences.
 """
 
 from __future__ import annotations
@@ -12,27 +18,578 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.functions import (
+    epoch_ms, exact_avg, exact_sum, fround,
+)
+from w_userflow_featurestore_spark.operators import metrics as M
+from w_userflow_featurestore_spark.operators.cleanse import dedup_latest
+from w_userflow_featurestore_spark.operators.sessionize import sessionize
+from w_userflow_featurestore_spark.sources import read_table
+
+# Injected "now" for the TIMEOUT_EXIT rule (reference quirk P9 fixed:
+# silver_user_session_events.py:135 uses wall-clock; we parameterize).
+NOW = "2024-02-01 00:00:00"
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_events(spark, sf_dir), now=NOW)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events -> cleanse -> sessionize/classify -> user daily
+    features (the reference's bronze->silver->gold spine in one plan)."""
+    sessions = _sessions(spark, SF001)
+    return M.user_daily_full(sessions, _events(spark, SF001))
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2: gap sessionization + ordered state machine (silver layer)."""
+    s = _sessions(spark, sf_dir)
+    return s.select(
+        "session_id", "user_id", "datetime",
+        epoch_ms(F.col("start_time")).alias("start_ms"),
+        epoch_ms(F.col("end_time")).alias("end_ms"),
+        "duration_ms", "n_events", "entry_event_type", "sum_value",
+        "max_value", "n_items", "seen_purchase", "seen_error", "seen_click",
+        "seen_view", "session_state", "is_complete", "is_exit")
+
+
+def q_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4+A5 with J1/J2 left joins: per-(day,user) feature vector."""
+    return M.user_daily_full(_sessions(spark, sf_dir), _events(spark, sf_dir))
+
+
+def q_item_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-(day,item) metrics + conditional-agg value histogram."""
+    return M.item_daily(_events(spark, sf_dir))
+
+
+def q_item_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: lead()-based continuation index (lexicographic item order)."""
+    return M.item_continuation(_events(spark, sf_dir))
+
+
+def q_entry_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-(day, entry type) session metrics w/ conditional distincts."""
+    return M.entry_type_daily(_sessions(spark, sf_dir))
+
+
+def q_top_item_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W2: top-1-per-group via row_number."""
+    return M.top_item_per_day(M.item_daily(_events(spark, sf_dir)))
+
+
+def q_binge_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: two-level distinct aggregation with guarded ratio."""
+    return M.binge_ratio(_events(spark, sf_dir))
+
+
+def q_retention_yesterday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: yesterday-anchored D1 retention per entry type."""
+    return M.retention_yesterday_anchored(_sessions(spark, sf_dir),
+                                          dim="entry_event_type")
+
+
+def q_retention_today(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: today-anchored retention + new-user split (opposite direction
+    of A11 — the asymmetry is reference parity)."""
+    return M.retention_today_anchored(_sessions(spark, sf_dir),
+                                      dim="entry_event_type")
+
+
+def q_cohort_vs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14+A15: cohort metrics + weighted global re-agg + gap/index."""
+    return M.cohort_vs_global(_sessions(spark, sf_dir))
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: keep-latest-by-key dedup (latest event per user x type)."""
+    d = dedup_latest(_events(spark, sf_dir),
+                     key=["user_id", "event_type"],
+                     order_by=["ts", "event_id"])
+    return d.select("user_id", "event_type", "event_id",
+                    epoch_ms(F.col("ts")).alias("ts_ms"), "value")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical wide hash-aggregate
+    (partial+final, no join) — the bench workhorse."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(exact_sum(F.col("l_quantity")).alias("sum_qty"),
+                   exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+                   exact_sum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")), scale=4)
+                    .alias("sum_disc_price"),
+                   exact_sum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))
+                             * (1 + F.col("l_tax")), scale=6).alias("sum_charge"),
+                   exact_avg(F.col("l_quantity")).alias("avg_qty"),
+                   exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+                   exact_avg(F.col("l_discount"), out_scale=4).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order")))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 4-way star join (broadcast dims) + agg."""
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(customer, orders.o_custkey == customer.c_custkey)
+              .join(F.broadcast(nation),
+                    customer.c_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+              .where(F.col("r_name").isin("ASIA", "EUROPE"))
+              .groupBy("r_name", "n_name")
+              .agg(exact_sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")), scale=4)
+                    .alias("revenue"),
+                   F.count_distinct("o_orderkey").alias("n_orders")))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sessions": q_sessions,
+    "user_daily": q_user_daily,
+    "item_daily": q_item_daily,
+    "item_continuation": q_item_continuation,
+    "entry_type_daily": q_entry_type_daily,
+    "top_item_per_day": q_top_item_per_day,
+    "binge_ratio": q_binge_ratio,
+    "retention_yesterday": q_retention_yesterday,
+    "retention_today": q_retention_today,
+    "cohort_vs_global": q_cohort_vs_global,
+    "dedup_latest": q_dedup_latest,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+}
+
+
+def _datestr(df: DataFrame) -> DataFrame:
+    """Emit DATE columns as 'yyyy-MM-dd' strings: DATE values serialize
+    differently across Spark/DuckDB client libraries; strings hash
+    identically. Applied symmetrically in oracle_sql() via * REPLACE."""
+    if "datetime" in df.columns:
+        df = df.withColumn("datetime", F.date_format("datetime", "yyyy-MM-dd"))
+    return df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {name: (lambda s, d, _fn=fn: _datestr(_fn(s, d)))
+            for name, fn in QUERIES.items()}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+# Shared sessionization CTE mirroring operators/sessionize.py exactly
+# (gaps-and-islands -> rollup -> ordered state machine, now injected).
+_SESSIONS_CTE = """
+WITH seq AS (
+  SELECT e.*,
+         CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events e
+),
+numbered AS (
+  SELECT *,
+         CAST(user_id * 1000000 + CAST(sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS BIGINT) AS session_id
+  FROM seq
+),
+roll AS (
+  SELECT session_id, user_id,
+         min(ts) AS start_time,
+         max(ts) AS end_time,
+         epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
+         count(*) AS n_events,
+         arg_min(event_type, ts) AS entry_event_type,
+         round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_value,
+         round(max(value), 2) AS max_value,
+         count(DISTINCT CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS n_items,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS seen_purchase,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS seen_error,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS seen_click,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS seen_view,
+         CAST(min(ts) AS DATE) AS datetime
+  FROM numbered
+  GROUP BY session_id, user_id
+),
+staged AS (
+  SELECT *,
+         CASE WHEN seen_purchase = 1 AND max_value >= 50.0 THEN 'COMPLETE'
+              WHEN seen_error = 1 THEN 'EXIT'
+              WHEN epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - epoch_ms(end_time) > 600000 THEN 'TIMEOUT_EXIT'
+              ELSE 'IN_PROGRESS' END AS session_state
+  FROM roll
+),
+sessions AS (
+  SELECT *,
+         CASE WHEN session_state = 'COMPLETE' THEN 1 ELSE 0 END AS is_complete,
+         CASE WHEN session_state IN ('EXIT', 'TIMEOUT_EXIT') THEN 1 ELSE 0 END AS is_exit
+  FROM staged
+)
+"""
+
+_ITEM_EVENTS_CTE = """
+WITH ev AS (
+  SELECT *,
+         CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS item_k,
+         CAST(ts AS DATE) AS datetime
+  FROM events
+)
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["sessions"] = _SESSIONS_CTE + """
+SELECT session_id, user_id, datetime,
+       epoch_ms(start_time) AS start_ms, epoch_ms(end_time) AS end_ms,
+       duration_ms, n_events, entry_event_type, sum_value, max_value,
+       n_items, seen_purchase, seen_error, seen_click, seen_view,
+       session_state, is_complete, is_exit
+FROM sessions
+"""
+
+ORACLES["user_daily"] = _SESSIONS_CTE + """
+, core AS (
+  SELECT datetime, user_id,
+         count(DISTINCT session_id) AS total_sessions,
+         CAST(sum(is_complete) AS BIGINT) AS complete_sessions,
+         CAST(sum(is_exit) AS BIGINT) AS exit_sessions,
+         CAST(sum(CASE WHEN session_state = 'IN_PROGRESS' THEN 1 ELSE 0 END) AS BIGINT) AS in_progress_sessions,
+         CASE WHEN count(max_value) > 0 THEN round(sum(CAST(floor((max_value) * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(max_value), 2) END AS avg_max_value,
+         round(sum(duration_ms) / CAST(count(duration_ms) AS DOUBLE), 2) AS avg_duration_ms,
+         round(sum(CASE WHEN duration_ms <= 10000 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 2) AS bounce_ratio,
+         count(DISTINCT entry_event_type) AS unique_entry_types,
+         count(DISTINCT CASE WHEN is_complete = 1 THEN session_id END) AS completed_session_cnt
+  FROM sessions
+  GROUP BY datetime, user_id
+),
+core2 AS (
+  SELECT *,
+         CASE WHEN total_sessions > 0 THEN round(complete_sessions / CAST(total_sessions AS DOUBLE), 2) END AS completion_rate,
+         CASE WHEN total_sessions > 0 THEN round(exit_sessions / CAST(total_sessions AS DOUBLE), 2) END AS exit_rate,
+         CASE WHEN total_sessions >= 2 THEN 1 ELSE 0 END AS multi_session_flag
+  FROM core
+),
+ret AS (
+  SELECT datetime, user_id,
+         round(coalesce(sum(return_interval_ms) / 1000.0 / count(return_interval_ms), 0.0), 2) AS avg_return_interval_s
+  FROM (
+    SELECT datetime, user_id,
+           greatest(epoch_ms(start_time) - epoch_ms(lag(end_time) OVER (
+               PARTITION BY user_id ORDER BY start_time, session_id)), 0) AS return_interval_ms
+    FROM sessions
+  )
+  GROUP BY datetime, user_id
+),
+rep AS (
+  SELECT datetime, user_id, CAST(sum(repeat_cnt) AS BIGINT) AS repeat_purchase_cnt
+  FROM (
+    SELECT CAST(ts AS DATE) AS datetime, user_id,
+           CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS item_k,
+           greatest(count(*) - 1, 0) AS repeat_cnt
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2, 3
+  )
+  GROUP BY datetime, user_id
+)
+SELECT c.*,
+       coalesce(r.avg_return_interval_s, 0.0) AS avg_return_interval_s,
+       coalesce(p.repeat_purchase_cnt, 0) AS repeat_purchase_cnt
+FROM core2 c
+LEFT JOIN ret r USING (datetime, user_id)
+LEFT JOIN rep p USING (datetime, user_id)
+"""
+
+ORACLES["item_daily"] = _ITEM_EVENTS_CTE + """
+, g AS (
+  SELECT datetime, item_k,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS unique_users,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+         CASE WHEN count(value) > 0 THEN round(sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(value), 2) END AS avg_value,
+         coalesce(CASE WHEN count(CASE WHEN event_type = 'error' THEN value END) > 0 THEN round(sum(CAST(floor((CASE WHEN event_type = 'error' THEN value END) * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(CASE WHEN event_type = 'error' THEN value END), 2) END, 0.0) AS error_value_point,
+         coalesce(CAST(sum(CASE WHEN value >= 0.0 AND value < 40.0 THEN 1 END) AS BIGINT), 0) AS value_bucket_1,
+         coalesce(CAST(sum(CASE WHEN value >= 40.0 AND value < 80.0 THEN 1 END) AS BIGINT), 0) AS value_bucket_2,
+         coalesce(CAST(sum(CASE WHEN value >= 80.0 AND value < 120.0 THEN 1 END) AS BIGINT), 0) AS value_bucket_3,
+         coalesce(CAST(sum(CASE WHEN value >= 120.0 AND value < 160.0 THEN 1 END) AS BIGINT), 0) AS value_bucket_4,
+         coalesce(CAST(sum(CASE WHEN value >= 160.0 THEN 1 END) AS BIGINT), 0) AS value_bucket_5
+  FROM ev
+  GROUP BY datetime, item_k
+)
+SELECT *,
+       CASE WHEN n_events > 0 THEN round(purchases / CAST(n_events AS DOUBLE), 2) END AS purchase_rate,
+       CASE WHEN n_events > 0 THEN round(errors / CAST(n_events AS DOUBLE), 2) END AS error_rate
+FROM g
+"""
+
+ORACLES["item_continuation"] = _ITEM_EVENTS_CTE + """
+, base AS (
+  SELECT DISTINCT datetime, item_k, CAST(item_k AS VARCHAR) AS item_s, user_id
+  FROM ev WHERE event_type = 'purchase'
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN lead(item_s) OVER (PARTITION BY datetime, user_id ORDER BY item_s) IS NOT NULL
+              THEN 1 ELSE 0 END AS continued
+  FROM base
+),
+g AS (
+  SELECT datetime, item_k,
+         count(DISTINCT user_id) AS unique_users,
+         count(DISTINCT CASE WHEN continued = 1 THEN user_id END) AS continuing_users
+  FROM flagged GROUP BY datetime, item_k
+)
+SELECT *,
+       CASE WHEN unique_users > 0 THEN round(continuing_users / CAST(unique_users AS DOUBLE), 2) END AS continuation_index
+FROM g
+"""
+
+ORACLES["entry_type_daily"] = _SESSIONS_CTE + """
+, g AS (
+  SELECT datetime, entry_event_type,
+         count(*) AS total_sessions,
+         CAST(sum(is_complete) AS BIGINT) AS complete_sessions,
+         CAST(sum(is_exit) AS BIGINT) AS exit_sessions,
+         CAST(sum(CASE WHEN session_state = 'IN_PROGRESS' THEN 1 ELSE 0 END) AS BIGINT) AS in_progress_sessions,
+         count(DISTINCT user_id) AS unique_users,
+         count(DISTINCT CASE WHEN is_complete = 1 THEN user_id END) AS unique_complete_users,
+         count(DISTINCT CASE WHEN is_exit = 1 THEN user_id END) AS unique_exit_users,
+         CASE WHEN count(max_value) > 0 THEN round(sum(CAST(floor((max_value) * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(max_value), 2) END AS avg_max_value,
+         round(sum(duration_ms) / CAST(count(duration_ms) AS DOUBLE), 2) AS avg_duration_ms,
+         round(sum(CASE WHEN duration_ms <= 10000 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 2) AS bounce_ratio,
+         CASE WHEN count(CASE WHEN is_exit = 1 THEN max_value END) > 0 THEN round(sum(CAST(floor((CASE WHEN is_exit = 1 THEN max_value END) * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(CASE WHEN is_exit = 1 THEN max_value END), 2) END AS exit_value_point,
+         CAST(sum(CASE WHEN session_state = 'TIMEOUT_EXIT' THEN 1 ELSE 0 END) AS BIGINT) AS timeout_exit_sessions
+  FROM sessions
+  GROUP BY datetime, entry_event_type
+)
+SELECT *,
+       CASE WHEN total_sessions > 0 THEN round(complete_sessions / CAST(total_sessions AS DOUBLE), 2) END AS completion_rate,
+       CASE WHEN total_sessions > 0 THEN round(exit_sessions / CAST(total_sessions AS DOUBLE), 2) END AS exit_rate,
+       CASE WHEN total_sessions > 0 THEN round(timeout_exit_sessions / CAST(total_sessions AS DOUBLE), 2) END AS timeout_exit_rate
+FROM g
+"""
+
+ORACLES["top_item_per_day"] = ORACLES["item_daily"].replace(
+    "SELECT *,\n       CASE WHEN n_events > 0 THEN round(purchases / CAST(n_events AS DOUBLE), 2) END AS purchase_rate,\n       CASE WHEN n_events > 0 THEN round(errors / CAST(n_events AS DOUBLE), 2) END AS error_rate\nFROM g",
+    """SELECT datetime, item_k AS top_item, avg_value AS top_item_avg_value
+FROM (SELECT *, row_number() OVER (PARTITION BY datetime ORDER BY avg_value DESC, item_k ASC) AS rn FROM g)
+WHERE rn = 1""")
+
+ORACLES["binge_ratio"] = _ITEM_EVENTS_CTE + """
+, per_user AS (
+  SELECT datetime, event_type, user_id, count(DISTINCT item_k) AS n_items
+  FROM ev GROUP BY datetime, event_type, user_id
+),
+g AS (
+  SELECT datetime, event_type,
+         count(DISTINCT user_id) AS unique_users,
+         count(DISTINCT CASE WHEN n_items >= 2 THEN user_id END) AS binge_users
+  FROM per_user GROUP BY datetime, event_type
+)
+SELECT *,
+       CASE WHEN unique_users > 0 THEN round(binge_users / CAST(unique_users AS DOUBLE), 2) END AS binge_ratio
+FROM g
+"""
+
+ORACLES["retention_yesterday"] = _SESSIONS_CTE + """
+, days AS (SELECT DISTINCT datetime, entry_event_type, user_id FROM sessions),
+j AS (
+  SELECT y.datetime + 1 AS datetime, y.entry_event_type,
+         y.user_id AS y_user, t.user_id AS t_user
+  FROM days y
+  LEFT JOIN days t
+    ON t.entry_event_type = y.entry_event_type
+   AND t.user_id = y.user_id
+   AND t.datetime = y.datetime + 1
+),
+g AS (
+  SELECT datetime, entry_event_type,
+         count(DISTINCT y_user) AS yesterday_users,
+         count(DISTINCT t_user) AS retained_users
+  FROM j GROUP BY datetime, entry_event_type
+)
+SELECT *,
+       CASE WHEN yesterday_users > 0 THEN round(retained_users / CAST(yesterday_users AS DOUBLE), 2) END AS retention_rate
+FROM g
+"""
+
+ORACLES["retention_today"] = _SESSIONS_CTE + """
+, days AS (SELECT DISTINCT datetime, entry_event_type, user_id FROM sessions),
+j AS (
+  SELECT t.datetime, t.entry_event_type,
+         t.user_id AS t_user, y.user_id AS y_user
+  FROM days t
+  LEFT JOIN days y
+    ON y.entry_event_type = t.entry_event_type
+   AND y.user_id = t.user_id
+   AND y.datetime = t.datetime - 1
+),
+g AS (
+  SELECT datetime, entry_event_type,
+         count(DISTINCT t_user) AS today_users,
+         count(DISTINCT y_user) AS returning_users
+  FROM j GROUP BY datetime, entry_event_type
+)
+SELECT *,
+       today_users - returning_users AS new_users,
+       CASE WHEN today_users > 0 THEN round(returning_users / CAST(today_users AS DOUBLE), 2) END AS returning_ratio,
+       CASE WHEN today_users > 0 THEN round((today_users - returning_users) / CAST(today_users AS DOUBLE), 2) END AS new_ratio
+FROM g
+"""
+
+ORACLES["cohort_vs_global"] = _SESSIONS_CTE + """
+, per AS (
+  SELECT datetime, CAST(user_id % 5 AS INTEGER) AS cohort,
+         count(*) AS total_sessions,
+         count(DISTINCT user_id) AS unique_users,
+         CAST(sum(is_complete) AS BIGINT) AS complete_sessions,
+         CASE WHEN count(max_value) > 0 THEN round(sum(CAST(floor((max_value) * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(max_value), 2) END AS avg_max_value,
+         round(sum(duration_ms) / CAST(count(duration_ms) AS DOUBLE), 2) AS avg_duration_ms
+  FROM sessions GROUP BY 1, 2
+),
+per2 AS (
+  SELECT *,
+         CASE WHEN total_sessions > 0 THEN round(complete_sessions / CAST(total_sessions AS DOUBLE), 2) END AS completion_rate,
+         CASE WHEN unique_users > 0 THEN round(total_sessions / CAST(unique_users AS DOUBLE), 2) END AS sessions_per_user
+  FROM per
+),
+glb AS (
+  SELECT datetime,
+         CASE WHEN sum(total_sessions) > 0 THEN round(sum(complete_sessions) / CAST(sum(total_sessions) AS DOUBLE), 2) END AS global_completion_rate,
+         CASE WHEN sum(total_sessions) > 0 THEN round(sum(avg_max_value * total_sessions) / CAST(sum(total_sessions) AS DOUBLE), 2) END AS global_avg_max_value,
+         CASE WHEN sum(total_sessions) > 0 THEN round(sum(avg_duration_ms * total_sessions) / CAST(sum(total_sessions) AS DOUBLE), 2) END AS global_avg_duration_ms
+  FROM per2 GROUP BY datetime
+)
+SELECT p.*,
+       g.global_completion_rate, g.global_avg_max_value, g.global_avg_duration_ms,
+       round(p.completion_rate - g.global_completion_rate, 2) AS completion_gap,
+       CASE WHEN g.global_completion_rate > 0 THEN round(p.completion_rate / g.global_completion_rate, 2) END AS completion_index,
+       round(p.avg_duration_ms - g.global_avg_duration_ms, 2) AS duration_gap
+FROM per2 p LEFT JOIN glb g USING (datetime)
+"""
+
+ORACLES["dedup_latest"] = """
+SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+ORACLES["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_qty,
+       round(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+       round(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+       round(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+       CASE WHEN count(l_quantity) > 0 THEN round(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(l_quantity), 2) END AS avg_qty,
+       CASE WHEN count(l_extendedprice) > 0 THEN round(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(l_extendedprice), 2) END AS avg_price,
+       CASE WHEN count(l_discount) > 0 THEN round(sum(CAST(floor((l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(l_discount), 4) END AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["revenue_by_nation"] = """
+SELECT r_name, n_name,
+       round(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+"""
+
+
+def _lower_rounds(sql: str) -> str:
+    """Rewrite every ``round(expr, n)`` into ``floor((expr)*10^n + 0.5)/10^n``.
+
+    Mirrors functions.fround on the Spark side: native round() differs
+    between engines on half-way doubles (Spark rounds the shortest decimal
+    representation, DuckDB the binary value), so both sides use the same
+    IEEE-exact floor formula.
     """
-    return {}
+    out = []
+    i = 0
+    low = sql.lower()
+    while True:
+        j = low.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        # find matching close paren
+        depth = 0
+        k = j + len("round(")
+        start = k
+        while True:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            k += 1
+        inner = sql[start:k]
+        # split off the trailing ", n" scale argument at depth 0
+        d = 0
+        split_at = None
+        for m, ch in enumerate(inner):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "," and d == 0:
+                split_at = m
+        expr, scale = inner[:split_at], int(inner[split_at + 1:])
+        p = 10 ** scale
+        out.append(f"floor(({_lower_rounds(expr)}) * {p} + 0.5) / {p}")
+        i = k + 1
+    return "".join(out)
+
+
+# queries whose output contains the DATE column `datetime`
+_DATE_QUERIES = {
+    "sessions", "user_daily", "item_daily", "item_continuation",
+    "entry_type_daily", "top_item_per_day", "binge_ratio",
+    "retention_yesterday", "retention_today", "cohort_vs_global",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {}
+    for name, sql in ORACLES.items():
+        sql = _lower_rounds(sql)
+        if name in _DATE_QUERIES:
+            sql = (f"SELECT * REPLACE (strftime(datetime, '%Y-%m-%d') AS datetime) "
+                   f"FROM (\n{sql}\n)")
+        out[name] = sql
+    return out

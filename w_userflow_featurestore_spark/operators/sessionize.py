@@ -1,0 +1,129 @@
+"""Sessionization + session-state classification (the silver layer).
+
+The reference sessionizes by grouping on a client-supplied ``session_id``
+(reference silver_user_session_events.py:111-123 — a 9-key groupBy, NOT a
+gaps-and-islands window) and then classifies each session with an ordered
+when-chain state machine (:125-141). The generic event stream in this
+engine has no client session id, so sessionization itself is derived with
+the classic gaps-and-islands pattern (a new session starts when the gap to
+the previous event of the same user exceeds ``gap_ms``); the rollup and the
+state machine then mirror the reference's semantics exactly:
+
+- rollup = min/max timestamps, duration, presence flags via max(when...)
+  (silver_user_session_events.py:114-123)
+- ordered state rules COMPLETE -> EXIT -> TIMEOUT_EXIT -> IN_PROGRESS with
+  an injected ``now`` (the reference uses wall-clock current_timestamp(),
+  :135, which makes it non-deterministic — here "now" is a parameter,
+  SURVEY.md §7.4).
+
+Scale notes: both steps shuffle once on ``user_id`` (the window and the
+groupBy share the partitioning, so Catalyst reuses the exchange). No
+Python crosses the row path — everything is whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.functions import epoch_ms, exact_sum, fround, presence_flag
+
+DEFAULT_GAP_MS = 30 * 60 * 1000          # 30 min inactivity starts a new session
+DEFAULT_TIMEOUT_MS = 600 * 1000          # reference: 600 s idle => TIMEOUT_EXIT
+                                         # (silver_user_session_events.py:135)
+DEFAULT_COMPLETE_THRESHOLD = 50.0        # analog of scroll_ratio >= 0.95 (:128)
+
+
+def assign_sessions(events: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts", order_tiebreak: str = "event_id",
+                    gap_ms: int = DEFAULT_GAP_MS) -> DataFrame:
+    """Gaps-and-islands session assignment: adds a ``session_id`` column.
+
+    session boundary  <=>  first event of a user OR gap > gap_ms
+    session_id = user_id * 1_000_000 + running count of boundaries  (stable,
+    deterministic, unique across users for user_id < ~9e12).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ms = F.lag(epoch_ms(F.col(ts_col))).over(w)
+    is_new = F.when(
+        prev_ms.isNull() | (epoch_ms(F.col(ts_col)) - prev_ms > gap_ms), 1
+    ).otherwise(0)
+    seq = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.withColumn(
+        "session_id", (F.col(user_col) * F.lit(1_000_000) + seq).cast("long"))
+
+
+def rollup_sessions(events_with_sessions: DataFrame,
+                    user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Event -> session-grain rollup (reference A1,
+    silver_user_session_events.py:111-123).
+
+    One row per session: time bounds, duration, entry event, value
+    aggregates, distinct item count, and 0/1 presence flags per event type
+    (the reference's seen_enter/seen_scroll/seen_complete/seen_exit).
+    """
+    e = events_with_sessions
+    item = F.from_json(F.col("props"), "k INT")["k"]  # schema-ful JSON decode (S2)
+    return (
+        e.groupBy("session_id", user_col)
+         .agg(
+             F.min(ts_col).alias("start_time"),
+             F.max(ts_col).alias("end_time"),
+             (epoch_ms(F.max(ts_col)) - epoch_ms(F.min(ts_col))).alias("duration_ms"),
+             F.count(F.lit(1)).alias("n_events"),
+             # min_by on ts alone: event timestamps are microsecond-unique per
+             # user in practice; DuckDB's arg_min matches this exactly
+             F.min_by("event_type", ts_col).alias("entry_event_type"),
+             exact_sum(F.col("value")).alias("sum_value"),
+             fround(F.max("value"), 2).alias("max_value"),
+             F.count_distinct(item).alias("n_items"),
+             presence_flag(F.col("event_type"), "purchase").alias("seen_purchase"),
+             presence_flag(F.col("event_type"), "error").alias("seen_error"),
+             presence_flag(F.col("event_type"), "click").alias("seen_click"),
+             presence_flag(F.col("event_type"), "view").alias("seen_view"),
+         )
+         .withColumn("datetime", F.to_date("start_time"))
+    )
+
+
+def classify_sessions(sessions: DataFrame, now: str,
+                      complete_threshold: float = DEFAULT_COMPLETE_THRESHOLD,
+                      timeout_ms: int = DEFAULT_TIMEOUT_MS) -> DataFrame:
+    """Ordered session-state machine (reference A2,
+    silver_user_session_events.py:125-141):
+
+      1. COMPLETE      seen terminal-success AND measure >= threshold
+      2. EXIT          seen failure signal (falls through rule 1)
+      3. TIMEOUT_EXIT  now - end_time > timeout  (now is INJECTED, not
+                       wall-clock — reference quirk P9 fixed)
+      4. IN_PROGRESS   otherwise
+
+    Then 0/1 ints is_complete / is_exit, with TIMEOUT_EXIT counted as exit
+    (:139-141). Rule order is load-bearing: a session with both purchase
+    and error is COMPLETE, matching the reference's when-chain.
+    """
+    now_ms = epoch_ms(F.to_timestamp(F.lit(now)))
+    state: Column = (
+        F.when((F.col("seen_purchase") == 1) &
+               (F.col("max_value") >= complete_threshold), "COMPLETE")
+         .when(F.col("seen_error") == 1, "EXIT")
+         .when(now_ms - epoch_ms(F.col("end_time")) > timeout_ms, "TIMEOUT_EXIT")
+         .otherwise("IN_PROGRESS"))
+    return (sessions
+            .withColumn("session_state", state)
+            .withColumn("is_complete",
+                        F.when(F.col("session_state") == "COMPLETE", 1).otherwise(0))
+            .withColumn("is_exit",
+                        F.when(F.col("session_state").isin("EXIT", "TIMEOUT_EXIT"), 1)
+                         .otherwise(0)))
+
+
+def sessionize(events: DataFrame, now: str,
+               gap_ms: int = DEFAULT_GAP_MS,
+               complete_threshold: float = DEFAULT_COMPLETE_THRESHOLD,
+               timeout_ms: int = DEFAULT_TIMEOUT_MS) -> DataFrame:
+    """Full event -> classified-session pipeline (the silver layer)."""
+    return classify_sessions(
+        rollup_sessions(assign_sessions(events, gap_ms=gap_ms)),
+        now=now, complete_threshold=complete_threshold, timeout_ms=timeout_ms)

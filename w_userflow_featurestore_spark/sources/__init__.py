@@ -1,0 +1,8 @@
+from w_userflow_featurestore_spark.sources.parquet import (
+    read_table,
+    write_partitioned,
+    overwrite_partitions,
+    merge_upsert,
+)
+
+__all__ = ["read_table", "write_partitioned", "overwrite_partitions", "merge_upsert"]

@@ -1,0 +1,104 @@
+"""Batch sources/sinks over partitioned parquet.
+
+The reference uses Iceberg for every table (scan S5, MERGE S9, dynamic
+partition overwrite S10 — reference src/spark/silver/silver_user_session_events.py:67,146-186
+and src/spark/gold/*_metrics.py writeTo(...).overwritePartitions()).
+This module provides the same three idempotency primitives in a
+format-agnostic way so the engine runs on plain parquet in tests and on
+Iceberg/Delta in production (swap the writer, keep the call sites):
+
+- ``read_table``            — pruned scan (S5): filters passed here reach the
+                              parquet reader as PushedFilters / partition pruning.
+- ``overwrite_partitions``  — dynamic partition overwrite (S10): replace only
+                              the partitions present in the result.
+- ``merge_upsert``          — MERGE INTO semantics (S9) as an anti-join +
+                              union partition rewrite for formats without a
+                              transactional MERGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Timestamp columns in the fixture tables. They are stored as parquet
+# TIMESTAMP(NANOS); with spark.sql.legacy.parquet.nanosAsLong=true they
+# arrive as nanosecond BIGINTs and are normalized here to TimestampType at
+# microsecond precision — exactly what DuckDB's parquet reader yields, so
+# oracle epoch math agrees to the microsecond.
+_NANO_TS_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str,
+               where: Column | None = None,
+               columns: list[str] | None = None) -> DataFrame:
+    """Scan one fixture table, pushing filter + projection into the scan.
+
+    Express pruning declaratively — Catalyst pushes both into the parquet
+    reader (verify with .explain: PushedFilters / ReadSchema).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, []):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            # integer `div` (not `/`): float division of 1.7e18-scale nanos
+            # would lose sub-millisecond precision past double's 53-bit mantissa
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    if where is not None:
+        df = df.where(where)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
+                      mode: str = "overwrite") -> None:
+    """Write a day-partitioned table (all reference tables are
+    PARTITIONED BY days(datetime); bronze_load_raw_data.py:62)."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Dynamic partition overwrite (S10): replaces only partitions present
+    in ``df`` — the gold layer's idempotent recovery unit
+    (reference gold_user_daily_metrics.py:104 `.overwritePartitions()`).
+    """
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(*partition_by)
+       .parquet(path))
+
+
+def merge_upsert(spark: SparkSession, target_path: str, staged: DataFrame,
+                 keys: list[str], partition_by: list[str]) -> None:
+    """MERGE INTO semantics on plain parquet (S9).
+
+    Reference: silver stages sessions as a temp view and MERGEs on the full
+    session key — matched rows updated, new rows inserted
+    (silver_user_session_events.py:146-186). Without a transactional table
+    format we get the same end state idempotently by rewriting only the
+    partitions the staged rows touch:
+
+      new_target_partition = staged ∪ (target_partition ⟕anti staged on keys)
+
+    The rewrite is scoped to affected partitions (same recovery unit as the
+    reference's day partitions), so repeated runs converge.
+    """
+    try:
+        target = spark.read.parquet(target_path)
+    except Exception:
+        write_partitioned(staged, target_path, partition_by)
+        return
+    # restrict the rewrite to partitions present in the staged batch
+    parts = staged.select(*partition_by).distinct()
+    affected = target.join(parts.hint("broadcast"), on=partition_by, how="left_semi")
+    kept = affected.join(staged.select(*keys).distinct(), on=keys, how="left_anti")
+    merged = kept.select(*staged.columns).unionByName(staged)
+    # localCheckpoint breaks lineage so the subsequent overwrite of the same
+    # files cannot race the scan feeding it (read-before-overwrite hazard).
+    merged = merged.localCheckpoint(eager=True)
+    overwrite_partitions(merged, target_path, partition_by)
