@@ -1,0 +1,61 @@
+"""Benchmark harness: times the headline queries at one scale factor.
+
+Runs every ``__spark_entry__.queries()`` entry against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a JVM-side noop write (consumes
+every partition without serializing rows to Python — measures the
+engine, not the toPandas bridge). One warmup run of the cheapest query
+absorbs one-time session/codegen costs before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from w_userflow_featurestore_spark import get_spark  # noqa: E402
+
+
+def _force(df) -> None:
+    # noop datasource: full execution, zero sink cost, nothing to driver
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="bench")
+
+    qs = entrymod.queries()
+    # warmup: JVM/codegen/parquet-footer caches
+    _force(next(iter(qs.values()))(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Source/sink idempotency primitives — reference S5/S9/S10 semantics
+(pruned scan, MERGE upsert, dynamic partition overwrite) on plain parquet."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001, rows
+from w_userflow_featurestore_spark.sources import (
+    merge_upsert, overwrite_partitions, read_table, write_partitioned,
+)
+
+
+def test_read_table_normalizes_nano_timestamps(spark):
+    ev = read_table(spark, SF0001, "events")
+    assert str(ev.schema["ts"].dataType) == "TimestampType()"
+    assert ev.count() > 0
+
+
+def test_read_table_pushes_filter_and_projection(spark):
+    df = read_table(spark, SF0001, "lineitem",
+                    where=F.col("l_orderkey") == 1,
+                    columns=["l_orderkey", "l_quantity"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]" in plan
+    # column pruning: scan reads only the 2 selected columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1]
+
+
+def _frame(spark, data):
+    return spark.createDataFrame(
+        data, "k long, datetime date, v string")
+
+
+def test_overwrite_partitions_replaces_only_present(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    write_partitioned(_frame(spark, [(1, d1, "a"), (2, d2, "b")]),
+                      path, ["datetime"])
+    # rewrite ONLY d2; d1 must survive
+    overwrite_partitions(_frame(spark, [(3, d2, "c")]), path, ["datetime"])
+    got = rows(spark.read.parquet(path), "k", "v")
+    assert got == [(1, "a"), (3, "c")]
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    merge_upsert(spark, path, _frame(spark, [(1, d1, "a"), (2, d1, "b")]),
+                 keys=["k"], partition_by=["datetime"])
+    # matched k=2 -> update; new k=3 -> insert; untouched partition d2 intact
+    merge_upsert(spark, path, _frame(spark, [(2, d1, "B"), (3, d2, "c")]),
+                 keys=["k"], partition_by=["datetime"])
+    got = rows(spark.read.parquet(path), "k", "v")
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1 = dt.date(2024, 1, 1)
+    batch = _frame(spark, [(1, d1, "a"), (2, d1, "b")])
+    merge_upsert(spark, path, batch, keys=["k"], partition_by=["datetime"])
+    merge_upsert(spark, path, batch, keys=["k"], partition_by=["datetime"])
+    assert rows(spark.read.parquet(path), "k", "v") == [(1, "a"), (2, "b")]
