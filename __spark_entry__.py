@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 from w_userflow_featurestore_spark.functions import (
     epoch_ms, exact_avg, exact_sum, fround,
 )
+from w_userflow_featurestore_spark.operators import dedup as DD
 from w_userflow_featurestore_spark.operators import metrics as M
+from w_userflow_featurestore_spark.operators import similarity as SIM
+from w_userflow_featurestore_spark.operators import text as TX
 from w_userflow_featurestore_spark.operators.cleanse import dedup_latest
 from w_userflow_featurestore_spark.operators.sessionize import sessionize
 from w_userflow_featurestore_spark.sources import read_table
@@ -164,6 +167,72 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count_distinct("o_orderkey").alias("n_orders")))
 
 
+# ---------------------------------------------------------------------------
+# 100 TB extension ops: dedup / text analysis / similarity search
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groups + canonical-survivor flag."""
+    return DD.exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash: 8 seeded minwise hashes over 3-gram shingles."""
+    return DD.minhash_signatures(read_table(spark, sf_dir, "documents"),
+                                 n=3, k=8)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (4 bands x 2 rows)."""
+    return DD.minhash_lsh_dedup(read_table(spark, sf_dir, "documents"),
+                                n=3, k=8, bands=4, min_est_jaccard=0.5)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs via shingle inverted index (>= 0.8)."""
+    return DD.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"),
+                                  n=3, threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document."""
+    return DD.simhash(read_table(spark, sf_dir, "documents"), n=3, bits=32)
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded hamming join, distance <= 3."""
+    sigs = DD.simhash(read_table(spark, sf_dir, "documents"), n=3, bits=32)
+    return DD.simhash_near_pairs(sigs, bits=32, chunks=4, max_hamming=3)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language-ID / quality / token-count / fingerprint profile."""
+    return TX.text_profile(read_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-language rollup with exact-avg quality."""
+    return TX.corpus_language_stats(read_table(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors vec_id < 5."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 planes, index build)."""
+    return SIM.lsh_bucket_assignments(read_table(spark, sf_dir, "embeddings"),
+                                      planes=8)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (4 planes), exact-cosine re-rank."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5, planes=4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions": q_sessions,
     "user_daily": q_user_daily,
@@ -178,6 +247,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_latest": q_dedup_latest,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash": q_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "text_profile": q_text_profile,
+    "corpus_language_stats": q_corpus_language_stats,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 
@@ -525,6 +605,275 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name IN ('ASIA', 'EUROPE')
 GROUP BY r_name, n_name
+"""
+
+
+# --- extension-op oracles (documents / embeddings) -------------------------
+# Shared primitives mirror operators/dedup.py exactly:
+#   hash60(x)  = first 15 md5 hex chars as BIGINT (engine-portable)
+#   shingles   = distinct word 3-grams over normalized text
+
+def _h60(x: str) -> str:
+    return f"CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+_SHINGLE_CTE = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         string_split({_NORM}, ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> array_to_string(ws[i:i+2], ' '))) AS sset
+  FROM w
+),
+shex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh)
+"""
+
+ORACLES["exact_dedup"] = f"""
+WITH d AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents)
+SELECT doc_id, content_hash,
+       count(*) OVER (PARTITION BY content_hash) AS dup_count,
+       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+            THEN 1 ELSE 0 END AS keep
+FROM d
+"""
+
+_MH_COLS = ",\n       ".join(
+    "min({}) AS mh{}".format(_h60("'{}:' || shingle".format(i)), i)
+    for i in range(8))
+
+ORACLES["minhash_signatures"] = _SHINGLE_CTE + f"""
+SELECT doc_id, {_MH_COLS}
+FROM shex GROUP BY doc_id
+"""
+
+_SIG_CTE = _SHINGLE_CTE + f""",
+sig AS (SELECT doc_id, {_MH_COLS} FROM shex GROUP BY doc_id)
+"""
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(CAST(mh{2 * b} AS VARCHAR) || ',' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bucket "
+    f"FROM sig"
+    for b in range(4))
+
+_AGREE = " + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+                    for i in range(8))
+
+ORACLES["minhash_lsh_pairs"] = _SIG_CTE + f""",
+bands AS ({_BANDS_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT doc_a, doc_b, round(({_AGREE}) / 8.0, 2) AS est_jaccard
+  FROM pairs
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+)
+WHERE est_jaccard >= 0.5
+"""
+
+ORACLES["ngram_jaccard_pairs"] = _SHINGLE_CTE + """,
+sizes AS (SELECT doc_id, len(sset) AS sz FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shex a JOIN shex b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 2) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+WHERE jaccard >= 0.8
+"""
+
+_SIMHASH_SUMS = ",\n       ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(32))
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(32))
+
+_SIMHASH_CTE = _SHINGLE_CTE + f""",
+hs AS (SELECT doc_id, {_h60('shingle')} AS h FROM shex),
+g AS (SELECT doc_id, {_SIMHASH_SUMS} FROM hs GROUP BY doc_id),
+sims AS (SELECT doc_id, {_SIMHASH_SIG} AS simhash FROM g)
+"""
+
+ORACLES["simhash"] = _SIMHASH_CTE + "SELECT doc_id, simhash FROM sims"
+
+_SIM_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * 8}) & 255 AS val FROM sims"
+    for c in range(4))
+
+ORACLES["simhash_near_pairs"] = _SIMHASH_CTE + f""",
+bands AS ({_SIM_BANDS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming FROM pairs
+)
+WHERE hamming <= 3
+"""
+
+
+def _lang_sql() -> tuple[str, str]:
+    """(hit-count select list, argmax CASE expression) for language ID,
+    mirroring operators/text.py LANG_PROFILES + tie-break order."""
+    from w_userflow_featurestore_spark.operators.text import LANG_PROFILES
+    hits = []
+    for lang, prof in LANG_PROFILES.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in prof) + "]"
+        hits.append(f"len(list_filter(ws, x -> list_contains({lst}, x))) AS hits_{lang}")
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_PROFILES) + ")"
+    pred = "'und'"
+    for lang in reversed(list(LANG_PROFILES)):
+        pred = (f"CASE WHEN hits_{lang} > 0 AND hits_{lang} = {best} "
+                f"THEN '{lang}' ELSE {pred} END")
+    return ",\n         ".join(hits), pred
+
+
+_LANG_HITS, _LANG_PRED = _lang_sql()
+
+_FP5 = ("list_min(list_transform(range(1, greatest(len(ws) - 4, 1) + 1), "
+        "i -> " + _h60("array_to_string(ws[i:i+4], ' ')") + "))")
+
+_PROFILE_CTE = f"""
+WITH w AS (
+  SELECT doc_id, text, {_NORM} AS norm,
+         string_split({_NORM}, ' ') AS ws
+  FROM documents
+),
+p AS (
+  SELECT doc_id, text, norm, ws, len(ws) AS n_tok,
+         {_LANG_HITS}
+  FROM w
+),
+prof AS (
+  SELECT doc_id,
+         n_tok AS n_tokens_ws,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+         length(text) AS n_chars_raw,
+         {_LANG_PRED} AS lang_pred,
+         round(0.35 * least(n_tok / 64.0, 1.0)
+               + 0.25 * (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE))
+               + 0.25 * (CASE WHEN (length(norm) - (n_tok - 1)) / CAST(n_tok AS DOUBLE) >= 3.0
+                               AND (length(norm) - (n_tok - 1)) / CAST(n_tok AS DOUBLE) <= 8.0
+                              THEN 1.0 ELSE 0.5 END)
+               + 0.15 * least(hits_en * 8.0 / n_tok, 1.0), 2) AS quality,
+         {_FP5} AS fingerprint,
+         md5(norm) AS content_hash
+  FROM p
+)
+"""
+
+ORACLES["text_profile"] = _PROFILE_CTE + """
+SELECT doc_id, n_tokens_ws, n_tokens_bpe, n_chars_raw, lang_pred, quality,
+       fingerprint, content_hash
+FROM prof
+"""
+
+ORACLES["corpus_language_stats"] = _PROFILE_CTE + """
+SELECT lang_pred, count(*) AS n_docs,
+       CASE WHEN count(quality) > 0
+            THEN round(sum(CAST(floor(quality * 100.0 + 0.5) AS BIGINT)) / 100.0
+                       / count(quality), 2) END AS avg_quality,
+       CAST(sum(n_tokens_ws) AS BIGINT) AS total_tokens
+FROM prof GROUP BY lang_pred
+"""
+
+# quantized-embedding primitives (mirror operators/similarity.py: exact
+# integer dot products — sums of integral doubles < 2^53 are exact in any
+# order, so Spark partial aggregation and DuckDB agree bit-for-bit)
+_QVEC = ("list_transform(embedding, "
+         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+
+
+def _qdot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
+_COSINE = (f"round(CAST({_qdot('qv', 'nv')} AS DOUBLE)"
+           f" / (sqrt(CAST({_qdot('qv', 'qv')} AS DOUBLE))"
+           f" * sqrt(CAST({_qdot('nv', 'nv')} AS DOUBLE))), 4)")
+
+ORACLES["ann_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS q_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, {_QVEC} AS nv FROM embeddings),
+scored AS (
+  SELECT q_id, n_id, {_COSINE} AS cosine
+  FROM c CROSS JOIN q
+  WHERE n_id <> q_id
+)
+SELECT q_id, n_id, cosine, "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS "rank"
+  FROM scored)
+WHERE "rank" <= 5
+"""
+
+
+def _bucket_sql(vec: str, planes: int, table: int = 0) -> str:
+    from w_userflow_featurestore_spark.operators.similarity import plane_signs
+    terms = []
+    for p in range(planes):
+        signs = "[" + ", ".join(
+            str(s) for s in plane_signs(table * planes + p, 64)) + "]"
+        proj = (f"list_sum(list_transform(range(1, 65), "
+                f"i -> {vec}[i] * (CAST({signs} AS BIGINT[]))[i]))")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN CAST({2 ** p} AS BIGINT) "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(terms)
+
+
+ORACLES["ann_lsh_bucket"] = f"""
+WITH c AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings)
+SELECT vec_id, {_bucket_sql('qv', 8)} AS bucket FROM c
+"""
+
+_LSH_TABLES = 4
+_LSH_BUCKET_COLS_Q = ",\n                  ".join(
+    f"{_bucket_sql(_QVEC, 4, t)} AS qb{t}" for t in range(_LSH_TABLES))
+_LSH_MATCH = " OR ".join(f"c.qb{t} = q.qb{t}" for t in range(_LSH_TABLES))
+
+# multi-table OR-amplified LSH: candidate iff buckets collide in ANY of
+# the 4 independent tables (the Spark side is a (tbl, bucket) equi-join +
+# distinct; at DuckDB's fixture scale the OR-filtered cross join is the
+# same candidate set)
+ORACLES["ann_lsh_topk"] = f"""
+WITH q AS (SELECT vec_id AS q_id, {_QVEC} AS qv,
+                  {_LSH_BUCKET_COLS_Q}
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, {_QVEC} AS nv,
+                  {_LSH_BUCKET_COLS_Q}
+      FROM embeddings),
+scored AS (
+  SELECT q_id, n_id, {_COSINE} AS cosine
+  FROM c CROSS JOIN q
+  WHERE n_id <> q_id AND ({_LSH_MATCH})
+)
+SELECT q_id, n_id, cosine, "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS "rank"
+  FROM scored)
+WHERE "rank" <= 5
 """
 
 

@@ -1,0 +1,147 @@
+"""Extension ops: document dedup family, text analysis, embedding ANN.
+
+Functional tests on planted fixtures — the DuckDB value parity runs in
+test_oracle_parity.py; here we pin behavior (planted dups found, planted
+neighbors ranked first, signatures invariant where they must be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from w_userflow_featurestore_spark.operators import dedup as DD
+from w_userflow_featurestore_spark.operators import similarity as SIM
+from w_userflow_featurestore_spark.operators import text as TX
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight")
+NEAR = BASE.replace("green", "dark")          # one word differs
+FAR = ("completely different content about spark query engines and "
+       "distributed columnar storage systems performance")
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],   # 4 == exact dup of 1
+        "doc_id long, text string")
+
+
+def test_exact_dedup_groups_and_survivor(spark):
+    out = {r["doc_id"]: r for r in DD.exact_dedup(_docs(spark)).collect()}
+    assert out[1]["dup_count"] == 2 and out[4]["dup_count"] == 2
+    assert out[1]["keep"] == 1 and out[4]["keep"] == 0      # lowest id wins
+    assert out[2]["dup_count"] == 1 and out[2]["keep"] == 1
+    assert out[1]["content_hash"] == out[4]["content_hash"]
+
+
+def test_normalization_ignores_case_and_punct(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world")], "doc_id long, text string")
+    out = DD.exact_dedup(docs).collect()
+    assert all(r["dup_count"] == 2 for r in out)
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    pairs = rows(DD.minhash_lsh_dedup(_docs(spark), min_est_jaccard=0.5),
+                 "doc_a", "doc_b")
+    assert (1, 4) in pairs                    # exact dup: always caught
+    assert (1, 2) in pairs or (2, 4) in pairs  # near dup caught by banding
+    assert all(3 not in p for p in pairs)     # unrelated doc never pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in DD.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert out[(1, 4)] == 1.0                 # identical -> J=1
+    assert 0.5 <= out[(1, 2)] < 1.0           # one word changed -> high J
+    assert all(3 not in k for k in out)
+
+
+def test_simhash_invariance_and_near_pairs(spark):
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in DD.simhash(_docs(spark)).collect()}
+    assert sigs[1] == sigs[4]                 # identical text, same signature
+    assert sigs[1] != sigs[3]
+    near = rows(DD.simhash_near_pairs(DD.simhash(_docs(spark)),
+                                      max_hamming=8), "doc_a", "doc_b")
+    assert (1, 4) in near
+
+
+def test_text_profile_counts_and_langid(spark):
+    docs = spark.createDataFrame([
+        (1, "the cat and the dog of the house"),
+        (2, "der hund und die katze ist das haus"),
+        (3, "xyzzy qwerty plugh"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.text_profile(docs).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "und"
+    assert out[1]["n_tokens_ws"] == 8
+    assert out[1]["n_chars_raw"] == len("the cat and the dog of the house")
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out.values())
+
+
+def test_token_count_bpe_counts_symbols(spark):
+    docs = spark.createDataFrame([(1, "ab12cd, ef!")], "doc_id long, text string")
+    r = TX.text_profile(docs).collect()[0]
+    # BPE-ish: ab | 12 | cd | , | ef | !  -> 6 tokens
+    # ws (normalized "ab12cd ef"): 2 tokens — punctuation collapses
+    assert r["n_tokens_bpe"] == 6
+    assert r["n_tokens_ws"] == 2
+
+
+def test_fingerprint_detects_shared_window(spark):
+    # identical docs share the fingerprint; a doc with a disjoint minimal
+    # 5-gram differs
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, FAR)], "doc_id long, text string")
+    out = {r["doc_id"]: r["fingerprint"]
+           for r in TX.text_profile(docs).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def _vecs(spark):
+    # v1 ~ v2 (tiny perturbation), v3 orthogonal-ish, v4 opposite of v1
+    return spark.createDataFrame([
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ], "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_ranks_planted_neighbor(spark):
+    emb = _vecs(spark)
+    out = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 1), k=3)
+    got = [(r["n_id"], r["rank"]) for r in
+           sorted(out.collect(), key=lambda r: r["rank"])]
+    assert got[0] == (2, 1)                   # nearest = planted neighbor
+    assert got[-1][0] == 4                    # opposite vector ranks last
+    cos = {r["n_id"]: r["cosine"] for r in out.collect()}
+    assert cos[4] == -1.0 and cos[3] == 0.0
+
+
+def test_lsh_bucket_deterministic_and_separating(spark):
+    emb = _vecs(spark)
+    out = {r["vec_id"]: r["bucket"]
+           for r in SIM.lsh_bucket_assignments(emb, planes=8, dims=4).collect()}
+    assert out[1] != out[4]                   # opposite vectors never collide
+    again = {r["vec_id"]: r["bucket"]
+             for r in SIM.lsh_bucket_assignments(emb, planes=8, dims=4).collect()}
+    assert out == again                       # fully deterministic
+
+
+def test_lsh_topk_high_recall_on_fixture(spark):
+    from w_userflow_featurestore_spark.sources import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["q_id"], r["n_id"])
+             for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["q_id"], r["n_id"])
+              for r in SIM.lsh_topk(emb, q, k=5, planes=4).collect()}
+    # 4-plane single-table LSH: expect to recover a solid fraction of the
+    # true top-5 (clustered fixture); pin a conservative floor
+    assert len(exact & approx) / len(exact) >= 0.4

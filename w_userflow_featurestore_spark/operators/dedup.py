@@ -1,0 +1,283 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's dedup surface is keep-latest-by-key over events
+(reference silver_user_session_events.py:87-92 — see operators/cleanse.py);
+this module adds the document-level dedup family a 100 TB corpus needs:
+
+- exact dedup           — content-hash groupBy (one shuffle on the hash)
+- MinHash signatures    — shingle -> k minwise hashes, one explode+agg
+- MinHash-LSH pairs     — band -> bucket self-join (candidates only meet
+                          inside a bucket; never O(n^2))
+- n-gram Jaccard pairs  — EXACT Jaccard via a shingle inverted index
+                          (posting-list join; quadratic only within a
+                          shingle's posting list, use as verify stage)
+- SimHash + near-dup    — per-bit majority signature, banded hamming join
+
+Everything is built from deterministic, engine-portable primitives
+(md5-derived 60-bit integers — identical in Spark and DuckDB, so every op
+here has a full value-level oracle) and stays JVM-side: no Python UDFs,
+shingling via split/transform/sequence higher-order functions.
+
+Scale design (100 TB): every op is one explode + one hash-partition
+shuffle on a derived key (content hash / band hash / shingle). Posting
+lists and buckets bound the join fan-out; skewed mega-buckets (stop-word
+shingles) should be dropped with ``max_bucket`` before the pair join —
+the standard guard in web-scale dedup pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.functions import fround, rate
+
+# ---------------------------------------------------------------------------
+# portable primitives
+# ---------------------------------------------------------------------------
+
+
+def text_hash60(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit non-negative integer hash of a string.
+
+    First 15 hex chars of md5 parsed as an integer — both engines compute
+    md5 identically, and 15 hex digits (60 bits) always fit a signed
+    BIGINT. DuckDB twin: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT).
+    Seeded variants prefix the payload, giving k independent hash
+    families for minwise hashing.
+    """
+    payload = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form shared by all dedup/text ops: lowercase,
+    non-alphanumerics collapsed to single spaces, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def words(col: Column) -> Column:
+    """Normalized token array."""
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles (distinct, order-free set).
+
+    slice/transform/sequence higher-order functions — evaluated inside
+    codegen, no UDF. A document shorter than ``n`` words yields its whole
+    text as the single shingle.
+    """
+    ws = words(col)
+    k = F.greatest(F.size(ws) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, n))))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Content-hash exact dedup: every doc tagged with its normalized
+    content hash, the group size, and ``keep`` (1 for the lowest id of
+    each group — the canonical survivor).
+
+    One shuffle on the 128-bit content hash; at 100 TB this is the
+    standard first pass (hash is tiny vs text, so the exchange moves
+    ~16 bytes/doc + id).
+    """
+    h = F.md5(normalize_text(F.col(text_col)))
+    d = docs.select(F.col(id_col), h.alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return (d
+            .withColumn("dup_count", F.count(F.lit(1)).over(w))
+            .withColumn("keep",
+                        F.when(F.col(id_col) == F.min(id_col).over(w), 1)
+                         .otherwise(0)))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       k: int = 8) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    explode(shingles) -> groupBy(doc) with k min(hash_i) aggregates: one
+    shuffle keyed on the doc id, k columns wide. The k hash families are
+    seeded md5s — portable and independent-enough for Jaccard estimation
+    (k=8 default keeps the driver-oracle SQL tractable; production would
+    use 128).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    aggs = [F.min(text_hash60(F.col("shingle"), seed=i)).alias(f"mh{i}")
+            for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        k: int = 8, bands: int = 4,
+                        min_est_jaccard: float = 0.5) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures -> bands -> bucket join.
+
+    Each signature is cut into ``bands`` bands of k/bands rows; a band's
+    bucket key is the md5 of its concatenated minhashes. Two docs meet
+    iff they collide in >=1 band — the join is on (band_idx, bucket), so
+    work scales with bucket sizes, never n^2. Pair output carries the
+    full-signature agreement fraction (the Jaccard estimate), filtered
+    at ``min_est_jaccard``.
+    """
+    r = k // bands
+    assert bands * r == k, "k must be divisible by bands"
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    banded = signatures.select(
+        F.col(id_col), sig_arr.alias("sig"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(",", *[F.col(f"mh{i}").cast("string")
+                                              for i in range(b * r, (b + 1) * r)]))
+                      .alias("bucket"))
+            for b in range(bands)])).alias("bb")
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"),
+                     F.col("a.sig").alias("sig_a"),
+                     F.col("b.sig").alias("sig_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda e: e))
+    return (pairs
+            .withColumn("est_jaccard", fround(agree / F.lit(float(k)), 2))
+            .where(F.col("est_jaccard") >= min_est_jaccard)
+            .select("doc_a", "doc_b", "est_jaccard"))
+
+
+def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3, k: int = 8,
+                      bands: int = 4,
+                      min_est_jaccard: float = 0.5) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pair detection."""
+    sigs = minhash_signatures(docs, text_col, id_col, n=n, k=k)
+    return lsh_candidate_pairs(sigs, id_col, k=k, bands=bands,
+                               min_est_jaccard=min_est_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verify stage)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8,
+                        max_posting: int | None = None) -> DataFrame:
+    """EXACT n-gram-set Jaccard for every pair sharing >=1 shingle.
+
+    Inverted-index join: explode distinct shingles, self-join posting
+    lists, count common shingles per pair, then
+    J = common / (|A| + |B| - common). At scale, ``max_posting`` drops
+    degenerate stop-shingles whose posting lists would blow up the join
+    (a shingle shared by 1 M docs contributes 10^12 pairs but zero
+    information); the planted-near-dup recall loss is negligible.
+    """
+    sh = docs.select(F.col(id_col),
+                     F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_posting is not None:
+        ok = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pl"))
+                .where(F.col("pl") <= max_posting))
+        sh = sh.join(ok.select("shingle"), "shingle", "left_semi")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                       F.col(f"b.{id_col}").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        fround(F.col("common")
+                               / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 2))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n: int = 3, bits: int = 32) -> DataFrame:
+    """SimHash signature: for each bit b, sum +-1 over the document's
+    shingle hashes (bit set -> +1), bit b of the signature = 1 iff the
+    sum is positive.
+
+    One explode + one wide conditional aggregate (``bits`` sums) — same
+    shuffle shape as MinHash. 32 bits keeps the oracle SQL readable;
+    production uses 64.
+    """
+    sh = docs.select(F.col(id_col),
+                     F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    h = text_hash60(F.col("shingle"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1)).alias(f"s{b}")
+        for b in range(bits)]
+    g = sh.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0,
+                      F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return g.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                       bits: int = 32, chunks: int = 4,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by banded hamming join over SimHash signatures.
+
+    Pigeonhole: two signatures within hamming distance d < chunks must
+    agree on >=1 of ``chunks`` bit-chunks, so candidates only meet inside
+    a chunk-value bucket (same LSH shape as MinHash banding). Verified
+    with bit_count(xor) <= max_hamming.
+    """
+    w = bits // chunks
+    mask = (1 << w) - 1
+    banded = signatures.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright(F.col("simhash"), c * w)
+                      .bitwiseAND(F.lit(mask)).alias("val"))
+            for c in range(chunks)])).alias("cb")
+    ).select(id_col, "simhash", "cb.chunk", "cb.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.val") == F.col("b.val"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.simhash").alias("sig_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (pairs.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,130 @@
+"""Text-analysis operators: language ID, quality scoring, token counts,
+document fingerprinting.
+
+The per-document members of the 100 TB extension family (SURVEY.md §7.2
+M6). Everything here is ROW-LOCAL — pure column expressions, no shuffle,
+no UDF — so the ops scale linearly and pipeline into the same scan as
+any downstream filter (a quality-threshold filter composes into the
+parquet scan's predicate pushdown).
+
+All primitives are engine-portable (split/filter/transform higher-order
+functions + md5 hashing) so each op has a full DuckDB value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.functions import exact_avg, fround
+from w_userflow_featurestore_spark.operators.dedup import (
+    normalize_text, text_hash60, words,
+)
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Order is the deterministic tie-break (earlier wins).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que"),
+}
+
+# BPE-ish token pattern: letter runs | digit runs | any single symbol.
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _stop_hits(ws: Column, stopwords: tuple[str, ...]) -> Column:
+    """Frequency-sensitive stopword hit count (filter+size, JVM-side)."""
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count over the normalized text."""
+    return F.size(words(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish subword proxy: count of letter-run / digit-run / symbol
+    matches in the RAW lowercased text (punctuation counts, as a real
+    byte-pair pretokenizer would see it)."""
+    return F.regexp_count(F.lower(col), F.lit(BPE_TOKEN_RE))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-profile language ID: argmax of per-language hit counts,
+    'und' (undetermined) when nothing matches. Deterministic tie-break =
+    LANG_PROFILES order. Accuracy is corpus-dependent (it is a heuristic);
+    the contract is determinism + zero shuffle."""
+    ws = words(col)
+    hits = {lang: _stop_hits(ws, prof) for lang, prof in LANG_PROFILES.items()}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):      # earlier profile wins ties
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), lang).otherwise(out)
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic from length, alpha ratio, mean
+    word length, and stopword density — the standard cheap pre-filter for
+    training-corpus curation. Weights are fixed; each component is a pure
+    arithmetic expression of the raw text."""
+    n_tok = token_count_ws(col)
+    n_raw = F.length(col)
+    n_alpha = F.length(F.regexp_replace(F.lower(col), "[^a-z0-9]", ""))
+    norm = normalize_text(col)
+    # mean word length over normalized text: chars minus separators / tokens
+    mean_wl = (F.length(norm) - (n_tok - 1)) / n_tok
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    alpha_ratio = n_alpha / n_raw
+    stop_density = F.least(
+        _stop_hits(words(col), LANG_PROFILES["en"]) * F.lit(8.0) / n_tok,
+        F.lit(1.0))
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 1.0).otherwise(0.5)
+    return fround(F.lit(0.35) * len_score + F.lit(0.25) * alpha_ratio
+                  + F.lit(0.25) * wl_score + F.lit(0.15) * stop_density, 2)
+
+
+def doc_fingerprint(col: Column, n: int = 5) -> Column:
+    """Bottom-1 rolling fingerprint: min 60-bit hash over word n-gram
+    shingles (array_min(transform(...)) — per-row, no explode). Two docs
+    sharing their minimal shingle collide — the winnowing building block."""
+    ws = words(col)
+    k = F.greatest(F.size(ws) - (n - 1), F.lit(1))
+    sh = F.transform(F.sequence(F.lit(1), k),
+                     lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    # NB: explicit one-arg lambda — F.transform would otherwise pass the
+    # array index into text_hash60's ``seed`` parameter
+    return F.array_min(F.transform(sh, lambda s: text_hash60(s)))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Full per-document profile: one narrow projection, zero shuffles."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        F.length(c).alias("n_chars_raw"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        doc_fingerprint(c).alias("fingerprint"),
+        F.md5(normalize_text(c)).alias("content_hash"),
+    )
+
+
+def corpus_language_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predicted-language rollup with mean quality — the corpus-curation
+    dashboard aggregate (one hash-agg shuffle on the tiny lang key)."""
+    p = docs.select(lang_id(F.col(text_col)).alias("lang_pred"),
+                    quality_score(F.col(text_col)).alias("quality"),
+                    token_count_ws(F.col(text_col)).alias("n_tokens_ws"))
+    return (p.groupBy("lang_pred")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  # exact_avg: quality is 2-decimal; integer-scaled sum is
+                  # immune to partial-agg summation order
+                  exact_avg(F.col("quality")).alias("avg_quality"),
+                  F.sum("n_tokens_ws").alias("total_tokens")))
