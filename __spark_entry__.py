@@ -25,6 +25,7 @@ from w_userflow_featurestore_spark.functions import (
 )
 from w_userflow_featurestore_spark.operators import dedup as DD
 from w_userflow_featurestore_spark.operators import metrics as M
+from w_userflow_featurestore_spark.operators import multimodal as MM
 from w_userflow_featurestore_spark.operators import similarity as SIM
 from w_userflow_featurestore_spark.operators import text as TX
 from w_userflow_featurestore_spark.operators.cleanse import dedup_latest
@@ -233,6 +234,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5, planes=4)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads -> typed features through the Arrow mapInPandas
+    path (deterministic fake decode; the plumbing under test is real)."""
+    return MM.multimodal_features(read_table(spark, sf_dir, "documents"))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 video row -> N frame rows) via
+    mapInPandas."""
+    return MM.sample_frames(
+        MM.multimodal_features(read_table(spark, sf_dir, "documents")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions": q_sessions,
     "user_daily": q_user_daily,
@@ -258,6 +272,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 
@@ -874,6 +890,54 @@ SELECT q_id, n_id, cosine, "rank" FROM (
                                ORDER BY cosine DESC, n_id ASC) AS "rank"
   FROM scored)
 WHERE "rank" <= 5
+"""
+
+
+# multimodal fake-decode oracle: the payload is md5-derived, so the
+# mapInPandas byte arithmetic is reproducible in pure SQL — the oracle
+# checks the Python/Arrow path end-to-end, not just the JVM plan
+_MM_BYTE = "CAST('0x' || substr(hh, ({i} - 1) * 2 + 1, 2) AS INT)"
+_MM_CHECKSUM = ("list_sum(list_transform(range(1, 33), "
+                "i -> CAST('0x' || substr(hh, (i - 1) * 2 + 1, 2) AS INT)))")
+
+_MM_CTE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         md5(text) || md5(text || ':2') AS hh
+  FROM documents
+),
+decoded AS (
+  SELECT media_id, kind,
+         32 AS n_bytes,
+         CAST(CASE WHEN kind IN ('image', 'video')
+              THEN ({_MM_BYTE.format(i=1)} * 256 + {_MM_BYTE.format(i=2)}) % 1024 + 16
+              ELSE 0 END AS INT) AS width,
+         CAST(CASE WHEN kind IN ('image', 'video')
+              THEN ({_MM_BYTE.format(i=3)} * 256 + {_MM_BYTE.format(i=4)}) % 1024 + 16
+              ELSE 0 END AS INT) AS height,
+         CAST(CASE WHEN kind IN ('audio', 'video')
+              THEN ({_MM_BYTE.format(i=5)} * 256 + {_MM_BYTE.format(i=6)}) * 10
+              ELSE 0 END AS BIGINT) AS duration_ms,
+         CAST({_MM_CHECKSUM} AS BIGINT) AS checksum
+  FROM m
+)
+"""
+
+ORACLES["multimodal_decode"] = _MM_CTE + """
+SELECT media_id, kind, n_bytes, width, height, duration_ms, checksum
+FROM decoded
+"""
+
+ORACLES["multimodal_frames"] = _MM_CTE + """
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(checksum + frame_idx AS BIGINT) AS frame_checksum
+FROM (
+  SELECT media_id, checksum,
+         unnest(range(0, greatest(least(CAST(floor(duration_ms / 1000.0) AS BIGINT), 5), 1))) AS frame_idx
+  FROM decoded WHERE kind = 'video'
+)
 """
 
 

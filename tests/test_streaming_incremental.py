@@ -1,0 +1,139 @@
+"""Streaming bronze ingest + session_window extension + incremental
+planner (reference S1-S7 analogs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from w_userflow_featurestore_spark.incremental import IncrementalPlanner
+from w_userflow_featurestore_spark.operators.sessionize import (
+    assign_sessions, rollup_sessions,
+)
+from w_userflow_featurestore_spark.streaming import (
+    bronze_ingest, streaming_sessionize,
+)
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+
+
+def _write_events(spark, path, data):
+    spark.createDataFrame(data, EVENTS_DDL).coalesce(1) \
+         .write.mode("append").parquet(path)
+
+
+def _batch(eid, ts, uid, etype="view", value=1.0):
+    return (eid, dt.datetime.fromisoformat(ts), uid, etype, value, '{"k": 1}')
+
+
+def test_bronze_ingest_file_stream_roundtrip(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_events(spark, src, [
+        _batch(1, "2024-01-01 10:00:00", 1),
+        _batch(2, "2024-01-02 11:00:00", 2),
+    ])
+    stream = (spark.readStream.schema(EVENTS_DDL).parquet(src))
+    q = bronze_ingest(stream, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    # day-partitioned layout (the reference's recovery unit)
+    assert rows(got.select("datetime")) == [
+        (dt.date(2024, 1, 1),), (dt.date(2024, 1, 2),)]
+
+    # restart with the same checkpoint: new source file only -> appended
+    # exactly once (checkpoint = at-most-once per source file)
+    _write_events(spark, src, [_batch(3, "2024-01-01 12:00:00", 1)])
+    q2 = bronze_ingest(
+        spark.readStream.schema(EVENTS_DDL).parquet(src), out, ckpt,
+        available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_sessionize_matches_batch_grouping(spark, tmp_path):
+    src = str(tmp_path / "src")
+    data = [
+        _batch(1, "2024-01-01 10:00:00", 1, "view"),
+        _batch(2, "2024-01-01 10:10:00", 1, "purchase", 60.0),
+        _batch(3, "2024-01-01 11:30:00", 1, "view"),      # >30 min gap
+        _batch(4, "2024-01-01 10:05:00", 2, "click"),
+    ]
+    _write_events(spark, src, data)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    out = str(tmp_path / "sess_out")
+    q = (streaming_sessionize(stream)
+         .writeStream.format("memory").queryName("sess")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt2")).start())
+    q.awaitTermination(180)
+    got = rows(spark.table("sess"),
+               "user_id", "start_time", "end_time", "n_events",
+               "entry_event_type", "max_value")
+
+    batch = rollup_sessions(assign_sessions(
+        spark.createDataFrame(data, EVENTS_DDL)))
+    want = rows(batch, "user_id", "start_time", "end_time", "n_events",
+                "entry_event_type", "max_value")
+    # Append-mode streaming only emits sessions CLOSED by the watermark:
+    # the 11:30 session is still open when the stream drains (watermark =
+    # max ts - 10 min), so it stays in state — exactly the late-data
+    # semantics the reference avoids by re-aggregating in batch
+    # (SURVEY.md §2.8). Closed sessions must match batch exactly.
+    still_open = [w for w in want
+                  if w[1] == dt.datetime.fromisoformat("2024-01-01 11:30:00")]
+    closed = [w for w in want if w not in still_open]
+    assert got == closed
+    assert len(still_open) == 1
+
+
+def test_incremental_planner_full_then_incremental(spark, tmp_path):
+    table = str(tmp_path / "t")
+    ledger = str(tmp_path / "ledger.json")
+    p = IncrementalPlanner(table, ledger)
+
+    _write_events(spark, table, [_batch(1, "2024-01-01 10:00:00", 1)])
+    plan = p.plan_read(spark)
+    assert plan.mode == "full" and plan.df.count() == 1
+    plan.commit()
+
+    # append-only growth -> incremental read sees ONLY the new file
+    _write_events(spark, table, [_batch(2, "2024-01-01 11:00:00", 2)])
+    plan2 = p.plan_read(spark)
+    assert plan2.mode == "incremental"
+    assert rows(plan2.df, "event_id") == [(2,)]
+    plan2.commit()
+
+    # nothing new -> empty plan
+    assert p.plan_read(spark).mode == "empty"
+
+
+def test_incremental_planner_uncommitted_replays(spark, tmp_path):
+    table = str(tmp_path / "t")
+    p = IncrementalPlanner(table, str(tmp_path / "ledger.json"))
+    _write_events(spark, table, [_batch(1, "2024-01-01 10:00:00", 1)])
+    p.plan_read(spark).commit()
+    _write_events(spark, table, [_batch(2, "2024-01-01 11:00:00", 2)])
+    p.plan_read(spark)                       # NOT committed (job "failed")
+    plan = p.plan_read(spark)                # next run replays the increment
+    assert plan.mode == "incremental" and rows(plan.df, "event_id") == [(2,)]
+
+
+def test_incremental_planner_broken_lineage_full_reread(spark, tmp_path):
+    import glob
+    import os
+    table = str(tmp_path / "t")
+    p = IncrementalPlanner(table, str(tmp_path / "ledger.json"))
+    _write_events(spark, table, [_batch(1, "2024-01-01 10:00:00", 1)])
+    p.plan_read(spark).commit()
+    # simulate compaction: rewrite history (delete a recorded file)
+    victim = glob.glob(f"{table}/*.parquet")[0]
+    os.remove(victim)
+    _write_events(spark, table, [_batch(2, "2024-01-01 11:00:00", 2)])
+    plan = p.plan_read(spark)
+    assert plan.mode == "full"
+    assert "lineage broken" in plan.reason
+    assert rows(plan.df, "event_id") == [(2,)]

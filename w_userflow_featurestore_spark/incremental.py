@@ -1,0 +1,111 @@
+"""Incremental-vs-full read planner with a persisted file ledger.
+
+The reference drives Silver incrementally off Iceberg snapshot lineage:
+read only rows appended between two snapshot ids, falling back to a full
+re-read when the recorded snapshot is no longer an ancestor of the
+latest (compaction / rewrite / rollback broke the lineage) — reference
+silver_user_session_events.py:67-76 and silver_dag.py:65-88
+(``is_ancestor_snapshot``). SURVEY.md §4 calls this the one genuinely
+custom "optimizer" behavior: a driver-side control plane, not a Catalyst
+rule.
+
+This module generalizes it to any append-style parquet directory:
+
+- version        = the set of data files currently in the table
+- ledger         = the file set recorded after the last successful run
+                   (JSON next to nothing else — tiny, human-readable)
+- incremental    = read only files added since the ledger
+- lineage broken = any RECORDED file has disappeared (a rewrite touched
+                   history) -> plan a FULL read, exactly like the
+                   reference's broken-ancestry fallback
+
+Commit protocol mirrors the reference DAG (get_snapshot -> process ->
+update_snapshot): ``plan_read`` never mutates the ledger; the caller
+invokes ``plan.commit()`` only after its own write succeeded, so a
+failed run re-reads the same increment (at-least-once, idempotent
+downstream via merge_upsert / overwrite_partitions).
+
+On Iceberg/Delta the same interface binds to real snapshot ids /
+commit versions; the planner logic (ancestry check, fallback, commit
+ordering) is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _list_data_files(path: str) -> list[str]:
+    """Relative paths of all parquet data files under ``path`` (sorted,
+    partition dirs included). Driver-side listing — the control plane
+    decides in milliseconds; executors never see this."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("."):
+                rel = os.path.relpath(os.path.join(root, f), path)
+                out.append(rel)
+    return sorted(out)
+
+
+@dataclass
+class ReadPlan:
+    """Outcome of the incremental-vs-full decision."""
+    mode: str                       # "incremental" | "full" | "empty"
+    reason: str
+    df: DataFrame | None
+    _commit: object = field(default=None, repr=False)
+
+    def commit(self) -> None:
+        """Persist the ledger AFTER the caller's downstream write
+        succeeded (reference task ordering: update_snapshot_id last)."""
+        if self._commit is not None:
+            self._commit()
+
+
+class IncrementalPlanner:
+    """File-set ledger + planner for one source table."""
+
+    def __init__(self, table_path: str, ledger_path: str):
+        self.table_path = table_path
+        self.ledger_path = ledger_path
+
+    def _read_ledger(self) -> list[str] | None:
+        if not os.path.exists(self.ledger_path):
+            return None
+        with open(self.ledger_path) as fh:
+            return json.load(fh)["files"]
+
+    def plan_read(self, spark: SparkSession) -> ReadPlan:
+        current = _list_data_files(self.table_path)
+
+        def commit(files=current):
+            os.makedirs(os.path.dirname(self.ledger_path) or ".", exist_ok=True)
+            tmp = self.ledger_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"files": files}, fh)
+            os.replace(tmp, self.ledger_path)   # atomic swap
+
+        recorded = self._read_ledger()
+        full_df = lambda: spark.read.parquet(self.table_path)  # noqa: E731
+
+        if recorded is None:
+            return ReadPlan("full", "no ledger (first run)",
+                            full_df(), commit)
+        missing = set(recorded) - set(current)
+        if missing:
+            # a recorded file vanished: history was rewritten (compaction,
+            # rollback, vacuum) — the increment is not well-defined
+            return ReadPlan("full",
+                            f"lineage broken: {len(missing)} recorded "
+                            f"file(s) missing", full_df(), commit)
+        new = [f for f in current if f not in set(recorded)]
+        if not new:
+            return ReadPlan("empty", "no new files", None, commit)
+        paths = [os.path.join(self.table_path, f) for f in new]
+        return ReadPlan("incremental", f"{len(new)} new file(s)",
+                        spark.read.parquet(*paths), commit)

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded/feature-extracted through Arrow-batched Python.
+
+The 100 TB pipeline pattern for image/audio/video: media lives in a
+``binary`` column next to typed metadata; decode and feature extraction
+run as ``mapInPandas`` stages (Arrow batch transfer, pandas inside), the
+ONLY place this engine leaves the JVM — everything else in the library
+is Catalyst expressions.
+
+The container has no codec libraries, so the codec-specific inner
+functions are STUBS: ``decode="real"`` raises NotImplementedError with
+the dependency named; ``decode="fake"`` (default) derives features
+deterministically from the payload bytes. The fake keeps the entire
+Spark-side contract REAL — schema, UDF signature, Arrow batch shape,
+fan-out semantics — and, because it is pure byte arithmetic, even the
+Python path has a full DuckDB value oracle.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
+payload columns should be pruned before any shuffle (decode early,
+project the binary away). Frame sampling fans out rows inside the
+executor — no shuffle, output partitioning inherits the input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = ("media_id long, kind string, n_bytes int, width int, "
+                 "height int, duration_ms long, checksum long")
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_checksum long"
+
+_KINDS = ("image", "audio", "video")
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table from the documents fixture:
+    32-byte payload = unhex(md5(text)) || unhex(md5(text || ':2')),
+    kind round-robins image/audio/video by id. Stands in for a real
+    binary source (S3 blobs, tar shards) with a reproducible payload."""
+    kind = (F.when(F.col(id_col) % 3 == 0, "image")
+             .when(F.col(id_col) % 3 == 1, "audio")
+             .otherwise("video"))
+    content = F.concat(
+        F.unhex(F.md5(F.col(text_col))),
+        F.unhex(F.md5(F.concat(F.col(text_col), F.lit(":2")))))
+    return docs.select(F.col(id_col).alias("media_id"), kind.alias("kind"),
+                       content.alias("content"))
+
+
+def _fake_decode_one(kind: str, b: bytes) -> tuple[int, int, int, int, int]:
+    """Deterministic byte-arithmetic 'decode' (the stub the real codec
+    call replaces): dims from the first payload bytes, additive checksum."""
+    width = ((b[0] << 8 | b[1]) % 1024 + 16) if kind in ("image", "video") else 0
+    height = ((b[2] << 8 | b[3]) % 1024 + 16) if kind in ("image", "video") else 0
+    duration = ((b[4] << 8 | b[5]) * 10) if kind in ("audio", "video") else 0
+    return len(b), width, height, duration, sum(b)
+
+
+def decode_media(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Binary -> typed features via mapInPandas (Arrow-batched).
+
+    ``decode="real"`` is the production entry point and requires codec
+    libraries (PIL / libav) that are deliberately not assumed here.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real media decode needs codec libraries (PIL/pillow for "
+            "images, soundfile/av for audio/video) — not available in "
+            "this environment; use decode='fake' for the deterministic "
+            "byte-arithmetic stub")
+    if decode != "fake":
+        raise ValueError(f"unknown decode mode: {decode!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode_one(k, bytes(b))
+                     for k, b in zip(pdf["kind"], pdf["content"])]
+            out = pd.DataFrame(
+                feats, columns=["n_bytes", "width", "height",
+                                "duration_ms", "checksum"])
+            out.insert(0, "kind", pdf["kind"].values)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame, fps: float = 1.0,
+                  max_frames: int = 5) -> DataFrame:
+    """Frame sampling fan-out for video rows: one output row per sampled
+    frame (mapInPandas demonstrating the 1->N batch shape). Frame count =
+    min(duration_s * fps, max_frames), at least 1; the fake per-frame
+    feature is checksum + frame index."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            rows = [
+                (int(r.media_id), i, int(r.checksum) + i)
+                for r in vids.itertuples()
+                for i in range(max(1, min(int(r.duration_ms / 1000.0 * fps),
+                                          max_frames)))
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "frame_checksum"])
+
+    return decoded.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def multimodal_features(docs: DataFrame, decode: str = "fake") -> DataFrame:
+    """End-to-end: synthesize payloads -> Arrow decode -> typed features."""
+    return decode_media(synthesize_media(docs), decode=decode)

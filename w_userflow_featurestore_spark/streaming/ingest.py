@@ -1,0 +1,115 @@
+"""Structured Streaming ingest (the bronze hop) + optional stateful
+sessionization.
+
+Reference behavior reproduced (SURVEY.md §2.1 S1-S4, §2.8):
+- Kafka source with earliest offsets, bounded offsets/trigger, tolerant
+  of data loss (reference bronze_load_raw_data.py:65-72)
+- schema-ful JSON decode of the Kafka value (:74-75)
+- append-only, checkpointed, processing-time-triggered day-partitioned
+  sink (:84-90) — the recovery unit is the checkpoint + atomic commit
+- NO watermark/aggregation in the stream: the reference deliberately
+  keeps the stream raw-append-only and sessionizes in batch
+  (README issue #2); that split is the default here too.
+
+``streaming_sessionize`` is the opt-in idiomatic-Spark EXTENSION the
+reference chose not to ship: watermarked ``session_window`` gap
+sessionization with the same rollup semantics as the batch operator
+(operators/sessionize.py) — same gap parameter, same aggregate columns.
+
+Scale notes: the bronze sink's only shuffle-free guarantee is worth
+keeping — ingest is a narrow map (parse + project + partition column),
+so throughput scales with Kafka partitions x executors. The extension
+aggregation shuffles on (user, session_window) and holds state sized by
+active sessions; the watermark bounds that state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from w_userflow_featurestore_spark.operators.sessionize import (
+    DEFAULT_GAP_MS,
+)
+
+
+def read_event_stream(spark: SparkSession, *, format: str = "kafka",
+                      path: str | None = None,
+                      schema: StructType | str | None = None,
+                      kafka_bootstrap: str | None = None,
+                      topic: str | None = None,
+                      max_offsets_per_trigger: int = 5000) -> DataFrame:
+    """Streaming source. ``kafka`` mirrors the reference's options
+    (earliest offsets, bounded batches, failOnDataLoss=false); ``parquet``
+    / ``json`` file sources serve tests and replay (schema required)."""
+    if format == "kafka":
+        return (spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", kafka_bootstrap)
+                .option("subscribe", topic)
+                .option("startingOffsets", "earliest")
+                .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+                .option("failOnDataLoss", "false")
+                .load())
+    if format in ("parquet", "json"):
+        reader = spark.readStream.format(format)
+        if schema is None:
+            raise ValueError("file-source streams require an explicit schema")
+        return reader.schema(schema).load(path)
+    raise ValueError(f"unsupported stream format: {format!r}")
+
+
+def parse_kafka_events(raw: DataFrame, schema: StructType | str) -> DataFrame:
+    """Kafka value bytes -> typed rows: CAST + from_json + flatten
+    (reference S2), plus the day partition column."""
+    return (raw.selectExpr("CAST(value AS STRING) AS json")
+               .select(F.from_json("json", schema).alias("data"))
+               .select("data.*")
+               .withColumn("datetime", F.to_date("ts")))
+
+
+def bronze_ingest(events: DataFrame, path: str, checkpoint: str,
+                  trigger_seconds: int | None = 30,
+                  available_now: bool = False):
+    """Append-only day-partitioned bronze sink with checkpoint recovery
+    (reference S4). ``available_now`` drains the source and stops —
+    the test/backfill trigger."""
+    if "datetime" not in events.columns:
+        events = events.withColumn("datetime", F.to_date("ts"))
+    writer = (events.writeStream
+              .format("parquet")
+              .outputMode("append")
+              .option("checkpointLocation", checkpoint)
+              .option("path", path)
+              .partitionBy("datetime"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def streaming_sessionize(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS,
+                         watermark: str = "10 minutes",
+                         ts_col: str = "ts",
+                         user_col: str = "user_id") -> DataFrame:
+    """Watermarked session_window sessionization (EXTENSION — the
+    reference's batch re-aggregation stays the compatible default).
+
+    Same grouping semantics as the batch gaps-and-islands operator: two
+    events of one user belong to one session iff chained by gaps <=
+    ``gap_ms``. Produces the same rollup columns; session identity is
+    (user_id, window.start) instead of a synthetic id.
+    """
+    gap = f"{gap_ms // 1000} seconds"
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.col(user_col),
+                     F.session_window(F.col(ts_col), gap).alias("sw"))
+            .agg(F.min(ts_col).alias("start_time"),
+                 F.max(ts_col).alias("end_time"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.min_by("event_type", ts_col).alias("entry_event_type"),
+                 F.max("value").alias("max_value"))
+            .select(user_col, "start_time", "end_time", "n_events",
+                    "entry_event_type", "max_value"))
