@@ -130,9 +130,11 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the canonical wide hash-aggregate
     (partial+final, no join) — the bench workhorse."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return (li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-              .groupBy("l_returnflag", "l_linestatus")
+    # ts_filter pushes the shipdate bound to the raw nano column so it
+    # reaches the parquet scan (PushedFilters row-group pruning)
+    li = read_table(spark, sf_dir, "lineitem",
+                    ts_filter=("l_shipdate", None, "2000-12-01 00:00:00"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
               .agg(exact_sum(F.col("l_quantity")).alias("sum_qty"),
                    exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
                    exact_sum(F.col("l_extendedprice")

@@ -29,6 +29,15 @@ def test_read_table_pushes_filter_and_projection(spark):
     assert "l_extendedprice" not in plan.split("ReadSchema")[1]
 
 
+def test_ts_filter_reaches_parquet_scan(spark):
+    df = read_table(spark, SF0001, "lineitem",
+                    ts_filter=("l_shipdate", None, "2000-12-01 00:00:00"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the time bound must appear in PushedFilters (row-group pruning);
+    # a filter on the converted timestamp column would NOT push
+    assert "LessThanOrEqual(l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
 def _frame(spark, data):
     return spark.createDataFrame(
         data, "k long, datetime date, v string")

@@ -18,6 +18,8 @@ Iceberg/Delta in production (swap the writer, keep the call sites):
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -36,13 +38,43 @@ _NANO_TS_COLS = {
 
 def read_table(spark: SparkSession, sf_dir: str, name: str,
                where: Column | None = None,
-               columns: list[str] | None = None) -> DataFrame:
+               columns: list[str] | None = None,
+               ts_filter: tuple[str, str | None, str | None] | None = None,
+               ) -> DataFrame:
     """Scan one fixture table, pushing filter + projection into the scan.
 
     Express pruning declaratively — Catalyst pushes both into the parquet
     reader (verify with .explain: PushedFilters / ReadSchema).
+
+    CAVEAT — timestamp predicates: the nanos->timestamp conversion below
+    is a projection, so a ``where`` on the converted column CANNOT reach
+    the scan (Catalyst will not push a filter through
+    ``timestamp_micros(x div 1000)``). For time-range pruning use
+    ``ts_filter=(col, min_ts, max_ts)`` (inclusive ISO bounds, None =
+    unbounded): it is applied to the RAW nano-epoch BIGINT *before* the
+    conversion and shows up in PushedFilters — i.e. row-group min/max
+    pruning keeps working. At 100 TB this is the difference between a
+    pruned scan and a full one. (Tables already stored as TIMESTAMP_MICROS
+    take the normal pushdown path; the nanos detour exists only because
+    Spark's vectorized reader rejects parquet TIMESTAMP(NANOS).)
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if ts_filter is not None:
+        c, lo, hi = ts_filter
+        raw_is_nanos = isinstance(df.schema[c].dataType, T.LongType)
+
+        def bound(iso: str) -> Column:
+            if raw_is_nanos:
+                epoch_ns = int(_dt.datetime.fromisoformat(iso)
+                               .replace(tzinfo=_dt.timezone.utc)
+                               .timestamp() * 1_000_000) * 1_000
+                return F.lit(epoch_ns)
+            return F.lit(iso).cast("timestamp")
+
+        if lo is not None:
+            df = df.where(F.col(c) >= bound(lo))
+        if hi is not None:
+            df = df.where(F.col(c) <= bound(hi))
     for c in _NANO_TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer `div` (not `/`): float division of 1.7e18-scale nanos
