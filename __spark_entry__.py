@@ -118,6 +118,23 @@ def q_cohort_vs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.cohort_vs_global(_sessions(spark, sf_dir))
 
 
+def q_dim_gap_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+A13: per-(day, 2-dim cohort) metrics + leave-one-out gap
+    features (unordered whole-partition max-min windows)."""
+    s = _sessions(spark, sf_dir).withColumn(
+        "cohort", (F.col("user_id") % 3).cast("int"))
+    base = s.groupBy("datetime", "entry_event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("total_sessions"),
+        fround(F.when(F.count(F.lit(1)) > 0,
+                      F.sum("is_complete") / F.count(F.lit(1))), 2)
+         .alias("completion_rate"),
+        fround(F.sum("duration_ms") / F.count("duration_ms"), 2)
+         .alias("avg_duration_ms"))
+    return M.dimension_gap_features(
+        base, "datetime", ["entry_event_type", "cohort"],
+        ["completion_rate", "avg_duration_ms"])
+
+
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: keep-latest-by-key dedup (latest event per user x type)."""
     d = dedup_latest(_events(spark, sf_dir),
@@ -236,6 +253,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5, planes=4)
 
 
+def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality features: approx_count_distinct per (day, type) vs
+    exact, with relative error. Deliberately NO oracle entry — HLL sketch
+    values are engine-specific, so the driver records a rows-only check
+    (the exact/approx agreement below is the real assertion and is
+    covered by a unit test)."""
+    e = (_events(spark, sf_dir)
+         .withColumn("datetime", F.to_date("ts")))
+    return (e.groupBy("datetime", "event_type")
+             .agg(F.count_distinct("user_id").alias("exact_users"),
+                  F.approx_count_distinct("user_id", rsd=0.02)
+                   .alias("approx_users"))
+             .withColumn("rel_err",
+                         fround(F.abs(F.col("approx_users")
+                                      - F.col("exact_users"))
+                                / F.col("exact_users"), 4)))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> typed features through the Arrow mapInPandas
     path (deterministic fake decode; the plumbing under test is real)."""
@@ -260,6 +295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_yesterday": q_retention_yesterday,
     "retention_today": q_retention_today,
     "cohort_vs_global": q_cohort_vs_global,
+    "dim_gap_features": q_dim_gap_features,
     "dedup_latest": q_dedup_latest,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -276,6 +312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
+    "cardinality_sketch": q_cardinality_sketch,
 }
 
 
@@ -588,6 +625,38 @@ SELECT p.*,
        CASE WHEN g.global_completion_rate > 0 THEN round(p.completion_rate / g.global_completion_rate, 2) END AS completion_index,
        round(p.avg_duration_ms - g.global_avg_duration_ms, 2) AS duration_gap
 FROM per2 p LEFT JOIN glb g USING (datetime)
+"""
+
+def _gap_cols() -> str:
+    """Leave-one-out gap window columns mirroring
+    operators/metrics.dimension_gap_features over dims
+    (entry_event_type, cohort)."""
+    out = []
+    dims = ["entry_event_type", "cohort"]
+    for left_out in dims:
+        others = [d for d in dims if d != left_out]
+        part = ", ".join(["datetime"] + others)
+        for metric in ("completion_rate", "avg_duration_ms"):
+            out.append(
+                f"round(max({metric}) OVER (PARTITION BY {part}) - "
+                f"min({metric}) OVER (PARTITION BY {part}), 2) "
+                f"AS {metric}_gap_across_{left_out}")
+    return ",\n       ".join(out)
+
+
+ORACLES["dim_gap_features"] = _SESSIONS_CTE + f"""
+, base AS (
+  SELECT datetime, entry_event_type, CAST(user_id % 3 AS INTEGER) AS cohort,
+         count(*) AS total_sessions,
+         CASE WHEN count(*) > 0
+              THEN round(CAST(sum(is_complete) AS BIGINT)
+                         / CAST(count(*) AS DOUBLE), 2) END AS completion_rate,
+         round(sum(duration_ms) / CAST(count(duration_ms) AS DOUBLE), 2) AS avg_duration_ms
+  FROM sessions GROUP BY 1, 2, 3
+)
+SELECT *,
+       {_gap_cols()}
+FROM base
 """
 
 ORACLES["dedup_latest"] = """
@@ -996,6 +1065,7 @@ _DATE_QUERIES = {
     "sessions", "user_daily", "item_daily", "item_continuation",
     "entry_type_daily", "top_item_per_day", "binge_ratio",
     "retention_yesterday", "retention_today", "cohort_vs_global",
+    "dim_gap_features",
 }
 
 

@@ -104,7 +104,13 @@ def run_check(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, li
         if only and name not in only:
             continue
         if name not in oracles:
-            results[name] = ["(rows-only: no oracle)"] if fn(spark, sf_dir).count() >= 0 else ["failed"]
+            # driver records a weaker rows-only check for these; here just
+            # prove the query runs
+            try:
+                fn(spark, sf_dir).count()
+                results[name] = []
+            except Exception as exc:  # noqa: BLE001
+                results[name] = [f"rows-only query failed: {exc}"]
             continue
         try:
             oracle_pdf = con.execute(oracles[name]).fetchdf()

@@ -188,6 +188,15 @@ def test_cohort_vs_global_weighted_reagg(spark):
     assert out[0]["sessions_per_user"] == 2.0
 
 
+def test_cardinality_sketch_close_to_exact(spark):
+    import __spark_entry__ as entrymod
+    out = entrymod.QUERIES["cardinality_sketch"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert out
+    # rsd=0.02 HLL: generous 10% ceiling keeps the assertion stable
+    assert all(r["rel_err"] <= 0.10 for r in out)
+
+
 def test_dimension_gap_features_leave_one_out(spark):
     df = spark.createDataFrame([
         (D1, "web", "mobile", 0.2),

@@ -17,5 +17,5 @@ def _query_names():
 @pytest.mark.parametrize("name", _query_names())
 def test_oracle_parity_sf0001(spark, name):
     results = run_check(spark, SF0001, only=[name])
-    problems = [p for p in results.get(name, []) if "rows-only" not in p]
+    problems = results.get(name, [])
     assert not problems, f"{name}: {problems}"

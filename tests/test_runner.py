@@ -1,0 +1,102 @@
+"""Control plane: silver runner idempotency, completeness gate, feature
+job sequencing (reference DAG behaviors as library functions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from tests.conftest import rows
+from w_userflow_featurestore_spark.runner import (
+    CompletenessError, completeness_gate, run_daily_features, run_silver,
+)
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+NOW = "2024-02-01 00:00:00"
+
+
+def _ev(eid, ts, uid, etype="view", value=1.0):
+    return (eid, dt.datetime.fromisoformat(ts), uid, etype, value, '{"k": 1}')
+
+
+def _write(spark, path, data):
+    spark.createDataFrame(data, EVENTS_DDL).coalesce(1) \
+         .write.mode("append").parquet(path)
+
+
+def test_run_silver_incremental_and_idempotent(spark, tmp_path):
+    events, silver, ledger = (str(tmp_path / p)
+                              for p in ("events", "silver", "ledger.json"))
+    _write(spark, events, [
+        _ev(1, "2024-01-01 10:00:00", 1),
+        _ev(2, "2024-01-01 10:05:00", 1, "purchase", 60.0),
+        _ev(3, "2024-01-01 10:00:00", 2),
+    ])
+    r1 = run_silver(spark, events, silver, ledger, NOW)
+    assert r1.mode == "full" and r1.sessions_upserted == 2
+    assert spark.read.parquet(silver).count() == 2
+
+    # no new data -> empty increment, silver unchanged
+    r2 = run_silver(spark, events, silver, ledger, NOW)
+    assert r2.mode == "empty"
+    assert spark.read.parquet(silver).count() == 2
+
+    # new day of events -> incremental read, upsert adds only new sessions
+    _write(spark, events, [_ev(4, "2024-01-02 09:00:00", 1)])
+    r3 = run_silver(spark, events, silver, ledger, NOW)
+    assert r3.mode == "incremental" and r3.input_rows == 1
+    got = spark.read.parquet(silver)
+    assert got.count() == 3
+    assert rows(got.select("datetime").distinct()) == [
+        (dt.date(2024, 1, 1),), (dt.date(2024, 1, 2),)]
+
+
+def test_run_silver_dirty_input_cleansed(spark, tmp_path):
+    events, silver, ledger = (str(tmp_path / p)
+                              for p in ("events", "silver", "ledger.json"))
+    _write(spark, events, [
+        _ev(1, "2024-01-01 10:00:00", 1),
+        _ev(1, "2024-01-01 10:00:30", 1),          # duplicate event_id
+        (2, dt.datetime.fromisoformat("2024-01-01 10:01:00"),
+         None, "view", 1.0, "{}"),                 # null user -> dropped
+    ])
+    r = run_silver(spark, events, silver, ledger, NOW)
+    assert r.input_rows == 1                        # dedup + null-drop
+    assert r.sessions_upserted == 1
+
+
+def test_completeness_gate(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), i) for i in range(5)]
+        + [(dt.date(2024, 1, 2), 0)],
+        "datetime date, x int")
+    got = completeness_gate(df, "datetime", min_rows=1)
+    assert got[dt.date(2024, 1, 1)] == 5
+    with pytest.raises(CompletenessError, match="2024, 1, 2"):
+        completeness_gate(df, "datetime", min_rows=2)
+    # a required partition with no rows at all also fails
+    with pytest.raises(CompletenessError):
+        completeness_gate(df, "datetime", 1,
+                          partitions=[dt.date(2024, 1, 3)])
+
+
+def test_run_daily_features_end_to_end(spark, tmp_path):
+    events, silver, ledger, gold = (str(tmp_path / p) for p in
+                                    ("events", "silver", "ledger.json", "gold"))
+    _write(spark, events, [
+        _ev(1, "2024-01-01 10:00:00", 1),
+        _ev(2, "2024-01-01 10:05:00", 1, "purchase", 60.0),
+        _ev(3, "2024-01-01 11:00:00", 2, "error", 5.0),
+    ])
+    run_silver(spark, events, silver, ledger, NOW)
+    ev_df = spark.read.parquet(events)
+    written = run_daily_features(spark, silver, ev_df, gold)
+    assert set(written) == {"user_daily", "item_daily", "top_item_per_day",
+                            "entry_type_daily", "cohort_vs_global"}
+    assert written["user_daily"] == 2               # 2 users that day
+    assert written["top_item_per_day"] == 1         # one day -> one winner
+    # idempotent: rerun converges to identical contents
+    again = run_daily_features(spark, silver, ev_df, gold)
+    assert written == again
