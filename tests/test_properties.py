@@ -1,0 +1,98 @@
+"""Property-based validation: the Spark sessionizer vs an independent
+pure-Python model on randomized event streams (hypothesis).
+
+The model re-implements the SEMANTICS (gap splitting, rollup, ordered
+state machine) with plain dicts — no Spark, no shared code — so any
+agreement bug in the DataFrame implementation shows up as a property
+violation rather than an oracle coincidence.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from w_userflow_featurestore_spark.operators.sessionize import (
+    DEFAULT_COMPLETE_THRESHOLD, DEFAULT_GAP_MS, DEFAULT_TIMEOUT_MS,
+    sessionize,
+)
+
+NOW = "2024-02-01 00:00:00"
+NOW_MS = int(dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
+             .timestamp() * 1000)
+BASE = dt.datetime(2024, 1, 15, 12, 0, 0)
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+
+event_strategy = st.tuples(
+    st.integers(0, 2),                               # user_id
+    st.integers(0, 3 * 60 * 60 * 1000),              # offset ms over 3 h
+    st.sampled_from(["view", "click", "purchase", "error"]),
+    st.integers(0, 12000).map(lambda c: c / 100.0),  # value, 2-decimal
+)
+
+
+def _python_model(events):
+    """Independent sessionizer: sort per user, split on gap, classify."""
+    per_user: dict[int, list] = {}
+    for eid, (uid, off, etype, value) in enumerate(events):
+        ts = BASE + dt.timedelta(milliseconds=off)
+        per_user.setdefault(uid, []).append((ts, eid, etype, value))
+    sessions = []
+    for uid, evs in per_user.items():
+        evs.sort()
+        cur = []
+        for e in evs:
+            if cur and (e[0] - cur[-1][0]).total_seconds() * 1000 > DEFAULT_GAP_MS:
+                sessions.append((uid, cur))
+                cur = []
+            cur.append(e)
+        if cur:
+            sessions.append((uid, cur))
+    out = []
+    for uid, evs in sessions:
+        max_value = round(max(v for _, _, _, v in evs), 2)
+        seen = {etype for _, _, etype, _ in evs}
+        end_ms = int(evs[-1][0].replace(tzinfo=dt.timezone.utc)
+                     .timestamp() * 1000)
+        if "purchase" in seen and max_value >= DEFAULT_COMPLETE_THRESHOLD:
+            state = "COMPLETE"
+        elif "error" in seen:
+            state = "EXIT"
+        elif NOW_MS - end_ms > DEFAULT_TIMEOUT_MS:
+            state = "TIMEOUT_EXIT"
+        else:
+            state = "IN_PROGRESS"
+        out.append((uid, evs[0][0], evs[-1][0], len(evs), evs[0][2],
+                    max_value, state))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(event_strategy, min_size=1, max_size=40, unique_by=lambda e: (e[0], e[1])))
+def test_sessionize_matches_independent_model(spark, events):
+    rows_in = [
+        (eid, BASE + dt.timedelta(milliseconds=off), uid, etype, value,
+         '{"k": 1}')
+        for eid, (uid, off, etype, value) in enumerate(events)]
+    df = spark.createDataFrame(rows_in, EVENTS_DDL)
+    got = sorted(
+        (r["user_id"], r["start_time"], r["end_time"], r["n_events"],
+         r["entry_event_type"], r["max_value"], r["session_state"])
+        for r in sessionize(df, now=NOW).collect())
+    want = _python_model(events)
+    assert got == want
+    # structural invariants (FIXTURES.md §2): exclusive terminal flags,
+    # total event conservation
+    s = sessionize(df, now=NOW).collect()
+    assert sum(r["n_events"] for r in s) == len(events)
+    for r in s:
+        assert r["is_complete"] + r["is_exit"] <= 1
+        assert r["start_time"] <= r["end_time"]
+        assert (r["is_exit"] == 1) == (r["session_state"] in
+                                       ("EXIT", "TIMEOUT_EXIT"))
