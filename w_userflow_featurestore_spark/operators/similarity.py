@@ -94,8 +94,11 @@ def hyperplane_bucket(vec: Column, planes: int = 8,
     qv = quantize(vec)
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        signs = F.array(*[F.lit(s).cast("long")
-                          for s in plane_signs(table * planes + p, dims)])
+        # one F.expr per plane, not dims x F.lit py4j round-trips —
+        # building 16 planes x 64 literals column-by-column costs seconds
+        # of driver time before the job even starts
+        signs = F.expr("array({})".format(",".join(
+            f"{s}L" for s in plane_signs(table * planes + p, dims))))
         proj = F.aggregate(F.zip_with(qv, signs, lambda x, s: x * s),
                            F.lit(0).cast("long"), lambda acc, v: acc + v)
         bucket = bucket + F.when(proj > 0, F.lit(2 ** p).cast("long")
