@@ -38,6 +38,30 @@ NOW = "2024-02-01 00:00:00"
 
 SF001 = "/root/testdata/sf0.001"
 
+# Runtime-settable SQL confs every query depends on, applied defensively
+# because the DRIVER owns the SparkSession here (conf.get_spark defaults
+# only cover sessions we build ourselves):
+# - nanosAsLong: fixture parquet stores TIMESTAMP(NANOS), which the
+#   vectorized reader otherwise rejects outright
+# - UTC: oracle epoch math must agree with DuckDB's naive-timestamp reads
+# - ansi off: classic NULL-on-bad-cast semantics (all divisions are
+#   guarded anyway, but keep both engines' semantics aligned)
+_REQUIRED_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def _ensure_conf(spark: SparkSession) -> SparkSession:
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:   # noqa: BLE001 — a locked conf: keep going
+            pass
+    return spark
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "events")
@@ -50,6 +74,7 @@ def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events -> cleanse -> sessionize/classify -> user daily
     features (the reference's bronze->silver->gold spine in one plan)."""
+    _ensure_conf(spark)
     sessions = _sessions(spark, SF001)
     return M.user_daily_full(sessions, _events(spark, SF001))
 
@@ -253,6 +278,37 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5, planes=4)
 
 
+def q_salted_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted two-phase aggregation. Oracle = a plain
+    GROUP BY: algebraic partials must combine to the identical result,
+    so equivalence is enforced by the correctness gate itself."""
+    from w_userflow_featurestore_spark.operators.skew import salted_agg
+    from w_userflow_featurestore_spark.functions import scaled_long
+    e = _events(spark, sf_dir)
+    out = salted_agg(
+        e, ["user_id"],
+        {"n_events": ("event_id", "count"),
+         # integer-cent sum: exact under any partial-agg order
+         "sum_value_c": (scaled_long(F.col("value")), "sum"),
+         "max_value": ("value", "max"),
+         "first_ts_ms": (epoch_ms(F.col("ts")), "min")},
+        buckets=16)
+    return out.withColumn("sum_value",
+                          fround(F.col("sum_value_c") / 100.0, 2)) \
+              .drop("sum_value_c")
+
+
+def q_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of session duration per day —
+    distribution features (Spark percentile == DuckDB quantile_cont)."""
+    s = _sessions(spark, sf_dir)
+    return s.groupBy("datetime").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        fround(F.expr("percentile(duration_ms, 0.5)"), 2).alias("p50_ms"),
+        fround(F.expr("percentile(duration_ms, 0.9)"), 2).alias("p90_ms"),
+        fround(F.expr("percentile(duration_ms, 0.99)"), 2).alias("p99_ms"))
+
+
 def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL cardinality features: approx_count_distinct per (day, type) vs
     exact, with relative error. Deliberately NO oracle entry — HLL sketch
@@ -313,6 +369,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "cardinality_sketch": q_cardinality_sketch,
+    "salted_user_agg": q_salted_user_agg,
+    "duration_percentiles": q_duration_percentiles,
 }
 
 
@@ -326,7 +384,7 @@ def _datestr(df: DataFrame) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: (lambda s, d, _fn=fn: _datestr(_fn(s, d)))
+    return {name: (lambda s, d, _fn=fn: _datestr(_fn(_ensure_conf(s), d)))
             for name, fn in QUERIES.items()}
 
 
@@ -964,6 +1022,25 @@ WHERE "rank" <= 5
 """
 
 
+ORACLES["salted_user_agg"] = """
+SELECT user_id,
+       count(event_id) AS n_events,
+       round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_value,
+       max(value) AS max_value,
+       min(epoch_ms(ts)) AS first_ts_ms
+FROM events
+GROUP BY user_id
+"""
+
+ORACLES["duration_percentiles"] = _SESSIONS_CTE + """
+SELECT datetime,
+       count(*) AS n_sessions,
+       round(quantile_cont(duration_ms, 0.5), 2) AS p50_ms,
+       round(quantile_cont(duration_ms, 0.9), 2) AS p90_ms,
+       round(quantile_cont(duration_ms, 0.99), 2) AS p99_ms
+FROM sessions GROUP BY datetime
+"""
+
 # multimodal fake-decode oracle: the payload is md5-derived, so the
 # mapInPandas byte arithmetic is reproducible in pure SQL — the oracle
 # checks the Python/Arrow path end-to-end, not just the JVM plan
@@ -1065,7 +1142,7 @@ _DATE_QUERIES = {
     "sessions", "user_daily", "item_daily", "item_continuation",
     "entry_type_daily", "top_item_per_day", "binge_ratio",
     "retention_yesterday", "retention_today", "cohort_vs_global",
-    "dim_gap_features",
+    "dim_gap_features", "duration_percentiles",
 }
 
 

@@ -1,0 +1,61 @@
+"""Skew-resistant aggregation: salted two-phase groupBy.
+
+At 100 TB a handful of hot keys (one bot user, one viral item) can pin a
+single reducer for hours. AQE's skew-join splitting covers joins; for
+AGGREGATIONS the standard fix is salting: split each key's rows across
+``buckets`` synthetic sub-keys, partially aggregate on (key, salt) —
+so the hot key's work spreads over ``buckets`` reducers — then combine
+partials on the key alone. Algebraic aggregates (sum/count/min/max, and
+avg as sum+count) combine losslessly, so the result is IDENTICAL to the
+plain groupBy: the driver query for this operator uses a plain GROUP BY
+as its oracle, making the equivalence part of the correctness gate.
+
+Spark's hash partial aggregation already does map-side combining, which
+handles most skew; explicit salting matters when the per-key state is
+too big for a map-side combine (huge distinct sets) or when AQE is
+unavailable. The operator exists so pipelines can opt in per-hot-table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (partial aggregate, final combiner) per supported algebraic aggregate
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(df: DataFrame, keys: list[str],
+               aggs: dict[str, tuple[Column | str, str]],
+               buckets: int = 16) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output alias -> (column, fn) with fn in
+    sum|count|min|max|avg. Salt = row id mod buckets (uniform by
+    construction, no dependence on data distribution). Two shuffles, but
+    the first is uniform even when the key distribution is not.
+    """
+    partials, finals = [], []
+    for alias, (col, fn) in aggs.items():
+        col = F.col(col) if isinstance(col, str) else col
+        if fn == "avg":
+            partials += [F.sum(col).alias(f"__s_{alias}"),
+                         F.count(col).alias(f"__c_{alias}")]
+            finals.append((F.sum(f"__s_{alias}")
+                           / F.sum(f"__c_{alias}")).alias(alias))
+        elif fn in _ALGEBRAIC:
+            part, comb = _ALGEBRAIC[fn]
+            partials.append(part(col).alias(f"__p_{alias}"))
+            finals.append(comb(f"__p_{alias}").alias(alias))
+        else:
+            raise ValueError(f"not an algebraic aggregate: {fn!r} "
+                             f"(distinct-style aggs need expand, not salt)")
+    salted = df.withColumn(
+        "__salt", (F.monotonically_increasing_id() % buckets).cast("int"))
+    phase1 = salted.groupBy(*keys, "__salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*finals)
