@@ -327,6 +327,14 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 / F.col("exact_users"), 4)))
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality floor -> exact dedup -> LSH near-dup
+    removal. The oracle is the composition of the stage oracles."""
+    from w_userflow_featurestore_spark.operators.curate import curate_corpus
+    return curate_corpus(read_table(spark, sf_dir, "documents"),
+                         min_quality=0.5, near_threshold=0.5)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> typed features through the Arrow mapInPandas
     path (deterministic fake decode; the plumbing under test is real)."""
@@ -371,6 +379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cardinality_sketch": q_cardinality_sketch,
     "salted_user_agg": q_salted_user_agg,
     "duration_percentiles": q_duration_percentiles,
+    "curate_corpus": q_curate_corpus,
 }
 
 
@@ -1086,6 +1095,19 @@ FROM (
          unnest(range(0, greatest(least(CAST(floor(duration_ms / 1000.0) AS BIGINT), 5), 1))) AS frame_idx
   FROM decoded WHERE kind = 'video'
 )
+"""
+
+
+# composed oracle: literally the composition of the three stage oracles
+# (DuckDB allows WITH inside derived tables) — any mismatch localizes to
+# the Spark-side glue in operators/curate.py
+ORACLES["curate_corpus"] = f"""
+SELECT p.doc_id, p.lang_pred, p.quality, p.n_tokens_ws, p.content_hash
+FROM ({ORACLES['text_profile']}) p
+JOIN ({ORACLES['exact_dedup']}) d ON d.doc_id = p.doc_id
+WHERE d.keep = 1
+  AND p.quality >= 0.5
+  AND p.doc_id NOT IN (SELECT doc_b FROM ({ORACLES['minhash_lsh_pairs']}))
 """
 
 

@@ -103,6 +103,19 @@ def test_fingerprint_detects_shared_window(spark):
     assert out[1] != out[3]
 
 
+def test_curate_corpus_drops_dups_and_low_quality(spark):
+    from w_userflow_featurestore_spark.operators.curate import curate_corpus
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE), (5, "x y")],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            curate_corpus(docs, min_quality=0.4, near_threshold=0.5).collect()}
+    assert 4 not in kept          # exact dup of 1 (higher id loses)
+    assert 2 not in kept          # near dup of 1 (higher id loses)
+    assert 5 not in kept          # 2-token doc (quality 0.30) under floor
+    assert 1 in kept and 3 in kept
+
+
 def _vecs(spark):
     # v1 ~ v2 (tiny perturbation), v3 orthogonal-ish, v4 opposite of v1
     return spark.createDataFrame([
