@@ -278,6 +278,6 @@ def simhash_near_pairs(signatures: DataFrame, id_col: str = "doc_id",
                      F.col("b.simhash").alias("sig_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (pairs.withColumn("hamming", hamming)
+    return (pairs.withColumn("hamming", hamming.cast("long"))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))

@@ -76,7 +76,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         .alias("cosine")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
                                            F.col("n_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .where(F.col("rank") <= k))
 
 
@@ -149,5 +149,5 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         .alias("cosine")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
                                            F.col("n_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .where(F.col("rank") <= k))

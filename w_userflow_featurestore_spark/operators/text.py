@@ -104,11 +104,13 @@ def text_profile(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Full per-document profile: one narrow projection, zero shuffles."""
     c = F.col(text_col)
+    # long casts: DuckDB's len()/count() yield BIGINT, Spark's size()/
+    # regexp_count() yield INT — align so schema comparison is width-proof
     return docs.select(
         F.col(id_col),
-        token_count_ws(c).alias("n_tokens_ws"),
-        token_count_bpe(c).alias("n_tokens_bpe"),
-        F.length(c).alias("n_chars_raw"),
+        token_count_ws(c).cast("long").alias("n_tokens_ws"),
+        token_count_bpe(c).cast("long").alias("n_tokens_bpe"),
+        F.length(c).cast("long").alias("n_chars_raw"),
         lang_id(c).alias("lang_pred"),
         quality_score(c).alias("quality"),
         doc_fingerprint(c).alias("fingerprint"),
