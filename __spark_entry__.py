@@ -278,6 +278,30 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5, planes=4)
 
 
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH candidates (4 tables x 4
+    planes), exact quantized cosine >= 0.4 verify. (The fixture
+    embeddings are random — max pair cosine ~0.51 — so the threshold is
+    set below the usual 0.9 to exercise a non-trivial pair set; the
+    oracle mirrors the bucket filter, so parity is recall-independent.)"""
+    return SIM.embedding_near_pairs(read_table(spark, sf_dir, "embeddings"),
+                                    threshold=0.4, planes=4, tables=4)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup survivor set (higher id of each pair dropped)."""
+    return SIM.embedding_dedup(read_table(spark, sf_dir, "embeddings"),
+                               threshold=0.4, planes=4, tables=4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: 8 deterministic coarse centroids, 2-cell
+    probe, exact-cosine re-rank."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5,
+                        n_centroids=8, nprobe=2)
+
+
 def q_salted_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted two-phase aggregation. Oracle = a plain
     GROUP BY: algebraic partials must combine to the identical result,
@@ -374,6 +398,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "embedding_dedup": q_embedding_dedup,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "cardinality_sketch": q_cardinality_sketch,
@@ -1030,6 +1057,82 @@ SELECT q_id, n_id, cosine, "rank" FROM (
 WHERE "rank" <= 5
 """
 
+
+# embedding-cosine near-dup pairs: same 4x4 AND/OR bucket filter as
+# ann_lsh_topk, a < b ordering, exact-cosine verify at 0.4
+ORACLES["embedding_near_pairs"] = f"""
+WITH a AS (SELECT vec_id AS doc_a, {_QVEC} AS qv,
+                  {_LSH_BUCKET_COLS_Q.replace('qb', 'ab')}
+           FROM embeddings),
+b AS (SELECT vec_id AS doc_b, {_QVEC} AS nv,
+                  {_LSH_BUCKET_COLS_Q.replace('qb', 'bb')}
+      FROM embeddings)
+SELECT doc_a, doc_b, cosine FROM (
+  SELECT doc_a, doc_b, {_COSINE} AS cosine
+  FROM a JOIN b ON a.doc_a < b.doc_b
+   AND ({' OR '.join(f'a.ab{t} = b.bb{t}' for t in range(_LSH_TABLES))})
+)
+WHERE cosine >= 0.4
+"""
+
+ORACLES["embedding_dedup"] = f"""
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT doc_b FROM ({ORACLES['embedding_near_pairs']}))
+"""
+
+# IVF: centroids = the 8 corpus vectors with smallest md5-hash of
+# 'ivf:'||vec_id (mirrors similarity.ivf_fit_centroids), assignment and
+# probe = exact integer L2 argmin with (dist, cell) tie-break
+_IVF_K, _IVF_NPROBE = 8, 2
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+
+ORACLES["ann_ivf_topk"] = f"""
+WITH c AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (
+           ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1
+         AS cell, qv AS cv
+  FROM c
+  QUALIFY row_number() OVER (
+           ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id)
+          <= {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT c.vec_id, c.qv, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_l2_sql('c.qv', 'cent.cv')}, cent.cell)
+           AS rn
+    FROM c CROSS JOIN cent)
+  WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS q_id, qv AS pqv, cell FROM (
+    SELECT c.vec_id, c.qv, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_l2_sql('c.qv', 'cent.cv')}, cent.cell)
+           AS rn
+    FROM c CROSS JOIN cent
+    WHERE c.vec_id < 5)
+  WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q_id, n_id, {_COSINE} AS cosine FROM (
+    SELECT p.q_id, a.vec_id AS n_id, p.pqv AS qv, a.qv AS nv
+    FROM assign a JOIN probe p USING (cell)
+    WHERE a.vec_id <> p.q_id)
+)
+SELECT q_id, n_id, cosine, "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS "rank"
+  FROM scored)
+WHERE "rank" <= 5
+"""
 
 ORACLES["salted_user_agg"] = """
 SELECT user_id,

@@ -158,3 +158,56 @@ def test_lsh_topk_high_recall_on_fixture(spark):
     # 4-plane single-table LSH: expect to recover a solid fraction of the
     # true top-5 (clustered fixture); pin a conservative floor
     assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_embedding_near_pairs_and_dedup(spark):
+    emb = _vecs(spark)
+    pairs = SIM.embedding_near_pairs(emb, threshold=0.9, dims=4)
+    got = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.99   # planted near-pair found
+    assert all(a < b for a, b in got)              # canonical a<b ordering
+    assert (1, 4) not in got                       # opposite vectors excluded
+    kept = {r["vec_id"]
+            for r in SIM.embedding_dedup(emb, threshold=0.9, dims=4).collect()}
+    assert 2 not in kept                           # higher id of the pair loses
+    assert {1, 3, 4} <= kept
+
+
+def test_ivf_fit_is_deterministic_and_model_sized(spark):
+    from w_userflow_featurestore_spark.sources import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = SIM.ivf_fit_centroids(emb, n_centroids=8)
+    c2 = SIM.ivf_fit_centroids(emb, n_centroids=8)
+    assert c1 == c2 and len(c1) == 8 and len(c1[0]) == 64
+
+
+def test_ivf_cell_partition_and_probe_superset(spark):
+    from w_userflow_featurestore_spark.sources import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = SIM.ivf_fit_centroids(emb, n_centroids=8)
+    cells = (emb.select(SIM.ivf_cell(SIM.quantize(F.col("embedding")), cents)
+                        .alias("cell"))
+                .groupBy("cell").count().collect())
+    assert {r["cell"] for r in cells} <= set(range(8))   # valid cell ids
+    assert len(cells) > 1                                # corpus actually splits
+    # nprobe=1's probe list is a prefix of nprobe=2's (nearest-first order)
+    p = (emb.where(F.col("vec_id") < 3)
+            .select("vec_id",
+                    SIM.ivf_probe_cells(SIM.quantize(F.col("embedding")),
+                                        cents, 2).alias("pc")).collect())
+    for r in p:
+        assert len(r["pc"]) == 2 and r["pc"][0] != r["pc"][1]
+
+
+def test_ivf_topk_matches_brute_force_within_probed_cells(spark):
+    from w_userflow_featurestore_spark.sources import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["q_id"], r["n_id"])
+             for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+    ivf = SIM.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2)
+    got = ivf.collect()
+    assert len(got) == 5 * q.count()               # full top-5 per query
+    # results are real corpus neighbors ranked by exact cosine
+    recall = len(exact & {(r["q_id"], r["n_id"]) for r in got}) / len(exact)
+    assert recall >= 0.3                           # 2/8 cells probed
