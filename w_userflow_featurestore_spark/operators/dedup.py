@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from w_userflow_featurestore_spark.functions import fround, rate
+from w_userflow_featurestore_spark.sources import fan_out
 
 # ---------------------------------------------------------------------------
 # portable primitives
@@ -75,6 +76,19 @@ def shingles(col: Column, n: int = 3) -> Column:
                     lambda i: F.concat_ws(" ", F.slice(ws, i, n))))
 
 
+def exploded_shingles(docs: DataFrame, text_col: str, id_col: str,
+                      n: int) -> DataFrame:
+    """(id, shingle) rows: narrow-project, fan out across cores, explode.
+
+    The fan_out matters because shingling + hashing is the compute-dense
+    part of every dedup op: without it a single-split input would pin the
+    whole stage to one core (no-op at real scale — see sources.fan_out).
+    """
+    base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    return base.select(F.col(id_col),
+                       F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -91,7 +105,8 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     ~16 bytes/doc + id).
     """
     h = F.md5(normalize_text(F.col(text_col)))
-    d = docs.select(F.col(id_col), h.alias("content_hash"))
+    d = fan_out(docs.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col), h.alias("content_hash"))
     w = Window.partitionBy("content_hash")
     return (d
             .withColumn("dup_count", F.count(F.lit(1)).over(w))
@@ -116,9 +131,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     (k=8 default keeps the driver-oracle SQL tractable; production would
     use 128).
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    sh = exploded_shingles(docs, text_col, id_col, n)
     aggs = [F.min(text_hash60(F.col("shingle"), seed=i)).alias(f"mh{i}")
             for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
@@ -194,8 +207,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     (a shingle shared by 1 M docs contributes 10^12 pairs but zero
     information); the planted-near-dup recall loss is negligible.
     """
-    sh = docs.select(F.col(id_col),
-                     F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    sh = exploded_shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_posting is not None:
         ok = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pl"))
@@ -232,8 +244,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shuffle shape as MinHash. 32 bits keeps the oracle SQL readable;
     production uses 64.
     """
-    sh = docs.select(F.col(id_col),
-                     F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    sh = exploded_shingles(docs, text_col, id_col, n)
     h = text_hash60(F.col("shingle"))
     bit_sums = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)

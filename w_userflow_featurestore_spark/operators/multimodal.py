@@ -30,10 +30,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from w_userflow_featurestore_spark.sources import fan_out
+
 DECODE_SCHEMA = ("media_id long, kind string, n_bytes int, width int, "
                  "height int, duration_ms long, checksum long")
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_checksum long"
+
+# Minimum partitions for the Python/Arrow stages (see synthesize_media).
+PY_FANOUT_PARTITIONS = 8
 
 _KINDS = ("image", "audio", "video")
 
@@ -50,8 +55,17 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
     content = F.concat(
         F.unhex(F.md5(F.col(text_col))),
         F.unhex(F.md5(F.concat(F.col(text_col), F.lit(":2")))))
-    return docs.select(F.col(id_col).alias("media_id"), kind.alias("kind"),
-                       content.alias("content"))
+    # fan_out before synthesis so the hashing AND the downstream Arrow
+    # decode stage (narrow, Python-side) run in parallel, not on one
+    # split. The target is capped below core count because every extra
+    # partition of a mapInPandas stage spawns a Python worker (pandas
+    # import + Arrow handshake) — at fixture scale worker spin-up
+    # dominates past ~8 partitions; at real scale the input has more
+    # splits than this floor and fan_out is a no-op anyway.
+    return fan_out(docs.select(F.col(id_col), F.col(text_col)),
+                   min_partitions=PY_FANOUT_PARTITIONS) \
+        .select(F.col(id_col).alias("media_id"), kind.alias("kind"),
+                content.alias("content"))
 
 
 def _fake_decode_one(kind: str, b: bytes) -> tuple[int, int, int, int, int]:

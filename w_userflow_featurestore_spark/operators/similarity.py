@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 import hashlib
 
 from w_userflow_featurestore_spark.functions import fround
+from w_userflow_featurestore_spark.sources import fan_out
 
 SCALE = 1_000_000  # 1e6 quantization: 64-dim unit vectors -> |dot| <= 6.4e13
 
@@ -67,8 +68,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     q = queries.select(F.col(id_col).alias("q_id"),
                        quantize(F.col(vec_col)).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("n_id"),
-                      quantize(F.col(vec_col)).alias("n_vec"))
+    c = fan_out(corpus.select(F.col(id_col), F.col(vec_col))) \
+        .select(F.col(id_col).alias("n_id"),
+                quantize(F.col(vec_col)).alias("n_vec"))
     scored = (c.crossJoin(F.broadcast(q))
                .where(F.col("n_id") != F.col("q_id"))
                .select("q_id", "n_id",
@@ -110,7 +112,7 @@ def lsh_bucket_assignments(corpus: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding", planes: int = 8,
                            dims: int = 64) -> DataFrame:
     """Corpus -> (id, bucket): the index-build pass (one scan, no shuffle)."""
-    return corpus.select(
+    return fan_out(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col),
         hyperplane_bucket(F.col(vec_col), planes, dims).alias("bucket"))
 
@@ -132,6 +134,7 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.9,
     minhash_lsh_dedup's band join.
     """
     def with_buckets(df, nid):
+        df = fan_out(df.select(F.col(id_col), F.col(vec_col)))
         return df.select(
             F.col(id_col).alias(nid),
             quantize(F.col(vec_col)).alias(f"{nid}_vec"),
@@ -236,9 +239,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     no candidate dedup is needed (unlike multi-table LSH).
     """
     cents = ivf_fit_centroids(corpus, n_centroids, id_col, vec_col)
-    c = (corpus.select(F.col(id_col).alias("n_id"),
-                       quantize(F.col(vec_col)).alias("n_vec"))
-               .withColumn("cell", ivf_cell(F.col("n_vec"), cents)))
+    c = (fan_out(corpus.select(F.col(id_col), F.col(vec_col)))
+         .select(F.col(id_col).alias("n_id"),
+                 quantize(F.col(vec_col)).alias("n_vec"))
+         .withColumn("cell", ivf_cell(F.col("n_vec"), cents)))
     q = (queries.select(F.col(id_col).alias("q_id"),
                         quantize(F.col(vec_col)).alias("q_vec"))
                 .withColumn("cell", F.explode(
@@ -268,6 +272,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     instead of ``tables`` separate ones.
     """
     def with_buckets(df, nid):
+        df = fan_out(df.select(F.col(id_col), F.col(vec_col)))
         return df.select(
             F.col(id_col).alias(nid),
             quantize(F.col(vec_col)).alias(f"{nid}_vec"),

@@ -20,6 +20,7 @@ from w_userflow_featurestore_spark.functions import exact_avg, fround
 from w_userflow_featurestore_spark.operators.dedup import (
     normalize_text, text_hash60, words,
 )
+from w_userflow_featurestore_spark.sources import fan_out
 
 # Tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic. Order is the deterministic tie-break (earlier wins).
@@ -102,7 +103,10 @@ def doc_fingerprint(col: Column, n: int = 5) -> Column:
 
 def text_profile(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
-    """Full per-document profile: one narrow projection, zero shuffles."""
+    """Full per-document profile: one narrow projection, zero shuffles
+    (fan_out spreads the projection across cores when the input is a
+    single split; no-op at scale)."""
+    docs = fan_out(docs.select(F.col(id_col), F.col(text_col)))
     c = F.col(text_col)
     # long casts: DuckDB's len()/count() yield BIGINT, Spark's size()/
     # regexp_count() yield INT — align so schema comparison is width-proof
@@ -121,6 +125,7 @@ def text_profile(docs: DataFrame, text_col: str = "text",
 def corpus_language_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Predicted-language rollup with mean quality — the corpus-curation
     dashboard aggregate (one hash-agg shuffle on the tiny lang key)."""
+    docs = fan_out(docs.select(F.col(text_col)))
     p = docs.select(lang_id(F.col(text_col)).alias("lang_pred"),
                     quality_score(F.col(text_col)).alias("quality"),
                     token_count_ws(F.col(text_col)).alias("n_tokens_ws"))

@@ -1,8 +1,10 @@
 from w_userflow_featurestore_spark.sources.parquet import (
     read_table,
+    fan_out,
     write_partitioned,
     overwrite_partitions,
     merge_upsert,
 )
 
-__all__ = ["read_table", "write_partitioned", "overwrite_partitions", "merge_upsert"]
+__all__ = ["read_table", "fan_out", "write_partitioned",
+           "overwrite_partitions", "merge_upsert"]

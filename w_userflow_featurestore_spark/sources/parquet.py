@@ -87,6 +87,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a CPU-heavy narrow stage across all cores.
+
+    Parallelism of a narrow (shuffle-free) stage is fixed by the scan's
+    split count. At 100 TB a table is thousands of splits and this is a
+    no-op; at test scale a 5 k-row table is ONE parquet split, so a
+    compute-dense projection chain (shingling, md5 minhashing, vector
+    quantization, Arrow decode) would otherwise run on a single core of
+    local[32]. Round-robin repartition only when the input has fewer
+    partitions than the target (default: sparkContext.defaultParallelism)
+    — the shuffle moves the small input once, and the expensive
+    expressions stay ABOVE the exchange (Catalyst's column pruning pushes
+    attributes, not computation, through a Repartition), so the heavy
+    work lands on every core.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
                       mode: str = "overwrite") -> None:
     """Write a day-partitioned table (all reference tables are
