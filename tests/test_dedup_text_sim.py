@@ -128,7 +128,8 @@ def _vecs(spark):
 
 def test_brute_force_topk_ranks_planted_neighbor(spark):
     emb = _vecs(spark)
-    out = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 1), k=3)
+    out = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 1), k=3,
+                               dims=4)
     got = [(r["n_id"], r["rank"]) for r in
            sorted(out.collect(), key=lambda r: r["rank"])]
     assert got[0] == (2, 1)                   # nearest = planted neighbor

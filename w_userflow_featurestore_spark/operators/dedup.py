@@ -151,29 +151,38 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     """
     r = k // bands
     assert bands * r == k, "k must be divisible by bands"
-    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    # id-only band join: the bucket shuffle and pair dedup move
+    # (band, bucket, id); the k-wide signatures rejoin once per side for
+    # the agreement estimate (AQE broadcasts at small scale, one id-keyed
+    # shuffle at large) — never duplicated x bands through the join.
     banded = signatures.select(
-        F.col(id_col), sig_arr.alias("sig"),
+        F.col(id_col),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws(",", *[F.col(f"mh{i}").cast("string")
                                               for i in range(b * r, (b + 1) * r)]))
                       .alias("bucket"))
             for b in range(bands)])).alias("bb")
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("doc_a"),
-                     F.col(f"b.{id_col}").alias("doc_b"),
-                     F.col("a.sig").alias("sig_a"),
-                     F.col("b.sig").alias("sig_b"))
+                     F.col(f"b.{id_col}").alias("doc_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    sigs = signatures.select(F.col(id_col).alias("_sid"),
+                             sig_arr.alias("_sig"))
+    joined = (pairs
+              .join(sigs.select(F.col("_sid").alias("doc_a"),
+                                F.col("_sig").alias("sig_a")), "doc_a")
+              .join(sigs.select(F.col("_sid").alias("doc_b"),
+                                F.col("_sig").alias("sig_b")), "doc_b"))
     agree = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
         lambda e: e))
-    return (pairs
+    return (joined
             .withColumn("est_jaccard", fround(agree / F.lit(float(k)), 2))
             .where(F.col("est_jaccard") >= min_est_jaccard)
             .select("doc_a", "doc_b", "est_jaccard"))

@@ -1,5 +1,5 @@
-"""Embedding similarity search: brute-force cosine top-k and a
-random-hyperplane LSH bucketed variant.
+"""Embedding similarity search: brute-force cosine top-k, random-
+hyperplane LSH, and IVF coarse-quantizer variants.
 
 The ANN members of the 100 TB extension family. Exactness strategy: the
 float32 embeddings are quantized to 1e6-scaled BIGINTs once, so every
@@ -8,15 +8,28 @@ nondeterminism across engines/partitions (the same trick functions.
 exact_sum uses for money columns). Cosine then divides by the exact
 integer norms in double precision: bit-identical in Spark and DuckDB.
 
+Execution strategy — stay inside whole-stage codegen: Spark's
+higher-order functions (``aggregate``/``zip_with``/``transform``) are
+INTERPRETED (CodegenFallback) and re-walk their expression tree per row,
+so per-pair dot products built from them dominate runtime. Every hot
+expression here is therefore emitted as one flat SQL string
+(``qv[0]*nv[0] + qv[1]*nv[1] + ...``) — GetArrayItem/Multiply/Add all
+codegen — built driver-side in a single ``F.expr`` call (not dims x
+py4j round-trips). The only higher-order function left is the one-per-
+row ``quantize`` transform. Per-vector norms are computed once in the
+vector projection, never per candidate pair.
+
 Scale design:
-- brute force = broadcast(queries) x corpus with zip_with/aggregate dot
-  products (JVM codegen, no Python): the correct baseline and still the
-  best plan when the query set is small — one scan, zero shuffles.
-- LSH = 1 projection pass + a bucket equi-join: candidates meet only
-  inside a bucket, so compare count drops from |Q|x|N| to |Q|x|bucket|.
-  Recall is tunable via planes/tables; verification re-ranks with the
-  exact cosine. At 1000 executors both paths partition the corpus scan;
-  neither collects to the driver.
+- brute force = broadcast(queries) x corpus: the correct baseline and
+  still the best plan when the query set is small — one scan, zero
+  shuffles of the corpus.
+- LSH / IVF candidate generation is ID-ONLY: band/cell joins and the
+  pair dedup shuffle (tbl, bucket, id) rows, never the 64-long vectors;
+  vectors + precomputed norms join back exactly once per side for the
+  exact-cosine verify (AQE broadcasts that join at small scale; at
+  100 TB it is one id-keyed shuffle of the corpus instead of ``tables``
+  of them). Neither path ever collects data to the driver — the IVF
+  "fit" collects only the O(k x dims) centroid model.
 """
 
 from __future__ import annotations
@@ -47,8 +60,49 @@ def quantize(vec: Column, scale: int = SCALE) -> Column:
         vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"))
 
 
+def dot_expr(a: str, b: str, dims: int = 64) -> Column:
+    """Codegen integer dot product of two NAMED quantized array columns:
+    one flat Add/Multiply/GetArrayItem expression, no interpreted HOF."""
+    return F.expr(" + ".join(f"{a}[{d}] * {b}[{d}]" for d in range(dims)))
+
+
+def norm_expr(a: str, dims: int = 64) -> Column:
+    """Double L2 norm of a named quantized array column (exact integer
+    self-dot under the sqrt)."""
+    return F.sqrt(dot_expr(a, a, dims))
+
+
+def proj_expr(qcol: str, plane: int, dims: int = 64) -> Column:
+    """Signed hyperplane projection of a named quantized column: exact
+    integer sum of +-qv[d] (signs from plane_signs), flat codegen expr."""
+    terms = [f"{qcol}[{d}]" if s > 0 else f"(- {qcol}[{d}])"
+             for d, s in enumerate(plane_signs(plane, dims))]
+    return F.expr(" + ".join(terms))
+
+
+def bucket_expr(qcol: str, planes: int = 8, dims: int = 64,
+                table: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id (SimHash for vectors) from a
+    PRE-QUANTIZED named array column. Bucket bit p = 1 iff plane p's
+    signed projection is positive; ``table`` offsets the plane indices so
+    independent hash tables can be built (OR-amplification — lsh_topk).
+    One flat CASE/arithmetic expression per bucket: fully codegen."""
+    terms = []
+    for p in range(planes):
+        signs = plane_signs(table * planes + p, dims)
+        proj = " + ".join(f"{qcol}[{d}]" if s > 0 else f"(- {qcol}[{d}])"
+                          for d, s in enumerate(signs))
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN CAST({2 ** p} AS BIGINT) "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    return F.expr(" + ".join(terms))
+
+
+# Backwards-compatible HOF forms (kept for tests/notebook use; the
+# operators below use the codegen _expr forms in their hot paths).
+
 def dot_q(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two quantized vectors."""
+    """Exact integer dot product of two quantized vector Columns
+    (interpreted HOF form — prefer dot_expr in hot paths)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0).cast("long"), lambda acc, v: acc + v)
 
@@ -58,47 +112,14 @@ def cosine_q(a: Column, b: Column) -> Column:
     return dot_q(a, b) / (F.sqrt(dot_q(a, a)) * F.sqrt(dot_q(b, b)))
 
 
-def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k per query vector.
-
-    broadcast(queries) x corpus -> windowed rank. The window partitions
-    by query id, so the rank shuffle is |Q|-way — small by construction.
-    Tie-break on neighbor id keeps output deterministic.
-    """
-    q = queries.select(F.col(id_col).alias("q_id"),
-                       quantize(F.col(vec_col)).alias("q_vec"))
-    c = fan_out(corpus.select(F.col(id_col), F.col(vec_col))) \
-        .select(F.col(id_col).alias("n_id"),
-                quantize(F.col(vec_col)).alias("n_vec"))
-    scored = (c.crossJoin(F.broadcast(q))
-               .where(F.col("n_id") != F.col("q_id"))
-               .select("q_id", "n_id",
-                       fround(cosine_q(F.col("q_vec"), F.col("n_vec")), 4)
-                        .alias("cosine")))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
-                                           F.col("n_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-                  .where(F.col("rank") <= k))
-
-
 def hyperplane_bucket(vec: Column, planes: int = 8,
                       dims: int = 64, table: int = 0) -> Column:
-    """Random-hyperplane LSH bucket id (SimHash for vectors).
-
-    Plane p's component signs are pseudo-random +-1 derived from
-    md5(p:d) — deterministic, engine-portable, no stored model. Bucket
-    bit p = 1 iff the signed projection is positive. The projection is
-    exact integer arithmetic over the quantized vector. ``table`` offsets
-    the plane indices so multiple independent hash tables can be built
-    (OR-amplification recovers recall; see lsh_topk).
-    """
+    """HOF form of bucket_expr operating on a raw float vector Column —
+    same values, interpreted evaluation; prefer quantize-project +
+    bucket_expr in hot paths."""
     qv = quantize(vec)
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        # one F.expr per plane, not dims x F.lit py4j round-trips —
-        # building 16 planes x 64 literals column-by-column costs seconds
-        # of driver time before the job even starts
         signs = F.expr("array({})".format(",".join(
             f"{s}L" for s in plane_signs(table * planes + p, dims))))
         proj = F.aggregate(F.zip_with(qv, signs, lambda x, s: x * s),
@@ -108,13 +129,67 @@ def hyperplane_bucket(vec: Column, planes: int = 8,
     return bucket
 
 
+def _quantized(df: DataFrame, id_col: str, vec_col: str, out_id: str,
+               out_vec: str, dims: int, with_norm: str | None = None,
+               spread: bool = True) -> DataFrame:
+    """(id, quantized vec [, norm]) projection; fans out single-split
+    inputs so the per-row quantize + norm arithmetic parallelizes."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if spread:
+        base = fan_out(base)
+    out = base.select(F.col(id_col).alias(out_id),
+                      quantize(F.col(vec_col)).alias(out_vec))
+    if with_norm:
+        out = out.withColumn(with_norm, norm_expr(out_vec, dims))
+    return out
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dims: int = 64) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    broadcast(queries) x corpus -> windowed rank. Norms are computed once
+    per vector on each side; the per-pair work is one codegen dot
+    product. The rank window partitions by query id, so that shuffle is
+    |Q|-way — small by construction. Tie-break on neighbor id keeps
+    output deterministic.
+    """
+    q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
+                   with_norm="q_norm", spread=False)
+    c = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
+                   with_norm="n_norm")
+    cos = dot_expr("q_vec", "n_vec", dims) / (F.col("q_norm") * F.col("n_norm"))
+    scored = (c.crossJoin(F.broadcast(q))
+               .where(F.col("n_id") != F.col("q_id"))
+               .select("q_id", "n_id", fround(cos, 4).alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                           F.col("n_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= k))
+
+
 def lsh_bucket_assignments(corpus: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding", planes: int = 8,
                            dims: int = 64) -> DataFrame:
     """Corpus -> (id, bucket): the index-build pass (one scan, no shuffle)."""
-    return fan_out(corpus.select(F.col(id_col), F.col(vec_col))).select(
-        F.col(id_col),
-        hyperplane_bucket(F.col(vec_col), planes, dims).alias("bucket"))
+    return (_quantized(corpus, id_col, vec_col, id_col, "_qv", dims)
+            .select(F.col(id_col),
+                    bucket_expr("_qv", planes, dims).alias("bucket")))
+
+
+def _banded_ids(df: DataFrame, nid: str, id_col: str, vec_col: str,
+                planes: int, dims: int, tables: int) -> DataFrame:
+    """(id, tbl, bucket) rows — the ID-ONLY candidate-generation side
+    (vectors never enter the band join or the pair-dedup shuffle)."""
+    q = _quantized(df, id_col, vec_col, nid, "_qv", dims)
+    return q.select(
+        F.col(nid),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     bucket_expr("_qv", planes, dims, t).alias("bucket"))
+            for t in range(tables)])).alias("tb"),
+    ).select(nid, "tb.tbl", "tb.bucket")
 
 
 def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.9,
@@ -130,30 +205,29 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.9,
     standard AND/OR amplification), then the EXACT integer-quantized
     cosine verifies — so precision is exact and only recall is
     approximate, tunable via planes/tables. Work is bucket-bounded
-    (never |N|^2): a self-equi-join on (tbl, bucket), same shape as
-    minhash_lsh_dedup's band join.
+    (never |N|^2): an id-only self-equi-join on (tbl, bucket), same
+    shape as minhash_lsh_dedup's band join; vectors + norms join back
+    once per side for the verify.
     """
-    def with_buckets(df, nid):
-        df = fan_out(df.select(F.col(id_col), F.col(vec_col)))
-        return df.select(
-            F.col(id_col).alias(nid),
-            quantize(F.col(vec_col)).alias(f"{nid}_vec"),
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("tbl"),
-                         hyperplane_bucket(F.col(vec_col), planes, dims, t)
-                          .alias("bucket"))
-                for t in range(tables)])).alias("tb"),
-        ).select(nid, f"{nid}_vec", "tb.tbl", "tb.bucket")
-
-    a = with_buckets(corpus, "doc_a")
-    b = with_buckets(corpus, "doc_b")
-    return (a.join(b, ["tbl", "bucket"])
+    a = _banded_ids(corpus, "doc_a", id_col, vec_col, planes, dims, tables)
+    b = _banded_ids(corpus, "doc_b", id_col, vec_col, planes, dims, tables)
+    cand = (a.join(b, ["tbl", "bucket"])
              .where(F.col("doc_a") < F.col("doc_b"))
-             .dropDuplicates(["doc_a", "doc_b"])
-             .select("doc_a", "doc_b",
-                     fround(cosine_q(F.col("doc_a_vec"), F.col("doc_b_vec")), 4)
-                      .alias("cosine"))
-             .where(F.col("cosine") >= threshold))
+             .select("doc_a", "doc_b")
+             .dropDuplicates(["doc_a", "doc_b"]))
+    vecs = _quantized(corpus, id_col, vec_col, "_vid", "_vec", dims,
+                      with_norm="_norm")
+    cos = dot_expr("doc_a_vec", "doc_b_vec", dims) \
+        / (F.col("norm_a") * F.col("norm_b"))
+    return (cand
+            .join(vecs.select(F.col("_vid").alias("doc_a"),
+                              F.col("_vec").alias("doc_a_vec"),
+                              F.col("_norm").alias("norm_a")), "doc_a")
+            .join(vecs.select(F.col("_vid").alias("doc_b"),
+                              F.col("_vec").alias("doc_b_vec"),
+                              F.col("_norm").alias("norm_b")), "doc_b")
+            .select("doc_a", "doc_b", fround(cos, 4).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
 
 
 def embedding_dedup(corpus: DataFrame, threshold: float = 0.9,
@@ -171,14 +245,19 @@ def embedding_dedup(corpus: DataFrame, threshold: float = 0.9,
 
 def l2_q(a: Column, b: Column) -> Column:
     """Exact integer squared-L2 distance of two quantized vectors
-    (diffs <= 2e6, squared x 64 dims ~ 2.6e14 — comfortably BIGINT)."""
+    (diffs <= 2e6, squared x 64 dims ~ 2.6e14 — comfortably BIGINT).
+    Interpreted HOF form; the IVF hot path inlines centroid literals."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
                        F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def _lit_vec(vals: list[int]) -> Column:
-    # one expression per centroid, not 64 py4j F.lit round-trips
-    return F.expr("array({})".format(",".join(f"{v}L" for v in vals)))
+def l2_expr(a: str, b: str, dims: int = 64) -> Column:
+    """Codegen squared-L2 between two NAMED quantized array columns:
+    flat (a[d] - b[d])^2 sum (diffs <= 2e6, squared x 64 ~ 2.6e14 —
+    comfortably BIGINT)."""
+    return F.expr(" + ".join(
+        f"({a}[{d}] - {b}[{d}]) * ({a}[{d}] - {b}[{d}])"
+        for d in range(dims)))
 
 
 def ivf_fit_centroids(corpus: DataFrame, n_centroids: int = 8,
@@ -202,56 +281,94 @@ def ivf_fit_centroids(corpus: DataFrame, n_centroids: int = 8,
     return [list(r["cv"]) for r in rows]
 
 
-def _cell_dists(qvec: Column, centroids: list[list[int]]) -> list[Column]:
-    return [l2_q(qvec, _lit_vec(cv)) for cv in centroids]
+def _lit_vec(vals: list[int]) -> Column:
+    # one expression per centroid, not 64 py4j F.lit round-trips
+    return F.expr("array({})".format(",".join(f"{v}L" for v in vals)))
 
 
-def ivf_cell(qvec: Column, centroids: list[list[int]]) -> Column:
-    """Nearest-centroid cell id (0-based, lowest cell wins ties) as a
-    PURE PROJECTION — the centroids are inlined literals, so index build
-    is one scan with zero shuffles, same shape as lsh_bucket_assignments."""
-    darr = F.array(*_cell_dists(qvec, centroids))
+def _cell_dists(q: Column, centroids: list[list[int]]) -> list[Column]:
+    return [l2_q(q, _lit_vec(cv)) for cv in centroids]
+
+
+def ivf_cell(qcol: Column, centroids: list[list[int]]) -> Column:
+    """Nearest-centroid cell id (0-based, lowest cell wins ties) from a
+    quantized Column as a pure projection. Convenience/compat form for a
+    handful of centroids; ivf_topk's hot path assigns cells through a
+    broadcast centroid JOIN instead — inlining n_centroids x dims
+    literal terms into the plan stops scaling past ~tens of centroids
+    (megabyte task binaries), while a broadcast join takes thousands."""
+    darr = F.array(*_cell_dists(qcol, centroids))
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
 
 
-def ivf_probe_cells(qvec: Column, centroids: list[list[int]],
+def ivf_probe_cells(qcol: Column, centroids: list[list[int]],
                     nprobe: int) -> Column:
     """The ``nprobe`` nearest cell ids for a query vector (distance then
     cell-id order), via array_sort over (dist, cell) structs — struct
     comparison is lexicographic by field position in both engines."""
     order = F.array_sort(F.array(*[
         F.struct(d.alias("d"), F.lit(c).cast("long").alias("cell"))
-        for c, d in enumerate(_cell_dists(qvec, centroids))]))
+        for c, d in enumerate(_cell_dists(qcol, centroids))]))
     return F.slice(F.transform(order, lambda s: s["cell"]), 1, nprobe)
+
+
+def _centroids_df(spark, centroids: list[list[int]]) -> DataFrame:
+    """The fitted coarse quantizer as a (cell, cv) DataFrame — the
+    broadcastable model representation."""
+    rows = [(c, [int(v) for v in cv]) for c, cv in enumerate(centroids)]
+    return spark.createDataFrame(rows, "cell long, cv array<bigint>")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_centroids: int = 8, nprobe: int = 2) -> DataFrame:
+             n_centroids: int = 8, nprobe: int = 2,
+             dims: int = 64) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_centroids`` Voronoi cells, probe only the query's ``nprobe``
     nearest cells, re-rank candidates by exact cosine.
 
-    The scale path alongside lsh_topk: cell assignment is a zero-shuffle
-    projection (centroid literals), the probe is a cell equi-join with
-    the query side broadcast, so scanned work drops to ~nprobe/n_centroids
-    of the corpus per query. A corpus row lives in exactly one cell, so
-    no candidate dedup is needed (unlike multi-table LSH).
+    The scale path alongside lsh_topk: the fitted centroids live in a
+    broadcast (cell, cv) DataFrame — NOT inlined literals, so the plan
+    size is independent of n_centroids and the same code serves a
+    4096-centroid production quantizer. Cell assignment is a broadcast
+    cross join + min_by (per-vector distances computed map-side;
+    the assignment shuffle carries only (id, cell, d) — map-side partial
+    aggregation collapses the x n_centroids fan-out back to one row per
+    vector before the exchange). The probe is a cell equi-join with the
+    query side broadcast, so the verify work drops to
+    ~nprobe/n_centroids of the corpus per query. A corpus row lives in
+    exactly one cell, so no candidate dedup is needed (unlike
+    multi-table LSH).
     """
     cents = ivf_fit_centroids(corpus, n_centroids, id_col, vec_col)
-    c = (fan_out(corpus.select(F.col(id_col), F.col(vec_col)))
-         .select(F.col(id_col).alias("n_id"),
-                 quantize(F.col(vec_col)).alias("n_vec"))
-         .withColumn("cell", ivf_cell(F.col("n_vec"), cents)))
-    q = (queries.select(F.col(id_col).alias("q_id"),
-                        quantize(F.col(vec_col)).alias("q_vec"))
-                .withColumn("cell", F.explode(
-                    ivf_probe_cells(F.col("q_vec"), cents, nprobe))))
-    scored = (c.join(F.broadcast(q), "cell")
-               .where(F.col("n_id") != F.col("q_id"))
-               .select("q_id", "n_id",
-                       fround(cosine_q(F.col("q_vec"), F.col("n_vec")), 4)
-                        .alias("cosine")))
+    cdf = _centroids_df(corpus.sparkSession, cents)
+    n = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
+                   with_norm="n_norm")
+    # nearest cell per corpus vector: min (distance, cell) — lowest cell
+    # wins ties, matching ivf_cell's array_position semantics
+    assign = (n.select("n_id", "n_vec")
+               .crossJoin(F.broadcast(cdf))
+               .select("n_id", "cell",
+                       l2_expr("n_vec", "cv", dims).alias("d"))
+               .groupBy("n_id")
+               .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
+    q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
+                   with_norm="q_norm", spread=False)
+    wq = Window.partitionBy("q_id").orderBy("d", "cell")
+    probes = (q.select("q_id", "q_vec")
+               .crossJoin(F.broadcast(cdf))
+               .select("q_id", "cell",
+                       l2_expr("q_vec", "cv", dims).alias("d"))
+               .withColumn("_rn", F.row_number().over(wq))
+               .where(F.col("_rn") <= nprobe)
+               .select("q_id", "cell"))
+    cand = (assign.join(F.broadcast(probes), "cell")
+                  .where(F.col("n_id") != F.col("q_id"))
+                  .select("q_id", "n_id"))
+    cos = dot_expr("q_vec", "n_vec", dims) / (F.col("q_norm") * F.col("n_norm"))
+    scored = (cand.join(F.broadcast(q), "q_id")
+                  .join(n, "n_id")
+                  .select("q_id", "n_id", fround(cos, 4).alias("cosine")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
                                            F.col("n_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -266,31 +383,25 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cosine (the standard AND/OR LSH amplification: ``planes`` per table
     sharpens precision, ``tables`` recovers recall).
 
-    Each table is one equi-join on its bucket column; candidates are the
-    distinct union — work stays proportional to bucket occupancy, never
-    |Q| x |N|. The exploded (table, bucket) layout keeps it a single join
-    instead of ``tables`` separate ones.
+    Each table is one id-only equi-join on its bucket column; candidates
+    are the distinct union — work stays proportional to bucket occupancy,
+    never |Q| x |N|. Vectors + norms rejoin once for the re-rank (query
+    side broadcast — it is |Q| rows by construction).
     """
-    def with_buckets(df, nid):
-        df = fan_out(df.select(F.col(id_col), F.col(vec_col)))
-        return df.select(
-            F.col(id_col).alias(nid),
-            quantize(F.col(vec_col)).alias(f"{nid}_vec"),
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("tbl"),
-                         hyperplane_bucket(F.col(vec_col), planes, dims, t)
-                          .alias("bucket"))
-                for t in range(tables)])).alias("tb"),
-        ).select(nid, f"{nid}_vec", "tb.tbl", "tb.bucket")
-
-    c = with_buckets(corpus, "n_id")
-    q = with_buckets(queries, "q_id")
-    scored = (c.join(F.broadcast(q), ["tbl", "bucket"])
-               .where(F.col("n_id") != F.col("q_id"))
-               .dropDuplicates(["q_id", "n_id"])
-               .select("q_id", "n_id",
-                       fround(cosine_q(F.col("q_id_vec"), F.col("n_id_vec")), 4)
-                        .alias("cosine")))
+    c = _banded_ids(corpus, "n_id", id_col, vec_col, planes, dims, tables)
+    q = _banded_ids(queries, "q_id", id_col, vec_col, planes, dims, tables)
+    cand = (c.join(F.broadcast(q), ["tbl", "bucket"])
+             .where(F.col("n_id") != F.col("q_id"))
+             .select("q_id", "n_id")
+             .dropDuplicates(["q_id", "n_id"]))
+    qv = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
+                    with_norm="q_norm", spread=False)
+    nv = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
+                    with_norm="n_norm")
+    cos = dot_expr("q_vec", "n_vec", dims) / (F.col("q_norm") * F.col("n_norm"))
+    scored = (cand.join(F.broadcast(qv), "q_id")
+                  .join(nv, "n_id")
+                  .select("q_id", "n_id", fround(cos, 4).alias("cosine")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
                                            F.col("n_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
