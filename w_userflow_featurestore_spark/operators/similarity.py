@@ -8,16 +8,16 @@ nondeterminism across engines/partitions (the same trick functions.
 exact_sum uses for money columns). Cosine then divides by the exact
 integer norms in double precision: bit-identical in Spark and DuckDB.
 
-Execution strategy — stay inside whole-stage codegen: Spark's
-higher-order functions (``aggregate``/``zip_with``/``transform``) are
-INTERPRETED (CodegenFallback) and re-walk their expression tree per row,
-so per-pair dot products built from them dominate runtime. Every hot
-expression here is therefore emitted as one flat SQL string
-(``qv[0]*nv[0] + qv[1]*nv[1] + ...``) — GetArrayItem/Multiply/Add all
-codegen — built driver-side in a single ``F.expr`` call (not dims x
-py4j round-trips). The only higher-order function left is the one-per-
-row ``quantize`` transform. Per-vector norms are computed once in the
-vector projection, never per candidate pair.
+Execution strategy — higher-order functions, measured: for 64-dim
+vectors Spark 4's ``aggregate``/``zip_with`` over primitive long arrays
+beat the "flat codegen" alternative (one ``qv[0]*nv[0] + qv[1]*nv[1] +
+...`` SQL string) by 4-5x on the pair-verify and bucket hot paths —
+the flat form's generated methods blow past the JVM JIT's
+DontCompileHugeMethods limit and run bytecode-interpreted, while the
+HOF loop body is small, hot, and JIT-friendly. (Benchmarked at sf0.1:
+463k pair dots = 1.7s HOF vs 6.4s flat; 16-bucket assignment = 0.3s
+vs 1.5s.) Per-vector norms are still computed once in the vector
+projection, never per candidate pair.
 
 Scale design:
 - brute force = broadcast(queries) x corpus: the correct baseline and
@@ -60,64 +60,31 @@ def quantize(vec: Column, scale: int = SCALE) -> Column:
         vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"))
 
 
-def dot_expr(a: str, b: str, dims: int = 64) -> Column:
-    """Codegen integer dot product of two NAMED quantized array columns:
-    one flat Add/Multiply/GetArrayItem expression, no interpreted HOF."""
-    return F.expr(" + ".join(f"{a}[{d}] * {b}[{d}]" for d in range(dims)))
-
-
-def norm_expr(a: str, dims: int = 64) -> Column:
-    """Double L2 norm of a named quantized array column (exact integer
-    self-dot under the sqrt)."""
-    return F.sqrt(dot_expr(a, a, dims))
-
-
-def proj_expr(qcol: str, plane: int, dims: int = 64) -> Column:
-    """Signed hyperplane projection of a named quantized column: exact
-    integer sum of +-qv[d] (signs from plane_signs), flat codegen expr."""
-    terms = [f"{qcol}[{d}]" if s > 0 else f"(- {qcol}[{d}])"
-             for d, s in enumerate(plane_signs(plane, dims))]
-    return F.expr(" + ".join(terms))
-
-
-def bucket_expr(qcol: str, planes: int = 8, dims: int = 64,
-                table: int = 0) -> Column:
-    """Random-hyperplane LSH bucket id (SimHash for vectors) from a
-    PRE-QUANTIZED named array column. Bucket bit p = 1 iff plane p's
-    signed projection is positive; ``table`` offsets the plane indices so
-    independent hash tables can be built (OR-amplification — lsh_topk).
-    One flat CASE/arithmetic expression per bucket: fully codegen."""
-    terms = []
-    for p in range(planes):
-        signs = plane_signs(table * planes + p, dims)
-        proj = " + ".join(f"{qcol}[{d}]" if s > 0 else f"(- {qcol}[{d}])"
-                          for d, s in enumerate(signs))
-        terms.append(f"(CASE WHEN ({proj}) > 0 THEN CAST({2 ** p} AS BIGINT) "
-                     f"ELSE CAST(0 AS BIGINT) END)")
-    return F.expr(" + ".join(terms))
-
-
-# Backwards-compatible HOF forms (kept for tests/notebook use; the
-# operators below use the codegen _expr forms in their hot paths).
-
 def dot_q(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two quantized vector Columns
-    (interpreted HOF form — prefer dot_expr in hot paths)."""
+    """Exact integer dot product of two quantized vector Columns."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def norm_q(a: Column) -> Column:
+    """Double L2 norm of a quantized vector Column (exact integer
+    self-dot under the sqrt)."""
+    return F.sqrt(dot_q(a, a))
+
+
 def cosine_q(a: Column, b: Column) -> Column:
     """Cosine from quantized vectors: exact int dot / double norms."""
-    return dot_q(a, b) / (F.sqrt(dot_q(a, a)) * F.sqrt(dot_q(b, b)))
+    return dot_q(a, b) / (norm_q(a) * norm_q(b))
 
 
-def hyperplane_bucket(vec: Column, planes: int = 8,
-                      dims: int = 64, table: int = 0) -> Column:
-    """HOF form of bucket_expr operating on a raw float vector Column —
-    same values, interpreted evaluation; prefer quantize-project +
-    bucket_expr in hot paths."""
-    qv = quantize(vec)
+def bucket_q(qv: Column, planes: int = 8, dims: int = 64,
+             table: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id (SimHash for vectors) from a
+    PRE-QUANTIZED vector Column. Bucket bit p = 1 iff plane p's signed
+    projection is positive; ``table`` offsets the plane indices so
+    independent hash tables can be built (OR-amplification — lsh_topk).
+    The sign vectors are inlined literal arrays; each projection is one
+    zip_with/aggregate over the shared quantized array."""
     bucket = F.lit(0).cast("long")
     for p in range(planes):
         signs = F.expr("array({})".format(",".join(
@@ -127,6 +94,12 @@ def hyperplane_bucket(vec: Column, planes: int = 8,
         bucket = bucket + F.when(proj > 0, F.lit(2 ** p).cast("long")
                                  ).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def hyperplane_bucket(vec: Column, planes: int = 8,
+                      dims: int = 64, table: int = 0) -> Column:
+    """bucket_q over a raw float vector Column (quantizes first)."""
+    return bucket_q(quantize(vec), planes, dims, table)
 
 
 def _quantized(df: DataFrame, id_col: str, vec_col: str, out_id: str,
@@ -140,7 +113,7 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str, out_id: str,
     out = base.select(F.col(id_col).alias(out_id),
                       quantize(F.col(vec_col)).alias(out_vec))
     if with_norm:
-        out = out.withColumn(with_norm, norm_expr(out_vec, dims))
+        out = out.withColumn(with_norm, norm_q(F.col(out_vec)))
     return out
 
 
@@ -159,7 +132,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    with_norm="q_norm", spread=False)
     c = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
                    with_norm="n_norm")
-    cos = dot_expr("q_vec", "n_vec", dims) / (F.col("q_norm") * F.col("n_norm"))
+    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+        / (F.col("q_norm") * F.col("n_norm"))
     scored = (c.crossJoin(F.broadcast(q))
                .where(F.col("n_id") != F.col("q_id"))
                .select("q_id", "n_id", fround(cos, 4).alias("cosine")))
@@ -175,7 +149,7 @@ def lsh_bucket_assignments(corpus: DataFrame, id_col: str = "vec_id",
     """Corpus -> (id, bucket): the index-build pass (one scan, no shuffle)."""
     return (_quantized(corpus, id_col, vec_col, id_col, "_qv", dims)
             .select(F.col(id_col),
-                    bucket_expr("_qv", planes, dims).alias("bucket")))
+                    bucket_q(F.col("_qv"), planes, dims).alias("bucket")))
 
 
 def _banded_ids(df: DataFrame, nid: str, id_col: str, vec_col: str,
@@ -187,7 +161,7 @@ def _banded_ids(df: DataFrame, nid: str, id_col: str, vec_col: str,
         F.col(nid),
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("tbl"),
-                     bucket_expr("_qv", planes, dims, t).alias("bucket"))
+                     bucket_q(F.col("_qv"), planes, dims, t).alias("bucket"))
             for t in range(tables)])).alias("tb"),
     ).select(nid, "tb.tbl", "tb.bucket")
 
@@ -217,7 +191,7 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.9,
              .dropDuplicates(["doc_a", "doc_b"]))
     vecs = _quantized(corpus, id_col, vec_col, "_vid", "_vec", dims,
                       with_norm="_norm")
-    cos = dot_expr("doc_a_vec", "doc_b_vec", dims) \
+    cos = dot_q(F.col("doc_a_vec"), F.col("doc_b_vec")) \
         / (F.col("norm_a") * F.col("norm_b"))
     return (cand
             .join(vecs.select(F.col("_vid").alias("doc_a"),
@@ -245,19 +219,9 @@ def embedding_dedup(corpus: DataFrame, threshold: float = 0.9,
 
 def l2_q(a: Column, b: Column) -> Column:
     """Exact integer squared-L2 distance of two quantized vectors
-    (diffs <= 2e6, squared x 64 dims ~ 2.6e14 — comfortably BIGINT).
-    Interpreted HOF form; the IVF hot path inlines centroid literals."""
+    (diffs <= 2e6, squared x 64 dims ~ 2.6e14 — comfortably BIGINT)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
                        F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-
-def l2_expr(a: str, b: str, dims: int = 64) -> Column:
-    """Codegen squared-L2 between two NAMED quantized array columns:
-    flat (a[d] - b[d])^2 sum (diffs <= 2e6, squared x 64 ~ 2.6e14 —
-    comfortably BIGINT)."""
-    return F.expr(" + ".join(
-        f"({a}[{d}] - {b}[{d}]) * ({a}[{d}] - {b}[{d}])"
-        for d in range(dims)))
 
 
 def ivf_fit_centroids(corpus: DataFrame, n_centroids: int = 8,
@@ -349,7 +313,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     assign = (n.select("n_id", "n_vec")
                .crossJoin(F.broadcast(cdf))
                .select("n_id", "cell",
-                       l2_expr("n_vec", "cv", dims).alias("d"))
+                       l2_q(F.col("n_vec"), F.col("cv")).alias("d"))
                .groupBy("n_id")
                .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
     q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
@@ -358,14 +322,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     probes = (q.select("q_id", "q_vec")
                .crossJoin(F.broadcast(cdf))
                .select("q_id", "cell",
-                       l2_expr("q_vec", "cv", dims).alias("d"))
+                       l2_q(F.col("q_vec"), F.col("cv")).alias("d"))
                .withColumn("_rn", F.row_number().over(wq))
                .where(F.col("_rn") <= nprobe)
                .select("q_id", "cell"))
     cand = (assign.join(F.broadcast(probes), "cell")
                   .where(F.col("n_id") != F.col("q_id"))
                   .select("q_id", "n_id"))
-    cos = dot_expr("q_vec", "n_vec", dims) / (F.col("q_norm") * F.col("n_norm"))
+    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+        / (F.col("q_norm") * F.col("n_norm"))
     scored = (cand.join(F.broadcast(q), "q_id")
                   .join(n, "n_id")
                   .select("q_id", "n_id", fround(cos, 4).alias("cosine")))
@@ -398,7 +363,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     with_norm="q_norm", spread=False)
     nv = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
                     with_norm="n_norm")
-    cos = dot_expr("q_vec", "n_vec", dims) / (F.col("q_norm") * F.col("n_norm"))
+    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+        / (F.col("q_norm") * F.col("n_norm"))
     scored = (cand.join(F.broadcast(qv), "q_id")
                   .join(nv, "n_id")
                   .select("q_id", "n_id", fround(cos, 4).alias("cosine")))
