@@ -35,12 +35,16 @@ BOUNCE_MS = 10_000   # reference: duration <= 10s counts as bounce
                      # (gold_user_daily_metrics.py:61)
 
 
-def user_daily(sessions: DataFrame) -> DataFrame:
+def user_daily(sessions: DataFrame,
+               extra_aggs: list | None = None) -> DataFrame:
     """Per-(datetime, user) daily metrics — reference A3
     (gold_user_daily_metrics.py:53-67).
 
     countDistinct over a struct, conditional sums, avg-based rates, bounce
     ratio, and derived completion/exit rates divided by total sessions.
+    ``extra_aggs`` lets callers ride additional aggregate Columns on the
+    same (datetime, user_id) hash-agg instead of a second pass + join
+    (user_daily_full fuses the return-interval average this way).
     """
     g = (sessions.groupBy("datetime", "user_id").agg(
         F.count_distinct(F.struct("session_id")).alias("total_sessions"),
@@ -56,6 +60,7 @@ def user_daily(sessions: DataFrame) -> DataFrame:
         F.count_distinct("entry_event_type").alias("unique_entry_types"),
         count_distinct_when(F.col("is_complete") == 1, F.col("session_id"))
             .alias("completed_session_cnt"),
+        *(extra_aggs or []),
     ))
     return (g
             .withColumn("completion_rate",
@@ -102,13 +107,33 @@ def repeat_events(events: DataFrame, event_type: str = "purchase") -> DataFrame:
 
 
 def user_daily_full(sessions: DataFrame, events: DataFrame) -> DataFrame:
-    """user_daily ⟕ return_intervals ⟕ repeat_events — reference J1/J2
-    left joins on (datetime, user_id) with metric NULLs filled to 0
-    (gold_user_daily_metrics.py:80-99)."""
-    out = (user_daily(sessions)
-           .join(return_intervals(sessions), ["datetime", "user_id"], "left")
-           .join(repeat_events(events), ["datetime", "user_id"], "left"))
-    return out.fillna({"avg_return_interval_s": 0.0, "repeat_purchase_cnt": 0})
+    """user_daily + return-interval average + repeat_events — reference
+    J1/J2 left joins on (datetime, user_id) with metric NULLs filled to 0
+    (gold_user_daily_metrics.py:80-99).
+
+    The return-interval branch is FUSED into user_daily's hash aggregate
+    instead of joined: the lag window partitions by user_id, which also
+    satisfies the (datetime, user_id) groupBy's clustering, so the whole
+    session side is one scan + one exchange (the reference's separate
+    A4 pass + J1 join recomputed sessionization — at scale that doubles
+    the dominant cost for identical values; both group the same session
+    rows by the same key, so the left join can never miss)."""
+    w = Window.partitionBy("user_id").orderBy("start_time", "session_id")
+    prev_end = F.lag("end_time").over(w)
+    s = sessions.withColumn(
+        "_ret_ms",
+        clamp_nonneg(epoch_ms(F.col("start_time")) - epoch_ms(prev_end)))
+    ret_avg = fround(F.coalesce(
+        F.sum("_ret_ms") / F.lit(1000.0) / F.count("_ret_ms"),
+        F.lit(0.0)), 2).alias("avg_return_interval_s")
+    out = (user_daily(s, extra_aggs=[ret_avg])
+           .join(repeat_events(events), ["datetime", "user_id"], "left")
+           .fillna({"repeat_purchase_cnt": 0}))
+    # keep the historical column order (aggregate-fused avg_return_interval_s
+    # would otherwise move before the derived rate columns)
+    cols = [c for c in out.columns if c != "avg_return_interval_s"]
+    cols.insert(cols.index("repeat_purchase_cnt"), "avg_return_interval_s")
+    return out.select(*cols)
 
 
 def item_daily(events: DataFrame,
