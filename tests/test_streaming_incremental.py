@@ -137,3 +137,76 @@ def test_incremental_planner_broken_lineage_full_reread(spark, tmp_path):
     assert plan.mode == "full"
     assert "lineage broken" in plan.reason
     assert rows(plan.df, "event_id") == [(2,)]
+
+
+def test_stateful_sessionize_emits_classified_closed_sessions(spark, tmp_path):
+    from w_userflow_featurestore_spark.operators.sessionize import sessionize
+    from w_userflow_featurestore_spark.streaming import stateful_sessionize
+
+    src = str(tmp_path / "src")
+    data = [
+        # user 1, session 1: view -> purchase@60 (COMPLETE once closed)
+        _batch(1, "2024-01-01 10:00:00", 1, "view"),
+        _batch(2, "2024-01-01 10:10:00", 1, "purchase", 60.0),
+        # >30 min gap -> closes session 1; session 2 has an error (EXIT
+        # when closed) and one more event after
+        _batch(3, "2024-01-01 11:30:00", 1, "error"),
+        _batch(4, "2024-01-01 11:31:00", 1, "view", 2.5),
+        # gap again -> closes session 2; session 3 stays open (in state)
+        _batch(5, "2024-01-01 13:00:00", 1, "view"),
+        # user 2: one session, never closed by a successor
+        _batch(6, "2024-01-01 10:05:00", 2, "click"),
+    ]
+    _write_events(spark, src, data)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    q = (stateful_sessionize(stream)
+         .writeStream.format("memory").queryName("stateful_sess")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt3")).start())
+    q.awaitTermination(180)
+    got = {r["session_id"]: r for r in spark.table("stateful_sess").collect()}
+
+    # only the two gap-closed sessions of user 1 emit; open sessions
+    # (user 1 session 3, user 2 session 1) live in the state store
+    assert set(got) == {1_000_001, 1_000_002}
+
+    batch = {r["session_id"]: r
+             for r in sessionize(spark.createDataFrame(data, EVENTS_DDL),
+                                 now="2024-01-01 13:30:00").collect()}
+    for sid in got:
+        for col in ("user_id", "start_time", "end_time", "duration_ms",
+                    "n_events", "entry_event_type", "sum_value", "max_value",
+                    "n_items", "seen_purchase", "seen_error", "datetime",
+                    "session_state", "is_complete", "is_exit"):
+            assert got[sid][col] == batch[sid][col], (sid, col)
+    assert got[1_000_001]["session_state"] == "COMPLETE"
+    assert got[1_000_002]["session_state"] == "EXIT"
+
+
+def test_stateful_fold_and_timeout_close_pure():
+    from w_userflow_featurestore_spark.streaming import (
+        close_session, fold_events,
+    )
+
+    ms = lambda s: s * 1000  # noqa: E731
+    # two events 10 s apart, then one past the 30-min gap
+    closed, st = fold_events(
+        None, 0, user_id=7,
+        events=[(ms(0), "view", 1.0, '{"k": 1}'),
+                (ms(10), "purchase", 60.0, '{"k": 2}'),
+                (ms(10 + 1900), "view", None, None)])
+    assert len(closed) == 1
+    c = closed[0]
+    # closed by a successor 1900 s after end -> past 600 s timeout, but
+    # purchase @ 60 >= threshold 50 wins first (ordered rules)
+    assert c["session_state"] == "COMPLETE"
+    assert c["n_events"] == 2 and c["n_items"] == 2
+    assert c["sum_value"] == 61.0 and c["max_value"] == 60.0
+    assert c["duration_ms"] == ms(10)
+    # open session state -> timeout close emits TIMEOUT_EXIT
+    t = close_session(st, 7, now_ms=st[2] + ms(601))
+    assert t["session_state"] == "TIMEOUT_EXIT"
+    assert t["is_exit"] == 1 and t["is_complete"] == 0
+    # idle under the timeout would still be IN_PROGRESS
+    p = close_session(st, 7, now_ms=st[2] + ms(1))
+    assert p["session_state"] == "IN_PROGRESS"

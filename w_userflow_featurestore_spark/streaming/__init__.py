@@ -4,6 +4,12 @@ from w_userflow_featurestore_spark.streaming.ingest import (
     read_event_stream,
     streaming_sessionize,
 )
+from w_userflow_featurestore_spark.streaming.stateful import (
+    close_session,
+    fold_events,
+    stateful_sessionize,
+)
 
 __all__ = ["bronze_ingest", "parse_kafka_events", "read_event_stream",
-           "streaming_sessionize"]
+           "streaming_sessionize", "stateful_sessionize", "fold_events",
+           "close_session"]
