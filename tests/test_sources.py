@@ -73,3 +73,32 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     merge_upsert(spark, path, batch, keys=["k"], partition_by=["datetime"])
     merge_upsert(spark, path, batch, keys=["k"], partition_by=["datetime"])
     assert rows(spark.read.parquet(path), "k", "v") == [(1, "a"), (2, "b")]
+
+
+def test_write_bucketed_join_and_agg_need_no_shuffle(spark, tmp_path):
+    from w_userflow_featurestore_spark.sources import write_bucketed
+
+    left = spark.range(0, 1000).withColumn("a", F.col("id") % 7)
+    right = spark.range(0, 1000).withColumn("b", F.col("id") % 3)
+    write_bucketed(left, "bk_left", ["id"], buckets=4,
+                   path=str(tmp_path / "l"))
+    write_bucketed(right, "bk_right", ["id"], buckets=4,
+                   path=str(tmp_path / "r"))
+    try:
+        # forbid broadcast so the co-located sort-merge path is what plans
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bk_left").join(spark.table("bk_right"), "id")
+        jp = j._jdf.queryExecution().executedPlan().toString()
+        # bucket-pruned scans: the shuffle was paid at write time
+        assert "Exchange hashpartitioning" not in jp
+        assert "SortMergeJoin" in jp
+        assert j.count() == 1000
+
+        g = spark.table("bk_left").groupBy("id").agg(F.sum("a").alias("s"))
+        gp = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in gp
+        assert g.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")

@@ -3,8 +3,9 @@ from w_userflow_featurestore_spark.sources.parquet import (
     fan_out,
     write_partitioned,
     overwrite_partitions,
+    write_bucketed,
     merge_upsert,
 )
 
 __all__ = ["read_table", "fan_out", "write_partitioned",
-           "overwrite_partitions", "merge_upsert"]
+           "overwrite_partitions", "write_bucketed", "merge_upsert"]

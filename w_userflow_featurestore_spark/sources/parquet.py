@@ -126,6 +126,31 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
        .parquet(path))
 
 
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   buckets: int = 32, path: str | None = None,
+                   sort: bool = True, mode: str = "overwrite") -> None:
+    """Write a bucketed (hash-clustered) parquet table.
+
+    Bucketing pre-partitions data by ``hash(keys) % buckets`` at WRITE
+    time, so every later join or aggregation on ``keys`` between
+    co-bucketed tables plans with ZERO exchanges — the shuffle is paid
+    once at ingest instead of per query. This is the standard layout for
+    a 100 TB fact table that joins repeatedly on the same key (events x
+    sessions on user_id, documents x signatures on doc_id): at that scale
+    a sort-merge join's two full shuffles dominate the query, and
+    bucketing removes both (sortBy additionally removes the per-query
+    Sort). Spark only attaches bucketing metadata through the catalog, so
+    this writes a TABLE (``saveAsTable``), not a bare path; pass ``path``
+    to control file placement (external table).
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def merge_upsert(spark: SparkSession, target_path: str, staged: DataFrame,
                  keys: list[str], partition_by: list[str]) -> None:
     """MERGE INTO semantics on plain parquet (S9).
