@@ -359,6 +359,21 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                          min_quality=0.5, near_threshold=0.5)
 
 
+def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct AS-OF join (feature serving): every event
+    gets the user's latest purchase value/timestamp at-or-before its own
+    timestamp — never a later one (training-leakage guard). Oracle =
+    DuckDB's native ASOF LEFT JOIN."""
+    from w_userflow_featurestore_spark.operators.asof import asof_join
+    e = _events(spark, sf_dir)
+    left = e.select("event_id", "ts", "user_id", "event_type", "value")
+    right = (e.where(F.col("event_type") == "purchase")
+              .select("user_id", "ts", "value"))
+    return (asof_join(left, right, on=["user_id"])
+            .withColumnRenamed("ts_r", "last_purchase_ts")
+            .withColumnRenamed("value_r", "last_purchase_value"))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> typed features through the Arrow mapInPandas
     path (deterministic fake decode; the plumbing under test is real)."""
@@ -401,6 +416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_pairs": q_embedding_near_pairs,
     "embedding_dedup": q_embedding_dedup,
+    "asof_features": q_asof_features,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "cardinality_sketch": q_cardinality_sketch,
@@ -1198,6 +1214,16 @@ FROM (
          unnest(range(0, greatest(least(CAST(floor(duration_ms / 1000.0) AS BIGINT), 5), 1))) AS frame_idx
   FROM decoded WHERE kind = 'video'
 )
+"""
+
+
+ORACLES["asof_features"] = """
+SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value,
+       r.ts AS last_purchase_ts, r.value AS last_purchase_value
+FROM events l ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events
+      WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 

@@ -9,10 +9,12 @@
 - similarity  — exact cosine top-k + multi-table hyperplane LSH
 - multimodal  — binary payloads + Arrow mapInPandas decode plumbing
 - skew        — salted two-phase aggregation for hot keys
+- asof        — point-in-time-correct AS-OF join (feature serving)
 - curate      — end-to-end corpus curation composition
 """
 
 from w_userflow_featurestore_spark.operators import (  # noqa: F401
+    asof,
     cleanse,
     curate,
     dedup,
