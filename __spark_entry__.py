@@ -374,6 +374,24 @@ def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("value_r", "last_purchase_value"))
 
 
+def q_interval_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: errors within 10 minutes AFTER each purchase,
+    counted per purchase (zero kept). The time-bucket equi-join replaces
+    the quadratic per-key cross Spark would plan for a raw range
+    predicate; the oracle is the raw range predicate."""
+    from w_userflow_featurestore_spark.operators.asof import interval_join
+    e = _events(spark, sf_dir)
+    p = (e.where(F.col("event_type") == "purchase")
+          .select("event_id", "user_id", "ts"))
+    err = e.where(F.col("event_type") == "error").select("user_id", "ts")
+    counts = (interval_join(p, err, on=["user_id"], upper_ms=600_000)
+              .groupBy("event_id")
+              .agg(F.count(F.lit(1)).alias("n_errors_10m")))
+    return (p.join(counts, "event_id", "left")
+             .fillna({"n_errors_10m": 0})
+             .select("event_id", "user_id", "ts", "n_errors_10m"))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> typed features through the Arrow mapInPandas
     path (deterministic fake decode; the plumbing under test is real)."""
@@ -417,6 +435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "embedding_dedup": q_embedding_dedup,
     "asof_features": q_asof_features,
+    "interval_features": q_interval_features,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "cardinality_sketch": q_cardinality_sketch,
@@ -1224,6 +1243,19 @@ FROM events l ASOF LEFT JOIN
      (SELECT user_id, ts, value FROM events
       WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+ORACLES["interval_features"] = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     e AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT p.event_id, p.user_id, p.ts,
+       count(e.ts) AS n_errors_10m
+FROM p LEFT JOIN e
+  ON p.user_id = e.user_id
+ AND epoch_ms(e.ts) BETWEEN epoch_ms(p.ts) AND epoch_ms(p.ts) + 600000
+GROUP BY p.event_id, p.user_id, p.ts
 """
 
 

@@ -51,3 +51,43 @@ def test_asof_single_shuffle_no_pair_blowup(spark):
     # union + keyed window: exactly one hash exchange, no join operator
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_interval_join_bounds_inclusive_and_bucket_boundary(spark):
+    from w_userflow_featurestore_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame([
+        (1, 10, _ts("2024-01-01 10:00:00")),
+    ], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([
+        (10, _ts("2024-01-01 09:59:59"), "before"),
+        (10, _ts("2024-01-01 10:00:00"), "lower-edge"),   # inclusive
+        (10, _ts("2024-01-01 10:04:00"), "inside"),       # same bucket
+        (10, _ts("2024-01-01 10:09:30"), "next-bucket"),  # crosses W edge
+        (10, _ts("2024-01-01 10:10:00"), "upper-edge"),   # inclusive
+        (10, _ts("2024-01-01 10:10:01"), "after"),
+        (20, _ts("2024-01-01 10:01:00"), "other-key"),
+    ], "user_id long, ts timestamp, tag string")
+    got = rows(interval_join(left, right, on=["user_id"],
+                             upper_ms=600_000), "tag_r")
+    assert got == [("inside",), ("lower-edge",), ("next-bucket",),
+                   ("upper-edge",)]
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    from w_userflow_featurestore_spark.operators.asof import interval_join
+
+    # every right row within range of every left row: result must be the
+    # exact cartesian of in-range pairs, each exactly once
+    left = spark.createDataFrame(
+        [(i, 1, _ts(f"2024-01-01 10:00:{i:02d}")) for i in range(5)],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(f"2024-01-01 10:00:{i:02d}"), float(i)) for i in range(5)],
+        "user_id long, ts timestamp, v double")
+    out = interval_join(left, right, on=["user_id"], upper_ms=60_000)
+    pairs = rows(out, "event_id", "v_r")
+    assert len(pairs) == len(set(pairs))
+    # backward-looking rows excluded: right ts >= left ts only
+    assert all(v >= e for e, v in pairs)
+    assert len(pairs) == 5 + 4 + 3 + 2 + 1

@@ -1,4 +1,4 @@
-"""Point-in-time-correct AS-OF join — the feature-store serving primitive.
+"""Temporal joins: point-in-time AS-OF and bucketed range (interval) join.
 
 The reference serves daily-grain features, so its joins are all equi
 (SURVEY.md §2.5: no range/as-of joins anywhere). But the defining
@@ -74,3 +74,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in r_payload]
     return matched.select(*out_cols)
+
+
+def interval_join(left: DataFrame, right: DataFrame, on: list[str],
+                  left_ts: str = "ts", right_ts: str = "ts",
+                  lower_ms: int = 0, upper_ms: int = 600_000,
+                  suffix: str = "_r") -> DataFrame:
+    """Range (interval) join: pair each left row with every right row of
+    the same keys whose ``right_ts`` lies in
+    [left_ts + lower_ms, left_ts + upper_ms], both bounds inclusive.
+
+    Spark plans a bare ``ON key AND r.ts BETWEEN ...`` as an equi-join
+    followed by a per-key cross of all temporal combinations — quadratic
+    in events-per-key. This instead BUCKETS time by the window width W =
+    upper_ms - lower_ms: each right row lands in exactly one bucket
+    (floor(ts/W)), each left row explodes to the <= 2 buckets its window
+    overlaps, and the join becomes a plain equi-join on (keys, bucket)
+    plus an exact range filter. A (left, right) pair can only meet in the
+    right row's single bucket, so no dedup is needed; work scales with
+    rows-per-(key, W-window), never rows-per-key squared.
+    """
+    assert upper_ms > lower_ms, "empty interval"
+    width = upper_ms - lower_ms
+    key_cols = list(on)
+    r_payload = [c for c in right.columns if c not in key_cols]
+
+    l_ms = F.unix_millis(F.col(left_ts))
+    lo, hi = l_ms + F.lit(lower_ms), l_ms + F.lit(upper_ms)
+    l2 = (left
+          .withColumn("_lo", lo).withColumn("_hi", hi)
+          .withColumn("_bkt", F.explode(F.sequence(
+              F.floor(F.col("_lo") / width), F.floor(F.col("_hi") / width)))))
+    r_ms = F.unix_millis(F.col(right_ts))
+    r2 = (right
+          .select(*key_cols,
+                  *[F.col(c).alias(f"{c}{suffix}") for c in r_payload])
+          .withColumn("_rms", F.unix_millis(F.col(f"{right_ts}{suffix}")))
+          .withColumn("_bkt", F.floor(F.col("_rms") / width)))
+    return (l2.join(r2, key_cols + ["_bkt"])
+              .where(F.col("_rms").between(F.col("_lo"), F.col("_hi")))
+              .drop("_lo", "_hi", "_bkt", "_rms"))
