@@ -233,6 +233,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n=3, k=8, bands=4, min_est_jaccard=0.5)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    component = smallest reachable doc id, keep = one survivor per
+    component. Iterative min-label propagation (O(diameter) joins);
+    oracle = a recursive CTE over the same pairs."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return DD.connected_components(pairs)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs via shingle inverted index (>= 0.8)."""
     return DD.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"),
@@ -423,6 +432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_components": q_dedup_components,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -1235,6 +1245,25 @@ FROM (
 )
 """
 
+
+# recursive transitive closure over the (symmetric) near-dup pair graph:
+# component = min reachable id; tiny components keep the recursion shallow
+ORACLES["dedup_components"] = f"""
+WITH RECURSIVE lsh_pairs AS ({ORACLES['minhash_lsh_pairs']}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+)
+SELECT n AS doc_id, min(m) AS component,
+       CAST(CASE WHEN n = min(m) THEN 1 ELSE 0 END AS INT) AS keep
+FROM reach GROUP BY n
+"""
 
 ORACLES["asof_features"] = """
 SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value,

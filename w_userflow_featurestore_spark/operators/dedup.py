@@ -268,6 +268,51 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return g.select(F.col(id_col), sig.alias("simhash"))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc_id,
+    component, keep) for every document appearing in >= 1 pair, where
+    ``component`` is the smallest doc id reachable through the pair graph
+    and ``keep`` marks that one survivor per component.
+
+    Why: dropping the higher id of each PAIR under-merges transitive
+    clusters (a~b, b~c but not a~c keeps both a and c only if b is
+    dropped consistently) — production dedup clusters the pair graph and
+    keeps one doc per component. This is the engine's iterative-algorithm
+    pattern: min-label propagation, each round one join + one min-agg,
+    converging in O(graph diameter) rounds. The driver loop only reads a
+    scalar convergence count per round (no data collect); each round
+    localCheckpoints the label table to keep lineage flat at scale.
+    Near-dup components are tiny and shallow (diameter ~2-3), so 3-4
+    rounds is typical regardless of corpus size.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select("src").distinct()
+                   .withColumn("comp", F.col("src")))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, "src")
+                        .groupBy(F.col("dst").alias("src"))
+                        .agg(F.min("comp").alias("nbr_comp")))
+        new = (labels.join(nbr_min, "src", "left")
+                     .select("src",
+                             F.least("comp", F.coalesce("nbr_comp", "comp"))
+                              .alias("comp"),
+                             (F.coalesce("nbr_comp", "comp")
+                              < F.col("comp")).cast("int").alias("_chg")))
+        new = new.localCheckpoint(eager=True)
+        changed = new.agg(F.sum("_chg")).first()[0] or 0
+        labels = new.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("comp").alias("component"),
+        F.when(F.col("src") == F.col("comp"), 1).otherwise(0).alias("keep"))
+
+
 def simhash_near_pairs(signatures: DataFrame, id_col: str = "doc_id",
                        bits: int = 32, chunks: int = 4,
                        max_hamming: int = 3) -> DataFrame:
