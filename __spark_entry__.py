@@ -26,6 +26,9 @@ from w_userflow_featurestore_spark.functions import (
 from w_userflow_featurestore_spark.operators import dedup as DD
 from w_userflow_featurestore_spark.operators import metrics as M
 from w_userflow_featurestore_spark.operators import multimodal as MM
+from w_userflow_featurestore_spark.operators import relational as REL
+from w_userflow_featurestore_spark.operators import sampling as SMP
+from w_userflow_featurestore_spark.operators import temporal as TMP
 from w_userflow_featurestore_spark.operators import similarity as SIM
 from w_userflow_featurestore_spark.operators import text as TX
 from w_userflow_featurestore_spark.operators.cleanse import dedup_latest
@@ -401,6 +404,86 @@ def q_interval_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("event_id", "user_id", "ts", "n_errors_10m"))
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (80/10/10):
+    shuffle-free projection, stable under reruns/growth/engines."""
+    return SMP.dataset_split(
+        read_table(spark, sf_dir, "documents", columns=["doc_id", "lang"]))
+
+
+def q_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split balance check stratified by language."""
+    return SMP.split_summary(
+        read_table(spark, sf_dir, "documents", columns=["doc_id", "lang"]),
+        strata_col="lang")
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(day, event_type): leaf + per-day + grand-total subtotals in
+    ONE Expand+HashAggregate pass (vs the reference's one-job-per-level +
+    join-back shape)."""
+    return REL.rollup_daily(_events(spark, sf_dir))
+
+
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(day, event_type): all four grouping sets, single shuffle."""
+    return REL.cube_daily(_events(spark, sf_dir))
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot with an explicit vocabulary (single-pass
+    conditional aggregate, no value-discovery job)."""
+    return REL.pivot_counts(_events(spark, sf_dir), EVENT_TYPES)
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers who never ordered — the
+    membership-ledger exclusion idiom."""
+    return REL.anti_join_keys(
+        read_table(spark, sf_dir, "customer",
+                   columns=["c_custkey", "c_name", "c_mktsegment"]),
+        read_table(spark, sf_dir, "orders", columns=["o_custkey"]),
+        "c_custkey", "o_custkey")
+
+
+def q_big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): customers with >= 1 order over 300k — match
+    presence only, no duplication on multi-match."""
+    orders = read_table(spark, sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    return REL.semi_join_keys(
+        read_table(spark, sf_dir, "customer",
+                   columns=["c_custkey", "c_name", "c_nationkey"]),
+        orders.where(F.col("o_totalprice") > 300000),
+        "c_custkey", "o_custkey")
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): min-hash per sliding window of
+    char-8-gram hashes — the copy-detection inverted index."""
+    return TX.winnow_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-user features via RANGE frame over epoch-day —
+    calendar-gap-correct, O(days) window state after daily pre-agg."""
+    return TMP.rolling_daily_features(_events(spark, sf_dir))
+
+
+def q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h event-time windows per type — batch twin of the
+    streaming windowed-aggregation plan."""
+    return TMP.tumbling_window_counts(_events(spark, sf_dir))
+
+
+def q_event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1 h / 30 min windows (2 copies per event pre-shuffle)."""
+    return TMP.sliding_window_counts(_events(spark, sf_dir))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> typed features through the Arrow mapInPandas
     path (deterministic fake decode; the plumbing under test is real)."""
@@ -446,6 +529,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup": q_embedding_dedup,
     "asof_features": q_asof_features,
     "interval_features": q_interval_features,
+    "dataset_split": q_dataset_split,
+    "split_summary": q_split_summary,
+    "event_rollup": q_event_rollup,
+    "event_cube": q_event_cube,
+    "event_type_pivot": q_event_type_pivot,
+    "customers_no_orders": q_customers_no_orders,
+    "big_spender_customers": q_big_spender_customers,
+    "doc_fingerprints": q_doc_fingerprints,
+    "rolling_user_features": q_rolling_user_features,
+    "event_time_windows": q_event_time_windows,
+    "event_sliding_windows": q_event_sliding_windows,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "cardinality_sketch": q_cardinality_sketch,
@@ -1285,6 +1379,130 @@ FROM p LEFT JOIN e
   ON p.user_id = e.user_id
  AND epoch_ms(e.ts) BETWEEN epoch_ms(p.ts) AND epoch_ms(p.ts) + 600000
 GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+# shared 60-bit hash (spark: conv(substr(md5,1,15),16,10); duckdb below)
+_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+ORACLES["dataset_split"] = f"""
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         {_H60.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 1000
+           AS bucket
+  FROM documents)
+"""
+
+ORACLES["split_summary"] = f"""
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_rows
+FROM ({ORACLES['dataset_split']})
+GROUP BY split, lang
+"""
+
+_DAY_EVENTS_CTE = """
+WITH de AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS dim,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events)
+"""
+
+ORACLES["event_rollup"] = _DAY_EVENTS_CTE + """
+SELECT day, dim, CAST(GROUPING(day, dim) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(cents) / 100.0, 2) AS sum_value
+FROM de GROUP BY ROLLUP(day, dim)
+"""
+
+ORACLES["event_cube"] = _DAY_EVENTS_CTE + """
+SELECT day, dim, CAST(GROUPING(day, dim) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(cents) / 100.0, 2) AS sum_value
+FROM de GROUP BY CUBE(day, dim)
+"""
+
+ORACLES["event_type_pivot"] = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY user_id
+"""
+
+ORACLES["customers_no_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+ORACLES["big_spender_customers"] = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+# winnowing: k=8 char-grams, window w=4; same normalize as the Spark side
+ORACLES["doc_fingerprints"] = f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(t) - 7 >= 1 THEN
+           list_transform(generate_series(1, length(t) - 7),
+                          i -> {_H60.format(x="substr(t, CAST(i AS INT), 8)")})
+         ELSE [{_H60.format(x="t")}] END AS hs
+  FROM n)
+SELECT doc_id,
+       unnest(CASE WHEN len(hs) - 3 >= 1 THEN
+                list_distinct(list_transform(
+                  generate_series(1, len(hs) - 3),
+                  i -> list_min(hs[CAST(i AS INT):CAST(i AS INT) + 3])))
+              ELSE [list_min(hs)] END) AS fingerprint
+FROM h
+"""
+
+ORACLES["rolling_user_features"] = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_cents,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events GROUP BY user_id, CAST(ts AS DATE))
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+       CAST(sum(n_events) OVER w AS BIGINT) AS n_events_7d,
+       round(sum(v_cents) OVER w / 100.0, 2) AS sum_value_7d,
+       CAST(count(*) OVER w AS BIGINT) AS active_days_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["event_time_windows"] = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+       event_type AS dim, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0, 2)
+         AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+# sliding 1h/30min: each event belongs to starts {floor30(ts)-n*30min}
+# for n in {0,1}; epoch integer math = Spark's epoch-aligned windows
+ORACLES["event_sliding_windows"] = """
+SELECT (epoch_ms(ts) // 1800000) * 1800000 - n * 1800000 AS window_start_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0, 2)
+         AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) s(n)
+GROUP BY 1
 """
 
 

@@ -1,0 +1,120 @@
+"""Edge-semantics tests for the relational (rollup/cube/pivot/semi/anti),
+temporal (rolling/tumbling/sliding windows), and sampling (hash split)
+operators. Oracle parity pins cross-engine values; these pin the
+SEMANTICS that parity alone could miss (grouping-id meaning, calendar
+gaps, winnowing guarantee, split stability)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from w_userflow_featurestore_spark.operators import relational as REL
+from w_userflow_featurestore_spark.operators import sampling as SMP
+from w_userflow_featurestore_spark.operators import temporal as TMP
+from w_userflow_featurestore_spark.operators import text as TX
+
+
+def _events(spark, data):
+    return spark.createDataFrame(
+        data, "ts timestamp, user_id long, event_type string, value double")
+
+
+TS = dt.datetime
+
+
+def test_rollup_levels_and_gid(spark):
+    ev = _events(spark, [
+        (TS(2024, 1, 1, 10), 1, "click", 1.0),
+        (TS(2024, 1, 1, 11), 1, "view", 2.0),
+        (TS(2024, 1, 2, 10), 2, "click", 4.0),
+    ])
+    got = {(r.day, r.dim, r.gid): (r.n_events, r.sum_value)
+           for r in REL.rollup_daily(ev).collect()}
+    assert got[("2024-01-01", "click", 0)] == (1, 1.0)
+    assert got[("2024-01-01", None, 1)] == (2, 3.0)       # per-day subtotal
+    assert got[(None, None, 3)] == (3, 7.0)               # grand total
+    # rollup must NOT produce the per-dim marginal (gid=2)
+    assert not any(gid == 2 for (_, _, gid) in got)
+
+
+def test_cube_adds_dim_marginal(spark):
+    ev = _events(spark, [
+        (TS(2024, 1, 1, 10), 1, "click", 1.0),
+        (TS(2024, 1, 2, 10), 2, "click", 4.0),
+    ])
+    got = {(r.day, r.dim, r.gid): r.n_events
+           for r in REL.cube_daily(ev).collect()}
+    assert got[(None, "click", 2)] == 2                   # the extra set
+    assert len(got) == 2 + 2 + 1 + 1                      # leafs+days+dim+grand
+
+
+def test_pivot_zero_fills_missing_vocab(spark):
+    ev = _events(spark, [(TS(2024, 1, 1), 1, "click", 1.0)])
+    r = REL.pivot_counts(ev, ["click", "purchase"]).collect()[0]
+    assert (r.n_click, r.n_purchase, r.n_total) == (1, 0, 1)
+
+
+def test_semi_anti_partition_probe(spark):
+    probe = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    ledger = spark.createDataFrame([(2,), (2,), (9,)], "fk long")
+    semi = rows(REL.semi_join_keys(probe, ledger, "k", "fk"), "k")
+    anti = rows(REL.anti_join_keys(probe, ledger, "k", "fk"), "k")
+    assert semi == [(2,)]                 # no duplication on multi-match
+    assert anti == [(1,), (3,)]           # complement within probe
+
+
+def test_dataset_split_stable_and_shuffle_free(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = SMP.dataset_split(df).select("doc_id", "split")
+    b = SMP.dataset_split(df.repartition(7)).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0    # partitioning-independent
+    frac = {r.split: r.n for r in
+            a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(frac["train"] / 2000 - 0.8) < 0.05
+    assert abs(frac["val"] / 2000 - 0.1) < 0.03
+    # pure projection: no Exchange in the plan
+    assert "Exchange" not in SMP.dataset_split(df)._jdf \
+        .queryExecution().executedPlan().toString()
+
+
+def test_rolling_window_respects_calendar_gaps(spark):
+    ev = _events(spark, [
+        (TS(2024, 1, 1), 1, "click", 10.0),
+        (TS(2024, 1, 3), 1, "click", 5.0),
+        (TS(2024, 2, 20), 1, "click", 2.0),   # > 7 days later: fresh window
+    ])
+    got = {r.day: (r.n_events_7d, r.sum_value_7d, r.active_days_7d)
+           for r in TMP.rolling_daily_features(ev).collect()}
+    assert got["2024-01-03"] == (2, 15.0, 2)
+    assert got["2024-02-20"] == (1, 2.0, 1)   # no smear across the gap
+
+
+def test_sliding_windows_cover_each_event_twice(spark):
+    ev = _events(spark, [(TS(2024, 1, 1, 0, m), 1, "click", 1.0)
+                         for m in (0, 13, 29, 30, 59)])
+    out = TMP.sliding_window_counts(ev)
+    assert out.agg(F.sum("n_events")).first()[0] == 2 * 5
+    # 1h window sliding 30min: starts are 30-min aligned
+    assert all(r.window_start_ms % 1_800_000 == 0 for r in out.collect())
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    common = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(1, "AAA " + common + " BBB"), (2, "xyz " + common + " qrs"),
+         (3, "completely unrelated content with nothing in common here")],
+        "doc_id long, text string")
+    fp = TX.winnow_fingerprints(docs)
+    a = {r.fingerprint for r in fp.where("doc_id = 1").collect()}
+    b = {r.fingerprint for r in fp.where("doc_id = 2").collect()}
+    c = {r.fingerprint for r in fp.where("doc_id = 3").collect()}
+    assert a & b                          # guaranteed: match >= k+w-1 chars
+    assert not (a & c) and not (b & c)
+
+
+def test_winnowing_short_doc_single_fingerprint(spark):
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert TX.winnow_fingerprints(docs).count() == 1

@@ -1,0 +1,57 @@
+"""Deterministic sampling & dataset splitting for training pipelines.
+
+Train/val/test assignment at 100 TB must be (a) shuffle-free, (b) stable
+across reruns and engines, and (c) independent of row order/partitioning.
+`sample()`/`randomSplit()` fail (b)+(c) — they depend on partition seeds.
+The standard fix is content hashing: split = f(hash(stable_id)), a pure
+projection that composes into the scan (zero shuffle, reproducible
+anywhere, and any engine — here DuckDB — can recompute it bit-for-bit).
+
+Hash = the repo-wide 60-bit md5 prefix (operators.dedup.text_hash60), so
+buckets are uniform and the oracle twin is one CAST expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.operators.dedup import text_hash60
+
+N_BUCKETS = 1000
+
+
+def hash_bucket(col: Column, n_buckets: int = N_BUCKETS,
+                salt: str = "split") -> Column:
+    """Stable bucket in [0, n_buckets): 60-bit md5 of "salt:value" mod n.
+    The salt decorrelates this partition from every other hash use of the
+    same id (dedup survivors, LSH bands, ...)."""
+    return F.pmod(text_hash60(F.concat(F.lit(f"{salt}:"),
+                                       col.cast("string"))),
+                  F.lit(n_buckets)).cast("long")
+
+
+def dataset_split(df: DataFrame, id_col: str = "doc_id",
+                  train: int = 800, val: int = 100,
+                  n_buckets: int = N_BUCKETS,
+                  salt: str = "split") -> DataFrame:
+    """Assign train/val/test by hash bucket: [0,train) -> train,
+    [train,train+val) -> val, rest -> test. Pure projection — no shuffle,
+    no sort, no state; the assignment of a row never changes when the
+    corpus grows, which incremental pipelines rely on (new docs land in
+    the same proportions without reshuffling old ones)."""
+    b = hash_bucket(F.col(id_col), n_buckets, salt)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train, "train")
+         .when(F.col("bucket") < train + val, "val")
+         .otherwise("test"))
+
+
+def split_summary(df: DataFrame, id_col: str = "doc_id",
+                  strata_col: str | None = None, **kw) -> DataFrame:
+    """Per-split (optionally per-stratum) row counts — the balance check
+    run after any split change. One small hash-agg."""
+    s = dataset_split(df, id_col, **kw)
+    keys = ["split"] + ([strata_col] if strata_col else [])
+    return s.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))

@@ -1,0 +1,86 @@
+"""Time-window operators: rolling (trailing N-day) feature windows and
+tumbling / sliding event-time windows.
+
+These are the feature-engineering shapes the reference's daily gold jobs
+cannot express (each job sees one day in isolation — SURVEY.md §3.3):
+trailing aggregates need state across days, and sub-day windows need
+event-time bucketing. Both are first-class in Spark:
+
+- rolling: pre-aggregate to the (key, day) grain FIRST (hash-agg shuffle
+  on the key), then a RANGE-framed window over the tiny daily table —
+  window state is O(distinct days per key), never O(events), so the same
+  plan holds when a key has 10^9 raw events.
+- tumbling/sliding: `F.window(ts, size, slide)` is a projection
+  (TimeWindow expand) + hash-agg — the exact operator Structured
+  Streaming uses for watermarked windowed aggregation, so a batch oracle
+  here validates the streaming path's semantics too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.functions import epoch_ms, fround, scaled_long
+
+
+def rolling_daily_features(events: DataFrame, key_col: str = "user_id",
+                           ts_col: str = "ts", value_col: str = "value",
+                           window_days: int = 7) -> DataFrame:
+    """Per-(key, day) trailing-N-day event count / value sum / daily-avg.
+
+    RANGE frame over integer epoch-day handles calendar gaps correctly
+    (a key active on day 1 and day 40 does NOT smear day 1 into day 40's
+    window, unlike a ROWS frame). Daily sums are integer-scaled before
+    the frame sum so the rolling total is order-exact.
+    """
+    daily = (events.groupBy(F.col(key_col).alias("key"),
+                            F.to_date(ts_col).alias("day"))
+                   .agg(F.count(F.lit(1)).alias("n_events"),
+                        F.sum(scaled_long(F.col(value_col))).alias("v_cents")))
+    daily = daily.withColumn(
+        "day_num", F.datediff("day", F.lit("1970-01-01")).cast("long"))
+    w = (Window.partitionBy("key").orderBy("day_num")
+               .rangeBetween(-(window_days - 1), 0))
+    return daily.select(
+        F.col("key").alias(key_col),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events"),
+        F.sum("n_events").over(w).alias(f"n_events_{window_days}d"),
+        fround(F.sum("v_cents").over(w) / 100.0)
+         .alias(f"sum_value_{window_days}d"),
+        F.count(F.lit(1)).over(w).cast("long")
+         .alias(f"active_days_{window_days}d"))
+
+
+def tumbling_window_counts(events: DataFrame, ts_col: str = "ts",
+                           dim_col: str = "event_type",
+                           value_col: str = "value",
+                           size: str = "1 hour") -> DataFrame:
+    """Fixed non-overlapping event-time buckets per dim: the batch twin
+    of the streaming `groupBy(window(ts, size), dim).agg(...)` plan.
+    Window start emitted as epoch-ms (cross-engine-stable)."""
+    return (events.groupBy(F.window(ts_col, size).alias("w"),
+                           F.col(dim_col).alias("dim"))
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.sum(scaled_long(F.col(value_col))).alias("vc"))
+                  .select(epoch_ms(F.col("w.start")).alias("window_start_ms"),
+                          "dim", "n_events",
+                          fround(F.col("vc") / 100.0).alias("sum_value")))
+
+
+def sliding_window_counts(events: DataFrame, ts_col: str = "ts",
+                          value_col: str = "value",
+                          size: str = "1 hour",
+                          slide: str = "30 minutes") -> DataFrame:
+    """Overlapping windows (size/slide = 2 windows per event here):
+    Spark expands each row into size/slide window copies BEFORE the
+    hash-agg — shuffled rows scale by that factor, so keep the ratio
+    small at scale (or pre-aggregate to slide-grain tumbling windows and
+    roll them up, which AQE can't do for you)."""
+    return (events.groupBy(F.window(ts_col, size, slide).alias("w"))
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.sum(scaled_long(F.col(value_col))).alias("vc"))
+                  .select(epoch_ms(F.col("w.start")).alias("window_start_ms"),
+                          "n_events",
+                          fround(F.col("vc") / 100.0).alias("sum_value")))

@@ -101,6 +101,39 @@ def doc_fingerprint(col: Column, n: int = 5) -> Column:
     return F.array_min(F.transform(sh, lambda s: text_hash60(s)))
 
 
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm): hash every char k-gram of the normalized text, then
+    keep the minimum hash of each sliding window of ``w`` consecutive
+    k-gram hashes. Guarantees every match of length >= k+w-1 shares a
+    fingerprint, with ~2/(w+1) selection density.
+
+    All row-local higher-order functions (sequence/transform/slice/
+    array_min) until the final explode — fingerprint generation runs
+    inside the scan stage with zero shuffle; the exploded output is the
+    (fingerprint -> doc) inverted index used for copy detection.
+    Degenerate docs (< k chars / < w k-grams) contribute their single
+    minimum hash.
+    """
+    norm = normalize_text(F.col(text_col))
+    m = F.length(norm) - (k - 1)
+    hs = F.when(
+        m >= 1,
+        F.transform(F.sequence(F.lit(1), m),
+                    lambda i: text_hash60(F.substring(norm, i, k)))
+    ).otherwise(F.array(text_hash60(norm)))
+    nwin = F.size(hs) - (w - 1)
+    fps = F.when(
+        nwin >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), nwin),
+                        lambda i: F.array_min(F.slice(hs, i, w))))
+    ).otherwise(F.array(F.array_min(hs)))
+    return (docs.select(F.col(id_col), F.explode(fps).alias("fingerprint")))
+
+
 def text_profile(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Full per-document profile: one narrow projection, zero shuffles
