@@ -484,6 +484,49 @@ def q_event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TMP.sliding_window_counts(_events(spark, sf_dir))
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (one hash-agg, the streaming
+    operator's batch twin); oracle = gaps-and-islands SQL."""
+    return TMP.session_window_rollup(_events(spark, sf_dir))
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10
+    (TakeOrderedAndProject — sort+limit without a global sort)."""
+    cust = read_table(spark, sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(spark, sf_dir, "orders",
+                        ts_filter=("o_orderdate", None, "1995-03-15 00:00:00"))
+    li = read_table(spark, sf_dir, "lineitem",
+                    ts_filter=("l_shipdate", "1995-03-15 00:00:00", None))
+    return (li.where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+              .join(orders.where(F.col("o_orderdate")
+                                 < F.lit("1995-03-15").cast("timestamp")),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("l_orderkey",
+                       epoch_ms(F.col("o_orderdate").cast("timestamp"))
+                       .alias("o_orderdate_ms"))
+              .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                             scale=4).alias("revenue"))
+              .orderBy(F.desc("revenue"), "o_orderdate_ms", "l_orderkey")
+              .limit(10))
+
+
+def q_user_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: (purchasers ∪ signups) ∩ clickers − error users —
+    UNION / INTERSECT / EXCEPT with SQL set-distinct semantics."""
+    e = _events(spark, sf_dir)
+
+    def users(t: str) -> DataFrame:
+        return e.where(F.col("event_type") == t).select("user_id")
+
+    return (users("purchase").union(users("signup"))
+            .intersect(users("click"))
+            .subtract(users("error")))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> typed features through the Arrow mapInPandas
     path (deterministic fake decode; the plumbing under test is real)."""
@@ -540,6 +583,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_user_features": q_rolling_user_features,
     "event_time_windows": q_event_time_windows,
     "event_sliding_windows": q_event_sliding_windows,
+    "session_windows": q_session_windows,
+    "shipping_priority": q_shipping_priority,
+    "user_cohort_setops": q_user_cohort_setops,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "cardinality_sketch": q_cardinality_sketch,
@@ -1503,6 +1549,56 @@ SELECT (epoch_ms(ts) // 1800000) * 1800000 - n * 1800000 AS window_start_ms,
          AS sum_value
 FROM events CROSS JOIN (VALUES (0), (1)) s(n)
 GROUP BY 1
+"""
+
+
+# gaps-and-islands twin of session_window: break when diff > gap —
+# Spark merges windows that touch (next.start <= prev.end, boundary
+# INCLUSIVE, pinned by test_session_window_exact_gap_merges); end = last
+# event + gap
+ORACLES["session_windows"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts)) > 1800000
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+       epoch_ms(max(ts)) + 1800000 AS session_end_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0, 2)
+         AS sum_value
+FROM g GROUP BY user_id, sid
+"""
+
+ORACLES["shipping_priority"] = """
+SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+       round(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0
+                            + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate_ms, l_orderkey
+LIMIT 10
+"""
+
+ORACLES["user_cohort_setops"] = """
+(SELECT user_id FROM events WHERE event_type = 'purchase'
+ UNION
+ SELECT user_id FROM events WHERE event_type = 'signup')
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
 """
 
 

@@ -115,6 +115,35 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
     assert not (a & c) and not (b & c)
 
 
+def test_session_window_exact_gap_merges(spark):
+    ev = _events(spark, [
+        (TS(2024, 1, 1, 0, 0), 1, "click", 1.0),
+        (TS(2024, 1, 1, 0, 30), 1, "click", 1.0),        # exactly gap: MERGES
+        (TS(2024, 1, 1, 1, 0, 1), 1, "click", 1.0),      # gap + 1s: NEW
+    ])
+    out = TMP.session_window_rollup(ev).collect()
+    assert sorted(r.n_events for r in out) == [1, 2]
+    two = next(r for r in out if r.n_events == 2)
+    # end = last event + gap
+    assert two.session_end_ms - two.session_start_ms == (30 + 30) * 60 * 1000
+
+
+def test_setops_distinct_semantics(spark):
+    import __spark_entry__ as entry
+    e = spark.createDataFrame(
+        [(1, "purchase"), (1, "purchase"), (1, "click"),
+         (2, "signup"), (2, "click"), (2, "error"),
+         (3, "purchase")],                      # no click -> excluded
+        "user_id long, event_type string")
+
+    def users(t):
+        return e.where(F.col("event_type") == t).select("user_id")
+
+    got = (users("purchase").union(users("signup"))
+           .intersect(users("click")).subtract(users("error")))
+    assert rows(got) == [(1,)]                  # distinct, 2 dropped by error
+
+
 def test_winnowing_short_doc_single_fingerprint(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     assert TX.winnow_fingerprints(docs).count() == 1

@@ -53,6 +53,32 @@ def rolling_daily_features(events: DataFrame, key_col: str = "user_id",
          .alias(f"active_days_{window_days}d"))
 
 
+def session_window_rollup(events: DataFrame, key_col: str = "user_id",
+                          ts_col: str = "ts", value_col: str = "value",
+                          gap: str = "30 minutes") -> DataFrame:
+    """Native Spark session windows: dynamic-gap sessionization as ONE
+    groupBy(key, session_window(ts, gap)) hash-aggregate — the same
+    operator Structured Streaming uses for stateful session aggregation,
+    so this batch oracle pins the streaming path's merge semantics too
+    (two events merge iff next.ts < prev.ts + gap, strictly; session end
+    = last event + gap).
+
+    Plan shape: one shuffle on the key, sessions merged inside the
+    aggregate — an alternative to the gaps-and-islands window-lag form
+    (operators.sessionize) with identical boundaries; that form stays the
+    engine default because it feeds the downstream state machine columns.
+    """
+    return (events.groupBy(F.col(key_col).alias("key"),
+                           F.session_window(ts_col, gap).alias("sw"))
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.sum(scaled_long(F.col(value_col))).alias("vc"))
+                  .select(F.col("key").alias(key_col),
+                          epoch_ms(F.col("sw.start")).alias("session_start_ms"),
+                          epoch_ms(F.col("sw.end")).alias("session_end_ms"),
+                          "n_events",
+                          fround(F.col("vc") / 100.0).alias("sum_value")))
+
+
 def tumbling_window_counts(events: DataFrame, ts_col: str = "ts",
                            dim_col: str = "event_type",
                            value_col: str = "value",
