@@ -13,7 +13,7 @@ from w_userflow_featurestore_spark.operators.sessionize import (
     assign_sessions, rollup_sessions,
 )
 from w_userflow_featurestore_spark.streaming import (
-    bronze_ingest, streaming_sessionize,
+    bronze_ingest, streaming_sessionize, streaming_window_counts,
 )
 
 EVENTS_DDL = ("event_id long, ts timestamp, user_id long, event_type string,"
@@ -88,6 +88,43 @@ def test_streaming_sessionize_matches_batch_grouping(spark, tmp_path):
     closed = [w for w in want if w not in still_open]
     assert got == closed
     assert len(still_open) == 1
+
+
+def test_streaming_window_counts_drops_late_and_matches_batch(spark, tmp_path):
+    """Watermarked tumbling windows: finalized windows are emitted once;
+    an event arriving after the watermark passed its window is DROPPED —
+    the late-data contract the batch path handles by re-aggregation."""
+    src = str(tmp_path / "wsrc")
+    batch1 = [
+        _batch(1, "2024-01-01 10:05:00", 1, "view"),
+        _batch(2, "2024-01-01 10:55:00", 1, "view"),
+        _batch(3, "2024-01-01 12:30:00", 1, "view"),   # watermark -> 12:20
+    ]
+    _write_events(spark, src, batch1)
+    out = str(tmp_path / "wout")
+
+    def run_drain():
+        q = (streaming_window_counts(
+                 spark.readStream.schema(EVENTS_DDL).parquet(src))
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "wckpt")).start())
+        q.awaitTermination(180)
+
+    run_drain()
+    # late arrival for the already-finalized 10:00 window + a fresh event
+    _write_events(spark, src, [
+        _batch(4, "2024-01-01 10:20:00", 1, "view"),   # < 12:20: dropped
+        _batch(5, "2024-01-01 14:00:00", 1, "view"),   # advances watermark
+    ])
+    run_drain()
+    got = rows(spark.read.parquet(out), "window_start", "n_events")
+    closed = [(dt.datetime.fromisoformat("2024-01-01 10:00:00"), 2),
+              (dt.datetime.fromisoformat("2024-01-01 12:00:00"), 1)]
+    # 10:00 window emitted with 2 events (late #4 dropped, NOT re-emitted
+    # as 3); 12:30's window closes when #5 moves the watermark to 13:50;
+    # 14:00's own window is still open.
+    assert got == closed
 
 
 def test_incremental_planner_full_then_incremental(spark, tmp_path):

@@ -3,6 +3,7 @@ from w_userflow_featurestore_spark.streaming.ingest import (
     parse_kafka_events,
     read_event_stream,
     streaming_sessionize,
+    streaming_window_counts,
 )
 from w_userflow_featurestore_spark.streaming.stateful import (
     close_session,
@@ -11,5 +12,6 @@ from w_userflow_featurestore_spark.streaming.stateful import (
 )
 
 __all__ = ["bronze_ingest", "parse_kafka_events", "read_event_stream",
-           "streaming_sessionize", "stateful_sessionize", "fold_events",
+           "streaming_sessionize", "streaming_window_counts",
+           "stateful_sessionize", "fold_events",
            "close_session"]

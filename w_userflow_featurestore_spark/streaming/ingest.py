@@ -113,3 +113,23 @@ def streaming_sessionize(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS,
                  F.max("value").alias("max_value"))
             .select(user_col, "start_time", "end_time", "n_events",
                     "entry_event_type", "max_value"))
+
+
+def streaming_window_counts(events: DataFrame, size: str = "1 hour",
+                            watermark: str = "10 minutes",
+                            ts_col: str = "ts",
+                            dim_col: str = "event_type") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming form of
+    ``operators.temporal.tumbling_window_counts`` (same groupBy(window,
+    dim) plan; the watermark both bounds state and defines the late-data
+    drop: an event older than max(ts)-watermark at arrival is discarded
+    instead of reopening its finalized window). Append mode emits a
+    window only once the watermark passes its end — exactly-once per
+    window, idempotent downstream."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, size).alias("w"), F.col(dim_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("value").alias("max_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    dim_col, "n_events", "max_value"))
