@@ -117,21 +117,31 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     Degenerate docs (< k chars / < w k-grams) contribute their single
     minimum hash.
     """
-    norm = normalize_text(F.col(text_col))
-    m = F.length(norm) - (k - 1)
+    # Each intermediate is MATERIALIZED as a projection column before the
+    # next HOF consumes it. HOF lambdas are interpreted (no codegen) and
+    # do NOT common-subexpression-eliminate: inlining `norm` into the
+    # per-position lambda re-runs the regex over the whole document at
+    # every position — O(len^2) interpreted regex work per doc (measured:
+    # a single such task ran 25+ min over sf0.1's documents).
+    norm_col = F.col("__winnow_norm")
+    hs_col = F.col("__winnow_hs")
+    m = F.length(norm_col) - (k - 1)
     hs = F.when(
         m >= 1,
         F.transform(F.sequence(F.lit(1), m),
-                    lambda i: text_hash60(F.substring(norm, i, k)))
-    ).otherwise(F.array(text_hash60(norm)))
-    nwin = F.size(hs) - (w - 1)
+                    lambda i: text_hash60(F.substring(norm_col, i, k)))
+    ).otherwise(F.array(text_hash60(norm_col)))
+    nwin = F.size(hs_col) - (w - 1)
     fps = F.when(
         nwin >= 1,
         F.array_distinct(
             F.transform(F.sequence(F.lit(1), nwin),
-                        lambda i: F.array_min(F.slice(hs, i, w))))
-    ).otherwise(F.array(F.array_min(hs)))
-    return (docs.select(F.col(id_col), F.explode(fps).alias("fingerprint")))
+                        lambda i: F.array_min(F.slice(hs_col, i, w))))
+    ).otherwise(F.array(F.array_min(hs_col)))
+    return (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+            .withColumn("__winnow_norm", normalize_text(F.col(text_col)))
+            .withColumn("__winnow_hs", hs)
+            .select(F.col(id_col), F.explode(fps).alias("fingerprint")))
 
 
 def text_profile(docs: DataFrame, text_col: str = "text",
