@@ -527,6 +527,33 @@ def q_user_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .subtract(users("error")))
 
 
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-set assembly: purchase-label spine AS-OF
+    joined to three feature groups (last view / click / error state at
+    label time) — leakage-free multi-group feature serving."""
+    from w_userflow_featurestore_spark.operators.asof import (
+        build_training_set,
+    )
+    e = _events(spark, sf_dir)
+    spine = (e.where(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts",
+                      F.col("value").alias("label_value")))
+
+    def grp(t: str) -> DataFrame:
+        return (e.where(F.col("event_type") == t)
+                 .select("user_id", "ts", "value"))
+
+    out = build_training_set(
+        spine, {"view": grp("view"), "click": grp("click"),
+                "error": grp("error")}, on=["user_id"])
+    return out.select(
+        "event_id", "user_id", epoch_ms(F.col("ts")).alias("ts_ms"),
+        "label_value",
+        epoch_ms(F.col("ts_view")).alias("view_ts_ms"), "value_view",
+        epoch_ms(F.col("ts_click")).alias("click_ts_ms"), "value_click",
+        epoch_ms(F.col("ts_error")).alias("error_ts_ms"), "value_error")
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> typed features through the Arrow mapInPandas
     path (deterministic fake decode; the plumbing under test is real)."""
@@ -584,6 +611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_time_windows": q_event_time_windows,
     "event_sliding_windows": q_event_sliding_windows,
     "session_windows": q_session_windows,
+    "training_set": q_training_set,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
     "multimodal_decode": q_multimodal_decode,
@@ -1403,6 +1431,25 @@ reach(n, m) AS (
 SELECT n AS doc_id, min(m) AS component,
        CAST(CASE WHEN n = min(m) THEN 1 ELSE 0 END AS INT) AS keep
 FROM reach GROUP BY n
+"""
+
+ORACLES["training_set"] = """
+SELECT s.event_id, s.user_id, epoch_ms(s.ts) AS ts_ms,
+       s.value AS label_value,
+       epoch_ms(v.ts) AS view_ts_ms, v.value AS value_view,
+       epoch_ms(c.ts) AS click_ts_ms, c.value AS value_click,
+       epoch_ms(x.ts) AS error_ts_ms, x.value AS value_error
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') s
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'view') v
+  ON s.user_id = v.user_id AND s.ts >= v.ts
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'click') c
+  ON s.user_id = c.user_id AND s.ts >= c.ts
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'error') x
+  ON s.user_id = x.user_id AND s.ts >= x.ts
 """
 
 ORACLES["asof_features"] = """

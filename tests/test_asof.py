@@ -91,3 +91,29 @@ def test_interval_join_no_duplicate_pairs(spark):
     # backward-looking rows excluded: right ts >= left ts only
     assert all(v >= e for e, v in pairs)
     assert len(pairs) == 5 + 4 + 3 + 2 + 1
+
+
+def test_training_set_point_in_time_no_leakage(spark):
+    from w_userflow_featurestore_spark.operators.asof import (
+        build_training_set,
+    )
+    spine = spark.createDataFrame([
+        (1, 10, _ts("2024-01-01 12:00:00")),
+        (2, 20, _ts("2024-01-01 09:00:00")),   # before ANY feature row
+    ], "event_id long, user_id long, ts timestamp")
+    views = spark.createDataFrame([
+        (10, _ts("2024-01-01 11:00:00"), 1.0),
+        (10, _ts("2024-01-01 12:30:00"), 9.0),   # AFTER label: must not leak
+        (20, _ts("2024-01-01 10:00:00"), 5.0),   # after 09:00 label: NULL
+    ], "user_id long, ts timestamp, value double")
+    clicks = spark.createDataFrame(
+        [(10, _ts("2024-01-01 11:59:00"), 2.0)],
+        "user_id long, ts timestamp, value double")
+    out = build_training_set(spine, {"v": views, "c": clicks},
+                             on=["user_id"])
+    got = {r.event_id: (r.value_v, r.value_c) for r in out.collect()}
+    assert got[1] == (1.0, 2.0)        # latest state AT label time only
+    assert got[2] == (None, None)      # nothing current yet -> NULL
+    # every joined feature timestamp <= its label timestamp (no leakage)
+    leaks = out.where("ts_v > ts OR ts_c > ts").count()
+    assert leaks == 0

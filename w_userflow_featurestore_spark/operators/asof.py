@@ -114,3 +114,29 @@ def interval_join(left: DataFrame, right: DataFrame, on: list[str],
     return (l2.join(r2, key_cols + ["_bkt"])
               .where(F.col("_rms").between(F.col("_lo"), F.col("_hi")))
               .drop("_lo", "_hi", "_bkt", "_rms"))
+
+
+def build_training_set(spine: DataFrame, feature_groups: dict[str, DataFrame],
+                       on: list[str], spine_ts: str = "ts",
+                       group_ts: str = "ts") -> DataFrame:
+    """Point-in-time training-set assembly — THE feature-store serving
+    operator: a label spine (entity keys + label timestamp) left-AS-OF
+    joined against every feature group, so each training row sees exactly
+    the feature values that were current at its label time and nothing
+    later (no leakage). Each group's payload columns arrive suffixed
+    ``_<group>``.
+
+    Plan shape: one union+keyed-window shuffle PER GROUP (asof_join),
+    every shuffle on the same entity keys — at scale the exchanges reuse
+    the spine's partitioning rather than re-keying, and each group's
+    window state is O(rows per entity), never a range-pair blowup. With
+    G groups that is G linear passes; the alternative single-pass form
+    (union all groups, one window with G last(ignorenulls) columns)
+    trades shuffle count for state width — both beat per-pair range
+    joins by construction.
+    """
+    out = spine
+    for name, grp in feature_groups.items():
+        out = asof_join(out, grp, on=on, left_ts=spine_ts,
+                        right_ts=group_ts, suffix=f"_{name}")
+    return out
