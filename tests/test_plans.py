@@ -1,0 +1,94 @@
+"""Physical-plan audits: pin the plan SHAPE of headline queries.
+
+Correctness tests prove the numbers; these prove the numbers are
+produced by the plan we'd want at 100 TB — bounded shuffle barriers,
+broadcast (not sort-merge) joins against small dims, filters reaching
+the parquet scan. A regression here means a silent scale cliff even
+while every value-oracle stays green.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF0001
+from w_userflow_featurestore_spark.plans import (
+    assert_plan,
+    broadcast_join_count,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+
+QS = entrymod.queries()
+
+
+def _q(spark, name):
+    return QS[name](spark, SF0001)
+
+
+def test_sessionization_is_single_shuffle(spark):
+    # event->session rollup: one hash-agg barrier, nothing else
+    assert_plan(_q(spark, "sessions"), max_shuffles=1)
+
+
+def test_asof_join_single_shuffle_no_range_blowup(spark):
+    # union + keyed window form: ONE shuffle regardless of right-side
+    # cardinality; a naive range join would be a pair explosion
+    df = _q(spark, "asof_features")
+    assert_plan(df, max_shuffles=1)
+    assert any("event_type" in p for p in pushed_filters(df))
+
+
+def test_training_set_shuffles_linear_in_feature_groups(spark):
+    # 3 feature groups -> exactly 3 asof passes, no quadratic growth
+    assert shuffle_count(_q(spark, "training_set")) == 3
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    # 4-way star join: every dim side broadcast, zero sort-merge joins
+    assert_plan(_q(spark, "revenue_by_nation"),
+                max_shuffles=2, min_broadcast_joins=4,
+                max_sort_merge_joins=0)
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    df = _q(spark, "shipping_priority")
+    assert_plan(df, max_shuffles=1, min_broadcast_joins=2,
+                max_sort_merge_joins=0)
+    # top-10 must be per-partition-limit + merge, never a full sort
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_pricing_summary_pushes_date_filter(spark):
+    df = _q(spark, "pricing_summary")
+    assert_plan(df, max_shuffles=1)
+    assert any("l_shipdate" in p for p in pushed_filters(df))
+
+
+def test_pricing_summary_prunes_unused_columns(spark):
+    # wide agg over 7 of lineitem's 16 columns: scan must not read the rest
+    (scan,) = read_schema_columns(_q(spark, "pricing_summary"))
+    assert "l_comment" not in scan and "l_partkey" not in scan
+    assert len(scan) <= 8
+
+
+def test_dataset_split_is_shuffle_free(spark):
+    # deterministic hash-bucket split: a map-only plan, rerunnable on
+    # a growing corpus without any repartition
+    assert_plan(_q(spark, "dataset_split"), max_shuffles=0)
+
+
+def test_flagship_user_daily_shuffle_budget(spark):
+    # A3+A4+A5 composition: sessionize, daily agg, repeat-complete
+    # two-level agg + fused return-interval — 5 barriers, 1 broadcast
+    df = _q(spark, "user_daily")
+    assert_plan(df, max_shuffles=5)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_lsh_band_join_shuffle_budget(spark):
+    # id-only band join (vectors joined back once per side): the band
+    # explode/bucket pipeline must stay within its measured 8 barriers
+    assert_plan(_q(spark, "minhash_lsh_pairs"), max_shuffles=8,
+                max_sort_merge_joins=0)
