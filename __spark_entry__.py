@@ -554,6 +554,15 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms(F.col("ts_error")).alias("error_ts_ms"), "value_error")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over the documents corpus for a 4-term query —
+    ranked retrieval with integer-micros scores (exact under any
+    partitioning; see operators/retrieval.py)."""
+    from w_userflow_featurestore_spark.operators.retrieval import bm25_topk
+    return bm25_topk(read_table(spark, sf_dir, "documents"),
+                     ["spark", "hash", "join", "vector"], k=10)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> typed features through the Arrow mapInPandas
     path (deterministic fake decode; the plumbing under test is real)."""
@@ -612,6 +621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sliding_windows": q_event_sliding_windows,
     "session_windows": q_session_windows,
     "training_set": q_training_set,
+    "bm25_topk": q_bm25_topk,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
     "multimodal_decode": q_multimodal_decode,
@@ -1450,6 +1460,39 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
 ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                 WHERE event_type = 'error') x
   ON s.user_id = x.user_id AND s.ts >= x.ts
+"""
+
+ORACLES["bm25_topk"] = f"""
+WITH p AS (
+  SELECT doc_id,
+         len(list_filter(string_split({_NORM}, ' '), w -> w <> '')) AS dl,
+         unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents),
+f AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM p WHERE term IN ('hash', 'join', 'spark', 'vector')
+  GROUP BY doc_id, dl, term),
+d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY term),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM (SELECT doc_id,
+               len(list_filter(string_split({_NORM}, ' '), w -> w <> '')) AS dl
+        FROM documents)),
+c AS (
+  SELECT doc_id,
+         CAST(floor(1000000.0
+           * ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf AS DOUBLE) * 2.2
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+           AS BIGINT) AS c
+  FROM f, d, s WHERE f.term = d.term)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+       CAST(sum(c) AS BIGINT) AS score_micros
+FROM c GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id LIMIT 10
 """
 
 ORACLES["asof_features"] = """
