@@ -554,6 +554,15 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms(F.col("ts_error")).alias("error_ts_ms"), "value_error")
 
 
+def q_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence view->click->purchase funnel per day: one
+    shuffle + one sort for all three steps (chained running-min
+    windows; see operators/funnel.py)."""
+    from w_userflow_featurestore_spark.operators.funnel import funnel_daily
+    return funnel_daily(_events(spark, sf_dir),
+                        ["view", "click", "purchase"])
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 over the documents corpus for a 4-term query —
     ranked retrieval with integer-micros scores (exact under any
@@ -622,6 +631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "training_set": q_training_set,
     "bm25_topk": q_bm25_topk,
+    "funnel_daily": q_funnel_daily,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
     "multimodal_decode": q_multimodal_decode,
@@ -1462,6 +1472,47 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
   ON s.user_id = x.user_id AND s.ts >= x.ts
 """
 
+ORACLES["funnel_daily"] = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS datetime, user_id, event_type, ts, event_id
+  FROM events),
+w1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v_ts
+  FROM e
+  WINDOW w AS (PARTITION BY datetime, user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v_ts THEN ts END)
+            OVER w AS c_ts
+  FROM w1
+  WINDOW w AS (PARTITION BY datetime, user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c_ts THEN ts END)
+            OVER w AS p_ts
+  FROM w2
+  WINDOW w AS (PARTITION BY datetime, user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+prog AS (
+  SELECT datetime, user_id,
+         max(v_ts) AS v, max(c_ts) AS c, max(p_ts) AS p
+  FROM w3 GROUP BY datetime, user_id)
+SELECT datetime,
+       CAST(count(v) AS BIGINT) AS reached_view,
+       CAST(count(c) AS BIGINT) AS reached_click,
+       CAST(count(p) AS BIGINT) AS reached_purchase,
+       CASE WHEN count(v) > 0
+            THEN round(CAST(count(c) AS DOUBLE) / count(v), 4) END
+         AS conv_view_to_click,
+       CASE WHEN count(c) > 0
+            THEN round(CAST(count(p) AS DOUBLE) / count(c), 4) END
+         AS conv_click_to_purchase,
+       CASE WHEN count(v) > 0
+            THEN round(CAST(count(p) AS DOUBLE) / count(v), 4) END
+         AS conv_overall
+FROM prog GROUP BY datetime
+"""
+
 ORACLES["bm25_topk"] = f"""
 WITH p AS (
   SELECT doc_id,
@@ -1758,7 +1809,7 @@ _DATE_QUERIES = {
     "sessions", "user_daily", "item_daily", "item_continuation",
     "entry_type_daily", "top_item_per_day", "binge_ratio",
     "retention_yesterday", "retention_today", "cohort_vs_global",
-    "dim_gap_features", "duration_percentiles",
+    "dim_gap_features", "duration_percentiles", "funnel_daily",
 }
 
 
