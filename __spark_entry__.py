@@ -563,6 +563,29 @@ def q_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["view", "click", "purchase"])
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order-Markov transition matrix of consecutive event types
+    per user-day, row-normalized (see operators/paths.py)."""
+    from w_userflow_featurestore_spark.operators.paths import (
+        transition_matrix,
+    )
+    return transition_matrix(_events(spark, sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-event-type downsample (hash-threshold
+    sampleBy): keep 50% of views, 10% of clicks, all purchases —
+    projection-only, rerun- and growth-stable."""
+    from w_userflow_featurestore_spark.operators.sampling import (
+        stratified_sample,
+    )
+    return stratified_sample(
+        _events(spark, sf_dir),
+        {"view": 0.5, "click": 0.1, "purchase": 1.0},
+        strata_col="event_type", id_col="event_id",
+    ).select("event_id", "user_id", "event_type")
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 over the documents corpus for a 4-term query —
     ranked retrieval with integer-micros scores (exact under any
@@ -632,6 +655,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_set": q_training_set,
     "bm25_topk": q_bm25_topk,
     "funnel_daily": q_funnel_daily,
+    "event_transitions": q_event_transitions,
+    "stratified_sample": q_stratified_sample,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
     "multimodal_decode": q_multimodal_decode,
@@ -1472,6 +1497,25 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
   ON s.user_id = x.user_id AND s.ts >= x.ts
 """
 
+ORACLES["event_transitions"] = """
+WITH p AS (
+  SELECT CAST(ts AS DATE) AS datetime, user_id,
+         event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY CAST(ts AS DATE), user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+c AS (
+  SELECT datetime, from_type, to_type,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM p WHERE to_type IS NOT NULL
+  GROUP BY datetime, from_type, to_type)
+SELECT datetime, from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY datetime, from_type),
+             4) AS prob
+FROM c
+"""
+
 ORACLES["funnel_daily"] = """
 WITH e AS (
   SELECT CAST(ts AS DATE) AS datetime, user_id, event_type, ts, event_id
@@ -1581,6 +1625,17 @@ FROM (
          {_H60.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 1000
            AS bucket
   FROM documents)
+"""
+
+ORACLES["stratified_sample"] = f"""
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         {_H60.format(x="'strat:' || CAST(event_id AS VARCHAR)")} % 1000 AS b
+  FROM events)
+WHERE (event_type = 'view' AND b < 500)
+   OR (event_type = 'click' AND b < 100)
+   OR (event_type = 'purchase' AND b < 1000)
 """
 
 ORACLES["split_summary"] = f"""
@@ -1810,6 +1865,7 @@ _DATE_QUERIES = {
     "entry_type_daily", "top_item_per_day", "binge_ratio",
     "retention_yesterday", "retention_today", "cohort_vs_global",
     "dim_gap_features", "duration_percentiles", "funnel_daily",
+    "event_transitions",
 }
 
 

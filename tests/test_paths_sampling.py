@@ -1,0 +1,82 @@
+"""Transition-matrix semantics + stratified-sample determinism/plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.operators.paths import transition_matrix
+from w_userflow_featurestore_spark.operators.sampling import (
+    stratified_sample)
+from w_userflow_featurestore_spark.plans import assert_plan
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+
+
+def test_transition_counts_and_row_normalization(spark):
+    rows = [
+        (1, 1, "view", _ts("2024-01-01 09:00:00")),
+        (2, 1, "click", _ts("2024-01-01 09:01:00")),
+        (3, 1, "view", _ts("2024-01-01 09:02:00")),
+        (4, 1, "error", _ts("2024-01-01 09:03:00")),
+        (5, 2, "view", _ts("2024-01-01 10:00:00")),
+        (6, 2, "click", _ts("2024-01-01 10:01:00")),
+    ]
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.prob)
+           for r in transition_matrix(_events(spark, rows)).collect()}
+    # view -> click twice (users 1+2), view -> error once
+    assert got[("view", "click")] == (2, 0.6667)
+    assert got[("view", "error")] == (1, 0.3333)
+    assert got[("click", "view")] == (1, 1.0)
+    # no pair across users, no self-transition invented
+    assert ("error", "view") not in got
+
+
+def test_transitions_do_not_cross_midnight(spark):
+    rows = [
+        (1, 1, "view", _ts("2024-01-01 23:59:00")),
+        (2, 1, "click", _ts("2024-01-02 00:01:00")),
+    ]
+    assert transition_matrix(_events(spark, rows)).count() == 0
+
+
+def test_stratified_sample_exact_and_stable(spark):
+    rows = [(i, i, t, _ts("2024-01-01 09:00:00"))
+            for i in range(300) for t in [["view", "click", "error"][i % 3]]]
+    ev = _events(spark, rows)
+    frac = {"view": 0.5, "click": 0.1}
+    a = sorted(r.event_id for r in
+               stratified_sample(ev, frac, "event_type",
+                                 id_col="event_id").collect())
+    b = sorted(r.event_id for r in
+               stratified_sample(ev.repartition(7), frac, "event_type",
+                                 id_col="event_id").collect())
+    assert a == b and a                      # partitioning-independent
+    kept = ev.where(F.col("event_id").isin(a))
+    types = {r.event_type for r in kept.select("event_type").collect()}
+    assert "error" not in types              # unlisted stratum dropped
+    n_view = kept.where("event_type = 'view'").count()
+    n_click = kept.where("event_type = 'click'").count()
+    assert 30 <= n_view <= 70 and n_click <= 25   # ~50 and ~10 of 100
+
+
+def test_stratified_sample_is_projection_only(spark):
+    ev = _events(spark, [(1, 1, "view", _ts("2024-01-01 09:00:00"))])
+    assert_plan(stratified_sample(ev, {"view": 0.5}, "event_type",
+                                  id_col="event_id"),
+                max_shuffles=0)
+
+
+def test_transition_plan_shuffle_budget(spark):
+    ev = _events(spark, [(1, 1, "view", _ts("2024-01-01 09:00:00")),
+                         (2, 1, "click", _ts("2024-01-01 09:01:00"))])
+    # lead window on (day, user) + matrix agg + tiny row-total window
+    assert_plan(transition_matrix(ev), max_shuffles=3)

@@ -1,0 +1,52 @@
+"""User-path analysis: event-transition (Markov) features.
+
+Complements the funnel operator (which checks ONE prescribed sequence):
+the transition matrix measures ALL observed consecutive event-type
+pairs, the standard first-order-Markov representation of user flow —
+"after a view, 40% click and 7% error" — consumed directly as session
+features or as edge weights for path mining.
+
+Scale design: consecutive pairs come from one `lead` window per
+(day, entity) partition ordered by (ts, id) — a single shuffle over the
+events, same key discipline as sessionization. The matrix itself is a
+hash aggregate on (day, from, to) whose output is tiny (days x |types|^2),
+so the row-probability normalization runs as an unordered window over
+that aggregate, not over raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.functions import fround
+
+__all__ = ["transition_matrix"]
+
+
+def transition_matrix(events: DataFrame, *, entity_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """Per-day counts and row-normalized probabilities of consecutive
+    event-type transitions within each entity's (ts, id)-ordered stream.
+
+    Returns (datetime, from_type, to_type, n_transitions, prob) where
+    prob sums to 1 per (datetime, from_type). Simultaneous events order
+    deterministically by event id, as everywhere in this engine.
+    """
+    day = F.to_date(F.col(ts_col))
+    w = (Window.partitionBy("datetime", entity_col)
+         .orderBy(ts_col, id_col))
+    pairs = (events.withColumn("datetime", day)
+             .select("datetime", entity_col,
+                     F.col(type_col).alias("from_type"),
+                     F.lead(type_col).over(w).alias("to_type"),
+                     F.col(ts_col), F.col(id_col))
+             .where(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy("datetime", "from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+    row_total = F.sum("n_transitions").over(
+        Window.partitionBy("datetime", "from_type"))
+    return counts.withColumn(
+        "prob",
+        fround(F.col("n_transitions").cast("double") / row_total, 4))

@@ -55,3 +55,26 @@ def split_summary(df: DataFrame, id_col: str = "doc_id",
     s = dataset_split(df, id_col, **kw)
     keys = ["split"] + ([strata_col] if strata_col else [])
     return s.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str, id_col: str = "doc_id",
+                      n_buckets: int = N_BUCKETS,
+                      salt: str = "strat") -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls below round(fraction * n_buckets) for its stratum
+    (strata absent from ``fractions`` are dropped — the rebalance
+    contract: you state what you keep).
+
+    This is `sampleBy()` minus its seeded-partition nondeterminism —
+    same projection-only plan as `dataset_split`, so it composes into
+    the scan (zero shuffle), keeps a row's fate stable as the corpus
+    grows, and rates are exact-in-expectation with hash uniformity.
+    Class rebalancing (downweight boilerplate, keep all rare positives)
+    is the canonical 100 TB use.
+    """
+    b = hash_bucket(F.col(id_col), n_buckets, salt)
+    thresholds = F.create_map(*[
+        lit for k, frac in sorted(fractions.items())
+        for lit in (F.lit(k), F.lit(int(round(frac * n_buckets))))])
+    return df.where(b < thresholds[F.col(strata_col)])
