@@ -586,6 +586,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: 5-gram collision of every train-split
+    document against the broadcast test-split gram set (see
+    operators/contamination.py)."""
+    from w_userflow_featurestore_spark.operators.contamination import (
+        contamination_check,
+    )
+    from w_userflow_featurestore_spark.operators.sampling import (
+        dataset_split,
+    )
+    s = dataset_split(read_table(spark, sf_dir, "documents"))
+    return contamination_check(s.where(F.col("split") == "train"),
+                               s.where(F.col("split") == "test"), n=5)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 over the documents corpus for a 4-term query —
     ranked retrieval with integer-micros scores (exact under any
@@ -657,6 +672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_daily": q_funnel_daily,
     "event_transitions": q_event_transitions,
     "stratified_sample": q_stratified_sample,
+    "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
     "multimodal_decode": q_multimodal_decode,
@@ -1636,6 +1652,34 @@ FROM (
 WHERE (event_type = 'view' AND b < 500)
    OR (event_type = 'click' AND b < 100)
    OR (event_type = 'purchase' AND b < 1000)
+"""
+
+ORACLES["contamination"] = f"""
+WITH sp AS ({ORACLES['dataset_split']}),
+w AS (
+  SELECT d.doc_id, sp.split, string_split({_NORM}, ' ') AS ws
+  FROM documents d JOIN sp USING (doc_id)),
+sh AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 4, 1) + 1),
+             i -> array_to_string(ws[i:i+4], ' '))) AS sset
+  FROM w),
+eg AS (
+  SELECT DISTINCT {_H60.format(x="shingle")} AS gh
+  FROM (SELECT unnest(sset) AS shingle FROM sh WHERE split = 'test')),
+dg AS (
+  SELECT doc_id, {_H60.format(x="shingle")} AS gh
+  FROM (SELECT doc_id, unnest(sset) AS shingle FROM sh
+        WHERE split = 'train'))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(eg.gh) AS BIGINT) AS hit_ngrams,
+       round(CAST(count(eg.gh) AS DOUBLE) / count(*), 4)
+         AS contamination_ratio,
+       CAST(count(eg.gh) >= count(*) * CAST(0.1 AS DOUBLE) AS INT)
+         AS contaminated
+FROM dg LEFT JOIN eg USING (gh)
+GROUP BY doc_id
 """
 
 ORACLES["split_summary"] = f"""
