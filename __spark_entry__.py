@@ -272,6 +272,12 @@ def q_corpus_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_language_stats(read_table(spark, sf_dir, "documents"))
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: distinct-word ratio, top word /
+    bigram fractions, repetitive flag (see operators/text.py)."""
+    return TX.repetition_profile(read_table(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for query vectors vec_id < 5."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -647,6 +653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "text_profile": q_text_profile,
     "corpus_language_stats": q_corpus_language_stats,
+    "repetition_profile": q_repetition_profile,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1243,6 +1250,35 @@ ORACLES["text_profile"] = _PROFILE_CTE + """
 SELECT doc_id, n_tokens_ws, n_tokens_bpe, n_chars_raw, lang_pred, quality,
        fingerprint, content_hash
 FROM prof
+"""
+
+ORACLES["repetition_profile"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+ex AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS wd FROM w),
+wc AS (SELECT doc_id, max(n) AS n, count(*) AS c
+       FROM ex GROUP BY doc_id, wd),
+wa AS (SELECT doc_id, max(n) AS n, count(*) AS n_distinct,
+              max(c) AS top_w
+       FROM wc GROUP BY doc_id),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i+1])) AS b
+       FROM w WHERE len(ws) >= 2),
+bc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, b),
+ba AS (SELECT doc_id, max(c) AS top_b FROM bc GROUP BY doc_id)
+SELECT wa.doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(n_distinct AS BIGINT) AS n_distinct_words,
+       round(CAST(n_distinct AS DOUBLE) / n, 4) AS distinct_word_ratio,
+       round(CAST(top_w AS DOUBLE) / n, 4) AS top_word_frac,
+       round(coalesce(CAST(top_b AS DOUBLE) / (n - 1), 0.0), 4)
+         AS top_bigram_frac,
+       CAST((CAST(top_w AS DOUBLE) / n > 0.2)
+            OR (coalesce(CAST(top_b AS DOUBLE) / (n - 1), 0.0) > 0.18)
+            OR (CAST(n_distinct AS DOUBLE) / n < 0.3) AS INT)
+         AS repetitive
+FROM wa LEFT JOIN ba USING (doc_id)
 """
 
 ORACLES["corpus_language_stats"] = _PROFILE_CTE + """

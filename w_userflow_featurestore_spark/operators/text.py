@@ -165,6 +165,70 @@ def text_profile(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Count of the most frequent element of a SORTED array = longest run
+    of equal adjacent elements — one linear ``aggregate()`` pass per row.
+    This turns "mode count", normally an explode + groupBy shuffle, into
+    a row-local expression: the per-doc sort is O(n log n) inside codegen
+    and the corpus never shuffles."""
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *,
+                       top_word_max: float = 0.20,
+                       top_bigram_max: float = 0.18,
+                       distinct_min: float = 0.30) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals per document:
+    distinct-word ratio, most-frequent-word fraction, most-frequent-
+    bigram fraction, and a ``repetitive`` 0/1 flag when any signal
+    crosses its threshold (compared on the UNROUNDED fractions, so the
+    flag is independent of display rounding).
+
+    Scale design: entirely row-local (sorted-run-length mode counts via
+    :func:`_max_run`), so the op is a zero-shuffle projection that
+    pipelines into the document scan — the cheap pre-filter runs before
+    any shuffle-bearing dedup stage. Docs with a single word have no
+    bigrams: ``top_bigram_frac`` is 0 there (never a descending
+    ``sequence(1, 0)``).
+    """
+    docs = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    ws = words(F.col(text_col))
+    empty = F.array().cast("array<string>")
+    out = (docs.withColumn("__ws", ws)
+           .withColumn("__n", F.size(F.col("__ws"))))
+    n, wsc = F.col("__n"), F.col("__ws")
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(wsc, i, 2)))).otherwise(empty)
+    out = (out.withColumn("__nd", F.size(F.array_distinct(wsc)))
+           .withColumn("__tw", _max_run(F.array_sort(wsc)))
+           .withColumn("__tb", _max_run(F.array_sort(bigrams))))
+    top_word = F.col("__tw").cast("double") / n
+    top_bigram = F.when(n >= 2, F.col("__tb").cast("double") / (n - 1)) \
+                  .otherwise(F.lit(0.0))
+    distinct_ratio = F.col("__nd").cast("double") / n
+    return out.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.col("__nd").cast("long").alias("n_distinct_words"),
+        fround(distinct_ratio, 4).alias("distinct_word_ratio"),
+        fround(top_word, 4).alias("top_word_frac"),
+        fround(top_bigram, 4).alias("top_bigram_frac"),
+        ((top_word > F.lit(top_word_max))
+         | (top_bigram > F.lit(top_bigram_max))
+         | (distinct_ratio < F.lit(distinct_min)))
+        .cast("int").alias("repetitive"))
+
+
 def corpus_language_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Predicted-language rollup with mean quality — the corpus-curation
     dashboard aggregate (one hash-agg shuffle on the tiny lang key)."""
