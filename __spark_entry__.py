@@ -278,6 +278,12 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_profile(read_table(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IP/phone redaction with per-type counts — row-local regexp
+    chain over the documents corpus (see operators/text.py)."""
+    return TX.pii_scrub(read_table(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for query vectors vec_id < 5."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -654,6 +660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "corpus_language_stats": q_corpus_language_stats,
     "repetition_profile": q_repetition_profile,
+    "pii_scrub": q_pii_scrub,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1279,6 +1286,32 @@ SELECT wa.doc_id,
             OR (CAST(n_distinct AS DOUBLE) / n < 0.3) AS INT)
          AS repetitive
 FROM wa LEFT JOIN ba USING (doc_id)
+"""
+
+_PII_EMAIL = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+ORACLES["pii_scrub"] = f"""
+WITH t0 AS (SELECT doc_id, text AS t FROM documents),
+t1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+                AS n_emails,
+              regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+       FROM t0),
+t2 AS (SELECT doc_id, n_emails,
+              CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT)
+                AS n_ips,
+              regexp_replace(t, '{_PII_IP}', '<IP>', 'g') AS t
+       FROM t1),
+t3 AS (SELECT doc_id, n_emails, n_ips,
+              CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+                AS n_phones,
+              regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g') AS t
+       FROM t2)
+SELECT doc_id, n_emails, n_ips, n_phones, t AS text_clean,
+       CAST(n_emails + n_ips + n_phones > 0 AS INT) AS has_pii
+FROM t3
 """
 
 ORACLES["corpus_language_stats"] = _PROFILE_CTE + """

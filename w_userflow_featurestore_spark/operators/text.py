@@ -165,6 +165,42 @@ def text_profile(docs: DataFrame, text_col: str = "text",
     )
 
 
+# PII patterns engine-portable between Java regex (Spark) and RE2
+# (DuckDB): no backreferences/lookaround, no alternation whose
+# first-match semantics could diverge. Counts are taken on the
+# PROGRESSIVELY scrubbed text (emails first, then IPs, then phone-like
+# digit runs) so a digits-and-dots email never double-counts as an IP.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4s / phone-like digit runs, returning the
+    scrubbed text plus per-type match counts and a ``has_pii`` flag.
+
+    Row-local regexp chain — zero shuffles, pipelines into the scan like
+    every other pre-filter; at 100 TB this runs inside the same stage as
+    quality/repetition scoring with no extra pass over the corpus.
+    """
+    docs = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    out = docs.withColumn("__t", F.col(text_col))
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        out = (out.withColumn(f"__n_{name}",
+                              F.regexp_count(F.col("__t"), F.lit(pat))
+                              .cast("long"))
+               .withColumn("__t", F.regexp_replace("__t", pat, repl)))
+        counts.append(F.col(f"__n_{name}").alias(f"n_{name}s"))
+    total = sum((F.col(f"__n_{n}") for n, _, _ in PII_PATTERNS), F.lit(0))
+    return out.select(F.col(id_col), *counts,
+                      F.col("__t").alias("text_clean"),
+                      (total > 0).cast("int").alias("has_pii"))
+
+
 def _max_run(sorted_arr: Column) -> Column:
     """Count of the most frequent element of a SORTED array = longest run
     of equal adjacent elements — one linear ``aggregate()`` pass per row.
