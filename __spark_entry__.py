@@ -284,6 +284,16 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pii_scrub(read_table(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-slice context packing per (lang, source) stream —
+    partitioned running-sum window (see operators/packing.py)."""
+    from w_userflow_featurestore_spark.operators.packing import (
+        pack_sequences,
+    )
+    return pack_sequences(read_table(spark, sf_dir, "documents"),
+                          budget=2048)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for query vectors vec_id < 5."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -661,6 +671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_language_stats": q_corpus_language_stats,
     "repetition_profile": q_repetition_profile,
     "pii_scrub": q_pii_scrub,
+    "pack_sequences": q_pack_sequences,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1286,6 +1297,27 @@ SELECT wa.doc_id,
             OR (CAST(n_distinct AS DOUBLE) / n < 0.3) AS INT)
          AS repetitive
 FROM wa LEFT JOIN ba USING (doc_id)
+"""
+
+ORACLES["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, lang, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_offset
+  FROM t)
+SELECT doc_id, lang, source, n_tokens, start_offset,
+       CAST(floor(start_offset / 2048.0) AS BIGINT) AS pack_id,
+       CAST(start_offset % 2048 AS BIGINT) AS pack_offset,
+       CAST(floor((start_offset + n_tokens - 1) / 2048.0) AS BIGINT)
+         - CAST(floor(start_offset / 2048.0) AS BIGINT) + 1
+         AS n_packs_spanned
+FROM o
 """
 
 _PII_EMAIL = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
