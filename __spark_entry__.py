@@ -294,6 +294,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                           budget=2048)
 
 
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above 1.5x their customer's average order value —
+    correlated scalar subquery decorrelated to agg + equi-join, with the
+    comparison in integer-cents space (operators/relational.py)."""
+    return REL.above_group_avg(
+        read_table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    ).select("o_orderkey", "o_custkey", "o_totalprice",
+             F.col("group_avg").alias("avg_order_value"))
+
+
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens — vocab heavy hitters, deterministic
+    tie-break on the token string (operators/text.py)."""
+    return TX.frequent_tokens(read_table(spark, sf_dir, "documents"), k=20)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for query vectors vec_id < 5."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -672,6 +688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_profile": q_repetition_profile,
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
+    "above_avg_orders": q_above_avg_orders,
+    "frequent_tokens": q_frequent_tokens,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1318,6 +1336,27 @@ SELECT doc_id, lang, source, n_tokens, start_offset,
          - CAST(floor(start_offset / 2048.0) AS BIGINT) + 1
          AS n_packs_spanned
 FROM o
+"""
+
+ORACLES["above_avg_orders"] = """
+WITH a AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM orders GROUP BY o_custkey)
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round(s / 100.0 / n, 2) AS avg_order_value
+FROM orders JOIN a USING (o_custkey)
+WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) * n * 2 > s * 3
+"""
+
+ORACLES["frequent_tokens"] = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 20
 """
 
 _PII_EMAIL = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"

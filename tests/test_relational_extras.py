@@ -1,0 +1,59 @@
+"""above_group_avg and frequent_tokens semantics + plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.operators.relational import (
+    above_group_avg)
+from w_userflow_featurestore_spark.operators.text import frequent_tokens
+from w_userflow_featurestore_spark.plans import assert_plan
+
+
+def test_above_group_avg_integer_exact_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, "g1", 10.00), (2, "g1", 20.00), (3, "g1", 22.51),
+         (4, "g2", 5.00)],
+        "id long, grp string, val double")
+    # g1 avg = 17.50 * 1.5 = 26.25 -> nothing kept; g2 single row can
+    # never exceed 1.5x its own average
+    assert above_group_avg(df, "grp", "val").count() == 0
+    df2 = spark.createDataFrame(
+        [(1, "g1", 10.00), (2, "g1", 20.00), (3, "g1", 45.01)],
+        "id long, grp string, val double")
+    # avg = 25.003333 -> 1.5x = 37.505; only 45.01 clears it
+    rows = above_group_avg(df2, "grp", "val").collect()
+    assert [r.id for r in rows] == [3]
+    assert rows[0].group_avg == 25.0
+
+
+def test_above_group_avg_strict_inequality_at_exact_factor(spark):
+    # vals 10, 20, 30: avg 20, 1.5x = 30 -> 30 is NOT above (strict >)
+    df = spark.createDataFrame(
+        [(1, "g", 10.0), (2, "g", 20.0), (3, "g", 30.0)],
+        "id long, grp string, val double")
+    assert above_group_avg(df, "grp", "val").count() == 0
+
+
+def test_frequent_tokens_order_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a z z")], "doc_id long, text string")
+    got = [(r.token, r.n_occurrences)
+           for r in frequent_tokens(docs, k=3).collect()]
+    # a:3, b:3 tie -> 'a' first; z:2 third
+    assert got == [("a", 3), ("b", 3), ("z", 2)]
+
+
+def test_frequent_tokens_plan_is_takeordered(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    df = frequent_tokens(docs, k=5)
+    assert_plan(df, max_shuffles=1, max_sort_merge_joins=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_above_group_avg_plan_no_per_row_subquery(spark):
+    df = spark.createDataFrame([(1, "g", 1.0)],
+                               "id long, grp string, val double")
+    # one shuffle for the group agg + one to co-partition the join
+    assert_plan(above_group_avg(df, "grp", "val"), max_shuffles=3)

@@ -95,3 +95,32 @@ def anti_join_keys(probe: DataFrame, ledger: DataFrame,
     NOT EXISTS. The curation idiom for "docs not yet ingested"."""
     keys = ledger.select(F.col(ledger_key).alias(probe_key))
     return probe.join(keys, on=probe_key, how="left_anti")
+
+
+def above_group_avg(df: DataFrame, group_col: str, value_col: str,
+                    factor_num: int = 3, factor_den: int = 2,
+                    scale: int = 2) -> DataFrame:
+    """Rows whose ``value_col`` exceeds ``factor_num/factor_den`` times
+    their group's average — the correlated-scalar-subquery pattern
+    (``WHERE v > 1.5 * (SELECT avg(v) ... WHERE g = outer.g)``),
+    decorrelated into one group aggregate plus an equi-join so Catalyst
+    plans two hash-partition shuffles instead of a per-row subquery.
+
+    Exactness: the comparison runs in INTEGER space —
+    ``cents * n * factor_den > sum_cents * factor_num`` — so the kept
+    row set is bit-identical across engines and partition orders (no
+    double-precision average on either side of the ``>``); the average
+    is rescaled to a display column only after the filter.
+    """
+    from w_userflow_featurestore_spark.functions import fround, scaled_long
+    p = float(10 ** scale)
+    per_group = df.groupBy(group_col).agg(
+        F.sum(scaled_long(F.col(value_col), scale)).alias("__sum_c"),
+        F.count(F.lit(1)).alias("__n"))
+    keep = (scaled_long(F.col(value_col), scale) * F.col("__n")
+            * F.lit(factor_den)) > (F.col("__sum_c") * F.lit(factor_num))
+    return (df.join(per_group, group_col)
+            .where(keep)
+            .withColumn("group_avg",
+                        fround(F.col("__sum_c") / p / F.col("__n"), scale))
+            .drop("__sum_c", "__n"))

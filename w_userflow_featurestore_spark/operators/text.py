@@ -278,3 +278,22 @@ def corpus_language_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
                   # immune to partial-agg summation order
                   exact_avg(F.col("quality")).alias("avg_quality"),
                   F.sum("n_tokens_ws").alias("total_tokens")))
+
+
+def frequent_tokens(docs: DataFrame, k: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-``k`` tokens by document-stream frequency — the
+    vocab/heavy-hitter extraction step before tokenizer training.
+
+    One explode + one hash aggregate (map-side partial combine absorbs
+    the heavy hitters before the shuffle, so skewed tokens like "the"
+    never concentrate raw rows on one reducer), then a TakeOrdered top-k
+    — no global sort materialization. Ties break on the token string so
+    the boundary of the top-k set is deterministic in any engine."""
+    toks = (fan_out(docs.select(F.col(text_col)))
+            .select(F.explode(words(F.col(text_col))).alias("token"))
+            .where(F.col("token") != ""))
+    return (toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("token"))
+            .limit(k))
