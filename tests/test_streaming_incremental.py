@@ -247,3 +247,46 @@ def test_stateful_fold_and_timeout_close_pure():
     # idle under the timeout would still be IN_PROGRESS
     p = close_session(st, 7, now_ms=st[2] + ms(1))
     assert p["session_state"] == "IN_PROGRESS"
+
+
+def test_stream_upsert_merges_and_survives_restart(spark, tmp_path):
+    from w_userflow_featurestore_spark.streaming import stream_upsert
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("usrc", "uout", "uckpt"))
+    _write_events(spark, src, [
+        _batch(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        _batch(2, "2024-01-01 11:00:00", 2, "view", 2.0),
+    ])
+
+    def to_state(batch):
+        return (batch.withColumn("datetime", F.to_date("ts"))
+                .select("event_id", "datetime", "user_id", "value"))
+
+    q = stream_upsert(spark.readStream.schema(EVENTS_DDL).parquet(src),
+                      out, ckpt, keys=["event_id"],
+                      partition_by=["datetime"], transform=to_state,
+                      available_now=True)
+    q.awaitTermination(120)
+    assert rows(spark.read.parquet(out).select("event_id", "value")) == [
+        (1, 1.0), (2, 2.0)]
+
+    # second run: update key 1, insert key 3 -> MERGE semantics
+    _write_events(spark, src, [
+        _batch(1, "2024-01-01 10:00:00", 1, "view", 9.0),
+        _batch(3, "2024-01-01 12:00:00", 3, "view", 3.0),
+    ])
+    q2 = stream_upsert(spark.readStream.schema(EVENTS_DDL).parquet(src),
+                       out, ckpt, keys=["event_id"],
+                       partition_by=["datetime"], transform=to_state,
+                       available_now=True)
+    q2.awaitTermination(120)
+    assert rows(spark.read.parquet(out).select("event_id", "value")) == [
+        (1, 9.0), (2, 2.0), (3, 3.0)]
+
+    # restart with nothing new: checkpoint replays no batch, state stable
+    q3 = stream_upsert(spark.readStream.schema(EVENTS_DDL).parquet(src),
+                       out, ckpt, keys=["event_id"],
+                       partition_by=["datetime"], transform=to_state,
+                       available_now=True)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3

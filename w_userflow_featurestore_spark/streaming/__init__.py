@@ -2,6 +2,7 @@ from w_userflow_featurestore_spark.streaming.ingest import (
     bronze_ingest,
     parse_kafka_events,
     read_event_stream,
+    stream_upsert,
     streaming_sessionize,
     streaming_window_counts,
 )
@@ -12,6 +13,7 @@ from w_userflow_featurestore_spark.streaming.stateful import (
 )
 
 __all__ = ["bronze_ingest", "parse_kafka_events", "read_event_stream",
-           "streaming_sessionize", "streaming_window_counts",
+           "stream_upsert", "streaming_sessionize",
+           "streaming_window_counts",
            "stateful_sessionize", "fold_events",
            "close_session"]

@@ -133,3 +133,40 @@ def streaming_window_counts(events: DataFrame, size: str = "1 hour",
                  F.max("value").alias("max_value"))
             .select(F.col("w.start").alias("window_start"),
                     dim_col, "n_events", "max_value"))
+
+
+def stream_upsert(events: DataFrame, path: str, checkpoint: str, *,
+                  keys: list[str], partition_by: list[str],
+                  transform=None, trigger_seconds: int | None = 30,
+                  available_now: bool = False):
+    """MERGE-INTO as a streaming sink: ``foreachBatch`` applies an
+    optional batch ``transform`` (e.g. dedup/sessionize/classify) to
+    each micro-batch, then upserts it into the day-partitioned parquet
+    target on ``keys`` via :func:`~...sources.parquet.merge_upsert`.
+
+    This is the reference's Silver loop (stage + MERGE every 10 minutes,
+    silver_user_session_events.py:146-186) collapsed into the stream:
+    the micro-batch replaces the Airflow tick. End-to-end idempotence
+    holds for the same reason the reference's does — the merge converges
+    per key, so a replayed batch (checkpoint recovery re-delivers the
+    last uncommitted micro-batch) rewrites the same rows to the same
+    values. At scale the merge rewrites only the partitions a batch
+    touches, so steady-state cost tracks batch size, not table size.
+    """
+    from w_userflow_featurestore_spark.sources.parquet import merge_upsert
+
+    def _sink(batch: DataFrame, _batch_id: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+        if not batch.isEmpty():
+            merge_upsert(batch.sparkSession, path, batch,
+                         keys, partition_by)
+
+    writer = (events.writeStream
+              .foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
