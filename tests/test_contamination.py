@@ -47,9 +47,10 @@ def test_flag_threshold_boundary(spark):
 def test_eval_side_broadcasts_corpus_never_shuffles_grams(spark):
     corpus = _docs(spark, [(1, "a b c d e f")])
     eval_set = _docs(spark, [(2, "a b c d e")])
-    # gram join must be broadcast; the corpus side's only exchange is the
-    # per-doc agg — the second shuffle is the distinct over the tiny
-    # eval-side gram set, which never touches corpus rows
+    # gram join must be broadcast; the corpus side's only key shuffle is
+    # the per-doc agg — the others are the distinct over the tiny
+    # eval-side gram set and fan_out's small-input round-robin spread
+    # (a no-op at real scan sizes), neither of which moves corpus grams
     assert_plan(contamination_check(corpus, eval_set),
-                max_shuffles=2, min_broadcast_joins=1,
+                max_shuffles=3, min_broadcast_joins=1,
                 max_sort_merge_joins=0)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from w_userflow_featurestore_spark.functions import fround
 from w_userflow_featurestore_spark.operators.dedup import (
     shingles, text_hash60)
+from w_userflow_featurestore_spark.sources import fan_out
 
 __all__ = ["contamination_check"]
 
@@ -49,7 +50,8 @@ def contamination_check(corpus: DataFrame, eval_set: DataFrame, *,
             F.explode(shingles(F.col(text_col), n)).alias("g"))
         .select(gram(F.col("g")).alias("gh"))
         .distinct())
-    doc_grams = (corpus.select(
+    doc_grams = (fan_out(corpus.select(F.col(id_col), F.col(text_col)))
+                 .select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), n)).alias("g"))
         .select("doc_id", gram(F.col("g")).alias("gh")))
