@@ -624,6 +624,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsample: each document kept with probability
+    equal to its quality score — per-row hash threshold, zero shuffle
+    (see operators/sampling.py)."""
+    from w_userflow_featurestore_spark.operators.sampling import (
+        weighted_sample,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, TX.quality_score(F.col("text")), id_col="doc_id"
+    ).select("doc_id", "lang",
+             TX.quality_score(F.col("text")).alias("quality"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test leakage audit: 5-gram collision of every train-split
     document against the broadcast test-split gram set (see
@@ -715,6 +729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_daily": q_funnel_daily,
     "event_transitions": q_event_transitions,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
@@ -1792,6 +1807,13 @@ FROM (
 WHERE (event_type = 'view' AND b < 500)
    OR (event_type = 'click' AND b < 100)
    OR (event_type = 'purchase' AND b < 1000)
+"""
+
+ORACLES["weighted_sample"] = _PROFILE_CTE + f"""
+SELECT d.doc_id, d.lang, prof.quality
+FROM prof JOIN documents d USING (doc_id)
+WHERE {_H60.format(x="'wsamp:' || CAST(d.doc_id AS VARCHAR)")} % 1000
+      < CAST(floor(prof.quality * 1000 + 0.5) AS BIGINT)
 """
 
 ORACLES["contamination"] = f"""

@@ -80,3 +80,38 @@ def test_transition_plan_shuffle_budget(spark):
                          (2, 1, "click", _ts("2024-01-01 09:01:00"))])
     # lead window on (day, user) + matrix agg + tiny row-total window
     assert_plan(transition_matrix(ev), max_shuffles=3)
+
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from w_userflow_featurestore_spark.operators.sampling import (
+        weighted_sample)
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    assert weighted_sample(df, F.lit(1.0)).count() == 500   # w=1 keeps all
+    assert weighted_sample(df, F.lit(0.0)).count() == 0     # w=0 drops all
+    half = weighted_sample(df, F.lit(0.5))
+    n = half.count()
+    assert 200 < n < 300                                    # ~250 expected
+    # deterministic: same rows on rerun
+    assert sorted(r.doc_id for r in half.collect()) == \
+        sorted(r.doc_id for r in half.collect())
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from pyspark.sql import functions as F
+    from w_userflow_featurestore_spark.operators.sampling import (
+        weighted_sample)
+    df = spark.range(2000).withColumnRenamed("id", "doc_id") \
+        .withColumn("w", F.when(F.col("doc_id") < 1000, 0.1).otherwise(0.9))
+    kept = weighted_sample(df, F.col("w")).groupBy("w").count().collect()
+    rates = {round(r.w, 1): r["count"] for r in kept}
+    assert 50 < rates[0.1] < 160 and 830 < rates[0.9] < 960
+
+
+def test_weighted_sample_is_projection_only(spark):
+    from pyspark.sql import functions as F
+    from w_userflow_featurestore_spark.operators.sampling import (
+        weighted_sample)
+    from w_userflow_featurestore_spark.plans import assert_plan
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    assert_plan(weighted_sample(df, F.lit(0.5)), max_shuffles=0)

@@ -78,3 +78,23 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
         lit for k, frac in sorted(fractions.items())
         for lit in (F.lit(k), F.lit(int(round(frac * n_buckets))))])
     return df.where(b < thresholds[F.col(strata_col)])
+
+
+def weighted_sample(df: DataFrame, weight: Column, id_col: str = "doc_id",
+                    n_buckets: int = N_BUCKETS,
+                    salt: str = "wsamp") -> DataFrame:
+    """Per-row weighted downsampling: keep a row with probability equal
+    to its (row-computed, [0,1]) ``weight`` — e.g. a quality score, so
+    high-quality documents survive curation proportionally more often.
+
+    Same deterministic hash-threshold machinery as
+    :func:`stratified_sample`, with the threshold computed per ROW from
+    the weight instead of per stratum: keep iff
+    ``hash_bucket(id) < floor(weight * n_buckets + 0.5)`` — an
+    integer-vs-integer compare, so the kept set is identical in any
+    engine and stable under corpus growth / reruns. Projection-only:
+    composes into the scan with zero shuffles.
+    """
+    b = hash_bucket(F.col(id_col), n_buckets, salt)
+    thr = F.floor(weight * n_buckets + F.lit(0.5)).cast("long")
+    return df.where(b < thr)
