@@ -352,6 +352,33 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_centroids=8, nprobe=2)
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join of orders to customer. Oracle =
+    the plain unsalted JOIN, so row-identical equivalence is enforced
+    by the correctness gate (same contract as salted_user_agg)."""
+    from w_userflow_featurestore_spark.operators.skew import salted_join
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    return salted_join(orders, cust, ["o_custkey"], buckets=8) \
+        .select("o_orderkey", "o_custkey", "c_nationkey", "o_totalprice")
+
+
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: 3 highest-quality docs per source (row_number over
+    quality desc with doc_id tie-break — generalizes the reference's
+    top-1-per-group idiom, SURVEY A9/W2)."""
+    from pyspark.sql import Window
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id"))
+    return (docs.select("doc_id", "source",
+                        TX.quality_score(F.col("text")).alias("quality"))
+            .withColumn("rank_in_source",
+                        F.row_number().over(w).cast("long"))
+            .where(F.col("rank_in_source") <= 3))
+
+
 def q_salted_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted two-phase aggregation. Oracle = a plain
     GROUP BY: algebraic partials must combine to the identical result,
@@ -737,6 +764,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "cardinality_sketch": q_cardinality_sketch,
     "salted_user_agg": q_salted_user_agg,
+    "salted_join": q_salted_join,
+    "top_docs_per_source": q_top_docs_per_source,
     "duration_percentiles": q_duration_percentiles,
     "curate_corpus": q_curate_corpus,
 }
@@ -1807,6 +1836,23 @@ FROM (
 WHERE (event_type = 'view' AND b < 500)
    OR (event_type = 'click' AND b < 100)
    OR (event_type = 'purchase' AND b < 1000)
+"""
+
+ORACLES["salted_join"] = """
+SELECT o_orderkey, o_custkey, c_nationkey, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["top_docs_per_source"] = _PROFILE_CTE + """
+SELECT doc_id, source, quality, rank_in_source
+FROM (
+  SELECT d.doc_id, d.source, prof.quality,
+         CAST(row_number() OVER (
+             PARTITION BY d.source
+             ORDER BY prof.quality DESC, d.doc_id ASC) AS BIGINT)
+           AS rank_in_source
+  FROM prof JOIN documents d USING (doc_id))
+WHERE rank_in_source <= 3
 """
 
 ORACLES["weighted_sample"] = _PROFILE_CTE + f"""

@@ -37,3 +37,26 @@ def test_salted_agg_rejects_non_algebraic(spark):
     with pytest.raises(ValueError, match="algebraic"):
         salted_agg(_skewed(spark), ["user_id"],
                    {"d": ("value", "count_distinct")})
+
+
+def test_salted_join_equals_plain_join(spark):
+    from w_userflow_featurestore_spark.operators.skew import salted_join
+    big = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "row_id long, k long")
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, tag string")
+    got = salted_join(big, small, ["k"], buckets=4)
+    assert got.count() == 300
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from w_userflow_featurestore_spark.operators.skew import salted_join
+    big = spark.createDataFrame([(1, 10), (2, 99)], "row_id long, k long")
+    small = spark.createDataFrame([(10, "hit")], "k long, tag string")
+    rows = {r.row_id: r.tag
+            for r in salted_join(big, small, ["k"], buckets=4,
+                                 how="left").collect()}
+    assert rows == {1: "hit", 2: None}

@@ -59,3 +59,24 @@ def salted_agg(df: DataFrame, keys: list[str],
         "__salt", (F.monotonically_increasing_id() % buckets).cast("int"))
     phase1 = salted.groupBy(*keys, "__salt").agg(*partials)
     return phase1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: list[str],
+                buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: salt the big side uniformly, REPLICATE
+    the small side across all ``buckets`` salt values, join on
+    (keys + salt). A hot join key's rows spread over ``buckets``
+    reducers instead of pinning one; the price is a ``buckets``-x blowup
+    of the small side, which is why the pattern only applies when the
+    small side is modest but past the broadcast threshold (below it,
+    broadcast wins; above it on BOTH sides, AQE skew-split is the tool).
+    Result is row-identical to the plain join — the driver query's
+    oracle is the unsalted JOIN, so equivalence sits in the correctness
+    gate just like salted_agg's.
+    """
+    salted = big.withColumn(
+        "__salt", (F.monotonically_increasing_id() % buckets).cast("int"))
+    rep = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
+    return salted.join(rep, on + ["__salt"], how).drop("__salt")
