@@ -102,3 +102,52 @@ def test_write_bucketed_join_and_agg_need_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    import datetime as dt
+    from w_userflow_featurestore_spark.sources import compact_partitions
+
+    path = str(tmp_path / "frag")
+    # 6 appends -> >=6 files in one day partition, 1 in the other
+    for i in range(6):
+        spark.createDataFrame(
+            [(i, dt.date(2024, 1, 1))], "id long, datetime date") \
+            .coalesce(1).write.mode("append") \
+            .partitionBy("datetime").parquet(path)
+    spark.createDataFrame(
+        [(99, dt.date(2024, 1, 2))], "id long, datetime date") \
+        .coalesce(1).write.mode("append") \
+        .partitionBy("datetime").parquet(path)
+
+    before = {f for f in spark.read.parquet(path).inputFiles()
+              if "datetime=2024-01-01" in f}
+    assert len(before) >= 6
+    n = compact_partitions(spark, path, ["datetime"])
+    assert n == 2
+    got = spark.read.parquet(path)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 5, 99]
+    after = {f for f in got.inputFiles() if "datetime=2024-01-01" in f}
+    assert len(after) == 1        # tiny partition -> single file
+
+
+def test_compact_partitions_scoped_sweep(spark, tmp_path):
+    import datetime as dt
+    from w_userflow_featurestore_spark.sources import compact_partitions
+
+    path = str(tmp_path / "frag2")
+    for day in (1, 2):
+        for i in range(3):
+            spark.createDataFrame(
+                [(day * 10 + i, dt.date(2024, 1, day))],
+                "id long, datetime date") \
+                .coalesce(1).write.mode("append") \
+                .partitionBy("datetime").parquet(path)
+    n = compact_partitions(spark, path, ["datetime"],
+                           partitions=[{"datetime": dt.date(2024, 1, 2)}])
+    assert n == 1
+    got = spark.read.parquet(path)
+    day1 = {f for f in got.inputFiles() if "datetime=2024-01-01" in f}
+    day2 = {f for f in got.inputFiles() if "datetime=2024-01-02" in f}
+    assert len(day1) == 3 and len(day2) == 1    # only day 2 compacted
+    assert got.count() == 6

@@ -5,7 +5,9 @@ from w_userflow_featurestore_spark.sources.parquet import (
     overwrite_partitions,
     write_bucketed,
     merge_upsert,
+    compact_partitions,
 )
 
 __all__ = ["read_table", "fan_out", "write_partitioned",
-           "overwrite_partitions", "write_bucketed", "merge_upsert"]
+           "overwrite_partitions", "write_bucketed", "merge_upsert",
+           "compact_partitions"]

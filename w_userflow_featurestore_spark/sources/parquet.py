@@ -180,3 +180,46 @@ def merge_upsert(spark: SparkSession, target_path: str, staged: DataFrame,
     # files cannot race the scan feeding it (read-before-overwrite hazard).
     merged = merged.localCheckpoint(eager=True)
     overwrite_partitions(merged, target_path, partition_by)
+
+
+def compact_partitions(spark: SparkSession, path: str,
+                       partition_by: list[str],
+                       target_file_bytes: int = 128 * 1024 * 1024,
+                       partitions: list[dict] | None = None) -> int:
+    """Small-file compaction: rewrite each partition of a day-partitioned
+    table into ~``target_file_bytes``-sized files. Returns the number of
+    partitions rewritten.
+
+    Streaming sinks and frequent MERGE runs accrete many small files per
+    partition (every micro-batch/upsert commits at least one); at 100 TB
+    the resulting scan-task explosion and namenode/list pressure dominate
+    read cost, so compaction is a standing maintenance job (the same role
+    Iceberg's rewrite_data_files action plays for the reference's
+    tables). Per-partition rewrite keeps the unit of work (and of
+    failure/recovery) identical to the pipeline's — one day partition —
+    and ``overwrite_partitions`` makes each rewrite idempotent; a crash
+    mid-compaction leaves untouched partitions readable and compacted
+    ones complete.
+
+    ``partitions`` narrows the sweep (e.g. yesterday only, the steady-
+    state mode); None compacts every partition.
+    """
+    df = spark.read.parquet(path)
+    if partitions is None:
+        partitions = [r.asDict()
+                      for r in df.select(*partition_by).distinct().collect()]
+    n = 0
+    for part in partitions:
+        pred = None
+        for k, v in part.items():
+            c = F.col(k) == F.lit(v)
+            pred = c if pred is None else (pred & c)
+        chunk = df.where(pred)
+        # size the output by actual partition bytes via the scan stats
+        stat_bytes = (chunk._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        n_files = max(1, int(min(stat_bytes, 2**53)
+                             // target_file_bytes))
+        overwrite_partitions(chunk.repartition(n_files), path, partition_by)
+        n += 1
+    return n
