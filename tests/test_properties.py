@@ -96,3 +96,37 @@ def test_sessionize_matches_independent_model(spark, events):
         assert r["start_time"] <= r["end_time"]
         assert (r["is_exit"] == 1) == (r["session_state"] in
                                        ("EXIT", "TIMEOUT_EXIT"))
+
+
+word_strategy = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=2),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(word_strategy)
+def test_repetition_profile_matches_counter_model(spark, words_list):
+    """repetition_profile's sorted-run-length mode counts == an
+    independent collections.Counter model, for arbitrary word streams."""
+    from collections import Counter
+
+    from w_userflow_featurestore_spark.operators.text import (
+        repetition_profile)
+
+    text = " ".join(words_list)
+    (row,) = repetition_profile(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()
+    wc = Counter(words_list)
+    n = len(words_list)
+    assert row.n_words == n
+    assert row.n_distinct_words == len(wc)
+    top_w = max(wc.values())
+    assert abs(row.top_word_frac - round(top_w / n, 4)) < 1e-9
+    if n >= 2:
+        bc = Counter(zip(words_list, words_list[1:]))
+        assert abs(row.top_bigram_frac
+                   - round(max(bc.values()) / (n - 1), 4)) < 1e-9
+    else:
+        assert row.top_bigram_frac == 0.0
