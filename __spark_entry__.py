@@ -651,6 +651,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
+def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-update curation: odd-id docs arrive as the new batch and
+    are curated against the even-id corpus represented ONLY by its
+    signature-index ledger (content hash + minhashes) — the corpus text
+    is never rescanned (see operators/curate.py)."""
+    from w_userflow_featurestore_spark.operators.curate import (
+        incremental_curate, signature_index,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    ledger = signature_index(docs.where(F.col("doc_id") % 2 == 0))
+    return incremental_curate(docs.where(F.col("doc_id") % 2 == 1), ledger)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted downsample: each document kept with probability
     equal to its quality score — per-row hash threshold, zero shuffle
@@ -757,6 +770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
+    "incremental_curate": q_incremental_curate,
     "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
@@ -2053,6 +2067,23 @@ SELECT user_id FROM events WHERE event_type = 'error'
 # composed oracle: literally the composition of the three stage oracles
 # (DuckDB allows WITH inside derived tables) — any mismatch localizes to
 # the Spark-side glue in operators/curate.py
+ORACLES["incremental_curate"] = f"""
+SELECT p.doc_id, p.lang_pred, p.quality, p.n_tokens_ws, p.content_hash
+FROM ({ORACLES['text_profile']}) p
+WHERE p.doc_id % 2 = 1
+  AND p.quality >= 0.5
+  AND NOT EXISTS (
+    SELECT 1 FROM (SELECT doc_id, md5({_NORM}) AS h FROM documents) b
+    WHERE b.h = p.content_hash
+      AND (b.doc_id % 2 = 0 OR b.doc_id < p.doc_id))
+  AND p.doc_id NOT IN (
+    SELECT v FROM (
+      SELECT doc_b AS v FROM ({ORACLES['minhash_lsh_pairs']})
+      UNION ALL
+      SELECT doc_a AS v FROM ({ORACLES['minhash_lsh_pairs']})
+      WHERE doc_b % 2 = 0))
+"""
+
 ORACLES["curate_corpus"] = f"""
 SELECT p.doc_id, p.lang_pred, p.quality, p.n_tokens_ws, p.content_hash
 FROM ({ORACLES['text_profile']}) p

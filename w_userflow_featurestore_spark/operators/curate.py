@@ -55,3 +55,102 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.5,
             .join(victims, id_col, "left_anti")
             .select(id_col, "lang_pred", "quality", "n_tokens_ws",
                     "content_hash"))
+
+
+def signature_index(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3,
+                    k: int = 8) -> DataFrame:
+    """The persistable curation ledger for an ingested corpus: one row
+    per document with its content hash and k-wide minhash signature
+    (doc_id, content_hash, mh0..mh{k-1}).
+
+    This is the ONLY state incremental curation needs — ~100 bytes/doc,
+    so the ledger for a 100 TB corpus is ~100 GB: joinable, even
+    broadcastable in shards, while the corpus text never gets rescanned.
+    """
+    from w_userflow_featurestore_spark.operators.dedup import (
+        minhash_signatures, normalize_text)
+    hashes = docs.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("content_hash"))
+    return hashes.join(minhash_signatures(docs, text_col, id_col,
+                                          n=n, k=k), id_col)
+
+
+def incremental_curate(new_docs: DataFrame, ledger: DataFrame,
+                       min_quality: float = 0.5,
+                       near_threshold: float = 0.5,
+                       id_col: str = "doc_id", n: int = 3, k: int = 8,
+                       bands: int = 4) -> DataFrame:
+    """Curate a NEW batch against an already-ingested corpus without
+    touching the corpus text — the daily-update form of
+    :func:`curate_corpus`.
+
+    The corpus is represented solely by its :func:`signature_index`
+    ledger. Drop rules, in order, mirroring curate_corpus with
+    "corpus always wins":
+
+    1. quality < min_quality (batch profile, survivors only — victims
+       for rules 2-4 are computed pre-filter, same stability contract
+       as curate_corpus)
+    2. exact duplicate of ANY ledger row (content-hash anti-join), or
+       of a lower-id batch doc
+    3. LSH near-duplicate (est_jaccard >= near_threshold) of ANY ledger
+       row — the new doc is always the victim regardless of id order
+    4. LSH near-duplicate of a lower-id batch doc
+
+    Scale design: batch-side work is proportional to the BATCH (profile
+    + signatures are row-local), and the corpus probe is a (band,
+    bucket) equi-join of the batch's banded signatures against the
+    banded ledger — candidates meet only inside shared buckets, then
+    the k-wide signatures verify. Three hash-partition shuffles total
+    (bucket probe, batch self-probe, id-keyed victim anti-joins),
+    none proportional to corpus text.
+    """
+    from pyspark.sql import Window
+
+    from w_userflow_featurestore_spark.operators.dedup import (
+        band_buckets, lsh_candidate_pairs, minhash_signatures)
+
+    prof = text_profile(new_docs)
+    new_sigs = minhash_signatures(new_docs, id_col=id_col, n=n, k=k)
+
+    # rule 2: exact dups — vs ledger, then lowest-id-wins inside batch
+    keep = (prof
+            .join(ledger.select("content_hash").distinct(),
+                  "content_hash", "left_anti")
+            .withColumn("__min_id",
+                        F.min(id_col).over(Window.partitionBy("content_hash")))
+            .where(F.col(id_col) == F.col("__min_id"))
+            .drop("__min_id"))
+
+    # rule 3: near-dup vs corpus — banded probe + signature verify
+    nb = band_buckets(new_sigs, id_col, k=k, bands=bands)
+    cb = band_buckets(ledger, id_col, k=k, bands=bands) \
+        .select(F.col(id_col).alias("__cid"), "band", "bucket")
+    cand = (nb.join(cb, ["band", "bucket"])
+            .select(id_col, "__cid").dropDuplicates([id_col, "__cid"]))
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    nsig = new_sigs.select(F.col(id_col), sig_arr.alias("__nsig"))
+    csig = ledger.select(F.col(id_col).alias("__cid"),
+                         sig_arr.alias("__csig"))
+    agree = F.size(F.filter(
+        F.zip_with("__nsig", "__csig", lambda x, y: x == y), lambda e: e))
+    from w_userflow_featurestore_spark.functions import fround
+    corpus_victims = (cand.join(nsig, id_col).join(csig, "__cid")
+                      .where(fround(agree / F.lit(float(k)), 2)
+                             >= near_threshold)
+                      .select(id_col).distinct())
+
+    # rule 4: near-dup inside the batch — higher id loses
+    batch_victims = (lsh_candidate_pairs(new_sigs, id_col, k=k,
+                                         bands=bands,
+                                         min_est_jaccard=near_threshold)
+                     .select(F.col("doc_b").alias(id_col)).distinct())
+
+    return (keep
+            .where(F.col("quality") >= min_quality)
+            .join(corpus_victims, id_col, "left_anti")
+            .join(batch_victims, id_col, "left_anti")
+            .select(id_col, "lang_pred", "quality", "n_tokens_ws",
+                    "content_hash"))

@@ -137,6 +137,27 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(signatures: DataFrame, id_col: str = "doc_id",
+                 k: int = 8, bands: int = 4) -> DataFrame:
+    """(id, band, bucket) rows from a minhash-signature table — the
+    LSH index in its PERSISTABLE form. A band's bucket key is the md5 of
+    its ``k/bands`` concatenated minhashes; two docs are candidates iff
+    they share >=1 (band, bucket). Written to a ledger table, this is
+    what lets a new batch probe a 100 TB corpus without rescanning it
+    (see operators/curate.py incremental_curate)."""
+    r = k // bands
+    assert bands * r == k, "k must be divisible by bands"
+    return signatures.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(",", *[F.col(f"mh{i}").cast("string")
+                                              for i in range(b * r, (b + 1) * r)]))
+                      .alias("bucket"))
+            for b in range(bands)])).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         k: int = 8, bands: int = 4,
                         min_est_jaccard: float = 0.5) -> DataFrame:
@@ -149,21 +170,11 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     full-signature agreement fraction (the Jaccard estimate), filtered
     at ``min_est_jaccard``.
     """
-    r = k // bands
-    assert bands * r == k, "k must be divisible by bands"
     # id-only band join: the bucket shuffle and pair dedup move
     # (band, bucket, id); the k-wide signatures rejoin once per side for
     # the agreement estimate (AQE broadcasts at small scale, one id-keyed
     # shuffle at large) — never duplicated x bands through the join.
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws(",", *[F.col(f"mh{i}").cast("string")
-                                              for i in range(b * r, (b + 1) * r)]))
-                      .alias("bucket"))
-            for b in range(bands)])).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = band_buckets(signatures, id_col, k=k, bands=bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.bucket") == F.col("b.bucket"))
