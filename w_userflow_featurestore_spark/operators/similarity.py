@@ -183,11 +183,17 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.9,
     shape as minhash_lsh_dedup's band join; vectors + norms join back
     once per side for the verify.
     """
-    a = _banded_ids(corpus, "doc_a", id_col, vec_col, planes, dims, tables)
-    b = _banded_ids(corpus, "doc_b", id_col, vec_col, planes, dims, tables)
-    cand = (a.join(b, ["tbl", "bucket"])
-             .where(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b")
+    # one banded subplan, self-joined via aliases — the quantize + bucket
+    # arithmetic runs ONCE and the probe side becomes a ReusedExchange,
+    # instead of two independent quantization passes over the corpus
+    banded = _banded_ids(corpus, "_nid", id_col, vec_col, planes, dims,
+                         tables)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a._nid") < F.col("b._nid")))
+             .select(F.col("a._nid").alias("doc_a"),
+                     F.col("b._nid").alias("doc_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
     vecs = _quantized(corpus, id_col, vec_col, "_vid", "_vec", dims,
                       with_norm="_norm")
