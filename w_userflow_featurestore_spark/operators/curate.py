@@ -110,7 +110,7 @@ def incremental_curate(new_docs: DataFrame, ledger: DataFrame,
     from pyspark.sql import Window
 
     from w_userflow_featurestore_spark.operators.dedup import (
-        band_buckets, lsh_candidate_pairs, minhash_signatures)
+        band_buckets, minhash_signatures)
 
     prof = text_profile(new_docs)
     new_sigs = minhash_signatures(new_docs, id_col=id_col, n=n, k=k)
@@ -124,29 +124,49 @@ def incremental_curate(new_docs: DataFrame, ledger: DataFrame,
             .where(F.col(id_col) == F.col("__min_id"))
             .drop("__min_id"))
 
-    # rule 3: near-dup vs corpus — banded probe + signature verify
+    # rules 3+4 share one banded batch subplan and one signature
+    # projection — the minhash aggregation's exchange is identical in
+    # every reuse, so Spark replays it instead of re-shingling the batch
+    from w_userflow_featurestore_spark.functions import fround
     nb = band_buckets(new_sigs, id_col, k=k, bands=bands)
     cb = band_buckets(ledger, id_col, k=k, bands=bands) \
         .select(F.col(id_col).alias("__cid"), "band", "bucket")
-    cand = (nb.join(cb, ["band", "bucket"])
-            .select(id_col, "__cid").dropDuplicates([id_col, "__cid"]))
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
-    nsig = new_sigs.select(F.col(id_col), sig_arr.alias("__nsig"))
+    nsig = new_sigs.select(F.col(id_col), sig_arr.alias("__sig"))
     csig = ledger.select(F.col(id_col).alias("__cid"),
                          sig_arr.alias("__csig"))
-    agree = F.size(F.filter(
-        F.zip_with("__nsig", "__csig", lambda x, y: x == y), lambda e: e))
-    from w_userflow_featurestore_spark.functions import fround
+
+    def _agree(a: str, b: str):
+        return F.size(F.filter(
+            F.zip_with(a, b, lambda x, y: x == y), lambda e: e))
+
+    # rule 3: near-dup vs corpus — banded probe + signature verify
+    cand = (nb.join(cb, ["band", "bucket"])
+            .select(id_col, "__cid").dropDuplicates([id_col, "__cid"]))
     corpus_victims = (cand.join(nsig, id_col).join(csig, "__cid")
-                      .where(fround(agree / F.lit(float(k)), 2)
-                             >= near_threshold)
+                      .where(fround(_agree("__sig", "__csig")
+                                    / F.lit(float(k)), 2) >= near_threshold)
                       .select(id_col).distinct())
 
-    # rule 4: near-dup inside the batch — higher id loses
-    batch_victims = (lsh_candidate_pairs(new_sigs, id_col, k=k,
-                                         bands=bands,
-                                         min_est_jaccard=near_threshold)
-                     .select(F.col("doc_b").alias(id_col)).distinct())
+    # rule 4: near-dup inside the batch — higher id loses (same
+    # candidates + verify as lsh_candidate_pairs, on the shared subplans)
+    a, b = nb.alias("a"), nb.alias("b")
+    bpairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .select(F.col(f"a.{id_col}").alias("__wa"),
+                      F.col(f"b.{id_col}").alias("__wb"))
+              .dropDuplicates(["__wa", "__wb"]))
+    batch_victims = (bpairs
+                     .join(nsig.select(F.col(id_col).alias("__wa"),
+                                       F.col("__sig").alias("__sa")),
+                           "__wa")
+                     .join(nsig.select(F.col(id_col).alias("__wb"),
+                                       F.col("__sig").alias("__sb")),
+                           "__wb")
+                     .where(fround(_agree("__sa", "__sb")
+                                   / F.lit(float(k)), 2) >= near_threshold)
+                     .select(F.col("__wb").alias(id_col)).distinct())
 
     return (keep
             .where(F.col("quality") >= min_quality)
