@@ -310,6 +310,13 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.frequent_tokens(read_table(spark, sf_dir, "documents"), k=20)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-64-token chunks with 16-token overlap per document — the
+    context-window / retrieval-index chunker (operators/text.py)."""
+    return TX.chunk_documents(read_table(spark, sf_dir, "documents"),
+                              chunk_tokens=64, overlap=16)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for query vectors vec_id < 5."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -744,6 +751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "above_avg_orders": q_above_avg_orders,
     "frequent_tokens": q_frequent_tokens,
+    "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1850,6 +1858,25 @@ FROM (
 WHERE (event_type = 'view' AND b < 500)
    OR (event_type = 'click' AND b < 100)
    OR (event_type = 'purchase' AND b < 1000)
+"""
+
+ORACLES["doc_chunks"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws,
+         len(string_split({_NORM}, ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         CASE WHEN n <= 64 THEN 1
+              ELSE CAST(floor((n - 64 + 47) / 48.0) AS BIGINT) + 1 END
+           AS n_chunks
+  FROM w)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(len(ws[i * 48 + 1 : i * 48 + 64]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(ws[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+FROM (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS i FROM c)
 """
 
 ORACLES["salted_join"] = """

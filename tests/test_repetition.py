@@ -43,3 +43,36 @@ def test_flag_uses_unrounded_fractions(spark):
 def test_plan_is_zero_shuffle_projection(spark):
     assert_plan(repetition_profile(_docs(spark, [(1, "a b c")])),
                 max_shuffles=0, max_sort_merge_joins=0)
+
+
+def test_chunking_windows_and_overlap(spark):
+    from w_userflow_featurestore_spark.operators.text import chunk_documents
+    docs = _docs(spark, [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")])
+    got = {r.chunk_id: r for r in
+           chunk_documents(docs, chunk_tokens=4, overlap=2).collect()}
+    # stride 2 -> starts 0,2,4,6: [0-3],[2-5],[4-7],[6-9]
+    assert len(got) == 4
+    assert got[0].chunk_text == "w0 w1 w2 w3"
+    assert got[1].chunk_text == "w2 w3 w4 w5"
+    assert got[3].chunk_text == "w6 w7 w8 w9"
+    assert all(r.n_chunk_tokens == 4 for r in got.values())
+
+
+def test_chunking_short_doc_and_ragged_tail(spark):
+    from w_userflow_featurestore_spark.operators.text import chunk_documents
+    docs = _docs(spark, [(1, "a b"), (2, "a b c d e f g h i")])  # 2 and 9
+    got = {(r.doc_id, r.chunk_id): r for r in
+           chunk_documents(docs, chunk_tokens=4, overlap=2).collect()}
+    assert got[(1, 0)].chunk_text == "a b"         # whole short doc
+    assert got[(1, 0)].n_chunk_tokens == 2
+    # 9 words: starts 0,2,4,6 -> last chunk is the 3-word tail
+    assert got[(2, 3)].chunk_text == "g h i"
+    assert got[(2, 3)].n_chunk_tokens == 3
+    assert len([k for k in got if k[0] == 2]) == 4
+
+
+def test_chunking_plan_is_single_explode_no_shuffle(spark):
+    from w_userflow_featurestore_spark.operators.text import chunk_documents
+    # fan_out's round-robin spread is the only exchange (no-op at scale)
+    assert_plan(chunk_documents(_docs(spark, [(1, "a b c")])),
+                max_shuffles=1, max_sort_merge_joins=0)

@@ -297,3 +297,37 @@ def frequent_tokens(docs: DataFrame, k: int = 20,
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), F.asc("token"))
             .limit(k))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    chunker feeding context-window training and retrieval indexes.
+
+    Chunk ``i`` covers normalized words ``[i*stride, i*stride+chunk)``
+    with ``stride = chunk_tokens - overlap``; the last chunk starts at
+    the final stride boundary and may be short (it is never padded, and
+    a doc shorter than one chunk yields itself whole). Row-local
+    sequence/slice HOFs + one explode — no shuffle; chunk counts scale
+    the output linearly, exactly like the shingle explode.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    docs = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    out = (docs.withColumn("__ws", words(F.col(text_col)))
+           .withColumn("__n", F.size(F.col("__ws"))))
+    n, ws = F.col("__n"), F.col("__ws")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / stride).cast("long") + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.slice(ws, i * stride + 1, chunk_tokens))
+    return (out
+            .select(F.col(id_col),
+                    F.posexplode(chunks).alias("chunk_id", "__cw"))
+            .select(F.col(id_col),
+                    F.col("chunk_id").cast("long"),
+                    F.size("__cw").cast("long").alias("n_chunk_tokens"),
+                    F.concat_ws(" ", "__cw").alias("chunk_text")))
