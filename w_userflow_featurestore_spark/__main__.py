@@ -52,6 +52,18 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--out", required=True)
     g.add_argument("--min-rows", type=int, default=1)
 
+    c = sub.add_parser(
+        "curate",
+        help="curate a document corpus (full, or incremental vs a ledger)")
+    c.add_argument("--docs", required=True,
+                   help="parquet dir with doc_id/text columns")
+    c.add_argument("--out", required=True,
+                   help="output dir: survivors/ + ledger/ subdirs")
+    c.add_argument("--ledger", default=None,
+                   help="existing signature-index ledger dir: curate "
+                        "--docs as a NEW batch against it (incremental)")
+    c.add_argument("--min-quality", type=float, default=0.5)
+
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"featurestore-{args.cmd}")
 
@@ -81,6 +93,27 @@ def main(argv: list[str] | None = None) -> int:
                                      min_rows_per_day=args.min_rows)
         for name, n in written.items():
             print(f"gold: {name} rows={n}")
+        return 0
+
+    if args.cmd == "curate":
+        from w_userflow_featurestore_spark.operators.curate import (
+            curate_corpus, incremental_curate, signature_index)
+        docs = spark.read.parquet(args.docs)
+        if args.ledger:
+            ledger = spark.read.parquet(args.ledger)
+            survivors = incremental_curate(docs, ledger,
+                                           min_quality=args.min_quality)
+        else:
+            survivors = curate_corpus(docs, min_quality=args.min_quality)
+        survivors.write.mode("overwrite").parquet(f"{args.out}/survivors")
+        # ledger for the NEXT increment: index of this run's survivors
+        kept = docs.join(
+            spark.read.parquet(f"{args.out}/survivors").select("doc_id"),
+            "doc_id", "left_semi")
+        signature_index(kept).write.mode("overwrite") \
+            .parquet(f"{args.out}/ledger")
+        n = spark.read.parquet(f"{args.out}/survivors").count()
+        print(f"curate: survivors={n} out={args.out}")
         return 0
 
     return 2
