@@ -709,6 +709,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ["spark", "hash", "join", "vector"], k=10)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-10 with the exact-cosine semantic top-10 for query vector 0
+    (vec_id doubles as doc_id in the fixtures). Integer-nanos RRF
+    contributions keep the fused scores engine-exact
+    (operators/retrieval.py rrf_fuse)."""
+    from pyspark.sql import Window
+
+    from w_userflow_featurestore_spark.operators.retrieval import (
+        bm25_topk, rrf_fuse,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "hash", "join", "vector"], k=10)
+    wlex = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wlex).cast("long").alias("rank"))
+    sem_r = (SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 0),
+                                  k=10)
+             .select(F.col("n_id").alias("doc_id"), F.col("rank")))
+    return rrf_fuse([lex_r, sem_r], k=10)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> typed features through the Arrow mapInPandas
     path (deterministic fake decode; the plumbing under test is real)."""
@@ -774,6 +797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "training_set": q_training_set,
     "bm25_topk": q_bm25_topk,
+    "hybrid_search": q_hybrid_search,
     "funnel_daily": q_funnel_daily,
     "event_transitions": q_event_transitions,
     "stratified_sample": q_stratified_sample,
@@ -1491,6 +1515,38 @@ WHERE "rank" <= 5
 """
 
 
+ORACLES["hybrid_search"] = f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id ASC)
+              AS BIGINT) AS rnk
+  FROM ({{BM25}})),
+q0 AS (SELECT vec_id AS q_id, {_QVEC} AS qv
+       FROM embeddings WHERE vec_id = 0),
+c0 AS (SELECT vec_id AS n_id, {_QVEC} AS nv FROM embeddings),
+scored0 AS (
+  SELECT q_id, n_id, {_COSINE} AS cosine
+  FROM c0 CROSS JOIN q0 WHERE n_id <> q_id),
+sem AS (
+  SELECT n_id AS doc_id, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT n_id,
+           row_number() OVER (ORDER BY cosine DESC, n_id ASC) AS rnk
+    FROM scored0)
+  WHERE rnk <= 10),
+u AS (
+  SELECT doc_id, CAST(floor(1000000000 / (60 + rnk)) AS BIGINT) AS s
+  FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(floor(1000000000 / (60 + rnk)) AS BIGINT) AS s
+  FROM sem)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS rrf_nanos,
+       CAST(count(*) AS BIGINT) AS n_systems
+FROM u GROUP BY doc_id
+ORDER BY rrf_nanos DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def _bucket_sql(vec: str, planes: int, table: int = 0) -> str:
     from w_userflow_featurestore_spark.operators.similarity import plane_signs
     terms = []
@@ -1811,6 +1867,12 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
 FROM c GROUP BY doc_id
 ORDER BY score_micros DESC, doc_id LIMIT 10
 """
+
+# hybrid_search's lexical arm is the bm25_topk oracle verbatim; the
+# placeholder is resolved here because bm25's SQL is defined after the
+# hybrid template above
+ORACLES["hybrid_search"] = ORACLES["hybrid_search"].replace(
+    "{BM25}", ORACLES["bm25_topk"])
 
 ORACLES["asof_features"] = """
 SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value,

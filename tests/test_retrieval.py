@@ -77,3 +77,26 @@ def test_bm25_plan_shape(spark):
     assert_plan(df, max_shuffles=5, min_broadcast_joins=2,
                 max_sort_merge_joins=0)
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_rrf_fuse_scores_and_missing_systems(spark):
+    from w_userflow_featurestore_spark.operators.retrieval import rrf_fuse
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    got = {r.doc_id: r for r in rrf_fuse([lex, sem], k=10).collect()}
+    nanos = lambda rnk: 1_000_000_000 // (60 + rnk)  # noqa: E731
+    assert got[2].rrf_nanos == nanos(2) + nanos(1)   # both systems
+    assert got[2].n_systems == 2
+    assert got[1].rrf_nanos == nanos(1) and got[1].n_systems == 1
+    assert got[3].rrf_nanos == nanos(2)
+    # doc in both systems outranks single-system docs at equal ranks
+    order = sorted(got.values(), key=lambda r: (-r.rrf_nanos, r.doc_id))
+    assert order[0].doc_id == 2
+
+
+def test_rrf_fuse_topk_deterministic_tiebreak(spark):
+    from w_userflow_featurestore_spark.operators.retrieval import rrf_fuse
+    a = spark.createDataFrame([(9, 1), (4, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(4, 1), (9, 2)], "doc_id long, rank long")
+    rows = rrf_fuse([a, b], k=1).collect()     # symmetric scores: tie
+    assert [r.doc_id for r in rows] == [4]     # lower id wins

@@ -104,3 +104,32 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], *,
                  F.sum("c").alias("score_micros"))
             .orderBy(F.col("score_micros").desc(), "doc_id")
             .limit(k))
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of any number
+    of (id, rank) rankings — the standard lexical+semantic hybrid-search
+    combiner: score(d) = sum over systems of 1/(c + rank_s(d)), docs
+    absent from a system contribute nothing.
+
+    Contributions are integer NANOS (floor(1e9/(c+rank))) so the fused
+    score is an exact integer sum — immune to partial-agg order and
+    engine float quirks, same contract as BM25's micro scores. Plan:
+    union of the tiny per-system rank lists, one hash agg, TakeOrdered
+    top-k — the fusion cost is O(k x systems) regardless of corpus size.
+    """
+    from functools import reduce
+
+    contribs = [
+        r.select(F.col(id_col),
+                 F.floor(F.lit(1_000_000_000) / (F.lit(c) + F.col("rank")))
+                 .cast("long").alias("__rrf"))
+        for r in rankings]
+    fused = (reduce(lambda a, b: a.unionByName(b), contribs)
+             .groupBy(id_col)
+             .agg(F.sum("__rrf").alias("rrf_nanos"),
+                  F.count(F.lit(1)).alias("n_systems"))
+             .orderBy(F.desc("rrf_nanos"), F.asc(id_col))
+             .limit(k))
+    return fused
