@@ -671,6 +671,23 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_curate(docs.where(F.col("doc_id") % 2 == 1), ledger)
 
 
+def q_time_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted value sum: integer right-shift decay
+    (half-life 1 day, anchored at the corpus max event date) — exact
+    under any partitioning (operators/temporal.py)."""
+    return TMP.time_decay_features(_events(spark, sf_dir))
+
+
+def q_capped_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 5 events per user, deterministic hash order — the
+    anti-bot per-entity cap (operators/sampling.py)."""
+    from w_userflow_featurestore_spark.operators.sampling import (
+        cap_group_rows,
+    )
+    return cap_group_rows(_events(spark, sf_dir), ["user_id"], n=5) \
+        .select("event_id", "user_id", "event_type")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted downsample: each document kept with probability
     equal to its quality score — per-row hash threshold, zero shuffle
@@ -803,6 +820,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
     "incremental_curate": q_incremental_curate,
+    "time_decay_features": q_time_decay_features,
+    "capped_user_events": q_capped_user_events,
     "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
@@ -1956,6 +1975,30 @@ FROM (
            AS rank_in_source
   FROM prof JOIN documents d USING (doc_id))
 WHERE rank_in_source <= 3
+"""
+
+ORACLES["time_decay_features"] = """
+WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+a AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT)
+           >> least(date_diff('day', CAST(ts AS DATE),
+                              (SELECT ref FROM r)), 40) AS dec
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(dec) AS BIGINT) AS decayed_value_c
+FROM a GROUP BY user_id
+"""
+
+ORACLES["capped_user_events"] = f"""
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (
+             PARTITION BY user_id
+             ORDER BY {_H60.format(x="'cap:' || CAST(event_id AS VARCHAR)")},
+                      event_id) AS rn
+  FROM events)
+WHERE rn <= 5
 """
 
 ORACLES["weighted_sample"] = _PROFILE_CTE + f"""

@@ -147,3 +147,41 @@ def test_setops_distinct_semantics(spark):
 def test_winnowing_short_doc_single_fingerprint(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     assert TX.winnow_fingerprints(docs).count() == 1
+
+
+def test_time_decay_halves_per_day(spark):
+    import datetime as dt
+
+    from w_userflow_featurestore_spark.operators.temporal import (
+        time_decay_features)
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 3, 12), 1, "view", 8.00, "{}"),
+         (2, dt.datetime(2024, 1, 2, 9), 1, "view", 8.00, "{}"),
+         (3, dt.datetime(2024, 1, 1, 23), 1, "view", 8.00, "{}"),
+         (4, dt.datetime(2024, 1, 3, 1), 2, "view", 1.27, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    got = {r.user_id: r for r in time_decay_features(ev).collect()}
+    # ref = 2024-01-03: ages 0,1,2 days -> 800 + 400 + 200 cents
+    assert got[1].decayed_value_c == 1400 and got[1].n_events == 3
+    assert got[2].decayed_value_c == 127      # age 0, exact cents
+
+
+def test_cap_group_rows_bounds_and_determinism(spark):
+    from w_userflow_featurestore_spark.operators.sampling import (
+        cap_group_rows)
+    ev = spark.createDataFrame(
+        [(i, 1 if i < 20 else 2, "view") for i in range(23)],
+        "event_id long, user_id long, event_type string")
+    got = cap_group_rows(ev, ["user_id"], n=5, id_col="event_id")
+    per_user = {r.user_id: 0 for r in got.collect()}
+    for r in got.collect():
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert per_user[1] == 5          # hot user capped
+    assert per_user[2] == 3          # small group untouched
+    # deterministic: identical survivor set on rerun
+    a = sorted(r.event_id for r in got.collect())
+    b = sorted(r.event_id
+               for r in cap_group_rows(ev, ["user_id"], n=5,
+                                       id_col="event_id").collect())
+    assert a == b

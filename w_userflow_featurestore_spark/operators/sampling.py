@@ -13,7 +13,7 @@ buckets are uniform and the oracle twin is one CAST expression.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from w_userflow_featurestore_spark.operators.dedup import text_hash60
@@ -98,3 +98,25 @@ def weighted_sample(df: DataFrame, weight: Column, id_col: str = "doc_id",
     b = hash_bucket(F.col(id_col), n_buckets, salt)
     thr = F.floor(weight * n_buckets + F.lit(0.5)).cast("long")
     return df.where(b < thr)
+
+
+def cap_group_rows(df: DataFrame, group_cols: list[str], n: int,
+                   id_col: str = "event_id",
+                   salt: str = "cap") -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by deterministic hash
+    order (hash of the row id, id tie-break) — the per-entity event cap
+    that stops bots/power users from dominating training features.
+
+    Unlike ``ORDER BY rand() LIMIT``-style capping this is rerun-stable
+    and growth-stable: a row's survival flips only if enough new
+    lower-hash rows arrive in ITS group. One hash-partition shuffle on
+    the group key; the hot group's rows all visit one reducer but are
+    cut to ``n`` there, so downstream stages see bounded groups —
+    the cap IS the skew fix for whatever follows it.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        text_hash60(F.concat(F.lit(f"{salt}:"),
+                             F.col(id_col).cast("string"))),
+        F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n).drop("__rn"))

@@ -110,3 +110,38 @@ def sliding_window_counts(events: DataFrame, ts_col: str = "ts",
                   .select(epoch_ms(F.col("w.start")).alias("window_start_ms"),
                           "n_events",
                           fround(F.col("vc") / 100.0).alias("sum_value")))
+
+
+def time_decay_features(events: DataFrame, key_col: str = "user_id",
+                        ts_col: str = "ts", value_col: str = "value",
+                        half_life_days: int = 1,
+                        max_age_days: int = 40) -> DataFrame:
+    """Per-key exponentially time-decayed value sum — the recency-
+    weighted engagement feature every feature store ships (recent
+    activity counts full, day-old activity counts half, ...).
+
+    Exactness at any scale: the decay is a power of two applied as an
+    INTEGER right-shift of the cent-scaled value
+    (``cents >> (age_days / half_life)``, ages past ``max_age_days``
+    contribute 0), so every per-row contribution is an exact integer
+    and the aggregate is immune to partial-aggregation order — a true
+    ``exp(-age)`` weight would make the sum engine- and
+    partitioning-dependent. The reference anchor "now" is the corpus
+    max event date (broadcast 1-row aggregate), keeping the op
+    deterministic and rerunnable (P9's injected-now rule).
+    """
+    ref = F.broadcast(
+        events.agg(F.max(F.to_date(ts_col)).alias("__ref")))
+    aged = (events.crossJoin(ref)
+            .withColumn("__age",
+                        F.least(F.datediff(F.col("__ref"),
+                                           F.to_date(ts_col))
+                                / F.lit(half_life_days),
+                                F.lit(max_age_days)).cast("int"))
+            .withColumn("__cents", scaled_long(F.col(value_col)))
+            # F.shiftright only takes a literal bit count; the SQL form
+            # shifts by a per-row column
+            .withColumn("__dec", F.expr("shiftright(__cents, __age)")))
+    return (aged.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("__dec").alias("decayed_value_c")))
