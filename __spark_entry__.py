@@ -678,6 +678,13 @@ def q_time_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TMP.time_decay_features(_events(spark, sf_dir))
 
 
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, active-day) churn label: 1 iff no event in the next
+    7 days — forward-looking RANGE window, leakage-safe by construction
+    (operators/temporal.py)."""
+    return TMP.churn_labels(_events(spark, sf_dir))
+
+
 def q_capped_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At most 5 events per user, deterministic hash order — the
     anti-bot per-entity cap (operators/sampling.py)."""
@@ -822,6 +829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_curate": q_incremental_curate,
     "time_decay_features": q_time_decay_features,
     "capped_user_events": q_capped_user_events,
+    "churn_labels": q_churn_labels,
     "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
@@ -1988,6 +1996,21 @@ a AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(dec) AS BIGINT) AS decayed_value_c
 FROM a GROUP BY user_id
+"""
+
+ORACLES["churn_labels"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_date FROM events),
+n AS (
+  SELECT user_id, activity_date,
+         date_diff('day', DATE '1970-01-01', activity_date) AS ed
+  FROM d)
+SELECT user_id, strftime(activity_date, '%Y-%m-%d') AS activity_date,
+       CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY ed
+           RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING) = 0 AS INT)
+         AS churned
+FROM n
 """
 
 ORACLES["capped_user_events"] = f"""

@@ -185,3 +185,24 @@ def test_cap_group_rows_bounds_and_determinism(spark):
                for r in cap_group_rows(ev, ["user_id"], n=5,
                                        id_col="event_id").collect())
     assert a == b
+
+
+def test_churn_labels_forward_window_and_gaps(spark):
+    import datetime as dt
+
+    from w_userflow_featurestore_spark.operators.temporal import (
+        churn_labels)
+    mk = lambda eid, day, uid: (eid, dt.datetime(2024, 1, day, 10), uid,  # noqa: E731
+                                "view", 1.0, "{}")
+    ev = spark.createDataFrame(
+        # user 1: days 1, 5, 20 -> day1 rescued by day5 (gap 4 <= 7),
+        # day5 churned (next is 15 days later), day20 churned (stream end)
+        [mk(1, 1, 1), mk(2, 5, 1), mk(3, 20, 1),
+         # user 2: days 1, 9 -> gap 8 > 7: day1 churned
+         mk(4, 1, 2), mk(5, 9, 2)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    got = {(r.user_id, int(r.activity_date[-2:])): r.churned
+           for r in churn_labels(ev).collect()}
+    assert got[(1, 1)] == 0 and got[(1, 5)] == 1 and got[(1, 20)] == 1
+    assert got[(2, 1)] == 1 and got[(2, 9)] == 1

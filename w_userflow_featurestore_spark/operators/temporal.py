@@ -145,3 +145,29 @@ def time_decay_features(events: DataFrame, key_col: str = "user_id",
     return (aged.groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("__dec").alias("decayed_value_c")))
+
+
+def churn_labels(events: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", horizon_days: int = 7) -> DataFrame:
+    """Per (key, active-day) churn label: 1 iff the key has NO event in
+    the following ``horizon_days`` days — the standard label generator
+    for churn/retention models, built leakage-safe from the event stream
+    itself (the label looks strictly FORWARD of the feature date).
+
+    One distinct + one RANGE-frame window, both partitioned by key: the
+    frame is over integer epoch-days, so calendar gaps count correctly
+    (an event 8 days later does not rescue day t). Note the last
+    ``horizon_days`` of the stream label as churned by construction —
+    at training time, cut those dates off (censoring), exactly as a
+    production labeler must.
+    """
+    days = (events
+            .select(F.col(key_col), F.to_date(ts_col).alias("activity_date"))
+            .distinct())
+    ed = F.datediff("activity_date", F.lit("1970-01-01"))
+    w = (Window.partitionBy(key_col).orderBy(ed)
+         .rangeBetween(1, horizon_days))
+    return days.select(
+        key_col,
+        F.date_format("activity_date", "yyyy-MM-dd").alias("activity_date"),
+        (F.count(F.lit(1)).over(w) == 0).cast("int").alias("churned"))
