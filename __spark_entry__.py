@@ -678,6 +678,15 @@ def q_time_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TMP.time_decay_features(_events(spark, sf_dir))
 
 
+def q_behavior_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Gini impurity over event types —
+    exact rational of integer counts (operators/paths.py)."""
+    from w_userflow_featurestore_spark.operators.paths import (
+        behavior_diversity,
+    )
+    return behavior_diversity(_events(spark, sf_dir))
+
+
 def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (user, active-day) churn label: 1 iff no event in the next
     7 days — forward-looking RANGE window, leakage-safe by construction
@@ -830,6 +839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_decay_features": q_time_decay_features,
     "capped_user_events": q_capped_user_events,
     "churn_labels": q_churn_labels,
+    "behavior_diversity": q_behavior_diversity,
     "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
@@ -1996,6 +2006,18 @@ a AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(dec) AS BIGINT) AS decayed_value_c
 FROM a GROUP BY user_id
+"""
+
+ORACLES["behavior_diversity"] = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_behaviors,
+       round(CAST(sum(c) * sum(c) - sum(c * c) AS DOUBLE)
+             / (sum(c) * sum(c)), 4) AS gini_impurity
+FROM c GROUP BY user_id
 """
 
 ORACLES["churn_labels"] = """

@@ -115,3 +115,20 @@ def test_weighted_sample_is_projection_only(spark):
     from w_userflow_featurestore_spark.plans import assert_plan
     df = spark.range(10).withColumnRenamed("id", "doc_id")
     assert_plan(weighted_sample(df, F.lit(0.5)), max_shuffles=0)
+
+
+def test_behavior_diversity_gini_values(spark):
+    from w_userflow_featurestore_spark.operators.paths import (
+        behavior_diversity)
+    ev = spark.createDataFrame(
+        # user 1: 2 view + 2 click -> gini = 1 - 2*(1/2)^2 = 0.5
+        [(1, 1, "view"), (2, 1, "view"), (3, 1, "click"), (4, 1, "click"),
+         # user 2: monotone -> 0.0
+         (5, 2, "view"), (6, 2, "view"),
+         # user 3: 3 distinct of 3 -> 1 - 3*(1/3)^2 = 0.6667
+         (7, 3, "view"), (8, 3, "click"), (9, 3, "purchase")],
+        "event_id long, user_id long, event_type string")
+    got = {r.user_id: r for r in behavior_diversity(ev).collect()}
+    assert got[1].gini_impurity == 0.5 and got[1].n_behaviors == 2
+    assert got[2].gini_impurity == 0.0
+    assert got[3].gini_impurity == 0.6667 and got[3].n_events == 3

@@ -50,3 +50,29 @@ def transition_matrix(events: DataFrame, *, entity_col: str = "user_id",
     return counts.withColumn(
         "prob",
         fround(F.col("n_transitions").cast("double") / row_total, 4))
+
+
+def behavior_diversity(events: DataFrame, key_col: str = "user_id",
+                       dim_col: str = "event_type") -> DataFrame:
+    """Per-key behavioral-diversity features over a categorical dim:
+    event count, distinct behaviors, and Gini impurity
+    ``1 - sum(p_i^2)`` (0 = always the same action, ->1 = uniform over
+    many actions) — the bot/power-user signal that feeds curation and
+    per-entity capping decisions.
+
+    Gini instead of Shannon entropy ON PURPOSE: it is an exact rational
+    of integer counts, ``(n^2 - sum c_i^2) / n^2``, so the value is
+    bit-identical in any engine and under any aggregation order —
+    entropy's ``log`` is libm-dependent and would break the value
+    oracle. Two hash aggregates on (key, dim) then (key); partial
+    combine absorbs hot keys.
+    """
+    per_dim = events.groupBy(key_col, dim_col) \
+        .agg(F.count(F.lit(1)).alias("__c"))
+    n = F.sum("__c")
+    sq = F.sum(F.col("__c") * F.col("__c"))
+    return (per_dim.groupBy(key_col)
+            .agg(n.alias("n_events"),
+                 F.count(F.lit(1)).cast("long").alias("n_behaviors"),
+                 fround((n * n - sq).cast("double") / (n * n), 4)
+                 .alias("gini_impurity")))
