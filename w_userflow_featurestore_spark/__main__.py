@@ -105,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
                                            min_quality=args.min_quality)
         else:
             survivors = curate_corpus(docs, min_quality=args.min_quality)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        obs = Observation()
+        survivors = survivors.observe(obs, F.count(F.lit(1)).alias("rows"))
         survivors.write.mode("overwrite").parquet(f"{args.out}/survivors")
         # ledger for the NEXT increment: index of this run's survivors
         kept = docs.join(
@@ -112,8 +116,8 @@ def main(argv: list[str] | None = None) -> int:
             "doc_id", "left_semi")
         signature_index(kept).write.mode("overwrite") \
             .parquet(f"{args.out}/ledger")
-        n = spark.read.parquet(f"{args.out}/survivors").count()
-        print(f"curate: survivors={n} out={args.out}")
+        # survivor count observed on the write action — no re-read pass
+        print(f"curate: survivors={int(obs.get['rows'])} out={args.out}")
         return 0
 
     return 2

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from w_userflow_featurestore_spark.incremental import IncrementalPlanner
@@ -93,13 +93,23 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
     events = drop_null_keys(
         dedup_latest(plan.df, key=["event_id"], order_by=["ts"]),
         ["event_id", "user_id", "ts"])
-    input_rows = events.count()
-    sessions = sessionize(events, now=now)
-    n = sessions.count()
+    # Diagnostics ride the data pass (A17 "counts in ONE pass"): observe()
+    # attaches CollectMetrics nodes that are harvested by the single eager
+    # materialization below — zero extra Spark actions, unlike a count()
+    # which would re-run the dedup+sessionize subtree per diagnostic.
+    obs_in, obs_out = Observation(), Observation()
+    events = events.observe(obs_in, F.count(F.lit(1)).alias("rows"))
+    sessions = sessionize(events, now=now).observe(
+        obs_out, F.count(F.lit(1)).alias("rows"))
+    # One materialization: collects both observations AND hands merge_upsert
+    # a lineage-free input, so the merge's partition rewrite never recomputes
+    # (or double-scans, which would double-count the metrics) this subtree.
+    sessions = sessions.localCheckpoint(eager=True)
     merge_upsert(spark, silver_path, sessions,
                  keys=["session_id"], partition_by=["datetime"])
     plan.commit()        # ledger moves only after the table write landed
-    return SilverResult(plan.mode, input_rows, n)
+    return SilverResult(plan.mode, int(obs_in.get["rows"]),
+                        int(obs_out.get["rows"]))
 
 
 # feature jobs in dependency order; item_daily feeds top_item_per_day the
@@ -121,7 +131,10 @@ def run_daily_features(spark: SparkSession, silver_path: str, events: DataFrame,
     }
     written: dict[str, int] = {}
     for name, df in outputs.items():
-        part = ["datetime"]
-        overwrite_partitions(df, f"{out_dir}/{name}", part)
-        written[name] = spark.read.parquet(f"{out_dir}/{name}").count()
+        # rows-written diagnostic rides the write action itself (observe,
+        # not a post-hoc re-read+count of the table we just wrote)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        overwrite_partitions(df, f"{out_dir}/{name}", ["datetime"])
+        written[name] = int(obs.get["rows"])
     return written

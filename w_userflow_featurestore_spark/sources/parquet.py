@@ -61,14 +61,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str,
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if ts_filter is not None:
         c, lo, hi = ts_filter
-        raw_is_nanos = isinstance(df.schema[c].dataType, T.LongType)
+        raw = df.schema[c].dataType
 
         def bound(iso: str) -> Column:
-            if raw_is_nanos:
+            if isinstance(raw, T.LongType):
                 epoch_ns = int(_dt.datetime.fromisoformat(iso)
                                .replace(tzinfo=_dt.timezone.utc)
                                .timestamp() * 1_000_000) * 1_000
                 return F.lit(epoch_ns)
+            if isinstance(raw, T.TimestampNTZType):
+                # literal must match the column's NTZ type or the
+                # comparison won't push down (and may not analyze)
+                return F.lit(iso).cast("timestamp_ntz")
             return F.lit(iso).cast("timestamp")
 
         if lo is not None:
@@ -80,6 +84,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str,
             # integer `div` (not `/`): float division of 1.7e18-scale nanos
             # would lose sub-millisecond precision past double's 53-bit mantissa
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            # fixture encodings vary by generator version: TIMESTAMP(NANOS)
+            # arrives as BIGINT (branch above), TIMESTAMP_MICROS with
+            # isAdjustedToUTC=false arrives as TIMESTAMP_NTZ. Normalize to
+            # TimestampType so epoch math (unix_millis etc.) analyzes; with
+            # session tz pinned to UTC (conf.py) the NTZ->LTZ cast maps the
+            # naive wall time to the identical instant DuckDB's reader
+            # yields, so oracle epoch math still agrees to the microsecond.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if where is not None:
         df = df.where(where)
     if columns:
