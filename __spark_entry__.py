@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from w_userflow_featurestore_spark.functions import (
@@ -357,6 +357,50 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5,
                         n_centroids=8, nprobe=2)
+
+
+# recall@5 floor in basis points. The fixture embeddings are RANDOM
+# vectors — the worst case for LSH/IVF (near-uniform pairwise cosine, so
+# the true top-5 barely concentrates in any bucket); measured recall is
+# 0.56-0.60 at sf0.001, 0.40 at sf0.01, 0.32-0.36 at sf0.1. The floor
+# sits under all of those: it is a structural-regression tripwire (a
+# broken bucket/probe function sends recall toward k/N ~ 0), while the
+# recall_bp VALUE is pinned exactly by the oracle hash.
+ANN_RECALL_FLOOR_BP = 3000
+
+
+def q_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 gate for the approximate ANN indexes vs exact brute
+    force — the check a value oracle alone cannot see (an LSH/IVF
+    index can stay hash-green while silently returning garbage
+    neighbors only if its own results change; this query pins recall
+    itself). recall_bp = floor(hits * 10000 / total) is exact integer
+    math, so the DuckDB oracle reproduces the VALUE, and recall_ok
+    additionally pins the floor: if an index regression drops recall
+    below ANN_RECALL_FLOOR_BP, recall_ok flips and the driver row goes
+    red."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(emb, qs, k=5).select("q_id", "n_id")
+    lsh = SIM.lsh_topk(emb, qs, k=5, planes=4).select("q_id", "n_id") \
+        .withColumn("_l", F.lit(1))
+    ivf = SIM.ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=2) \
+        .select("q_id", "n_id").withColumn("_i", F.lit(1))
+    j = (brute.join(lsh, ["q_id", "n_id"], "left")
+              .join(ivf, ["q_id", "n_id"], "left")
+              .agg(F.count(F.lit(1)).alias("_n"),
+                   F.count("_l").alias("_lh"),
+                   F.count("_i").alias("_ih")))
+
+    def row(method: str, hits: Column) -> Column:
+        bp = F.floor(hits * 10000 / F.col("_n")).cast("long")
+        return F.struct(F.lit(method).alias("method"),
+                        bp.alias("recall_bp"),
+                        (bp >= ANN_RECALL_FLOOR_BP).alias("recall_ok"))
+    return (j.select(F.explode(F.array(
+                row("ivf", F.col("_ih")),
+                row("lsh", F.col("_lh")))).alias("r"))
+             .select("r.method", "r.recall_bp", "r.recall_ok"))
 
 
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,6 +884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall_gate": q_ann_recall_gate,
     "embedding_near_pairs": q_embedding_near_pairs,
     "embedding_dedup": q_embedding_dedup,
     "asof_features": q_asof_features,
@@ -1711,6 +1756,29 @@ SELECT q_id, n_id, cosine, "rank" FROM (
                                ORDER BY cosine DESC, n_id ASC) AS "rank"
   FROM scored)
 WHERE "rank" <= 5
+"""
+
+# recall@5 of the approximate indexes vs brute force, in exact integer
+# basis points — composes the three already-oracled ANN subqueries, so a
+# recall regression in EITHER engine's pipeline breaks the match; the
+# boolean additionally pins the floor
+ORACLES["ann_recall_gate"] = f"""
+WITH brute AS (SELECT q_id, n_id FROM ({ORACLES['ann_cosine_topk']})),
+l AS (SELECT q_id, n_id FROM ({ORACLES['ann_lsh_topk']})),
+i AS (SELECT q_id, n_id FROM ({ORACLES['ann_ivf_topk']})),
+s AS (SELECT count(*) AS n,
+             count(l.n_id) AS lh
+      FROM brute LEFT JOIN l USING (q_id, n_id)),
+si AS (SELECT count(i.n_id) AS ih
+       FROM brute LEFT JOIN i USING (q_id, n_id))
+SELECT method, recall_bp, recall_bp >= {ANN_RECALL_FLOOR_BP} AS recall_ok
+FROM (
+  SELECT 'ivf' AS method,
+         CAST(floor(ih * 10000 / n) AS BIGINT) AS recall_bp FROM s, si
+  UNION ALL
+  SELECT 'lsh' AS method,
+         CAST(floor(lh * 10000 / n) AS BIGINT) AS recall_bp FROM s
+)
 """
 
 ORACLES["salted_user_agg"] = """

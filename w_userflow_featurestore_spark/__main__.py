@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--silver", required=True)
     s.add_argument("--ledger", required=True)
     s.add_argument("--now", default=None)
+    s.add_argument("--table-format", choices=["parquet", "log"],
+                   default="parquet",
+                   help="'log' = transactional LogTable backend: snapshot-"
+                        "range incremental read + copy-on-write MERGE")
 
     g = sub.add_parser("gold", help="build the daily feature tables")
     g.add_argument("--silver", required=True)
@@ -81,7 +85,8 @@ def main(argv: list[str] | None = None) -> int:
         from w_userflow_featurestore_spark.runner import run_silver
         now = args.now or dt.datetime.now(dt.timezone.utc).strftime(
             "%Y-%m-%d %H:%M:%S")
-        r = run_silver(spark, args.events, args.silver, args.ledger, now)
+        r = run_silver(spark, args.events, args.silver, args.ledger, now,
+                       table_format=args.table_format)
         print(f"silver: mode={r.mode} input_rows={r.input_rows} "
               f"sessions_upserted={r.sessions_upserted}")
         return 0
@@ -91,8 +96,11 @@ def main(argv: list[str] | None = None) -> int:
         events = spark.read.parquet(args.events)
         written = run_daily_features(spark, args.silver, events, args.out,
                                      min_rows_per_day=args.min_rows)
+        # rows WRITTEN THIS RUN (observed on the write action), not total
+        # table rows — with dynamic partition overwrite, untouched prior
+        # partitions remain in the table but are not re-counted here
         for name, n in written.items():
-            print(f"gold: {name} rows={n}")
+            print(f"gold: {name} rows_written={n}")
         return 0
 
     if args.cmd == "curate":

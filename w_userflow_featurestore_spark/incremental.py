@@ -25,9 +25,16 @@ invokes ``plan.commit()`` only after its own write succeeded, so a
 failed run re-reads the same increment (at-least-once, idempotent
 downstream via merge_upsert / overwrite_partitions).
 
-On Iceberg/Delta the same interface binds to real snapshot ids /
-commit versions; the planner logic (ancestry check, fallback, commit
-ordering) is unchanged.
+Two planners share the ``ReadPlan`` interface:
+
+- :class:`IncrementalPlanner`   — file-set ledger over a plain parquet
+  directory (no table format required; the emulation mode).
+- :class:`LakehousePlanner`     — REAL snapshot semantics over a
+  :class:`~w_userflow_featurestore_spark.sources.lakehouse.LogTable`:
+  the ledger records a snapshot id, the increment is the commit-log
+  range ``(recorded, latest]``, and the broken-lineage fallback is the
+  reference's actual ancestry walk (``is_ancestor_snapshot``,
+  silver_dag.py:65-88) instead of a file-existence heuristic.
 """
 
 from __future__ import annotations
@@ -109,3 +116,62 @@ class IncrementalPlanner:
         paths = [os.path.join(self.table_path, f) for f in new]
         return ReadPlan("incremental", f"{len(new)} new file(s)",
                         spark.read.parquet(*paths), commit)
+
+
+class LakehousePlanner:
+    """Snapshot-id ledger + planner over a LogTable (reference S6+S7:
+    incremental scan between snapshot ids, ancestry-checked, full-read
+    fallback when lineage broke). Same commit protocol as
+    :class:`IncrementalPlanner`: the ledger only advances via
+    ``plan.commit()`` after the caller's downstream write landed, and
+    it advances to the snapshot that was READ (snapshot isolation —
+    commits racing in after ``plan_read`` belong to the next run)."""
+
+    def __init__(self, table, ledger_path: str):
+        self.table = table          # a sources.lakehouse.LogTable
+        self.ledger_path = ledger_path
+
+    def _read_ledger(self) -> int | None:
+        if not os.path.exists(self.ledger_path):
+            return None
+        with open(self.ledger_path) as fh:
+            return json.load(fh)["snapshot_id"]
+
+    def plan_read(self, spark: SparkSession) -> ReadPlan:
+        from w_userflow_featurestore_spark.sources.lakehouse import (
+            BrokenLineageError,
+        )
+        latest = self.table.latest_snapshot_id()
+
+        def commit(sid=latest):
+            os.makedirs(os.path.dirname(self.ledger_path) or ".",
+                        exist_ok=True)
+            tmp = self.ledger_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"snapshot_id": sid}, fh)
+            os.replace(tmp, self.ledger_path)
+
+        recorded = self._read_ledger()
+        if latest is None:
+            return ReadPlan("empty", "table has no snapshots", None,
+                            lambda: None)
+        if recorded is None:
+            return ReadPlan("full", "no ledger (first run)",
+                            self.table.read(latest), commit)
+        if recorded == latest:
+            return ReadPlan("empty", f"no snapshots after {recorded}",
+                            None, commit)
+        if not self.table.is_ancestor(recorded, latest):
+            # rollback / expired history re-forked the timeline — the
+            # reference's is_ancestor_snapshot guard (silver_dag.py:65-88)
+            return ReadPlan("full",
+                            f"lineage broken: snapshot {recorded} is not "
+                            f"an ancestor of {latest}",
+                            self.table.read(latest), commit)
+        try:
+            df = self.table.read_increment(recorded, latest)
+        except BrokenLineageError as e:
+            return ReadPlan("full", f"lineage broken: {e}",
+                            self.table.read(latest), commit)
+        return ReadPlan("incremental",
+                        f"snapshots ({recorded}, {latest}]", df, commit)

@@ -76,7 +76,8 @@ class SilverResult:
 
 
 def run_silver(spark: SparkSession, events_path: str, silver_path: str,
-               ledger_path: str, now: str) -> SilverResult:
+               ledger_path: str, now: str,
+               table_format: str = "parquet") -> SilverResult:
     """Events -> classified sessions, MERGEd by session key.
 
     A session's events can span increments (a gap session is only closed
@@ -85,8 +86,22 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
     rows only: the merge key (session_id) makes re-derived sessions
     idempotent upserts, converging exactly like the reference's 10-minute
     re-judgment MERGE loop (silver_user_session_events.py:146-186).
+
+    ``table_format="log"`` binds both ends to the transactional LogTable
+    format: the events increment comes from real snapshot lineage
+    (LakehousePlanner) and the silver MERGE is a file-granular
+    copy-on-write commit — the reference's actual Iceberg semantics
+    (S6/S7/S9) rather than the parquet emulation.
     """
-    plan = IncrementalPlanner(events_path, ledger_path).plan_read(spark)
+    if table_format == "log":
+        from w_userflow_featurestore_spark.incremental import (
+            LakehousePlanner,
+        )
+        from w_userflow_featurestore_spark.sources import LogTable
+        planner = LakehousePlanner(LogTable(spark, events_path), ledger_path)
+    else:
+        planner = IncrementalPlanner(events_path, ledger_path)
+    plan = planner.plan_read(spark)
     if plan.mode == "empty":
         plan.commit()
         return SilverResult("empty", 0, 0)
@@ -106,7 +121,8 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
     # (or double-scans, which would double-count the metrics) this subtree.
     sessions = sessions.localCheckpoint(eager=True)
     merge_upsert(spark, silver_path, sessions,
-                 keys=["session_id"], partition_by=["datetime"])
+                 keys=["session_id"], partition_by=["datetime"],
+                 format=table_format if table_format == "log" else "auto")
     plan.commit()        # ledger moves only after the table write landed
     return SilverResult(plan.mode, int(obs_in.get["rows"]),
                         int(obs_out.get["rows"]))
@@ -117,7 +133,14 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
 # (gold_webtoon_daily_metrics.py:74-85, gold_daily_dag.py:146)
 def run_daily_features(spark: SparkSession, silver_path: str, events: DataFrame,
                        out_dir: str, min_rows_per_day: int = 1) -> dict[str, int]:
-    """All gold-grain feature tables, gated then written idempotently."""
+    """All gold-grain feature tables, gated then written idempotently.
+
+    Returns rows WRITTEN per table by THIS run (observed on the write
+    action itself). Under dynamic partition overwrite that is the row
+    count of the partitions this run produced — prior-day partitions
+    remain in the table but are deliberately not re-counted (a total-
+    table count would cost a full re-read per table; callers wanting
+    totals can count the table on read)."""
     sessions = spark.read.parquet(silver_path)
     completeness_gate(sessions, "datetime", min_rows_per_day)
 

@@ -7,7 +7,13 @@ from w_userflow_featurestore_spark.sources.parquet import (
     merge_upsert,
     compact_partitions,
 )
+from w_userflow_featurestore_spark.sources.lakehouse import (
+    LogTable,
+    BrokenLineageError,
+    Snapshot,
+)
 
 __all__ = ["read_table", "fan_out", "write_partitioned",
            "overwrite_partitions", "write_bucketed", "merge_upsert",
-           "compact_partitions"]
+           "compact_partitions", "LogTable", "BrokenLineageError",
+           "Snapshot"]

@@ -1,0 +1,381 @@
+"""LogTable: a transactional table format on parquet (mini-lakehouse).
+
+The reference runs every table on Iceberg and leans on four format
+capabilities the plain-parquet fallback can only emulate:
+
+- snapshot lineage (``snapshots`` metadata table with ``parent_id``
+  chains, walked by the Airflow ancestry check —
+  reference airflow/dags/silver_dag.py:65-88, :102-107)
+- snapshot-range incremental reads (``start-snapshot-id`` /
+  ``end-snapshot-id`` scan options —
+  reference src/spark/silver/silver_user_session_events.py:67-76)
+- transactional MERGE INTO (copy-on-write of matched files —
+  reference silver_user_session_events.py:146-186)
+- dynamic partition overwrite as an atomic commit
+  (reference src/spark/gold/*_metrics.py ``overwritePartitions()``)
+
+No Iceberg/Delta runtime ships in this environment, so this module
+implements the format itself — the same public protocol shape those
+formats use (an append-only commit log of add/remove file actions;
+Delta's ``_delta_log`` and Iceberg's snapshot+manifest model are both
+published designs): data lives in immutable parquet files, table STATE
+is the file set reachable from a commit-log snapshot, and every write
+is an atomic commit of ``add``/``remove`` actions. Readers pin a
+snapshot's exact file list, so concurrent writers never tear a scan,
+history stays time-travelable, and an increment between two snapshots
+is well-defined — for real, not by directory-diff heuristics.
+
+Scale notes: the log is driver-side control plane — O(files) JSON, the
+same metadata-scaling regime as Delta's JSON log before checkpointing.
+The DATA path stays fully distributed: reads hand Spark the pinned
+file list (partition pruning + predicate pushdown intact via
+Hive-style partition dirs under one ``basePath``), and MERGE rewrites
+only the files that actually contain matched keys (file-granular
+copy-on-write, strictly finer than the parquet fallback's
+partition-granular rewrite).
+
+Commit protocol: a commit is ONE file ``_txn_log/<seq>.json`` created
+with O_EXCL — concurrent committers race on the same sequence number
+and exactly one wins (optimistic concurrency, as in Delta). A crashed
+writer leaves only orphaned staging files, never a partial commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["LogTable", "BrokenLineageError", "Snapshot"]
+
+_LOG_DIR = "_txn_log"
+_DATA_DIR = "data"
+
+
+class BrokenLineageError(RuntimeError):
+    """The requested snapshot range is not a clean append lineage —
+    the caller must fall back to a full read (the reference's
+    broken-ancestry fallback, silver_dag.py:119-122)."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    committed_at_ms: int
+    operation: str              # append | overwrite_partitions | merge | rollback
+    add: tuple[str, ...]        # file paths relative to <table>/data
+    remove: tuple[str, ...]
+
+
+class LogTable:
+    """One transaction-log table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._log_path = os.path.join(path, _LOG_DIR)
+        self._data_path = os.path.join(path, _DATA_DIR)
+
+    # ---------------------------------------------------------------- log
+
+    @staticmethod
+    def is_log_table(path: str) -> bool:
+        return os.path.isdir(os.path.join(path, _LOG_DIR))
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str,
+               partition_by: list[str] | None = None) -> "LogTable":
+        """Idempotent create (reference S8 CREATE TABLE IF NOT EXISTS)."""
+        t = cls(spark, path)
+        os.makedirs(t._log_path, exist_ok=True)
+        os.makedirs(t._data_path, exist_ok=True)
+        meta = os.path.join(t._log_path, "_meta.json")
+        if not os.path.exists(meta):
+            tmp = meta + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"partition_by": partition_by or []}, fh)
+            os.replace(tmp, meta)
+        return t
+
+    @property
+    def partition_by(self) -> list[str]:
+        with open(os.path.join(self._log_path, "_meta.json")) as fh:
+            return json.load(fh)["partition_by"]
+
+    def snapshots(self) -> list[Snapshot]:
+        """All commits in log order (the ``snapshots`` metadata table,
+        reference silver_dag.py:102-107)."""
+        out = []
+        for f in sorted(os.listdir(self._log_path)):
+            if not f.endswith(".json") or f.startswith("_"):
+                continue
+            with open(os.path.join(self._log_path, f)) as fh:
+                d = json.load(fh)
+            out.append(Snapshot(d["snapshot_id"], d["parent_id"],
+                                d["committed_at_ms"], d["operation"],
+                                tuple(d["add"]), tuple(d["remove"])))
+        return out
+
+    def snapshots_df(self) -> DataFrame:
+        """Snapshot metadata as a DataFrame — the queryable form of the
+        reference's ``SELECT ... FROM tbl.snapshots``."""
+        rows = [(s.snapshot_id, s.parent_id, s.committed_at_ms,
+                 s.operation, len(s.add), len(s.remove))
+                for s in self.snapshots()]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, committed_at_ms long,"
+                  " operation string, n_added_files long, n_removed_files long")
+
+    def latest_snapshot_id(self) -> int | None:
+        snaps = self.snapshots()
+        return snaps[-1].snapshot_id if snaps else None
+
+    def _commit(self, operation: str, add: list[str],
+                remove: list[str], parent_id: int | None = None) -> int:
+        """Atomically append one commit. O_EXCL create means two racing
+        writers of the same sequence number cannot both win."""
+        snaps = self.snapshots()
+        seq = (snaps[-1].snapshot_id + 1) if snaps else 1
+        if parent_id is None:
+            parent_id = snaps[-1].snapshot_id if snaps else None
+        body = {"snapshot_id": seq, "parent_id": parent_id,
+                "committed_at_ms": int(time.time() * 1000),
+                "operation": operation, "add": sorted(add),
+                "remove": sorted(remove)}
+        target = os.path.join(self._log_path, f"{seq:020d}.json")
+        with open(target, "x") as fh:       # exclusive create = the commit
+            json.dump(body, fh)
+        return seq
+
+    # ----------------------------------------------------------- lineage
+
+    def _chain(self, snapshot_id: int) -> list[Snapshot]:
+        """Root -> snapshot along ``parent_id`` pointers (NOT log order:
+        a rollback re-parents, and commits after the fork are not part
+        of the rolled-back timeline)."""
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        if snapshot_id not in by_id:
+            raise BrokenLineageError(f"unknown snapshot {snapshot_id}")
+        chain: list[Snapshot] = []
+        cur: int | None = snapshot_id
+        while cur is not None:
+            s = by_id[cur]
+            chain.append(s)
+            cur = s.parent_id
+        return list(reversed(chain))
+
+    def is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
+        """Walk the parent chain — the reference's
+        ``is_ancestor_snapshot`` (silver_dag.py:65-88)."""
+        try:
+            return any(s.snapshot_id == ancestor_id
+                       for s in self._chain(descendant_id))
+        except BrokenLineageError:
+            return False
+
+    def files(self, snapshot_id: int | None = None) -> list[str]:
+        """Live data files (relative paths) at a snapshot: replay
+        add/remove along the parent chain."""
+        if snapshot_id is None:
+            snapshot_id = self.latest_snapshot_id()
+        if snapshot_id is None:
+            return []
+        live: set[str] = set()
+        for s in self._chain(snapshot_id):
+            live.difference_update(s.remove)
+            live.update(s.add)
+        return sorted(live)
+
+    # ------------------------------------------------------------- reads
+
+    def _read_files(self, rel_files: list[str]) -> DataFrame:
+        paths = [os.path.join(self._data_path, f) for f in rel_files]
+        if not paths:
+            # schema-stable empty frame from any existing data file; a
+            # table with zero-commits has no schema to offer
+            all_known = sorted({f for s in self.snapshots() for f in s.add})
+            if not all_known:
+                raise ValueError(f"LogTable {self.path} has no commits")
+            return (self.spark.read
+                    .option("basePath", self._data_path)
+                    .parquet(os.path.join(self._data_path, all_known[0]))
+                    .limit(0))
+        return (self.spark.read
+                .option("basePath", self._data_path)
+                .parquet(*paths))
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Scan pinned to one snapshot's exact file list. Partition
+        pruning + pushdown intact: files sit in Hive-style partition
+        dirs under one basePath (reference S5 scan semantics)."""
+        return self._read_files(self.files(snapshot_id))
+
+    def read_increment(self, start_snapshot_id: int | None,
+                       end_snapshot_id: int | None = None) -> DataFrame:
+        """Rows added strictly after ``start`` up to and including
+        ``end`` (reference S6: start/end-snapshot-id scan). Raises
+        :class:`BrokenLineageError` when the range is not a clean
+        append-only ancestry — rollback re-forked history, a snapshot
+        vanished, or a commit in range rewrote data (merge /
+        overwrite), in which case "rows added since" is not
+        well-defined and the caller must replan a full read, exactly
+        like the reference's broken-ancestry fallback."""
+        if end_snapshot_id is None:
+            end_snapshot_id = self.latest_snapshot_id()
+        if end_snapshot_id is None:
+            raise BrokenLineageError("empty table has no snapshots")
+        chain = self._chain(end_snapshot_id)
+        if start_snapshot_id is None:
+            start_idx = 0
+        else:
+            idx = [i for i, s in enumerate(chain)
+                   if s.snapshot_id == start_snapshot_id]
+            if not idx:
+                raise BrokenLineageError(
+                    f"snapshot {start_snapshot_id} is not an ancestor of "
+                    f"{end_snapshot_id}")
+            start_idx = idx[0] + 1
+        inc = chain[start_idx:]
+        non_append = [s for s in inc if s.operation != "append"]
+        if non_append:
+            raise BrokenLineageError(
+                "increment contains non-append commit(s) "
+                f"{[s.snapshot_id for s in non_append]}; rows-added-since "
+                "is undefined across a rewrite")
+        return self._read_files(sorted({f for s in inc for f in s.add}))
+
+    # ------------------------------------------------------------ writes
+
+    def _stage_write(self, df: DataFrame) -> list[str]:
+        """Write ``df`` into immutable files under data/ and return
+        their relative paths (NOT yet visible — only the commit
+        publishes them). Files are written to a unique staging dir and
+        moved into shared Hive-style partition dirs with a unique
+        prefix, so a crashed writer leaves only unreferenced orphans."""
+        token = uuid.uuid4().hex
+        staging = os.path.join(self.path, f"_staging-{token}")
+        parts = self.partition_by
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        added: list[str] = []
+        for root, _dirs, fs in os.walk(staging):
+            for f in fs:
+                if not f.endswith(".parquet") or f.startswith("."):
+                    continue
+                rel_dir = os.path.relpath(root, staging)
+                dest_dir = (self._data_path if rel_dir == "."
+                            else os.path.join(self._data_path, rel_dir))
+                os.makedirs(dest_dir, exist_ok=True)
+                dest_name = f"{token}-{f}"
+                os.replace(os.path.join(root, f),
+                           os.path.join(dest_dir, dest_name))
+                added.append(dest_name if rel_dir == "."
+                             else os.path.join(rel_dir, dest_name))
+        # clear leftover staging skeleton (_SUCCESS, empty dirs)
+        for root, dirs, fs in os.walk(staging, topdown=False):
+            for f in fs:
+                os.remove(os.path.join(root, f))
+            for d in dirs:
+                os.rmdir(os.path.join(root, d))
+        os.rmdir(staging)
+        return added
+
+    def append(self, df: DataFrame) -> int:
+        """Append-only commit (the bronze write path, reference S4)."""
+        return self._commit("append", self._stage_write(df), [])
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Dynamic partition overwrite as ONE atomic commit (reference
+        S10): removes every live file in the partitions present in
+        ``df``, adds the replacement files."""
+        parts = self.partition_by
+        if not parts:
+            raise ValueError("overwrite_partitions needs a partitioned table")
+        touched = {tuple(str(r[c]) for c in parts)
+                   for r in df.select(*parts).distinct().collect()}
+
+        def part_key(rel: str) -> tuple[str, ...]:
+            vals = dict(seg.split("=", 1) for seg in rel.split(os.sep)[:-1])
+            return tuple(vals.get(c, "") for c in parts)
+
+        removes = [f for f in self.files() if part_key(f) in touched]
+        return self._commit("overwrite_partitions",
+                            self._stage_write(df), removes)
+
+    def merge(self, staged: DataFrame, keys: list[str]) -> int:
+        """MERGE INTO: matched rows updated, new rows inserted, as
+        file-granular copy-on-write (reference S9,
+        silver_user_session_events.py:146-186 MERGEs on the session
+        key). Only files that CONTAIN a matched key are rewritten:
+
+          victims = files holding >=1 row whose key appears in staged
+          adds    = staged  ∪  (victim rows anti-join staged on keys)
+          commit  = remove(victims) + add(new files)
+
+        Scale: the victim scan is one distributed semi-join over the
+        file-path metadata column; unmatched files are untouched, so
+        steady-state merge cost tracks the overlap, not table size."""
+        if self.latest_snapshot_id() is None:
+            return self._commit("merge", self._stage_write(staged), [])
+        target = self.read().withColumn(
+            "_file", F.col("_metadata.file_path"))
+        key_rows = staged.select(*keys).distinct()
+        victims = (target.join(key_rows.hint("broadcast"), keys, "left_semi")
+                   .select("_file").distinct().collect())
+        from urllib.parse import urlparse
+        victim_rel = sorted(
+            os.path.relpath(urlparse(r["_file"]).path, self._data_path)
+            for r in victims)
+        if not victim_rel:
+            return self._commit("merge", self._stage_write(staged), [])
+        kept = (self._read_files(victim_rel)
+                .join(key_rows, keys, "left_anti")
+                .select(*staged.columns))
+        # materialize BEFORE the commit flips the file set (the staged
+        # write itself forces the plan; localCheckpoint would be
+        # redundant — victims stay on disk until vacuum, the commit
+        # only unreferences them, so there is no read-before-overwrite
+        # hazard at all: immutable files are the point of the format)
+        adds = self._stage_write(kept.unionByName(staged))
+        return self._commit("merge", adds, victim_rel)
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Reset the table to an older snapshot by committing a new
+        snapshot whose PARENT is the target — later snapshots become a
+        dead fork, so a reader that recorded one of them fails the
+        ancestry check and replans a full read (the exact situation
+        the reference's is_ancestor_snapshot guard exists for)."""
+        chain_files = self.files(snapshot_id)
+        cur = self.files()
+        return self._commit(
+            "rollback",
+            add=[f for f in chain_files if f not in set(cur)],
+            remove=[f for f in cur if f not in set(chain_files)],
+            parent_id=snapshot_id)
+
+    def vacuum(self) -> int:
+        """Delete data files unreferenced by the CURRENT timeline (all
+        snapshots reachable from latest). Returns files deleted.
+        Time travel to dead forks stops working — as with any
+        format's vacuum, retention is a policy decision."""
+        latest = self.latest_snapshot_id()
+        if latest is None:
+            return 0
+        keep = {f for s in self._chain(latest) for f in s.add}
+        n = 0
+        for root, _dirs, fs in os.walk(self._data_path):
+            for f in fs:
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, self._data_path)
+                if f.endswith(".parquet") and rel not in keep:
+                    os.remove(p)
+                    n += 1
+        return n

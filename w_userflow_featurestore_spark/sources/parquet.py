@@ -128,11 +128,21 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
-def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str],
+                         format: str = "auto") -> None:
     """Dynamic partition overwrite (S10): replaces only partitions present
     in ``df`` — the gold layer's idempotent recovery unit
     (reference gold_user_daily_metrics.py:104 `.overwritePartitions()`).
+
+    ``format="log"`` (or auto-detection of an existing LogTable at
+    ``path``) routes to the transactional commit-log implementation —
+    one atomic commit instead of an in-place directory rewrite.
     """
+    from w_userflow_featurestore_spark.sources.lakehouse import LogTable
+    if format == "log" or (format == "auto" and LogTable.is_log_table(path)):
+        LogTable.create(df.sparkSession, path, partition_by) \
+            .overwrite_partitions(df)
+        return
     (df.write.mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy(*partition_by)
@@ -165,13 +175,18 @@ def write_bucketed(df: DataFrame, table: str, keys: list[str],
 
 
 def merge_upsert(spark: SparkSession, target_path: str, staged: DataFrame,
-                 keys: list[str], partition_by: list[str]) -> None:
-    """MERGE INTO semantics on plain parquet (S9).
+                 keys: list[str], partition_by: list[str],
+                 format: str = "auto") -> None:
+    """MERGE INTO semantics (S9), format-dispatched.
 
     Reference: silver stages sessions as a temp view and MERGEs on the full
     session key — matched rows updated, new rows inserted
-    (silver_user_session_events.py:146-186). Without a transactional table
-    format we get the same end state idempotently by rewriting only the
+    (silver_user_session_events.py:146-186).
+
+    ``format="log"`` (or auto-detection of a LogTable at ``target_path``)
+    uses the transactional commit-log format: file-granular copy-on-write
+    with an atomic commit (sources/lakehouse.py). The plain-parquet
+    fallback gets the same end state idempotently by rewriting only the
     partitions the staged rows touch:
 
       new_target_partition = staged ∪ (target_partition ⟕anti staged on keys)
@@ -179,6 +194,12 @@ def merge_upsert(spark: SparkSession, target_path: str, staged: DataFrame,
     The rewrite is scoped to affected partitions (same recovery unit as the
     reference's day partitions), so repeated runs converge.
     """
+    from w_userflow_featurestore_spark.sources.lakehouse import LogTable
+    if format == "log" or (format == "auto"
+                           and LogTable.is_log_table(target_path)):
+        LogTable.create(spark, target_path, partition_by) \
+            .merge(staged, keys)
+        return
     try:
         target = spark.read.parquet(target_path)
     except Exception:
@@ -188,11 +209,19 @@ def merge_upsert(spark: SparkSession, target_path: str, staged: DataFrame,
     parts = staged.select(*partition_by).distinct()
     affected = target.join(parts.hint("broadcast"), on=partition_by, how="left_semi")
     kept = affected.join(staged.select(*keys).distinct(), on=keys, how="left_anti")
-    merged = kept.select(*staged.columns).unionByName(staged)
-    # localCheckpoint breaks lineage so the subsequent overwrite of the same
-    # files cannot race the scan feeding it (read-before-overwrite hazard).
-    merged = merged.localCheckpoint(eager=True)
-    overwrite_partitions(merged, target_path, partition_by)
+    kept = kept.select(*staged.columns)
+    # localCheckpoint breaks lineage so the overwrite of the target files
+    # cannot race the scan feeding it (read-before-overwrite hazard). Only
+    # the target-derived side needs it; when the staged plan does not read
+    # the target itself (the common case — runner hands in an already-
+    # checkpointed frame), staged rows skip the second materialization
+    # instead of being copied through executor storage twice.
+    plan = staged._jdf.queryExecution().optimizedPlan().toString()
+    if target_path in plan:
+        merged = kept.unionByName(staged).localCheckpoint(eager=True)
+    else:
+        merged = kept.localCheckpoint(eager=True).unionByName(staged)
+    overwrite_partitions(merged, target_path, partition_by, format="parquet")
 
 
 def compact_partitions(spark: SparkSession, path: str,
