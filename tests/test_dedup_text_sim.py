@@ -212,3 +212,31 @@ def test_ivf_topk_matches_brute_force_within_probed_cells(spark):
     # results are real corpus neighbors ranked by exact cosine
     recall = len(exact & {(r["q_id"], r["n_id"]) for r in got}) / len(exact)
     assert recall >= 0.3                           # 2/8 cells probed
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 13-node chain (diameter 12 >> a near-dup cluster's 2-3, but
+    # inside the default 50-round budget): min-label propagation must
+    # still collapse it into ONE component rooted at the smallest id
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101)],
+        "doc_a long, doc_b long")
+    got = {r["doc_id"]: (r["component"], r["keep"])
+           for r in DD.connected_components(pairs).collect()}
+    assert all(got[i][0] == 0 for i in range(13))
+    assert [i for i in range(13) if got[i][1] == 1] == [0]
+    assert got[100] == (100, 1) and got[101] == (100, 0)
+
+
+def test_connected_components_bails_out_past_max_iter(spark):
+    import pytest as _pytest
+    # diameter 9 chain with a 4-round budget: must raise, never return
+    # silently under-merged labels (duplicates would survive a partial
+    # merge — the worst dedup failure mode)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="max_iter=4"):
+        DD.connected_components(pairs, max_iter=4)
+    # the same graph converges with an adequate budget
+    got = DD.connected_components(pairs, max_iter=20)
+    assert got.where("component <> 0").count() == 0

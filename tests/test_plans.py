@@ -87,6 +87,54 @@ def test_flagship_user_daily_shuffle_budget(spark):
     assert broadcast_join_count(df) >= 1
 
 
+# --- plan pins for the bench's 5 slowest queries -----------------------
+# Round-2 lesson: a noisy sandbox made a 1.43x wall-clock swing look like
+# a regression. These pins make the STRUCTURE of the expensive plans a
+# test property, so bench deltas can be attributed: if the oracle stays
+# green and these pins hold, a slower bench run is environment, not code.
+# Budgets are the measured shapes (shuffle.partitions=4, AQE pre-plan)
+# with zero headroom on joins and broadcasts.
+
+
+def test_incremental_curate_plan_pin(spark):
+    # ledger probe + batch self-probe + victim anti-joins: many small
+    # control-plane exchanges are fine, but the corpus-text side must
+    # stay out of them and the ledger joins must broadcast
+    df = _q(spark, "incremental_curate")
+    assert_plan(df, max_shuffles=24, min_broadcast_joins=10,
+                max_sort_merge_joins=2)
+
+
+def test_embedding_near_pairs_plan_pin(spark):
+    # one banded subplan self-joined (ReusedExchange), id-only pair
+    # dedup, vectors rejoin by id: 5 barriers, no sort-merge joins
+    # (exchange reuse of the shared banded subplan happens at AQE
+    # runtime, so it is not assertable on the static plan)
+    assert_plan(_q(spark, "embedding_near_pairs"), max_shuffles=5,
+                min_broadcast_joins=3, max_sort_merge_joins=0)
+
+
+def test_embedding_dedup_plan_pin(spark):
+    # near-pairs subplan + distinct victims + survivor anti-join
+    assert_plan(_q(spark, "embedding_dedup"), max_shuffles=7,
+                min_broadcast_joins=3, max_sort_merge_joins=1)
+
+
+def test_curate_corpus_plan_pin(spark):
+    # quality floor -> exact dedup -> LSH removal staged pipeline
+    assert_plan(_q(spark, "curate_corpus"), max_shuffles=13,
+                min_broadcast_joins=4, max_sort_merge_joins=1)
+
+
+def test_hybrid_search_plan_pin(spark):
+    # broadcast 1-row corpus stats + df-per-term re-agg (no hot-term
+    # window), TakeOrdered top-k — never a global sort
+    df = _q(spark, "hybrid_search")
+    assert_plan(df, max_shuffles=8, min_broadcast_joins=3,
+                max_sort_merge_joins=0)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
 def test_lsh_band_join_shuffle_budget(spark):
     # id-only band join (vectors joined back once per side): the band
     # explode/bucket pipeline must stay within its measured 8 barriers

@@ -290,3 +290,52 @@ def test_stream_upsert_merges_and_survives_restart(spark, tmp_path):
                        available_now=True)
     q3.awaitTermination(120)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_parse_kafka_events_wire_schema_plan_equivalence(spark, tmp_path):
+    """S1/S2 without a broker: a stream with the exact Kafka source wire
+    schema (key/value/topic/partition/offset/timestamp/timestampType —
+    what the reference's reader feeds, bronze_load_raw_data.py:65-75)
+    must flow through parse_kafka_events to the same analyzed schema and
+    the same rows as the batch path. The Kafka reader itself only adds
+    broker IO in front of this exact frame shape, so this pins the
+    entire engine-side plan."""
+    import json as _json
+
+    from w_userflow_featurestore_spark.streaming import parse_kafka_events
+
+    wire_ddl = ("key binary, value binary, topic string, partition int,"
+                " offset long, timestamp timestamp, timestampType int")
+    events = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": '{"k": 1}'},
+        {"event_id": 2, "ts": "2024-01-02T11:00:00", "user_id": 2,
+         "event_type": "purchase", "value": 60.0, "props": '{"k": 2}'},
+    ]
+    now = dt.datetime.fromisoformat("2024-01-02 12:00:00")
+    wire = [(str(e["user_id"]).encode(),          # key=entity (ref: session)
+             _json.dumps(e).encode(), "events_v2", 0, i, now, 0)
+            for i, e in enumerate(events)]
+    src = str(tmp_path / "wire")
+    spark.createDataFrame(wire, wire_ddl).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(wire_ddl).parquet(src)
+    parsed_stream = parse_kafka_events(stream, EVENTS_DDL)
+    # batch twin over the same wire rows: analyzed schemas must agree
+    parsed_batch = parse_kafka_events(spark.read.parquet(src), EVENTS_DDL)
+    assert parsed_stream.isStreaming
+    assert parsed_stream.schema == parsed_batch.schema
+    assert [f.name for f in parsed_stream.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+        "datetime"]
+
+    q = (parsed_stream.writeStream.format("memory").queryName("kwire")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "kckpt")).start())
+    q.awaitTermination(120)
+    got = rows(spark.table("kwire"),
+               "event_id", "user_id", "event_type", "value", "datetime")
+    assert got == [(1, 1, "view", 1.0, dt.date(2024, 1, 1)),
+                   (2, 2, "purchase", 60.0, dt.date(2024, 1, 2))]
+    assert rows(parsed_batch, "event_id") == [(1,), (2,)]

@@ -297,6 +297,13 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
     localCheckpoints the label table to keep lineage flat at scale.
     Near-dup components are tiny and shallow (diameter ~2-3), so 3-4
     rounds is typical regardless of corpus size.
+
+    A graph whose diameter exceeds ``max_iter`` (a pathological chain —
+    not a realistic near-dup cluster) RAISES instead of silently
+    returning partially-merged labels: under-merged components would
+    quietly keep duplicates, the worst failure mode for a dedup
+    pipeline. Callers with genuinely deep graphs pass a larger
+    ``max_iter`` (cost is linear in rounds).
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"),
@@ -319,6 +326,11 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
         labels = new.drop("_chg")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: {changed} label(s) still changing "
+            f"after max_iter={max_iter} rounds — graph diameter exceeds "
+            f"the round budget; raise max_iter")
     return labels.select(
         F.col("src").alias("doc_id"), F.col("comp").alias("component"),
         F.when(F.col("src") == F.col("comp"), 1).otherwise(0).alias("keep"))
