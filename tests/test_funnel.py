@@ -8,6 +8,7 @@ import pytest
 
 from w_userflow_featurestore_spark.operators.funnel import (
     funnel_daily, funnel_progress)
+from tests.conftest import rows
 from w_userflow_featurestore_spark.plans import assert_plan, shuffle_count
 
 
@@ -106,3 +107,31 @@ def test_funnel_plan_single_window_sort(spark):
     assert_plan(df, max_shuffles=2)
     assert shuffle_count(
         funnel_daily(_events(spark, rows), ["view", "click"])) == 2
+
+
+def test_funnel_salted_identical_to_unsalted_fixture(spark):
+    """Skew option: time-block decomposition must be output-IDENTICAL
+    on real fixture events, for an aligned span (1 h), a span that
+    divides nothing cleanly (7 min 1 s), and a degenerate tiny span
+    (every event its own block — all progression crosses boundaries)."""
+    from w_userflow_featurestore_spark.sources import read_table
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    steps = ["view", "click", "purchase"]
+    want = rows(funnel_daily(ev, steps))
+    for span in (3_600_000, 421_000, 1_000):
+        got = rows(funnel_daily(ev, steps, salt_span_ms=span))
+        assert got == want, f"span={span}"
+
+
+def test_funnel_salted_bounds_window_partition(spark):
+    # the salted window partitions by (..., _blk): a hot entity's rows
+    # split across blocks instead of one task
+    from w_userflow_featurestore_spark.operators.funnel import (
+        funnel_progress,
+    )
+    from w_userflow_featurestore_spark.plans import physical_plan
+    from w_userflow_featurestore_spark.sources import read_table
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    plan = physical_plan(funnel_progress(ev, ["view", "purchase"],
+                                         salt_span_ms=3_600_000))
+    assert "_blk" in plan.split("Window")[1][:400]

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from w_userflow_featurestore_spark.operators.paths import transition_matrix
 from w_userflow_featurestore_spark.operators.sampling import (
     stratified_sample)
+from tests.conftest import rows
 from w_userflow_featurestore_spark.plans import assert_plan
 
 
@@ -132,3 +133,15 @@ def test_behavior_diversity_gini_values(spark):
     assert got[1].gini_impurity == 0.5 and got[1].n_behaviors == 2
     assert got[2].gini_impurity == 0.0
     assert got[3].gini_impurity == 0.6667 and got[3].n_events == 3
+
+
+def test_transition_matrix_salted_identical_to_unsalted(spark):
+    """Skew option for the lead-window path operator: within-block
+    pairs + boundary stitching must reproduce the exact transition
+    counts for aligned, misaligned, and single-event-block spans."""
+    from w_userflow_featurestore_spark.sources import read_table
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    want = rows(transition_matrix(ev))
+    for span in (3_600_000, 421_000, 1_000):
+        got = rows(transition_matrix(ev, salt_span_ms=span))
+        assert got == want, f"span={span}"

@@ -19,30 +19,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from w_userflow_featurestore_spark.functions import fround
+from w_userflow_featurestore_spark.functions import epoch_ms, fround
 
 __all__ = ["transition_matrix"]
 
 
 def transition_matrix(events: DataFrame, *, entity_col: str = "user_id",
                       type_col: str = "event_type", ts_col: str = "ts",
-                      id_col: str = "event_id") -> DataFrame:
+                      id_col: str = "event_id",
+                      salt_span_ms: int | None = None) -> DataFrame:
     """Per-day counts and row-normalized probabilities of consecutive
     event-type transitions within each entity's (ts, id)-ordered stream.
 
     Returns (datetime, from_type, to_type, n_transitions, prob) where
     prob sums to 1 per (datetime, from_type). Simultaneous events order
     deterministically by event id, as everywhere in this engine.
+
+    ``salt_span_ms`` is the SKEW OPTION for 100x-hot entities (same
+    rationale as funnel_progress): the lead window runs per (entity,
+    contiguous time block) so one task never holds more than the
+    hottest BLOCK; the pairs that straddle a block boundary — each
+    block's LAST event with the NEXT non-empty block's FIRST — are
+    recovered from a per-block min_by/max_by aggregate, whose output is
+    one row per (entity, block), so the stitching window is over block
+    summaries, never raw events. Equal timestamps share a block (block
+    = floor(epoch_ms/span)), so (ts, id) ordering is preserved and the
+    output is IDENTICAL to the unsalted form.
     """
     day = F.to_date(F.col(ts_col))
-    w = (Window.partitionBy("datetime", entity_col)
-         .orderBy(ts_col, id_col))
-    pairs = (events.withColumn("datetime", day)
-             .select("datetime", entity_col,
-                     F.col(type_col).alias("from_type"),
-                     F.lead(type_col).over(w).alias("to_type"),
-                     F.col(ts_col), F.col(id_col))
-             .where(F.col("to_type").isNotNull()))
+    if salt_span_ms is not None:
+        df = (events.withColumn("datetime", day)
+              .withColumn("_blk", F.floor(epoch_ms(F.col(ts_col))
+                                          / F.lit(salt_span_ms))))
+        wb = (Window.partitionBy("datetime", entity_col, "_blk")
+              .orderBy(ts_col, id_col))
+        within = (df.select("datetime", entity_col,
+                            F.col(type_col).alias("from_type"),
+                            F.lead(type_col).over(wb).alias("to_type"))
+                  .where(F.col("to_type").isNotNull()))
+        order = F.struct(F.col(ts_col), F.col(id_col))
+        per_block = (df.groupBy("datetime", entity_col, "_blk")
+                     .agg(F.min_by(type_col, order).alias("first_type"),
+                          F.max_by(type_col, order).alias("last_type")))
+        wstitch = (Window.partitionBy("datetime", entity_col)
+                   .orderBy("_blk"))
+        boundary = (per_block
+                    .select("datetime", entity_col,
+                            F.col("last_type").alias("from_type"),
+                            F.lead("first_type").over(wstitch)
+                             .alias("to_type"))
+                    .where(F.col("to_type").isNotNull()))
+        pairs = within.unionByName(boundary)
+    else:
+        w = (Window.partitionBy("datetime", entity_col)
+             .orderBy(ts_col, id_col))
+        pairs = (events.withColumn("datetime", day)
+                 .select("datetime", entity_col,
+                         F.col(type_col).alias("from_type"),
+                         F.lead(type_col).over(w).alias("to_type"),
+                         F.col(ts_col), F.col(id_col))
+                 .where(F.col("to_type").isNotNull()))
     counts = (pairs.groupBy("datetime", "from_type", "to_type")
               .agg(F.count(F.lit(1)).alias("n_transitions")))
     row_total = F.sum("n_transitions").over(
