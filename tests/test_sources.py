@@ -151,3 +151,30 @@ def test_compact_partitions_scoped_sweep(spark, tmp_path):
     day2 = {f for f in got.inputFiles() if "datetime=2024-01-02" in f}
     assert len(day1) == 3 and len(day2) == 1    # only day 2 compacted
     assert got.count() == 6
+
+
+def test_read_table_normalizes_ntz_timestamps(spark, tmp_path):
+    """TIMESTAMP_NTZ fixture encoding (TIMESTAMP_MICROS with
+    isAdjustedToUTC=false): read_table must (a) push ts_filter bounds
+    down as NTZ literals and (b) normalize the column to TimestampType
+    at the SAME instants the nanos-as-BIGINT path yields (session tz is
+    UTC, so the NTZ wall time maps 1:1)."""
+    import datetime as dtm
+
+    path = str(tmp_path / "ntzdir")
+    vals = ["2000-06-01 08:30:00", "2000-12-15 23:59:59"]
+    (spark.createDataFrame(
+        [(i, dtm.datetime.fromisoformat(v)) for i, v in enumerate(vals)],
+        "event_id long, ts timestamp_ntz")
+     .write.parquet(f"{path}/events.parquet"))
+
+    ev = read_table(spark, path, "events")
+    assert str(ev.schema["ts"].dataType) == "TimestampType()"
+    got = sorted(r["ts"] for r in ev.collect())
+    assert got == [dtm.datetime.fromisoformat(v) for v in vals]
+
+    flt = read_table(spark, path, "events",
+                     ts_filter=("ts", None, "2000-06-30 00:00:00"))
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(ts" in plan.split("PushedFilters")[1][:200]
+    assert [r["event_id"] for r in flt.collect()] == [0]
