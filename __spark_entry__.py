@@ -823,11 +823,36 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # driver-walk order: the correctness harness certifies entries front-to-back
-# and stopped at 50/72 in round 1, so the 22 queries it never reached
-# (bm25_topk .. curate_corpus) are listed FIRST this round; the 50 already
-# driver-certified-green follow in their original order.
+# and stops at 50, so each round rotates the least-recently-certified
+# queries to the front. Round 3: the 22 carrying round-1 certificates
+# (doc_chunks .. training_set) plus the NEW ann_recall_gate run first;
+# the 50 certified in round 2 follow in their round-2 order.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-1 driver-unverified (certify these first) ---
+    # --- round-1-certified + new (certify these first) ---
+    "doc_chunks": q_doc_chunks,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall_gate": q_ann_recall_gate,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "embedding_dedup": q_embedding_dedup,
+    "asof_features": q_asof_features,
+    "interval_features": q_interval_features,
+    "dataset_split": q_dataset_split,
+    "split_summary": q_split_summary,
+    "event_rollup": q_event_rollup,
+    "event_cube": q_event_cube,
+    "event_type_pivot": q_event_type_pivot,
+    "customers_no_orders": q_customers_no_orders,
+    "big_spender_customers": q_big_spender_customers,
+    "doc_fingerprints": q_doc_fingerprints,
+    "rolling_user_features": q_rolling_user_features,
+    "event_time_windows": q_event_time_windows,
+    "event_sliding_windows": q_event_sliding_windows,
+    "session_windows": q_session_windows,
+    "training_set": q_training_set,
+    # --- round-2 driver-certified green ---
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
     "funnel_daily": q_funnel_daily,
@@ -850,7 +875,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_docs_per_source": q_top_docs_per_source,
     "duration_percentiles": q_duration_percentiles,
     "curate_corpus": q_curate_corpus,
-    # --- round-1 driver-certified green ---
     "sessions": q_sessions,
     "user_daily": q_user_daily,
     "item_daily": q_item_daily,
@@ -879,29 +903,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "above_avg_orders": q_above_avg_orders,
     "frequent_tokens": q_frequent_tokens,
-    "doc_chunks": q_doc_chunks,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_bucket": q_ann_lsh_bucket,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_recall_gate": q_ann_recall_gate,
-    "embedding_near_pairs": q_embedding_near_pairs,
-    "embedding_dedup": q_embedding_dedup,
-    "asof_features": q_asof_features,
-    "interval_features": q_interval_features,
-    "dataset_split": q_dataset_split,
-    "split_summary": q_split_summary,
-    "event_rollup": q_event_rollup,
-    "event_cube": q_event_cube,
-    "event_type_pivot": q_event_type_pivot,
-    "customers_no_orders": q_customers_no_orders,
-    "big_spender_customers": q_big_spender_customers,
-    "doc_fingerprints": q_doc_fingerprints,
-    "rolling_user_features": q_rolling_user_features,
-    "event_time_windows": q_event_time_windows,
-    "event_sliding_windows": q_event_sliding_windows,
-    "session_windows": q_session_windows,
-    "training_set": q_training_set,
 }
 
 
