@@ -258,3 +258,67 @@ def test_run_silver_log_format_matches_parquet_format(spark, tmp_path):
     silver = LogTable(spark, str(tmp_path / "lt_silver"))
     assert [s.operation for s in silver.snapshots()] == ["merge", "merge"]
     assert os.path.exists(str(tmp_path / "lt_ledger.json"))
+
+
+# ------------------------------------------- streaming + maintenance
+
+def test_bronze_ingest_log_format_commits_and_dedups_replays(spark, tmp_path):
+    """File stream -> LogTable bronze: each drained micro-batch is one
+    append snapshot; a checkpoint-replayed batch (same txn token) must
+    NOT double-append; the silver planner then reads the second commit
+    as a clean increment — the reference's bronze->silver pipeline
+    end-to-end on real snapshots."""
+    from w_userflow_featurestore_spark.streaming import bronze_ingest
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write = lambda data: spark.createDataFrame(data, EVENTS_DDL) \
+        .coalesce(1).write.mode("append").parquet(src)  # noqa: E731
+    _write([_events(1, "2024-01-01 10:00:00", 1)])
+    q = bronze_ingest(spark.readStream.schema(EVENTS_DDL).parquet(src),
+                      out, ckpt, available_now=True, table_format="log")
+    q.awaitTermination(120)
+    t = LogTable(spark, out)
+    assert [s.operation for s in t.snapshots()] == ["append"]
+    assert t.read().count() == 1
+
+    _write([_events(2, "2024-01-01 11:00:00", 2)])
+    q2 = bronze_ingest(spark.readStream.schema(EVENTS_DDL).parquet(src),
+                       out, ckpt, available_now=True, table_format="log")
+    q2.awaitTermination(120)
+    assert len(t.snapshots()) == 2 and t.read().count() == 2
+
+    # simulate checkpoint-recovery replay: same txn token -> no-op
+    sid = t.append(spark.createDataFrame(
+        [_events(2, "2024-01-01 11:00:00", 2)], EVENTS_DDL)
+        .withColumn("datetime", F.to_date("ts")),
+        txn=f"bronze:{ckpt}:1")
+    assert sid == t.snapshots()[1].snapshot_id      # deduped, not appended
+    assert len(t.snapshots()) == 2 and t.read().count() == 2
+
+    # silver increment off the bronze snapshots
+    p = LakehousePlanner(t, str(tmp_path / "ledger.json"))
+    p.plan_read(spark).commit()
+    _write([_events(3, "2024-01-02 09:00:00", 3)])
+    q3 = bronze_ingest(spark.readStream.schema(EVENTS_DDL).parquet(src),
+                       out, ckpt, available_now=True, table_format="log")
+    q3.awaitTermination(120)
+    plan = p.plan_read(spark)
+    assert plan.mode == "incremental"
+    assert [r["event_id"] for r in plan.df.collect()] == [3]
+
+
+def test_compact_single_replace_commit_triggers_full_replan(spark, table, tmp_path):
+    for i in range(4):
+        table.append(_df(spark, [(i, D1, "x"), (100 + i, D2, "y")]))
+    p = LakehousePlanner(table, str(tmp_path / "ledger.json"))
+    p.plan_read(spark).commit()
+    n_before = len(table.files())
+    table.compact(target_files=1)
+    assert table.snapshots()[-1].operation == "replace"
+    assert len(table.files()) < n_before
+    assert rows(table.read(), "k") == rows(
+        table.read(table.snapshots()[-2].snapshot_id), "k")  # same data
+    # incremental range crossing the replace -> full replan, idempotent
+    plan = p.plan_read(spark)
+    assert plan.mode == "full" and "lineage broken" in plan.reason
+    assert plan.df.count() == 8

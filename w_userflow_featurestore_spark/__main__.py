@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--continuous", action="store_true",
                    help="keep running on a 30 s trigger instead of "
                         "draining available data and stopping")
+    b.add_argument("--table-format", choices=["parquet", "log"],
+                   default="parquet",
+                   help="'log' = one atomic LogTable snapshot per "
+                        "micro-batch (exactly-once via txn tokens)")
 
     s = sub.add_parser("silver", help="sessionize new events into silver")
     s.add_argument("--events", required=True)
@@ -76,7 +80,8 @@ def main(argv: list[str] | None = None) -> int:
         stream = (spark.readStream.schema(EVENTS_SCHEMA)
                   .parquet(args.source))
         q = bronze_ingest(stream, args.out, args.checkpoint,
-                          available_now=not args.continuous)
+                          available_now=not args.continuous,
+                          table_format=args.table_format)
         q.awaitTermination()
         print(f"bronze: ingested into {args.out}")
         return 0

@@ -68,9 +68,10 @@ class Snapshot:
     snapshot_id: int
     parent_id: int | None
     committed_at_ms: int
-    operation: str              # append | overwrite_partitions | merge | rollback
+    operation: str   # append | overwrite_partitions | merge | replace | rollback
     add: tuple[str, ...]        # file paths relative to <table>/data
     remove: tuple[str, ...]
+    txn: str | None = None      # idempotence token (streaming exactly-once)
 
 
 class LogTable:
@@ -119,7 +120,8 @@ class LogTable:
                 d = json.load(fh)
             out.append(Snapshot(d["snapshot_id"], d["parent_id"],
                                 d["committed_at_ms"], d["operation"],
-                                tuple(d["add"]), tuple(d["remove"])))
+                                tuple(d["add"]), tuple(d["remove"]),
+                                d.get("txn")))
         return out
 
     def snapshots_df(self) -> DataFrame:
@@ -137,7 +139,8 @@ class LogTable:
         return snaps[-1].snapshot_id if snaps else None
 
     def _commit(self, operation: str, add: list[str],
-                remove: list[str], parent_id: int | None = None) -> int:
+                remove: list[str], parent_id: int | None = None,
+                txn: str | None = None) -> int:
         """Atomically append one commit. O_EXCL create means two racing
         writers of the same sequence number cannot both win."""
         snaps = self.snapshots()
@@ -147,7 +150,7 @@ class LogTable:
         body = {"snapshot_id": seq, "parent_id": parent_id,
                 "committed_at_ms": int(time.time() * 1000),
                 "operation": operation, "add": sorted(add),
-                "remove": sorted(remove)}
+                "remove": sorted(remove), "txn": txn}
         target = os.path.join(self._log_path, f"{seq:020d}.json")
         with open(target, "x") as fh:       # exclusive create = the commit
             json.dump(body, fh)
@@ -288,9 +291,25 @@ class LogTable:
         os.rmdir(staging)
         return added
 
-    def append(self, df: DataFrame) -> int:
-        """Append-only commit (the bronze write path, reference S4)."""
-        return self._commit("append", self._stage_write(df), [])
+    def append(self, df: DataFrame, txn: str | None = None) -> int:
+        """Append-only commit (the bronze write path, reference S4).
+
+        ``txn`` makes the append IDEMPOTENT: if a commit carrying the
+        same token already exists on the current timeline, the call is
+        a no-op returning that snapshot id. This is how a replayed
+        streaming micro-batch (checkpoint recovery re-delivers the last
+        unacknowledged batch) commits exactly once — the same
+        txnAppId/txnVersion idempotent-write protocol Delta documents
+        and the role Iceberg's atomic snapshot commit plays for the
+        reference's Kafka->Bronze hop (bronze_load_raw_data.py:84-90,
+        README 'exactly-once' §)."""
+        if txn is not None:
+            latest = self.latest_snapshot_id()
+            if latest is not None:
+                for s in self._chain(latest):
+                    if s.txn == txn:
+                        return s.snapshot_id
+        return self._commit("append", self._stage_write(df), [], txn=txn)
 
     def overwrite_partitions(self, df: DataFrame) -> int:
         """Dynamic partition overwrite as ONE atomic commit (reference
@@ -346,6 +365,24 @@ class LogTable:
         # hazard at all: immutable files are the point of the format)
         adds = self._stage_write(kept.unionByName(staged))
         return self._commit("merge", adds, victim_rel)
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the live file set into ``target_files`` files per
+        partition as ONE ``replace`` commit (the maintenance job
+        Iceberg's rewrite_data_files performs for the reference's
+        tables): streaming appends and frequent merges accrete a file
+        per commit, and at scale the scan-task explosion dominates read
+        cost. Readers pinned to older snapshots are untouched
+        (immutable files); an incremental reader whose range crosses
+        the replace commit gets BrokenLineageError and replans a full
+        read — identical data, so downstream MERGE/overwrite stays
+        idempotent."""
+        live = self.files()
+        if not live:
+            return self.latest_snapshot_id() or 0
+        adds = self._stage_write(
+            self._read_files(live).repartition(target_files))
+        return self._commit("replace", adds, live)
 
     def rollback(self, snapshot_id: int) -> int:
         """Reset the table to an older snapshot by committing a new

@@ -70,18 +70,40 @@ def parse_kafka_events(raw: DataFrame, schema: StructType | str) -> DataFrame:
 
 def bronze_ingest(events: DataFrame, path: str, checkpoint: str,
                   trigger_seconds: int | None = 30,
-                  available_now: bool = False):
+                  available_now: bool = False,
+                  table_format: str = "parquet"):
     """Append-only day-partitioned bronze sink with checkpoint recovery
     (reference S4). ``available_now`` drains the source and stops —
-    the test/backfill trigger."""
+    the test/backfill trigger.
+
+    ``table_format="log"`` lands every micro-batch as ONE atomic
+    LogTable append commit carrying the batch id as an idempotence
+    token — the reference's Kafka->Iceberg hop semantics for real:
+    checkpoint recovery may REPLAY the last micro-batch, and the token
+    makes the replayed commit a no-op (exactly-once at the table), while
+    each commit becomes a snapshot the silver LakehousePlanner reads
+    incrementally (reference bronze_load_raw_data.py:84-90 +
+    silver_user_session_events.py:67-76 as one pipeline)."""
     if "datetime" not in events.columns:
         events = events.withColumn("datetime", F.to_date("ts"))
-    writer = (events.writeStream
-              .format("parquet")
-              .outputMode("append")
-              .option("checkpointLocation", checkpoint)
-              .option("path", path)
-              .partitionBy("datetime"))
+    if table_format == "log":
+        from w_userflow_featurestore_spark.sources.lakehouse import (
+            LogTable,
+        )
+
+        def _sink(batch: DataFrame, batch_id: int) -> None:
+            t = LogTable.create(batch.sparkSession, path, ["datetime"])
+            t.append(batch, txn=f"bronze:{checkpoint}:{batch_id}")
+
+        writer = (events.writeStream.foreachBatch(_sink)
+                  .option("checkpointLocation", checkpoint))
+    else:
+        writer = (events.writeStream
+                  .format("parquet")
+                  .outputMode("append")
+                  .option("checkpointLocation", checkpoint)
+                  .option("path", path)
+                  .partitionBy("datetime"))
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif trigger_seconds is not None:
