@@ -403,6 +403,21 @@ def q_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("r.method", "r.recall_bp", "r.recall_ok"))
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc coverage of the corpus top-100 vocabulary in exact basis
+    points (operators/text.py vocab_coverage) — curation quality signal
+    + tokenizer-coverage estimate."""
+    return TX.vocab_coverage(read_table(spark, sf_dir, "documents"),
+                             vocab_k=100)
+
+
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day per-event-type volume-shift flags
+    (operators/temporal.py daily_volume_anomaly) — the ingest-health
+    monitor; exact integer ratios, NULL-baseline first days."""
+    return TMP.daily_volume_anomaly(_events(spark, sf_dir))
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted equi-join of orders to customer. Oracle =
     the plain unsalted JOIN, so row-identical equivalence is enforced
@@ -835,6 +850,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_recall_gate": q_ann_recall_gate,
+    "vocab_coverage": q_vocab_coverage,
+    "volume_anomaly": q_volume_anomaly,
     "embedding_near_pairs": q_embedding_near_pairs,
     "embedding_dedup": q_embedding_dedup,
     "asof_features": q_asof_features,
@@ -1536,6 +1553,43 @@ WHERE token <> ''
 GROUP BY token
 ORDER BY n_occurrences DESC, token ASC
 LIMIT 20
+"""
+
+ORACLES["vocab_coverage"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token, 1 AS _v FROM (
+    SELECT token, count(*) AS n FROM toks2 GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT 100)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(v._v) AS BIGINT) AS n_covered,
+       CAST(floor(count(v._v) * 10000 / count(*)) AS BIGINT) AS coverage_bp
+FROM toks2 t LEFT JOIN vocab v USING (token)
+GROUP BY doc_id
+"""
+
+ORACLES["volume_anomaly"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS datetime, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT datetime, event_type, n_events,
+       prev_n_events,
+       CAST(floor(n_events * 10000 / prev_n_events) AS BIGINT) AS ratio_bp,
+       CASE WHEN prev_n_events IS NULL THEN NULL
+            ELSE CAST(floor(n_events * 10000 / prev_n_events) < 5000
+                      OR floor(n_events * 10000 / prev_n_events) > 20000
+                      AS INT) END AS is_anomaly
+FROM (
+  SELECT *, lag(n_events) OVER (PARTITION BY event_type
+                                ORDER BY datetime) AS prev_n_events
+  FROM daily)
 """
 
 _PII_EMAIL = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
@@ -2400,7 +2454,7 @@ _DATE_QUERIES = {
     "entry_type_daily", "top_item_per_day", "binge_ratio",
     "retention_yesterday", "retention_today", "cohort_vs_global",
     "dim_gap_features", "duration_percentiles", "funnel_daily",
-    "event_transitions",
+    "event_transitions", "volume_anomaly",
 }
 
 

@@ -57,3 +57,36 @@ def test_above_group_avg_plan_no_per_row_subquery(spark):
                                "id long, grp string, val double")
     # one shuffle for the group agg + one to co-partition the join
     assert_plan(above_group_avg(df, "grp", "val"), max_shuffles=3)
+
+
+def test_vocab_coverage_boundary_and_values(spark):
+    from w_userflow_featurestore_spark.operators.text import vocab_coverage
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"),          # aa x2, bb x1
+         (2, "bb cc cc"),          # cc x2
+         (3, "zz")],               # rare token only
+        "doc_id long, text string")
+    # corpus counts: aa=2, bb=2, cc=2, zz=1 -> top-2 vocab = {aa, bb}
+    # (count desc, token asc tie-break)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_covered"], r["coverage_bp"])
+           for r in vocab_coverage(docs, vocab_k=2).collect()}
+    assert got[1] == (3, 3, 10000)
+    assert got[2] == (3, 1, 3333)          # floor(1*10000/3)
+    assert got[3] == (1, 0, 0)
+
+
+def test_daily_volume_anomaly_null_baseline_and_flags(spark):
+    import datetime as dtm
+    from w_userflow_featurestore_spark.operators.temporal import (
+        daily_volume_anomaly,
+    )
+    mk = lambda d, n: [(i, dtm.datetime(2024, 1, d, 10, 0, i), "view")  # noqa: E731
+                       for i in range(n)]
+    ev = spark.createDataFrame(mk(1, 10) + mk(2, 3) + mk(3, 4),
+                               "event_id long, ts timestamp, event_type string")
+    got = {str(r["datetime"]): (r["prev_n_events"], r["ratio_bp"],
+                                r["is_anomaly"])
+           for r in daily_volume_anomaly(ev).collect()}
+    assert got["2024-01-01"] == (None, None, None)       # no baseline
+    assert got["2024-01-02"] == (10, 3000, 1)            # collapse -> flag
+    assert got["2024-01-03"] == (3, 13333, 0)            # within band

@@ -171,3 +171,33 @@ def churn_labels(events: DataFrame, key_col: str = "user_id",
         key_col,
         F.date_format("activity_date", "yyyy-MM-dd").alias("activity_date"),
         (F.count(F.lit(1)).over(w) == 0).cast("int").alias("churned"))
+
+
+def daily_volume_anomaly(events: DataFrame, dim_col: str = "event_type",
+                         ts_col: str = "ts", lo_bp: int = 5000,
+                         hi_bp: int = 20000) -> DataFrame:
+    """Day-over-day volume-shift flags per dimension value — the
+    pipeline-health monitor a production feature store runs on every
+    ingest (a collapsed event type means a broken client; a doubled one
+    means a replay or a bot wave).
+
+    ratio_bp = floor(today * 10000 / previous-observed-day) in exact
+    integer math; is_anomaly flags ratios outside [lo_bp, hi_bp]. The
+    first observed day per dimension has no baseline -> NULL ratio and
+    NULL flag (never a false alarm). One hash aggregate to (day, dim)
+    then a lag window over that tiny aggregate — raw events shuffle
+    once, the window state is O(days x |dim|)."""
+    daily = (events
+             .groupBy(F.to_date(F.col(ts_col)).alias("datetime"),
+                      F.col(dim_col))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy(dim_col).orderBy("datetime")
+    prev = F.lag("n_events").over(w)
+    ratio = F.floor(F.col("n_events") * 10000 / prev).cast("long")
+    return (daily
+            .withColumn("prev_n_events", prev)
+            .withColumn("ratio_bp", ratio)
+            .withColumn("is_anomaly",
+                        F.when(prev.isNull(), F.lit(None).cast("int"))
+                         .otherwise(((ratio < lo_bp) | (ratio > hi_bp))
+                                    .cast("int"))))

@@ -331,3 +331,41 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
                     F.col("chunk_id").cast("long"),
                     F.size("__cw").cast("long").alias("n_chunk_tokens"),
                     F.concat_ws(" ", "__cw").alias("chunk_text")))
+
+
+def vocab_coverage(docs: DataFrame, vocab_k: int = 100,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document vocabulary coverage: the fraction of token
+    occurrences covered by the corpus's top-``vocab_k`` tokens, in
+    exact basis points — a standard curation quality signal (documents
+    far off the corpus vocabulary are boilerplate, code dumps, or
+    another language) and the coverage estimate tokenizer training
+    reads.
+
+    Plan: one explode feeds BOTH the vocab heavy-hitter aggregate
+    (map-side partial combine absorbs hot tokens before the shuffle)
+    and the per-doc rollup; the vocab (``vocab_k`` rows by
+    construction) broadcasts back, so corpus-side cost is two hash
+    aggregates and zero sort-merge joins at any scale. The vocab
+    boundary ties break on the token string, and coverage_bp =
+    floor(hits * 10000 / total) is integer math — both
+    engine-portable, so the value oracle holds exactly. Docs with zero
+    tokens have no occurrences to cover and yield no row (mirrors the
+    oracle's inner unnest)."""
+    toks = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col),
+                    F.explode(words(F.col(text_col))).alias("token"))
+            .where(F.col("token") != ""))
+    vocab = (toks.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .orderBy(F.desc("_n"), F.asc("token"))
+             .limit(vocab_k)
+             .select("token", F.lit(1).alias("_v")))
+    return (toks.join(F.broadcast(vocab), "token", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count("_v").alias("n_covered"))
+            .select(F.col(id_col), "n_tokens", "n_covered",
+                    F.floor(F.col("n_covered") * 10000 / F.col("n_tokens"))
+                     .cast("long").alias("coverage_bp")))
