@@ -322,3 +322,49 @@ def test_compact_single_replace_commit_triggers_full_replan(spark, table, tmp_pa
     plan = p.plan_read(spark)
     assert plan.mode == "full" and "lineage broken" in plan.reason
     assert plan.df.count() == 8
+
+
+def test_run_daily_features_log_format_matches_parquet(spark, tmp_path):
+    """Gold on LogTable: same feature rows as the parquet backend, one
+    atomic overwrite commit per table, idempotent on re-run."""
+    from w_userflow_featurestore_spark.runner import (
+        run_daily_features, run_silver,
+    )
+
+    batch = [_events(1, "2024-01-01 10:00:00", 1),
+             _events(2, "2024-01-01 10:10:00", 1, "purchase", 60.0),
+             _events(3, "2024-01-01 10:05:00", 2, "click")]
+    now = "2024-01-02 12:00:00"
+    events_df = spark.createDataFrame(batch, EVENTS_DDL)
+
+    pq_events = str(tmp_path / "ev")
+    events_df.write.parquet(pq_events)
+    run_silver(spark, pq_events, str(tmp_path / "pq_silver"),
+               str(tmp_path / "pq_ledger.json"), now)
+    want = run_daily_features(spark, str(tmp_path / "pq_silver"),
+                              events_df, str(tmp_path / "pq_gold"))
+
+    lt = LogTable.create(spark, str(tmp_path / "lt_events"), ["datetime"])
+    lt.append(events_df.withColumn("datetime", F.to_date("ts")))
+    run_silver(spark, lt.path, str(tmp_path / "lt_silver"),
+               str(tmp_path / "lt_ledger.json"), now, table_format="log")
+    got = run_daily_features(spark, str(tmp_path / "lt_silver"),
+                             events_df, str(tmp_path / "lt_gold"),
+                             table_format="log")
+    assert got == want                      # same rows-written per table
+
+    for name in want:
+        t = LogTable(spark, str(tmp_path / f"lt_gold/{name}"))
+        assert [s.operation for s in t.snapshots()] == [
+            "overwrite_partitions"]
+        pq = spark.read.parquet(str(tmp_path / f"pq_gold/{name}"))
+        cols = sorted(c for c in pq.columns if c != "datetime")
+        assert rows(t.read(), *cols) == rows(pq, *cols), name
+
+    # idempotent re-run: one more atomic commit, same data
+    again = run_daily_features(spark, str(tmp_path / "lt_silver"),
+                               events_df, str(tmp_path / "lt_gold"),
+                               table_format="log")
+    assert again == want
+    t0 = LogTable(spark, str(tmp_path / "lt_gold/user_daily"))
+    assert len(t0.snapshots()) == 2

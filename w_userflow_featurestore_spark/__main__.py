@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--events", required=True)
     g.add_argument("--out", required=True)
     g.add_argument("--min-rows", type=int, default=1)
+    g.add_argument("--table-format", choices=["parquet", "log"],
+                   default="parquet",
+                   help="'log' = each gold table is a LogTable; the "
+                        "daily overwrite is one atomic commit")
 
     c = sub.add_parser(
         "curate",
@@ -100,7 +104,8 @@ def main(argv: list[str] | None = None) -> int:
         from w_userflow_featurestore_spark.runner import run_daily_features
         events = spark.read.parquet(args.events)
         written = run_daily_features(spark, args.silver, events, args.out,
-                                     min_rows_per_day=args.min_rows)
+                                     min_rows_per_day=args.min_rows,
+                                     table_format=args.table_format)
         # rows WRITTEN THIS RUN (observed on the write action), not total
         # table rows — with dynamic partition overwrite, untouched prior
         # partitions remain in the table but are not re-counted here

@@ -92,6 +92,14 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
     (LakehousePlanner) and the silver MERGE is a file-granular
     copy-on-write commit — the reference's actual Iceberg semantics
     (S6/S7/S9) rather than the parquet emulation.
+
+    Durability note: the one-pass diagnostics below use
+    ``localCheckpoint`` (EXECUTOR-local storage). On local[N] that is
+    free; on a real cluster an executor loss between the checkpoint and
+    the merge write fails the run — acceptable because the run is
+    re-entrant (ledger uncommitted => the increment replays and the
+    merge converges), but latency-sensitive cluster deployments should
+    swap in a reliable ``checkpoint()`` dir or persist(DISK_ONLY_2).
     """
     if table_format == "log":
         from w_userflow_featurestore_spark.incremental import (
@@ -132,8 +140,12 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
 # way the reference's episode job feeds the webtoon job
 # (gold_webtoon_daily_metrics.py:74-85, gold_daily_dag.py:146)
 def run_daily_features(spark: SparkSession, silver_path: str, events: DataFrame,
-                       out_dir: str, min_rows_per_day: int = 1) -> dict[str, int]:
+                       out_dir: str, min_rows_per_day: int = 1,
+                       table_format: str = "parquet") -> dict[str, int]:
     """All gold-grain feature tables, gated then written idempotently.
+    ``table_format="log"`` makes each table a LogTable whose daily
+    overwrite is one atomic remove+add commit (reference S10 on a real
+    format); the silver input is read from either backend.
 
     Returns rows WRITTEN per table by THIS run (observed on the write
     action itself). Under dynamic partition overwrite that is the row
@@ -141,7 +153,11 @@ def run_daily_features(spark: SparkSession, silver_path: str, events: DataFrame,
     remain in the table but are deliberately not re-counted (a total-
     table count would cost a full re-read per table; callers wanting
     totals can count the table on read)."""
-    sessions = spark.read.parquet(silver_path)
+    from w_userflow_featurestore_spark.sources import LogTable
+    if LogTable.is_log_table(silver_path):
+        sessions = LogTable(spark, silver_path).read()
+    else:
+        sessions = spark.read.parquet(silver_path)
     completeness_gate(sessions, "datetime", min_rows_per_day)
 
     item = M.item_daily(events)
@@ -158,6 +174,8 @@ def run_daily_features(spark: SparkSession, silver_path: str, events: DataFrame,
         # not a post-hoc re-read+count of the table we just wrote)
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        overwrite_partitions(df, f"{out_dir}/{name}", ["datetime"])
+        overwrite_partitions(df, f"{out_dir}/{name}", ["datetime"],
+                             format="log" if table_format == "log"
+                             else "auto")
         written[name] = int(obs.get["rows"])
     return written
