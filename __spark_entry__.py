@@ -418,6 +418,15 @@ def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TMP.daily_volume_anomaly(_events(spark, sf_dir))
 
 
+def q_source_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balancing downsample (operators/sampling.py
+    source_balanced_sample): over-represented sources thinned to the
+    per-source mean by deterministic hash threshold — the data-mixing
+    step; membership exact-oracle-able."""
+    return SMP.source_balanced_sample(
+        read_table(spark, sf_dir, "documents")).select("doc_id", "source")
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted equi-join of orders to customer. Oracle =
     the plain unsalted JOIN, so row-identical equivalence is enforced
@@ -852,6 +861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_gate": q_ann_recall_gate,
     "vocab_coverage": q_vocab_coverage,
     "volume_anomaly": q_volume_anomaly,
+    "source_balanced_sample": q_source_balanced_sample,
     "embedding_near_pairs": q_embedding_near_pairs,
     "embedding_dedup": q_embedding_dedup,
     "asof_features": q_asof_features,
@@ -1553,6 +1563,21 @@ WHERE token <> ''
 GROUP BY token
 ORDER BY n_occurrences DESC, token ASC
 LIMIT 20
+"""
+
+ORACLES["source_balanced_sample"] = f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n,
+               CAST(count(*) AS BIGINT) AS n_sources FROM counts),
+rates AS (
+  SELECT source,
+         least(CAST(1000 AS BIGINT),
+               CAST(floor(1000 * total_n / (n_sources * n)) AS BIGINT))
+           AS keep_bp
+  FROM counts, tot)
+SELECT doc_id, source
+FROM documents JOIN rates USING (source)
+WHERE {_h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_bp
 """
 
 ORACLES["vocab_coverage"] = f"""

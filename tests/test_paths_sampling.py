@@ -145,3 +145,38 @@ def test_transition_matrix_salted_identical_to_unsalted(spark):
     for span in (3_600_000, 421_000, 1_000):
         got = rows(transition_matrix(ev, salt_span_ms=span))
         assert got == want, f"span={span}"
+
+
+def test_source_balanced_sample_thins_hot_sources_only(spark):
+    from w_userflow_featurestore_spark.operators.sampling import (
+        source_balanced_sample,
+    )
+    # 3 sources: 900 / 90 / 10 rows; mean = 1000/3 = 333
+    data = [(i, "hot" if i < 900 else ("warm" if i < 990 else "cold"))
+            for i in range(1000)]
+    docs = spark.createDataFrame(data, "doc_id long, source string")
+    got = source_balanced_sample(docs).groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    # keep_bp(hot) = floor(1000*1000/(3*900)) = 370 -> ~37% of 900
+    assert 280 <= counts["hot"] <= 390
+    # at/below the mean: everything survives (rate clamps at 1)
+    assert counts["warm"] == 90 and counts["cold"] == 10
+    # deterministic: rerun identical
+    again = {r["source"]: r["count"]
+             for r in source_balanced_sample(docs)
+             .groupBy("source").count().collect()}
+    assert again == counts
+
+
+def test_source_balanced_sample_is_broadcast_no_corpus_shuffle(spark):
+    from w_userflow_featurestore_spark.operators.sampling import (
+        source_balanced_sample,
+    )
+    from w_userflow_featurestore_spark.plans import (
+        broadcast_join_count, sort_merge_join_count,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id long, source string")
+    df = source_balanced_sample(docs)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0

@@ -339,3 +339,32 @@ def test_parse_kafka_events_wire_schema_plan_equivalence(spark, tmp_path):
     assert got == [(1, 1, "view", 1.0, dt.date(2024, 1, 1)),
                    (2, 2, "purchase", 60.0, dt.date(2024, 1, 2))]
     assert rows(parsed_batch, "event_id") == [(1,), (2,)]
+
+
+def test_streaming_dedup_drops_replays_within_watermark(spark, tmp_path):
+    """Streaming twin of batch D1: a re-delivered event_id (identical
+    payload, the at-least-once replay case) must come out once; output
+    content matches the batch dedup over the same rows."""
+    from w_userflow_featurestore_spark.operators.cleanse import dedup_latest
+    from w_userflow_featurestore_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "dsrc")
+    _write_events(spark, src, [
+        _batch(1, "2024-01-01 10:00:00", 1),
+        _batch(2, "2024-01-01 10:01:00", 2),
+        _batch(1, "2024-01-01 10:00:00", 1),      # replay of event 1
+    ])
+    _write_events(spark, src, [
+        _batch(2, "2024-01-01 10:01:00", 2),      # replay across files
+        _batch(3, "2024-01-01 10:02:00", 3),
+    ])
+    q = (streaming_dedup(spark.readStream.schema(EVENTS_DDL).parquet(src))
+         .writeStream.format("memory").queryName("sdedup")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "dckpt")).start())
+    q.awaitTermination(120)
+    got = rows(spark.table("sdedup"), "event_id", "user_id", "value")
+    batch = dedup_latest(spark.read.parquet(src),
+                         key=["event_id"], order_by=["ts"])
+    assert got == rows(batch, "event_id", "user_id", "value")
+    assert [g[0] for g in got] == [1, 2, 3]

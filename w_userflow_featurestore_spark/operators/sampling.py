@@ -120,3 +120,36 @@ def cap_group_rows(df: DataFrame, group_cols: list[str], n: int,
         F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n).drop("__rn"))
+
+
+def source_balanced_sample(df: DataFrame, source_col: str = "source",
+                           id_col: str = "doc_id",
+                           n_buckets: int = N_BUCKETS,
+                           salt: str = "mix") -> DataFrame:
+    """Deterministic source-balancing downsample — the data-mixing step
+    before training: over-represented sources are thinned toward the
+    per-source mean so no single crawl/domain dominates the corpus.
+
+    keep_rate(source s) = min(1, (N/S) / n_s) in exact fixed point
+    (``floor(n_buckets * N / (S * n_s))`` — pure BIGINT arithmetic), and
+    a row survives iff its salted hash bucket falls under its source's
+    rate: the same shuffle-free hash-threshold machinery as
+    stratified_sample, so membership is stable under reruns, corpus
+    growth, and engine choice. Plan: one small per-source count
+    aggregate broadcasts back onto the scan — the corpus itself never
+    shuffles. Sources at or below the mean keep everything (rate
+    clamps at 1).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(F.sum("_n").alias("_total"),
+                     F.count(F.lit(1)).alias("_nsrc"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select(F.col(source_col),
+                     F.least(F.lit(n_buckets).cast("long"),
+                             F.floor(F.lit(n_buckets) * F.col("_total")
+                                     / (F.col("_nsrc") * F.col("_n")))
+                              .cast("long")).alias("_keep_bp")))
+    b = hash_bucket(F.col(id_col), n_buckets, salt)
+    return (df.join(F.broadcast(rates), source_col)
+              .where(b < F.col("_keep_bp"))
+              .drop("_keep_bp"))

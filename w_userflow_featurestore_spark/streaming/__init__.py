@@ -3,6 +3,7 @@ from w_userflow_featurestore_spark.streaming.ingest import (
     parse_kafka_events,
     read_event_stream,
     stream_upsert,
+    streaming_dedup,
     streaming_sessionize,
     streaming_window_counts,
 )
@@ -13,7 +14,7 @@ from w_userflow_featurestore_spark.streaming.stateful import (
 )
 
 __all__ = ["bronze_ingest", "parse_kafka_events", "read_event_stream",
-           "stream_upsert", "streaming_sessionize",
+           "stream_upsert", "streaming_dedup", "streaming_sessionize",
            "streaming_window_counts",
            "stateful_sessionize", "fold_events",
            "close_session"]

@@ -192,3 +192,22 @@ def stream_upsert(events: DataFrame, path: str, checkpoint: str, *,
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def streaming_dedup(events: DataFrame, key_cols: list[str] | None = None,
+                    ts_col: str = "ts",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """In-stream event dedup — the streaming twin of batch D1
+    (cleanse.dedup_latest; reference silver_user_session_events.py:87-92).
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival of each
+    key and drops re-deliveries while the key is inside the watermark —
+    exactly the at-least-once replay window of a Kafka source, which is
+    where duplicate event_ids come from (re-delivered payloads are
+    byte-identical, so first-arrival == latest-by-ts in content and the
+    batch D1 result matches). Unlike a bare streaming dropDuplicates,
+    state is BOUNDED by the watermark instead of growing with every key
+    ever seen — the difference between O(replay window) and O(stream
+    lifetime) state at scale."""
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols or ["event_id"]))
