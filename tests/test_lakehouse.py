@@ -368,3 +368,60 @@ def test_run_daily_features_log_format_matches_parquet(spark, tmp_path):
     assert again == want
     t0 = LogTable(spark, str(tmp_path / "lt_gold/user_daily"))
     assert len(t0.snapshots()) == 2
+
+
+# ------------------------------------------------------- concurrency
+
+def test_commit_race_append_retries_rewrite_raises(spark, table):
+    """Optimistic concurrency: a concurrent writer lands a commit while
+    an operation is staging its files (after it captured its base
+    snapshot). An append must retry onto the next sequence number; a
+    merge must raise ConcurrentCommitError — its staged output was
+    derived from the now-stale base — and succeed when re-run."""
+    import json as _json
+    import os as _os
+
+    from w_userflow_featurestore_spark.sources import ConcurrentCommitError
+
+    table.append(_df(spark, [(1, D1, "a")]))
+
+    def steal_next_seq():
+        seq = table.latest_snapshot_id() + 1
+        body = {"snapshot_id": seq, "parent_id": table.latest_snapshot_id(),
+                "committed_at_ms": 0, "operation": "append",
+                "add": [], "remove": [], "txn": None}
+        with open(_os.path.join(table.path, "_txn_log",
+                                f"{seq:020d}.json"), "x") as fh:
+            _json.dump(body, fh)
+        return seq
+
+    orig = table._stage_write
+    stolen = []
+
+    def staging_racer(df):
+        out = orig(df)
+        stolen.append(steal_next_seq())   # concurrent commit mid-operation
+        return out
+
+    table._stage_write = staging_racer
+    try:
+        s = table.append(_df(spark, [(2, D2, "b")]))
+        assert s == stolen[-1] + 1                  # append retried past it
+        assert rows(table.read(), "k") == [(1,), (2,)]
+
+        with pytest.raises(ConcurrentCommitError, match="merge"):
+            table.merge(_df(spark, [(1, D1, "A")]), keys=["k"])
+    finally:
+        table._stage_write = orig
+    # re-run against the new state converges
+    table.merge(_df(spark, [(1, D1, "A")]), keys=["k"])
+    assert rows(table.read(), "k", "v") == [(1, "A"), (2, "b")]
+
+
+def test_commit_race_txn_append_stays_idempotent(spark, table):
+    """If the racing winner WAS a replay of the same txn, the loser
+    must dedup instead of double-appending."""
+    df = _df(spark, [(1, D1, "a")])
+    sid = table.append(df, txn="t1")
+    assert table.append(df, txn="t1") == sid        # plain replay dedup
+    assert table.read().count() == 1

@@ -10,10 +10,11 @@ from w_userflow_featurestore_spark.sources.parquet import (
 from w_userflow_featurestore_spark.sources.lakehouse import (
     LogTable,
     BrokenLineageError,
+    ConcurrentCommitError,
     Snapshot,
 )
 
 __all__ = ["read_table", "fan_out", "write_partitioned",
            "overwrite_partitions", "write_bucketed", "merge_upsert",
            "compact_partitions", "LogTable", "BrokenLineageError",
-           "Snapshot"]
+           "ConcurrentCommitError", "Snapshot"]

@@ -51,7 +51,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["LogTable", "BrokenLineageError", "Snapshot"]
+__all__ = ["LogTable", "BrokenLineageError", "ConcurrentCommitError",
+           "Snapshot"]
 
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
@@ -61,6 +62,14 @@ class BrokenLineageError(RuntimeError):
     """The requested snapshot range is not a clean append lineage —
     the caller must fall back to a full read (the reference's
     broken-ancestry fallback, silver_dag.py:119-122)."""
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this operation's read of table
+    state and its commit attempt. The operation's staged result may be
+    based on stale files — re-run the operation (it will recompute from
+    the new current snapshot). Appends never raise this: they carry no
+    read-dependency, so the loser just takes the next sequence number."""
 
 
 @dataclass(frozen=True)
@@ -138,23 +147,61 @@ class LogTable:
         snaps = self.snapshots()
         return snaps[-1].snapshot_id if snaps else None
 
+    _UNSET = object()
+
     def _commit(self, operation: str, add: list[str],
                 remove: list[str], parent_id: int | None = None,
-                txn: str | None = None) -> int:
-        """Atomically append one commit. O_EXCL create means two racing
-        writers of the same sequence number cannot both win."""
-        snaps = self.snapshots()
-        seq = (snaps[-1].snapshot_id + 1) if snaps else 1
-        if parent_id is None:
-            parent_id = snaps[-1].snapshot_id if snaps else None
-        body = {"snapshot_id": seq, "parent_id": parent_id,
-                "committed_at_ms": int(time.time() * 1000),
-                "operation": operation, "add": sorted(add),
-                "remove": sorted(remove), "txn": txn}
-        target = os.path.join(self._log_path, f"{seq:020d}.json")
-        with open(target, "x") as fh:       # exclusive create = the commit
-            json.dump(body, fh)
-        return seq
+                txn: str | None = None, expected_base=_UNSET,
+                _retries: int = 20) -> int:
+        """Atomically append one commit; O_EXCL create means two racing
+        writers of the same sequence number cannot both win.
+
+        Optimistic concurrency (Delta's conflict rules, simplified):
+        an APPEND has no read-dependency, so losing a race just means
+        taking the next sequence number — it retries. A REWRITE
+        operation (merge / overwrite / replace / rollback) passes the
+        snapshot id its staged output was DERIVED from as
+        ``expected_base``; if the table has moved past that snapshot —
+        detected either by the pre-write check or by losing the O_EXCL
+        race — the staged files reflect stale state and the commit
+        raises :class:`ConcurrentCommitError` so the caller re-runs the
+        operation against the new current snapshot."""
+        validate_base = expected_base is not LogTable._UNSET
+        for _ in range(_retries):
+            snaps = self.snapshots()
+            if txn is not None:
+                # re-check idempotence after losing a race: the winner
+                # may have been a replay of this very transaction
+                for s in snaps:
+                    if s.txn == txn:
+                        return s.snapshot_id
+            latest = snaps[-1].snapshot_id if snaps else None
+            if validate_base and latest != expected_base:
+                raise ConcurrentCommitError(
+                    f"{operation} was staged against snapshot "
+                    f"{expected_base} but the table is now at {latest} "
+                    f"— re-run the operation")
+            seq = (latest + 1) if snaps else 1
+            pid = parent_id if parent_id is not None else latest
+            body = {"snapshot_id": seq, "parent_id": pid,
+                    "committed_at_ms": int(time.time() * 1000),
+                    "operation": operation, "add": sorted(add),
+                    "remove": sorted(remove), "txn": txn}
+            target = os.path.join(self._log_path, f"{seq:020d}.json")
+            try:
+                with open(target, "x") as fh:   # exclusive create = commit
+                    json.dump(body, fh)
+                return seq
+            except FileExistsError:
+                if validate_base:
+                    raise ConcurrentCommitError(
+                        f"{operation} lost the commit race for snapshot "
+                        f"{seq}; its input state is stale — re-run the "
+                        f"operation") from None
+                continue                        # append: take the next seq
+        raise ConcurrentCommitError(
+            f"append could not win a sequence number after {_retries} "
+            f"attempts")
 
     # ----------------------------------------------------------- lineage
 
@@ -318,6 +365,7 @@ class LogTable:
         parts = self.partition_by
         if not parts:
             raise ValueError("overwrite_partitions needs a partitioned table")
+        base = self.latest_snapshot_id()
         touched = {tuple(str(r[c]) for c in parts)
                    for r in df.select(*parts).distinct().collect()}
 
@@ -325,9 +373,10 @@ class LogTable:
             vals = dict(seg.split("=", 1) for seg in rel.split(os.sep)[:-1])
             return tuple(vals.get(c, "") for c in parts)
 
-        removes = [f for f in self.files() if part_key(f) in touched]
+        removes = [f for f in self.files(base) if part_key(f) in touched]
         return self._commit("overwrite_partitions",
-                            self._stage_write(df), removes)
+                            self._stage_write(df), removes,
+                            expected_base=base)
 
     def merge(self, staged: DataFrame, keys: list[str]) -> int:
         """MERGE INTO: matched rows updated, new rows inserted, as
@@ -342,9 +391,11 @@ class LogTable:
         Scale: the victim scan is one distributed semi-join over the
         file-path metadata column; unmatched files are untouched, so
         steady-state merge cost tracks the overlap, not table size."""
-        if self.latest_snapshot_id() is None:
-            return self._commit("merge", self._stage_write(staged), [])
-        target = self.read().withColumn(
+        base = self.latest_snapshot_id()
+        if base is None:
+            return self._commit("merge", self._stage_write(staged), [],
+                                expected_base=None)
+        target = self._read_files(self.files(base)).withColumn(
             "_file", F.col("_metadata.file_path"))
         key_rows = staged.select(*keys).distinct()
         victims = (target.join(key_rows.hint("broadcast"), keys, "left_semi")
@@ -354,7 +405,8 @@ class LogTable:
             os.path.relpath(urlparse(r["_file"]).path, self._data_path)
             for r in victims)
         if not victim_rel:
-            return self._commit("merge", self._stage_write(staged), [])
+            return self._commit("merge", self._stage_write(staged), [],
+                                expected_base=base)
         kept = (self._read_files(victim_rel)
                 .join(key_rows, keys, "left_anti")
                 .select(*staged.columns))
@@ -364,7 +416,7 @@ class LogTable:
         # only unreferences them, so there is no read-before-overwrite
         # hazard at all: immutable files are the point of the format)
         adds = self._stage_write(kept.unionByName(staged))
-        return self._commit("merge", adds, victim_rel)
+        return self._commit("merge", adds, victim_rel, expected_base=base)
 
     def compact(self, target_files: int = 1) -> int:
         """Rewrite the live file set into ``target_files`` files per
@@ -377,12 +429,13 @@ class LogTable:
         the replace commit gets BrokenLineageError and replans a full
         read — identical data, so downstream MERGE/overwrite stays
         idempotent."""
-        live = self.files()
+        base = self.latest_snapshot_id()
+        live = self.files(base)
         if not live:
-            return self.latest_snapshot_id() or 0
+            return base or 0
         adds = self._stage_write(
             self._read_files(live).repartition(target_files))
-        return self._commit("replace", adds, live)
+        return self._commit("replace", adds, live, expected_base=base)
 
     def rollback(self, snapshot_id: int) -> int:
         """Reset the table to an older snapshot by committing a new
@@ -390,13 +443,14 @@ class LogTable:
         dead fork, so a reader that recorded one of them fails the
         ancestry check and replans a full read (the exact situation
         the reference's is_ancestor_snapshot guard exists for)."""
+        base = self.latest_snapshot_id()
         chain_files = self.files(snapshot_id)
-        cur = self.files()
+        cur = self.files(base)
         return self._commit(
             "rollback",
             add=[f for f in chain_files if f not in set(cur)],
             remove=[f for f in cur if f not in set(chain_files)],
-            parent_id=snapshot_id)
+            parent_id=snapshot_id, expected_base=base)
 
     def vacuum(self) -> int:
         """Delete data files unreferenced by the CURRENT timeline (all
