@@ -425,3 +425,16 @@ def test_commit_race_txn_append_stays_idempotent(spark, table):
     sid = table.append(df, txn="t1")
     assert table.append(df, txn="t1") == sid        # plain replay dedup
     assert table.read().count() == 1
+
+
+def test_read_merge_schema_additive_evolution(spark, table):
+    table.append(_df(spark, [(1, D1, "a")]))
+    table.append(spark.createDataFrame([(2, D2, "b", 7.5)],
+                                       DDL + ", score double"))
+    evolved = table.read(merge_schema=True)
+    assert set(evolved.columns) == {"k", "datetime", "v", "score"}
+    got = {r["k"]: r["score"] for r in evolved.collect()}
+    assert got == {1: None, 2: 7.5}       # old files NULL-fill new cols
+    # pinned pre-evolution snapshot still reads with the old schema
+    old = table.read(table.snapshots()[0].snapshot_id, merge_schema=True)
+    assert "score" not in old.columns

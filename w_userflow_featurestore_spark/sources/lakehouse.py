@@ -244,7 +244,8 @@ class LogTable:
 
     # ------------------------------------------------------------- reads
 
-    def _read_files(self, rel_files: list[str]) -> DataFrame:
+    def _read_files(self, rel_files: list[str],
+                    merge_schema: bool = False) -> DataFrame:
         paths = [os.path.join(self._data_path, f) for f in rel_files]
         if not paths:
             # schema-stable empty frame from any existing data file; a
@@ -256,15 +257,25 @@ class LogTable:
                     .option("basePath", self._data_path)
                     .parquet(os.path.join(self._data_path, all_known[0]))
                     .limit(0))
-        return (self.spark.read
-                .option("basePath", self._data_path)
-                .parquet(*paths))
+        reader = self.spark.read.option("basePath", self._data_path)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(self, snapshot_id: int | None = None,
+             merge_schema: bool = False) -> DataFrame:
         """Scan pinned to one snapshot's exact file list. Partition
         pruning + pushdown intact: files sit in Hive-style partition
-        dirs under one basePath (reference S5 scan semantics)."""
-        return self._read_files(self.files(snapshot_id))
+        dirs under one basePath (reference S5 scan semantics).
+
+        ``merge_schema=True`` = additive schema evolution: commits may
+        add columns over time (files are immutable, so old files simply
+        lack them); the merged read unions the schemas and fills
+        missing columns with NULL, the same reader-side evolution
+        Iceberg/Delta perform. Off by default — schema merging reads
+        every file footer up front, which costs a listing-scale pass at
+        100 TB, so turn it on only for tables that actually evolved."""
+        return self._read_files(self.files(snapshot_id), merge_schema)
 
     def read_increment(self, start_snapshot_id: int | None,
                        end_snapshot_id: int | None = None) -> DataFrame:
