@@ -607,6 +607,15 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnow_fingerprints(read_table(spark, sf_dir, "documents"))
 
 
+def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-detection pairs: documents sharing >= 2 winnowing
+    fingerprints, with the shared count (operators/text.py
+    fingerprint_pairs) — surfaces copied spans set-based MinHash
+    misses."""
+    return TX.fingerprint_pairs(read_table(spark, sf_dir, "documents"),
+                                min_shared=2)
+
+
 def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-user features via RANGE frame over epoch-day —
     calendar-gap-correct, O(days) window state after daily pre-agg."""
@@ -862,6 +871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "volume_anomaly": q_volume_anomaly,
     "source_balanced_sample": q_source_balanced_sample,
+    "fingerprint_pairs": q_fingerprint_pairs,
     "embedding_near_pairs": q_embedding_near_pairs,
     "embedding_dedup": q_embedding_dedup,
     "asof_features": q_asof_features,
@@ -2287,7 +2297,7 @@ WHERE EXISTS (SELECT 1 FROM orders o
 """
 
 # winnowing: k=8 char-grams, window w=4; same normalize as the Spark side
-ORACLES["doc_fingerprints"] = f"""
+_WINNOW_SQL = f"""
 WITH n AS (
   SELECT doc_id,
          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
@@ -2306,6 +2316,18 @@ SELECT doc_id,
                   i -> list_min(hs[CAST(i AS INT):CAST(i AS INT) + 3])))
               ELSE [list_min(hs)] END) AS fingerprint
 FROM h
+"""
+
+ORACLES["doc_fingerprints"] = _WINNOW_SQL
+
+ORACLES["fingerprint_pairs"] = f"""
+WITH fp AS ({_WINNOW_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
 """
 
 ORACLES["rolling_user_features"] = """

@@ -240,3 +240,19 @@ def test_connected_components_bails_out_past_max_iter(spark):
     # the same graph converges with an adequate budget
     got = DD.connected_components(pairs, max_iter=20)
     assert got.where("component <> 0").count() == 0
+
+
+def test_fingerprint_pairs_detects_copied_span_and_caps_hot_prints(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, f"intro one. {shared}. outro alpha beta gamma delta"),
+         (2, f"completely different start. {shared}. other ending words"),
+         (3, "unrelated text about spark catalyst optimizer internals")],
+        "doc_id long, text string")
+    got = TX.fingerprint_pairs(docs, min_shared=2).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in got}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2     # copied span found
+    assert all(p == (1, 2) for p in pairs)            # doc 3 never pairs
+    # stop-fingerprint cap: prints in >1 docs dropped -> no pairs at all
+    assert TX.fingerprint_pairs(docs, min_shared=1,
+                                max_doc_freq=1).count() == 0

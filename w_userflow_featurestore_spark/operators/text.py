@@ -369,3 +369,39 @@ def vocab_coverage(docs: DataFrame, vocab_k: int = 100,
             .select(F.col(id_col), "n_tokens", "n_covered",
                     F.floor(F.col("n_covered") * 10000 / F.col("n_tokens"))
                      .cast("long").alias("coverage_bp")))
+
+
+def fingerprint_pairs(docs: DataFrame, min_shared: int = 2,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 8, w: int = 4,
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """Copy-detection pairs from the winnowing index: document pairs
+    sharing >= ``min_shared`` fingerprints, with the shared count —
+    winnowing guarantees any common substring of length >= k+w-1 shares
+    a fingerprint, so this surfaces cross-document COPIED SPANS
+    (boilerplate, license blocks, mirrored paragraphs) that set-based
+    MinHash misses when the rest of the documents differ.
+
+    Scale shape: the standard inverted-index self-join — candidates
+    meet only inside a fingerprint bucket (id-only payload), then one
+    hash aggregate counts shared prints per pair. Work is bounded by
+    bucket occupancy; ``max_doc_freq`` is the stop-fingerprint cap —
+    prints appearing in more documents are dropped before the join, so
+    a corpus-wide boilerplate print cannot explode one bucket into
+    O(n^2) pairs (the same hot-key discipline as the LSH band join;
+    None = no cap, right for oracle-exact runs on bounded corpora)."""
+    fp = winnow_fingerprints(docs, text_col, id_col, k, w)
+    if max_doc_freq is not None:
+        hot = (fp.groupBy("fingerprint")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .where(F.col("_df") > max_doc_freq)
+               .select("fingerprint"))
+        fp = fp.join(hot, "fingerprint", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))
