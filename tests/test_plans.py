@@ -140,3 +140,23 @@ def test_lsh_band_join_shuffle_budget(spark):
     # explode/bucket pipeline must stay within its measured 8 barriers
     assert_plan(_q(spark, "minhash_lsh_pairs"), max_shuffles=8,
                 max_sort_merge_joins=0)
+
+
+def test_new_curation_queries_plan_pins(spark):
+    # round-3 additions: corpus-side work must stay broadcast-joined —
+    # zero sort-merge joins anywhere, shuffle budgets at measured shape
+    assert_plan(_q(spark, "fingerprint_pairs"), max_shuffles=3,
+                min_broadcast_joins=1, max_sort_merge_joins=0)
+    assert_plan(_q(spark, "vocab_coverage"), max_shuffles=4,
+                min_broadcast_joins=1, max_sort_merge_joins=0)
+    assert_plan(_q(spark, "source_balanced_sample"), max_shuffles=3,
+                min_broadcast_joins=2, max_sort_merge_joins=0)
+    assert_plan(_q(spark, "volume_anomaly"), max_shuffles=2)
+
+
+def test_ann_recall_gate_plan_pin(spark):
+    # three full ANN pipelines + two membership joins; the membership
+    # joins themselves must not add sort-merge work beyond the two the
+    # underlying indexes already plan
+    assert_plan(_q(spark, "ann_recall_gate"), max_shuffles=16,
+                min_broadcast_joins=9, max_sort_merge_joins=2)
