@@ -135,3 +135,40 @@ def test_funnel_salted_bounds_window_partition(spark):
     plan = physical_plan(funnel_progress(ev, ["view", "purchase"],
                                          salt_span_ms=3_600_000))
     assert "_blk" in plan.split("Window")[1][:400]
+
+
+def test_funnel_and_transitions_salted_equivalence_randomized(spark):
+    """Randomized streams (seeded): bursty timestamps WITH exact ties,
+    multiple users/days, compared salted-vs-unsalted across spans that
+    land ties on block boundaries. Complements the fixture test with
+    adversarial shapes the generator never emits."""
+    import random
+
+    from w_userflow_featurestore_spark.operators.paths import (
+        transition_matrix,
+    )
+
+    rng = random.Random(7)
+    types = ["view", "click", "purchase", "error"]
+    rows_in = []
+    eid = 0
+    for user in range(1, 6):
+        t = dt.datetime(2024, 1, 1, 0, 0, 0)
+        for _ in range(rng.randint(40, 80)):
+            # bursts: 30% chance the NEXT event shares this timestamp
+            if not (rng.random() < 0.3):
+                t += dt.timedelta(seconds=rng.randint(1, 9000))
+            eid += 1
+            rows_in.append((eid, t, user, rng.choice(types), 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows_in, "event_id long, ts timestamp, user_id long,"
+                 " event_type string, value double, props string")
+
+    steps = ["view", "click", "purchase"]
+    want_f = rows(funnel_daily(ev, steps))
+    want_t = rows(transition_matrix(ev))
+    for span in (9_000_000, 3_600_000, 1_000):
+        assert rows(funnel_daily(ev, steps, salt_span_ms=span)) == want_f, \
+            f"funnel span={span}"
+        assert rows(transition_matrix(ev, salt_span_ms=span)) == want_t, \
+            f"transitions span={span}"
