@@ -611,9 +611,13 @@ def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-detection pairs: documents sharing >= 2 winnowing
     fingerprints, with the shared count (operators/text.py
     fingerprint_pairs) — surfaces copied spans set-based MinHash
-    misses."""
+    misses. The stop-fingerprint cap (max_doc_freq=64, mirrored in the
+    oracle SQL) bounds per-bucket join work to 64^2 pairs: without it a
+    corpus-hot boilerplate print lands in thousands of docs and the
+    inverted-index self-join goes quadratic in corpus size (the sf0.1
+    OOM of round 3)."""
     return TX.fingerprint_pairs(read_table(spark, sf_dir, "documents"),
-                                min_shared=2)
+                                min_shared=2, max_doc_freq=64)
 
 
 def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2320,8 +2324,15 @@ FROM h
 
 ORACLES["doc_fingerprints"] = _WINNOW_SQL
 
+# stop-fingerprint cap mirrors fingerprint_pairs(max_doc_freq=64):
+# fingerprints are distinct per doc on both sides (array_distinct /
+# list_distinct), so count(*) per fingerprint IS document frequency.
 ORACLES["fingerprint_pairs"] = f"""
-WITH fp AS ({_WINNOW_SQL})
+WITH fp0 AS ({_WINNOW_SQL}),
+ok AS (SELECT fingerprint FROM fp0
+       GROUP BY fingerprint HAVING count(*) <= 64),
+fp AS (SELECT fp0.doc_id, fp0.fingerprint
+       FROM fp0 JOIN ok USING (fingerprint))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM fp a JOIN fp b

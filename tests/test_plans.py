@@ -145,8 +145,11 @@ def test_lsh_band_join_shuffle_budget(spark):
 def test_new_curation_queries_plan_pins(spark):
     # round-3 additions: corpus-side work must stay broadcast-joined —
     # zero sort-merge joins anywhere, shuffle budgets at measured shape
+    # fingerprint_pairs' capped path is join-free by design: window
+    # df-filter + partitioning-preserving collect_list + row-local
+    # pair expansion — shuffle budget IS the invariant.
     assert_plan(_q(spark, "fingerprint_pairs"), max_shuffles=3,
-                min_broadcast_joins=1, max_sort_merge_joins=0)
+                max_sort_merge_joins=0)
     assert_plan(_q(spark, "vocab_coverage"), max_shuffles=4,
                 min_broadcast_joins=1, max_sort_merge_joins=0)
     assert_plan(_q(spark, "source_balanced_sample"), max_shuffles=3,

@@ -13,7 +13,7 @@ functions + md5 hashing) so each op has a full DuckDB value oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from w_userflow_featurestore_spark.functions import exact_avg, fround
@@ -374,7 +374,7 @@ def vocab_coverage(docs: DataFrame, vocab_k: int = 100,
 def fingerprint_pairs(docs: DataFrame, min_shared: int = 2,
                       text_col: str = "text", id_col: str = "doc_id",
                       k: int = 8, w: int = 4,
-                      max_doc_freq: int | None = None) -> DataFrame:
+                      max_doc_freq: int | None = 64) -> DataFrame:
     """Copy-detection pairs from the winnowing index: document pairs
     sharing >= ``min_shared`` fingerprints, with the shared count —
     winnowing guarantees any common substring of length >= k+w-1 shares
@@ -382,26 +382,47 @@ def fingerprint_pairs(docs: DataFrame, min_shared: int = 2,
     (boilerplate, license blocks, mirrored paragraphs) that set-based
     MinHash misses when the rest of the documents differ.
 
-    Scale shape: the standard inverted-index self-join — candidates
-    meet only inside a fingerprint bucket (id-only payload), then one
-    hash aggregate counts shared prints per pair. Work is bounded by
-    bucket occupancy; ``max_doc_freq`` is the stop-fingerprint cap —
-    prints appearing in more documents are dropped before the join, so
-    a corpus-wide boilerplate print cannot explode one bucket into
-    O(n^2) pairs (the same hot-key discipline as the LSH band join;
-    None = no cap, right for oracle-exact runs on bounded corpora)."""
+    Scale shape: candidates meet only inside a fingerprint bucket, and
+    the stop-fingerprint cap ``max_doc_freq`` is ON BY DEFAULT — a
+    print appearing in more than ``max_doc_freq`` documents is dropped
+    before any pair is formed, so a corpus-wide boilerplate print
+    cannot explode one bucket into O(n^2) pairs (the same hot-key
+    discipline as the LSH band join; a print shared by a large corpus
+    fraction carries no copy-detection signal anyway, so dropping it
+    is the algorithmically right choice). The capped path runs in TWO
+    shuffles total: one exchange on fingerprint feeds a window
+    doc-frequency count (mega-hot prints spill in the window operator
+    instead of exploding a join), the surviving rows collect into a
+    per-print id array WITHOUT re-exchanging (partitioning is
+    preserved), pairs are generated row-locally from the sorted array
+    (<= max_doc_freq^2/2 per print, ~16 KiB of structs at the default
+    cap), and one final exchange aggregates shared counts per pair.
+    Pass ``max_doc_freq=None`` only for exhaustive runs on corpora
+    known to be bounded — that path is the classic inverted-index
+    self-join, quadratic in the hottest bucket."""
     fp = winnow_fingerprints(docs, text_col, id_col, k, w)
-    if max_doc_freq is not None:
-        hot = (fp.groupBy("fingerprint")
-               .agg(F.count(F.lit(1)).alias("_df"))
-               .where(F.col("_df") > max_doc_freq)
-               .select("fingerprint"))
-        fp = fp.join(hot, "fingerprint", "left_anti")
-    a, b = fp.alias("a"), fp.alias("b")
-    return (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("doc_a"),
-                     F.col(f"b.{id_col}").alias("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_shared"))
-             .where(F.col("n_shared") >= min_shared))
+    if max_doc_freq is None:
+        a, b = fp.alias("a"), fp.alias("b")
+        return (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
+                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                 .select(F.col(f"a.{id_col}").alias("doc_a"),
+                         F.col(f"b.{id_col}").alias("doc_b"))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("n_shared"))
+                 .where(F.col("n_shared") >= min_shared))
+    win = Window.partitionBy("fingerprint")
+    ids = F.array_sort(F.collect_list(id_col)).alias("ids")
+    arr, n = F.col("ids"), F.size("ids")
+    pairs = F.flatten(F.transform(
+        arr, lambda x, i: F.transform(
+            F.slice(arr, i + 2, n),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    return (fp
+            .withColumn("_df", F.count(F.lit(1)).over(win))
+            .where(F.col("_df") <= max_doc_freq)
+            .groupBy("fingerprint").agg(ids)
+            .select(F.explode(pairs).alias("p"))
+            .select(F.col("p.doc_a"), F.col("p.doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
