@@ -50,27 +50,46 @@ def main() -> None:
     load_start = round(os.getloadavg()[0], 2)
 
     qs = entrymod.queries()
-    # warmup: JVM/codegen/parquet-footer caches
-    _force(next(iter(qs.values()))(spark, sf_dir))
+    # warmup: JVM/codegen/parquet-footer caches (failure is non-fatal —
+    # the warmed query gets timed, and judged, like every other)
+    try:
+        _force(next(iter(qs.values()))(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
+    # Per-query fault isolation: one failing query must never zero the
+    # round's artifact — it records an "err" entry, everything else
+    # still gets timed (round 3 lost ALL timings to one OOM).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         best = float("inf")
         for _ in range(repeat):
             t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
+            try:
+                _force(fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc).splitlines()[0][:300] if str(exc) else repr(exc)
+                errors[name] = msg
+                print(f"query {name} failed: {msg}", file=sys.stderr)
+                break
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        if name not in errors:
+            timings[name] = round(best, 3)
 
-    print(json.dumps({
+    out: dict = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {**timings,
+                    **{n: {"err": e} for n, e in errors.items()}},
         "sf": sf,
         "repeat": repeat,
         "loadavg": [load_start, round(os.getloadavg()[0], 2)],
-    }))
+    }
+    if errors:
+        out["n_errors"] = len(errors)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

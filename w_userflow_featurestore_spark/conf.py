@@ -36,6 +36,13 @@ _DEFAULTS = {
     # classic matches the reference's Spark 3.5 behavior exactly.
     "spark.sql.ansi.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # Driver heap for self-built local[N] sessions. Local mode runs every
+    # executor thread inside the driver JVM, so the default ~1g heap is the
+    # whole engine's memory; 8g gives shuffle/window spill buffers headroom
+    # in the 128 GiB sandbox. Honored only at JVM launch (pyspark passes it
+    # to spark-submit) — a getOrCreate() against a live JVM ignores it, and
+    # cluster submitters override it with their own --conf as usual.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
