@@ -486,21 +486,24 @@ def q_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL cardinality features: approx_count_distinct per (day, type) vs
-    exact, with relative error. Deliberately NO oracle entry — HLL sketch
-    values are engine-specific, so the driver records a rows-only check
-    (the exact/approx agreement below is the real assertion and is
-    covered by a unit test)."""
+    """HLL cardinality features: approx_count_distinct per (day, type),
+    gated against exact. The raw sketch estimate is engine-specific (no
+    cross-engine oracle can pin it), so the output carries the
+    engine-portable pair instead: ``exact_users`` plus ``rel_err_ok`` —
+    whether the HLL estimate landed within a 5% band of exact. The
+    oracle pins rel_err_ok=TRUE, so a degraded sketch flips the value
+    hash red. 5%, not rsd: rsd=0.02 is a standard error, not a bound —
+    observed per-group max is 4.1% at sf0.01 — and HLL on fixed data is
+    deterministic, so the band is stable, not flaky."""
     e = (_events(spark, sf_dir)
          .withColumn("datetime", F.to_date("ts")))
     return (e.groupBy("datetime", "event_type")
              .agg(F.count_distinct("user_id").alias("exact_users"),
                   F.approx_count_distinct("user_id", rsd=0.02)
-                   .alias("approx_users"))
-             .withColumn("rel_err",
-                         fround(F.abs(F.col("approx_users")
-                                      - F.col("exact_users"))
-                                / F.col("exact_users"), 4)))
+                   .alias("_approx"))
+             .select("datetime", "event_type", "exact_users",
+                     (F.abs(F.col("_approx") - F.col("exact_users"))
+                      <= 0.05 * F.col("exact_users")).alias("rel_err_ok")))
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,59 +867,13 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries to the front. Round 3: the 22 carrying round-1 certificates
 # (doc_chunks .. training_set) plus the NEW ann_recall_gate run first;
 # the 50 certified in round 2 follow in their round-2 order.
+# The driver certifies entries FRONT-TO-BACK and stops at 50, so the
+# dict is kept in least-recently-certified order: the block that
+# currently holds the OLDEST certificates goes first, plus anything
+# whose implementation or oracle changed this round. Union across the
+# last two rounds must cover all entries.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-1-certified + new (certify these first) ---
-    "doc_chunks": q_doc_chunks,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_bucket": q_ann_lsh_bucket,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_recall_gate": q_ann_recall_gate,
-    "vocab_coverage": q_vocab_coverage,
-    "volume_anomaly": q_volume_anomaly,
-    "source_balanced_sample": q_source_balanced_sample,
-    "fingerprint_pairs": q_fingerprint_pairs,
-    "embedding_near_pairs": q_embedding_near_pairs,
-    "embedding_dedup": q_embedding_dedup,
-    "asof_features": q_asof_features,
-    "interval_features": q_interval_features,
-    "dataset_split": q_dataset_split,
-    "split_summary": q_split_summary,
-    "event_rollup": q_event_rollup,
-    "event_cube": q_event_cube,
-    "event_type_pivot": q_event_type_pivot,
-    "customers_no_orders": q_customers_no_orders,
-    "big_spender_customers": q_big_spender_customers,
-    "doc_fingerprints": q_doc_fingerprints,
-    "rolling_user_features": q_rolling_user_features,
-    "event_time_windows": q_event_time_windows,
-    "event_sliding_windows": q_event_sliding_windows,
-    "session_windows": q_session_windows,
-    "training_set": q_training_set,
-    # --- round-2 driver-certified green ---
-    "bm25_topk": q_bm25_topk,
-    "hybrid_search": q_hybrid_search,
-    "funnel_daily": q_funnel_daily,
-    "event_transitions": q_event_transitions,
-    "stratified_sample": q_stratified_sample,
-    "weighted_sample": q_weighted_sample,
-    "incremental_curate": q_incremental_curate,
-    "time_decay_features": q_time_decay_features,
-    "capped_user_events": q_capped_user_events,
-    "churn_labels": q_churn_labels,
-    "behavior_diversity": q_behavior_diversity,
-    "contamination": q_contamination,
-    "shipping_priority": q_shipping_priority,
-    "user_cohort_setops": q_user_cohort_setops,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "cardinality_sketch": q_cardinality_sketch,
-    "salted_user_agg": q_salted_user_agg,
-    "salted_join": q_salted_join,
-    "top_docs_per_source": q_top_docs_per_source,
-    "duration_percentiles": q_duration_percentiles,
-    "curate_corpus": q_curate_corpus,
-    "sessions": q_sessions,
+    # --- round-2 certificates (oldest) — certify these first ---
     "user_daily": q_user_daily,
     "item_daily": q_item_daily,
     "item_continuation": q_item_continuation,
@@ -944,6 +901,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "above_avg_orders": q_above_avg_orders,
     "frequent_tokens": q_frequent_tokens,
+    # --- changed in round 4 (re-certify) ---
+    "fingerprint_pairs": q_fingerprint_pairs,
+    "cardinality_sketch": q_cardinality_sketch,
+    # --- round-3 certificates ---
+    "doc_chunks": q_doc_chunks,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall_gate": q_ann_recall_gate,
+    "vocab_coverage": q_vocab_coverage,
+    "volume_anomaly": q_volume_anomaly,
+    "source_balanced_sample": q_source_balanced_sample,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "embedding_dedup": q_embedding_dedup,
+    "asof_features": q_asof_features,
+    "interval_features": q_interval_features,
+    "dataset_split": q_dataset_split,
+    "split_summary": q_split_summary,
+    "event_rollup": q_event_rollup,
+    "event_cube": q_event_cube,
+    "event_type_pivot": q_event_type_pivot,
+    "customers_no_orders": q_customers_no_orders,
+    "big_spender_customers": q_big_spender_customers,
+    "doc_fingerprints": q_doc_fingerprints,
+    "rolling_user_features": q_rolling_user_features,
+    "event_time_windows": q_event_time_windows,
+    "event_sliding_windows": q_event_sliding_windows,
+    "session_windows": q_session_windows,
+    "training_set": q_training_set,
+    "bm25_topk": q_bm25_topk,
+    "hybrid_search": q_hybrid_search,
+    "funnel_daily": q_funnel_daily,
+    "event_transitions": q_event_transitions,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
+    "incremental_curate": q_incremental_curate,
+    "time_decay_features": q_time_decay_features,
+    "capped_user_events": q_capped_user_events,
+    "churn_labels": q_churn_labels,
+    "behavior_diversity": q_behavior_diversity,
+    "contamination": q_contamination,
+    "shipping_priority": q_shipping_priority,
+    "user_cohort_setops": q_user_cohort_setops,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "salted_user_agg": q_salted_user_agg,
+    "salted_join": q_salted_join,
+    "top_docs_per_source": q_top_docs_per_source,
+    "duration_percentiles": q_duration_percentiles,
+    "curate_corpus": q_curate_corpus,
+    "sessions": q_sessions,
 }
 
 
@@ -1894,6 +1903,16 @@ SELECT datetime,
 FROM sessions GROUP BY datetime
 """
 
+# The sketch estimate itself is engine-specific; the portable contract
+# is exact_users + "HLL landed within the 5% band" — the oracle pins
+# the band check TRUE, so a degraded sketch hash-mismatches.
+ORACLES["cardinality_sketch"] = """
+SELECT CAST(ts AS DATE) AS datetime, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS rel_err_ok
+FROM events GROUP BY 1, 2
+"""
+
 # multimodal fake-decode oracle: the payload is md5-derived, so the
 # mapInPandas byte arithmetic is reproducible in pure SQL — the oracle
 # checks the Python/Arrow path end-to-end, not just the JVM plan
@@ -2512,7 +2531,7 @@ _DATE_QUERIES = {
     "entry_type_daily", "top_item_per_day", "binge_ratio",
     "retention_yesterday", "retention_today", "cohort_vs_global",
     "dim_gap_features", "duration_percentiles", "funnel_daily",
-    "event_transitions", "volume_anomaly",
+    "event_transitions", "volume_anomaly", "cardinality_sketch",
 }
 
 

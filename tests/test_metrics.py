@@ -193,8 +193,10 @@ def test_cardinality_sketch_close_to_exact(spark):
     out = entrymod.QUERIES["cardinality_sketch"](
         spark, "/root/testdata/sf0.001").collect()
     assert out
-    # rsd=0.02 HLL: generous 10% ceiling keeps the assertion stable
-    assert all(r["rel_err"] <= 0.10 for r in out)
+    # every group's HLL estimate must land in the 5% band of exact —
+    # the same boolean the value oracle pins TRUE
+    assert all(r["rel_err_ok"] for r in out)
+    assert all(r["exact_users"] > 0 for r in out)
 
 
 def test_dimension_gap_features_leave_one_out(spark):
