@@ -246,9 +246,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs via shingle inverted index (>= 0.8)."""
+    """Exact 3-gram Jaccard pairs via shingle inverted index (>= 0.8).
+    max_posting=64 (mirrored in the oracle) drops stop-shingle posting
+    lists before the self-join — the same always-on hot-key cap as
+    fingerprint_pairs; at the test corpora no posting exceeds it
+    (max 25 at sf0.1), so parity is exact, and at 100 TB it is what
+    keeps the join sub-quadratic."""
     return DD.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"),
-                                  n=3, threshold=0.8)
+                                  n=3, threshold=0.8, max_posting=64)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,9 +1415,13 @@ WHERE est_jaccard >= 0.5
 
 ORACLES["ngram_jaccard_pairs"] = _SHINGLE_CTE + """,
 sizes AS (SELECT doc_id, len(sset) AS sz FROM sh),
+okp AS (SELECT shingle FROM shex
+        GROUP BY shingle HAVING count(*) <= 64),
+shc AS (SELECT shex.doc_id, shex.shingle
+        FROM shex JOIN okp USING (shingle)),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM shex a JOIN shex b
+  FROM shc a JOIN shc b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
