@@ -438,3 +438,85 @@ def test_read_merge_schema_additive_evolution(spark, table):
     # pinned pre-evolution snapshot still reads with the old schema
     old = table.read(table.snapshots()[0].snapshot_id, merge_schema=True)
     assert "score" not in old.columns
+
+
+# ------------------------------------------------- file-skipping stats
+
+@pytest.fixture
+def stats_table(spark, tmp_path):
+    """Unpartitioned table with manifest stats on k: three appends with
+    disjoint k-ranges = three prunable files."""
+    t = LogTable.create(spark, str(tmp_path / "st"),
+                        stats_columns=["k", "v"])
+    for lo in (0, 100, 200):
+        t.append(_df(spark, [(lo + i, D1, f"v{lo + i:03d}")
+                             for i in range(3)]).coalesce(1))
+    return t
+
+
+def test_commit_manifest_records_footer_stats(spark, stats_table):
+    snaps = stats_table.snapshots()
+    assert all(s.stats for s in snaps)
+    (f,) = snaps[0].add
+    assert snaps[0].stats[f]["k"] == [0, 2]
+    assert snaps[0].stats[f]["v"] == ["v000", "v002"]
+
+
+def test_read_filters_skip_files_and_match_full_scan(spark, stats_table):
+    full = stats_table.read()
+    assert len(full.inputFiles()) == 3
+    pruned = stats_table.read(filters=[("k", ">=", 200)])
+    # manifest min/max PROVES files with k<200 are irrelevant: the scan
+    # lists one file, not three-then-filter
+    assert len(pruned.inputFiles()) == 1
+    assert rows(pruned, "k") == rows(full.where("k >= 200"), "k")
+    # equality and IN shapes prune too
+    assert len(stats_table.read(
+        filters=[("k", "=", 101)]).inputFiles()) == 1
+    assert len(stats_table.read(
+        filters=[("k", "in", (1, 2))]).inputFiles()) == 1
+    # string-column stats prune as well
+    assert len(stats_table.read(
+        filters=[("v", "<", "v100")]).inputFiles()) == 1
+
+
+def test_read_filters_residual_applies_within_kept_file(spark, stats_table):
+    got = stats_table.read(filters=[("k", ">", 200)])
+    # file [200..202] survives pruning; the residual filter still drops
+    # the k=200 row — pruning is never the correctness mechanism
+    assert rows(got, "k") == [(201,), (202,)]
+
+
+def test_read_filters_without_stats_keep_everything(spark, table):
+    table.append(_df(spark, [(1, D1, "a")]).coalesce(1))
+    table.append(_df(spark, [(2, D2, "b")]).coalesce(1))
+    # no stats_columns configured: absence of stats must mean "cannot
+    # prune", never "skip" — both files stay, filter still correct
+    got = table.read(filters=[("k", ">=", 2)])
+    assert len(got.inputFiles()) == 2
+    assert rows(got, "k") == [(2,)]
+
+
+def test_read_filters_prune_partition_dirs(spark, table):
+    table.append(_df(spark, [(1, D1, "a")]))
+    table.append(_df(spark, [(2, D2, "b")]))
+    got = table.read(filters=[("datetime", "=", D2)])
+    assert all("datetime=2024-01-02" in f for f in got.inputFiles())
+    assert rows(got, "k") == [(2,)]
+
+
+def test_read_increment_with_filters_prunes(spark, stats_table):
+    s1 = stats_table.snapshots()[0].snapshot_id
+    inc = stats_table.read_increment(s1, filters=[("k", ">=", 200)])
+    assert len(inc.inputFiles()) == 1          # of the 2 in range
+    assert rows(inc, "k") == [(200,), (201,), (202,)]
+
+
+def test_merge_preserves_stats_for_untouched_files(spark, stats_table):
+    # merge rewrites only the victim file; the other two keep their
+    # original manifest stats and stay prunable afterwards
+    stats_table.merge(_df(spark, [(101, D1, "UPD")]), keys=["k"])
+    pruned = stats_table.read(filters=[("k", ">=", 200)])
+    assert len(pruned.inputFiles()) == 1
+    upd = stats_table.read(filters=[("k", "=", 101)])
+    assert rows(upd, "v") == [("UPD",)]

@@ -42,11 +42,12 @@ writer leaves only orphaned staging files, never a partial commit.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,6 +57,70 @@ __all__ = ["LogTable", "BrokenLineageError", "ConcurrentCommitError",
 
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
+
+
+def _stat_value(v):
+    """Normalize a parquet-footer statistic into a JSON-storable,
+    order-preserving value; None = type we refuse to prune on.
+
+    date/datetime normalize to ISO strings (fixed-prefix format, so
+    lexicographic order == chronological order even when the
+    fractional-seconds part is absent); Decimal and raw binary are
+    skipped — float-rounding a Decimal could prune a file that
+    actually matches, and pruning must never be unsound."""
+    if isinstance(v, bool) or v is None:
+        return None                      # bool min/max carries no signal
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _filter_value(v):
+    """Normalize a user filter operand the same way as the stats."""
+    return _stat_value(v)
+
+
+def _comparable(a, b) -> bool:
+    num = (int, float)
+    return (isinstance(a, num) and isinstance(b, num)) or \
+           (isinstance(a, str) and isinstance(b, str))
+
+
+def _stats_exclude(col_stats, op: str, val) -> bool:
+    """True iff [min, max] PROVES no row of the file satisfies
+    ``col op val``. Parquet min/max ignore NULLs, and every supported
+    comparison is already false for NULL under SQL semantics, so
+    null-heavy files stay prunable without a null count."""
+    if col_stats is None:
+        return False
+    lo, hi = col_stats
+    if val is None or lo is None or hi is None:
+        return False
+    if op == "in":
+        return all(x is not None and _comparable(lo, x)
+                   and (x < lo or x > hi) for x in val)
+    if not (_comparable(lo, val) and _comparable(hi, val)):
+        return False
+    if op in ("=", "=="):
+        return val < lo or val > hi
+    if op == ">":
+        return hi <= val
+    if op == ">=":
+        return hi < val
+    if op == "<":
+        return lo >= val
+    if op == "<=":
+        return lo > val
+    return False
 
 
 class BrokenLineageError(RuntimeError):
@@ -81,6 +146,9 @@ class Snapshot:
     add: tuple[str, ...]        # file paths relative to <table>/data
     remove: tuple[str, ...]
     txn: str | None = None      # idempotence token (streaming exactly-once)
+    # per added file: {rel_path: {col: [min, max]}} harvested from the
+    # parquet footers at commit time (Iceberg's manifest column stats)
+    stats: dict = field(default_factory=dict)
 
 
 class LogTable:
@@ -100,8 +168,18 @@ class LogTable:
 
     @classmethod
     def create(cls, spark: SparkSession, path: str,
-               partition_by: list[str] | None = None) -> "LogTable":
-        """Idempotent create (reference S8 CREATE TABLE IF NOT EXISTS)."""
+               partition_by: list[str] | None = None,
+               stats_columns: list[str] | None = None) -> "LogTable":
+        """Idempotent create (reference S8 CREATE TABLE IF NOT EXISTS).
+
+        ``stats_columns``: columns whose per-file min/max get recorded
+        in each commit manifest for file skipping — the manifest-level
+        column statistics Iceberg keeps for the reference's tables
+        (bronze_load_raw_data.py:62 relies on them for its
+        days(datetime) pruning). Stats are harvested from the parquet
+        FOOTERS the write already produced (driver-side, O(files),
+        zero data scan), so the cost regime matches the JSON log
+        itself."""
         t = cls(spark, path)
         os.makedirs(t._log_path, exist_ok=True)
         os.makedirs(t._data_path, exist_ok=True)
@@ -109,14 +187,23 @@ class LogTable:
         if not os.path.exists(meta):
             tmp = meta + f".{uuid.uuid4().hex}.tmp"
             with open(tmp, "w") as fh:
-                json.dump({"partition_by": partition_by or []}, fh)
+                json.dump({"partition_by": partition_by or [],
+                           "stats_columns": stats_columns or []}, fh)
             os.replace(tmp, meta)
         return t
 
     @property
-    def partition_by(self) -> list[str]:
+    def _meta(self) -> dict:
         with open(os.path.join(self._log_path, "_meta.json")) as fh:
-            return json.load(fh)["partition_by"]
+            return json.load(fh)
+
+    @property
+    def partition_by(self) -> list[str]:
+        return self._meta["partition_by"]
+
+    @property
+    def stats_columns(self) -> list[str]:
+        return self._meta.get("stats_columns", [])
 
     def snapshots(self) -> list[Snapshot]:
         """All commits in log order (the ``snapshots`` metadata table,
@@ -130,7 +217,7 @@ class LogTable:
             out.append(Snapshot(d["snapshot_id"], d["parent_id"],
                                 d["committed_at_ms"], d["operation"],
                                 tuple(d["add"]), tuple(d["remove"]),
-                                d.get("txn")))
+                                d.get("txn"), d.get("stats") or {}))
         return out
 
     def snapshots_df(self) -> DataFrame:
@@ -148,6 +235,48 @@ class LogTable:
         return snaps[-1].snapshot_id if snaps else None
 
     _UNSET = object()
+
+    def _collect_stats(self, rel_files: list[str]) -> dict:
+        """Per-file [min, max] for the table's ``stats_columns``, read
+        from the parquet footers (no data pages touched). A column with
+        unusable footer stats (missing, all-null, or a type we refuse
+        to order-compare) is simply absent — readers treat absence as
+        "cannot prune", never as "empty"."""
+        cols = self.stats_columns
+        if not cols:
+            return {}
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:          # stats are an optimization only
+            return {}
+        out: dict = {}
+        for rel in rel_files:
+            md = pq.ParquetFile(
+                os.path.join(self._data_path, rel)).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            fstats: dict = {}
+            for col in cols:
+                if col not in idx:
+                    continue             # partition col (in dir) or absent
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    if mn is None or mx is None:
+                        ok = False
+                        break
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                if ok and lo is not None:
+                    fstats[col] = [lo, hi]
+            if fstats:
+                out[rel] = fstats
+        return out
 
     def _commit(self, operation: str, add: list[str],
                 remove: list[str], parent_id: int | None = None,
@@ -167,6 +296,7 @@ class LogTable:
         raises :class:`ConcurrentCommitError` so the caller re-runs the
         operation against the new current snapshot."""
         validate_base = expected_base is not LogTable._UNSET
+        stats = self._collect_stats(add)
         for _ in range(_retries):
             snaps = self.snapshots()
             if txn is not None:
@@ -186,7 +316,8 @@ class LogTable:
             body = {"snapshot_id": seq, "parent_id": pid,
                     "committed_at_ms": int(time.time() * 1000),
                     "operation": operation, "add": sorted(add),
-                    "remove": sorted(remove), "txn": txn}
+                    "remove": sorted(remove), "txn": txn,
+                    "stats": stats}
             target = os.path.join(self._log_path, f"{seq:020d}.json")
             try:
                 with open(target, "x") as fh:   # exclusive create = commit
@@ -242,6 +373,85 @@ class LogTable:
             live.update(s.add)
         return sorted(live)
 
+    def files_stats(self, snapshot_id: int | None = None) -> dict:
+        """{rel_path: {col: [min, max]}} for the live files at a
+        snapshot — each file's stats come from the commit that ADDED
+        it (files are immutable, so the stats never go stale)."""
+        if snapshot_id is None:
+            snapshot_id = self.latest_snapshot_id()
+        if snapshot_id is None:
+            return {}
+        out: dict = {}
+        for s in self._chain(snapshot_id):
+            for f in s.remove:
+                out.pop(f, None)
+            for f in s.add:
+                out[f] = s.stats.get(f, {})
+        return out
+
+    @staticmethod
+    def _partition_values(rel: str) -> dict[str, str | None]:
+        """Partition column -> value parsed from a file's Hive-style
+        dir segments, with Spark's dir-name escaping undone and the
+        null sentinel mapped to None."""
+        from urllib.parse import unquote
+        vals: dict[str, str | None] = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" not in seg:
+                continue
+            c, v = seg.split("=", 1)
+            vals[c] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                else unquote(v)
+        return vals
+
+    def _prune(self, rel_files: list[str], stats: dict,
+               filters: list[tuple]) -> list[str]:
+        """Drop files the manifest PROVES irrelevant to every filter.
+        Absent stats keep the file (pruning is an optimization, never a
+        correctness dependency — the residual filter still runs)."""
+        part_cols = set(self.partition_by)
+        kept = []
+        for rel in rel_files:
+            pvals = self._partition_values(rel) if part_cols else {}
+            drop = False
+            for col, op, val in filters:
+                if col in pvals:
+                    # dir value is the authoritative partition value;
+                    # equality-shaped ops only (dir values are strings,
+                    # range-comparing stringified numbers is unsound)
+                    pv = pvals[col]
+                    if op in ("=", "==") and (pv is None
+                                              or pv != str(val)):
+                        drop = True
+                        break
+                    if op == "in" and (pv is None or
+                                       pv not in {str(x) for x in val}):
+                        drop = True
+                        break
+                    continue
+                norm = ([_filter_value(x) for x in val]
+                        if op == "in" else _filter_value(val))
+                if _stats_exclude(stats.get(rel, {}).get(col),
+                                  op, norm):
+                    drop = True
+                    break
+            if not drop:
+                kept.append(rel)
+        return kept
+
+    _OPS = {"=": "__eq__", "==": "__eq__", ">": "__gt__",
+            ">=": "__ge__", "<": "__lt__", "<=": "__le__"}
+
+    @staticmethod
+    def _apply_filters(df: DataFrame, filters: list[tuple]) -> DataFrame:
+        for col, op, val in filters:
+            if op == "in":
+                df = df.where(F.col(col).isin(list(val)))
+            else:
+                df = df.where(getattr(F.col(col),
+                                      LogTable._OPS[op])(F.lit(val)))
+        return df
+
     # ------------------------------------------------------------- reads
 
     def _read_files(self, rel_files: list[str],
@@ -263,10 +473,22 @@ class LogTable:
         return reader.parquet(*paths)
 
     def read(self, snapshot_id: int | None = None,
-             merge_schema: bool = False) -> DataFrame:
+             merge_schema: bool = False,
+             filters: list[tuple] | None = None) -> DataFrame:
         """Scan pinned to one snapshot's exact file list. Partition
         pruning + pushdown intact: files sit in Hive-style partition
         dirs under one basePath (reference S5 scan semantics).
+
+        ``filters`` — ``[(col, op, value), ...]`` conjuncts with op in
+        {=, ==, >, >=, <, <=, in} — performs MANIFEST-LEVEL file
+        skipping before Spark ever lists the scan: a file is dropped
+        when the commit's per-file min/max (``stats_columns``) or its
+        partition-dir value proves no row can match. This is the
+        file-level pruning the reference gets from Iceberg manifests;
+        without it a selective non-partition predicate still opens
+        every footer at 100 TB. The same predicate is ALSO applied to
+        the returned frame (residual filter), so pruning is never a
+        correctness dependency.
 
         ``merge_schema=True`` = additive schema evolution: commits may
         add columns over time (files are immutable, so old files simply
@@ -275,10 +497,16 @@ class LogTable:
         Iceberg/Delta perform. Off by default — schema merging reads
         every file footer up front, which costs a listing-scale pass at
         100 TB, so turn it on only for tables that actually evolved."""
-        return self._read_files(self.files(snapshot_id), merge_schema)
+        rel = self.files(snapshot_id)
+        if filters:
+            rel = self._prune(rel, self.files_stats(snapshot_id),
+                              filters)
+        df = self._read_files(rel, merge_schema)
+        return self._apply_filters(df, filters) if filters else df
 
     def read_increment(self, start_snapshot_id: int | None,
-                       end_snapshot_id: int | None = None) -> DataFrame:
+                       end_snapshot_id: int | None = None,
+                       filters: list[tuple] | None = None) -> DataFrame:
         """Rows added strictly after ``start`` up to and including
         ``end`` (reference S6: start/end-snapshot-id scan). Raises
         :class:`BrokenLineageError` when the range is not a clean
@@ -309,7 +537,12 @@ class LogTable:
                 "increment contains non-append commit(s) "
                 f"{[s.snapshot_id for s in non_append]}; rows-added-since "
                 "is undefined across a rewrite")
-        return self._read_files(sorted({f for s in inc for f in s.add}))
+        rel = sorted({f for s in inc for f in s.add})
+        if filters:
+            stats = {f: s.stats.get(f, {}) for s in inc for f in s.add}
+            rel = self._prune(rel, stats, filters)
+        df = self._read_files(rel)
+        return self._apply_filters(df, filters) if filters else df
 
     # ------------------------------------------------------------ writes
 

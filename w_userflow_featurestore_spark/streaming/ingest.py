@@ -92,7 +92,11 @@ def bronze_ingest(events: DataFrame, path: str, checkpoint: str,
         )
 
         def _sink(batch: DataFrame, batch_id: int) -> None:
-            t = LogTable.create(batch.sparkSession, path, ["datetime"])
+            # ts stats in every commit manifest: the bronze table's
+            # dominant read is a time-range scan, and file-level
+            # min/max skips intra-day files partition dirs can't
+            t = LogTable.create(batch.sparkSession, path, ["datetime"],
+                                stats_columns=["ts"])
             t.append(batch, txn=f"bronze:{checkpoint}:{batch_id}")
 
         writer = (events.writeStream.foreachBatch(_sink)
