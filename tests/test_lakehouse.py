@@ -148,8 +148,83 @@ def test_vacuum_drops_only_dead_files(spark, table):
     s1 = table.append(_df(spark, [(1, D1, "a")]))
     table.append(_df(spark, [(2, D2, "b")]))
     table.rollback(s1)
-    assert table.vacuum() >= 1               # the dead fork's files
+    assert table.vacuum(retention_seconds=0) >= 1   # the dead fork's files
     assert rows(table.read(), "k") == [(1,)]
+
+
+def test_vacuum_retention_spares_staged_uncommitted_files(spark, table):
+    """_stage_write lands files in data/ BEFORE the commit publishes
+    them; default-retention vacuum must not delete an in-flight
+    writer's staged files (the ADVICE race)."""
+    table.append(_df(spark, [(1, D1, "a")]))
+    staged = table._stage_write(_df(spark, [(2, D2, "b")]))   # no commit yet
+    assert table.vacuum() == 0               # fresh files survive default window
+    s2 = table._commit("append", staged, [])
+    assert rows(table.read(s2), "k") == [(1,), (2,)]   # commit still readable
+
+
+def test_manifest_export_readable_by_external_engine(spark, table):
+    """write_manifest: the symlink-manifest interop pattern — DuckDB
+    (standing in for Trino) reads the snapshot from the manifest's
+    file list alone, no LogTable library involved; an older snapshot's
+    manifest is external time travel."""
+    import duckdb
+
+    s1 = table.append(_df(spark, [(1, D1, "a")]))
+    table.append(_df(spark, [(2, D2, "b")]))
+    table.merge(_df(spark, [(1, D1, "A"), (3, D2, "c")]), keys=["k"])
+
+    def via_duckdb(manifest):
+        paths = open(manifest).read().split()
+        rel = duckdb.connect().execute(
+            "select k, v, cast(datetime as varchar) d "
+            "from read_parquet(?, hive_partitioning=true) order by k",
+            [paths])
+        return rel.fetchall()
+
+    assert via_duckdb(table.write_manifest()) == [
+        (1, "A", "2024-01-01"), (2, "b", "2024-01-02"),
+        (3, "c", "2024-01-02")]
+    assert via_duckdb(table.write_manifest(s1)) == [(1, "a", "2024-01-01")]
+
+
+def test_special_char_and_null_partition_values(spark, tmp_path):
+    """Hive dir escaping (%xx specials, __HIVE_DEFAULT_PARTITION__ for
+    null) must round-trip through overwrite_partitions victim matching
+    AND merge's _metadata.file_path URI decode — str(value)-vs-raw-dir
+    comparison misses both (the ADVICE finding)."""
+    ddl = "k long, p string, v string"
+    t = LogTable.create(spark, str(tmp_path / "sp"), ["p"])
+    t.append(spark.createDataFrame(
+        [(1, "x:y z", "a"), (2, None, "b"), (3, "plain", "c")], ddl))
+    # dynamic overwrite of the escaped and the null partitions: the old
+    # files in those partitions must be REMOVED, not left as duplicates
+    t.overwrite_partitions(spark.createDataFrame(
+        [(1, "x:y z", "A"), (2, None, "B")], ddl))
+    assert rows(t.read(), "k", "v") == [(1, "A"), (2, "B"), (3, "c")]
+    # merge into the escaped partition: victim path must resolve
+    t.merge(spark.createDataFrame(
+        [(1, "x:y z", "AA"), (4, "x:y z", "d")], ddl), keys=["k"])
+    assert rows(t.read(), "k", "v") == \
+        [(1, "AA"), (2, "B"), (3, "c"), (4, "d")]
+
+
+def test_commit_txn_recheck_uses_live_chain_like_append(spark, table):
+    """After a rollback, a replayed txn must be RE-APPLIED by both the
+    append() pre-check and _commit's post-race re-check — the dead
+    fork's commit carries the token but is off-chain."""
+    s1 = table.append(_df(spark, [(1, D1, "a")]))
+    table.append(_df(spark, [(2, D2, "b")]), txn="batch-7")
+    table.rollback(s1)
+    # direct _commit probe: the same rule _commit applies after losing
+    # a race — the dead fork's txn row must NOT short-circuit it
+    staged = table._stage_write(_df(spark, [(3, D1, "c")]))
+    s_new = table._commit("append", staged, [], txn="batch-7")
+    assert s_new == table.latest_snapshot_id()
+    assert rows(table.read(), "k") == [(1,), (3,)]
+    # and a second replay on the live chain IS deduped, by both paths
+    assert table.append(_df(spark, [(9, D1, "z")]), txn="batch-7") == s_new
+    assert table._commit("append", [], [], txn="batch-7") == s_new
 
 
 # ------------------------------------------------------------- planner

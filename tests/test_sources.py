@@ -75,6 +75,27 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     assert rows(spark.read.parquet(path), "k", "v") == [(1, "a"), (2, "b")]
 
 
+def test_merge_upsert_self_read_with_noncanonical_path(spark, tmp_path):
+    """A staged frame derived from the TARGET, merged back under a
+    non-canonical spelling of the same path (symlink + trailing slash):
+    the plan prints canonicalized file: URIs, so a raw substring match
+    would miss the self-read, skip the lineage break, and hit Spark's
+    read-before-overwrite failure (or stale reads)."""
+    import os
+
+    real = str(tmp_path / "t")
+    d1 = dt.date(2024, 1, 1)
+    merge_upsert(spark, real, _frame(spark, [(1, d1, "a"), (2, d1, "b")]),
+                 keys=["k"], partition_by=["datetime"])
+    link = str(tmp_path / "t_link")
+    os.symlink(real, link)
+    alias = link + "/"                       # symlinked AND trailing slash
+    staged = (spark.read.parquet(alias)
+              .withColumn("v", F.upper(F.col("v"))))   # reads the target
+    merge_upsert(spark, alias, staged, keys=["k"], partition_by=["datetime"])
+    assert rows(spark.read.parquet(real), "k", "v") == [(1, "A"), (2, "B")]
+
+
 def test_write_bucketed_join_and_agg_need_no_shuffle(spark, tmp_path):
     from w_userflow_featurestore_spark.sources import write_bucketed
 

@@ -162,6 +162,37 @@ class LogTable:
 
     # ---------------------------------------------------------------- log
 
+    def write_manifest(self, snapshot_id: int | None = None) -> str:
+        """Export a snapshot's live file set as a plain-text manifest —
+        one ABSOLUTE parquet path per line — under ``_manifests/``.
+
+        This is the symlink-manifest interop pattern (Delta's
+        ``symlink_format_manifest`` generator; the role Iceberg's
+        manifest lists play for the reference's Trino catalog,
+        trino/etc/catalog/iceberg.properties:1-7): any engine that can
+        scan an explicit parquet file list — DuckDB
+        ``read_parquet([...], hive_partitioning=true)``, Trino/Hive
+        ``SymlinkTextInputFormat`` tables, Spark itself — reads the
+        snapshot WITHOUT this library. Partition values stay readable
+        because the data files live in Hive-style ``col=value`` dirs.
+        A snapshot's live set never changes and data files are
+        immutable, so the manifest is immutable and regeneration is
+        idempotent (atomic tmp+rename either way)."""
+        if snapshot_id is None:
+            snapshot_id = self.latest_snapshot_id()
+        if snapshot_id is None:
+            raise ValueError("empty table has no snapshot to export")
+        mdir = os.path.join(self.path, "_manifests")
+        os.makedirs(mdir, exist_ok=True)
+        dest = os.path.join(mdir, f"{snapshot_id:020d}.txt")
+        data_abs = os.path.abspath(self._data_path)
+        tmp = dest + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            for rel in self.files(snapshot_id):
+                fh.write(os.path.join(data_abs, rel) + "\n")
+        os.replace(tmp, dest)
+        return dest
+
     @staticmethod
     def is_log_table(path: str) -> bool:
         return os.path.isdir(os.path.join(path, _LOG_DIR))
@@ -301,10 +332,20 @@ class LogTable:
             snaps = self.snapshots()
             if txn is not None:
                 # re-check idempotence after losing a race: the winner
-                # may have been a replay of this very transaction
-                for s in snaps:
+                # may have been a replay of this very transaction. Walk
+                # the live parent chain only — the same rule append()'s
+                # pre-check uses — so a txn stranded on a dead rollback
+                # fork is consistently RE-APPLIED by both code paths
+                # rather than deduped here and replayed there.
+                by_id = {s.snapshot_id: s for s in snaps}
+                cur = snaps[-1].snapshot_id if snaps else None
+                while cur is not None:
+                    s = by_id.get(cur)
+                    if s is None:          # broken lineage: stop the walk
+                        break
                     if s.txn == txn:
                         return s.snapshot_id
+                    cur = s.parent_id
             latest = snaps[-1].snapshot_id if snaps else None
             if validate_base and latest != expected_base:
                 raise ConcurrentCommitError(
@@ -610,16 +651,17 @@ class LogTable:
         if not parts:
             raise ValueError("overwrite_partitions needs a partitioned table")
         base = self.latest_snapshot_id()
-        touched = {tuple(str(r[c]) for c in parts)
-                   for r in df.select(*parts).distinct().collect()}
-
-        def part_key(rel: str) -> tuple[str, ...]:
-            vals = dict(seg.split("=", 1) for seg in rel.split(os.sep)[:-1])
-            return tuple(vals.get(c, "") for c in parts)
-
-        removes = [f for f in self.files(base) if part_key(f) in touched]
-        return self._commit("overwrite_partitions",
-                            self._stage_write(df), removes,
+        adds = self._stage_write(df)
+        # Derive the touched partitions from the STAGED files' own
+        # relative dirs: Spark wrote those dirs with its own Hive-path
+        # escaping (%xx specials, __HIVE_DEFAULT_PARTITION__ for null),
+        # so dir-to-dir comparison can never miss a victim the way a
+        # str(value)-to-raw-segment comparison does on null or
+        # special-character partition values.
+        touched = {os.path.dirname(f) for f in adds}
+        removes = [f for f in self.files(base)
+                   if os.path.dirname(f) in touched]
+        return self._commit("overwrite_partitions", adds, removes,
                             expected_base=base)
 
     def merge(self, staged: DataFrame, keys: list[str]) -> int:
@@ -644,9 +686,15 @@ class LogTable:
         key_rows = staged.select(*keys).distinct()
         victims = (target.join(key_rows.hint("broadcast"), keys, "left_semi")
                    .select("_file").distinct().collect())
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
+        # _metadata.file_path URI-encodes the on-disk name ONCE MORE on
+        # top of Spark's Hive dir escaping (disk `p=x%3Ay z` prints as
+        # `p=x%253Ay%20z`), so exactly one unquote recovers the real
+        # relative path; skipping it mis-resolves victims for any
+        # special-character partition value.
         victim_rel = sorted(
-            os.path.relpath(urlparse(r["_file"]).path, self._data_path)
+            os.path.relpath(unquote(urlparse(r["_file"]).path),
+                            self._data_path)
             for r in victims)
         if not victim_rel:
             return self._commit("merge", self._stage_write(staged), [],
@@ -696,21 +744,36 @@ class LogTable:
             remove=[f for f in cur if f not in set(chain_files)],
             parent_id=snapshot_id, expected_base=base)
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_seconds: float = 24 * 3600.0) -> int:
         """Delete data files unreferenced by the CURRENT timeline (all
         snapshots reachable from latest). Returns files deleted.
         Time travel to dead forks stops working — as with any
-        format's vacuum, retention is a policy decision."""
+        format's vacuum, retention is a policy decision.
+
+        Files younger than ``retention_seconds`` are kept even when
+        unreferenced: ``_stage_write`` moves files into data/ BEFORE
+        the commit publishes them, so a zero-retention vacuum racing an
+        in-flight append/merge would delete the writer's staged files
+        and the winning commit would then reference nonexistent files,
+        permanently breaking reads of that snapshot. The window is the
+        same guard as Delta VACUUM's retention period; pass ``0`` only
+        when no concurrent writer can exist."""
         latest = self.latest_snapshot_id()
         if latest is None:
             return 0
         keep = {f for s in self._chain(latest) for f in s.add}
+        cutoff = time.time() - retention_seconds
         n = 0
         for root, _dirs, fs in os.walk(self._data_path):
             for f in fs:
                 p = os.path.join(root, f)
                 rel = os.path.relpath(p, self._data_path)
                 if f.endswith(".parquet") and rel not in keep:
-                    os.remove(p)
+                    try:
+                        if os.path.getmtime(p) > cutoff:
+                            continue       # possibly staged, not yet committed
+                        os.remove(p)
+                    except FileNotFoundError:
+                        continue           # lost a race with another vacuum
                     n += 1
         return n

@@ -19,6 +19,7 @@ Iceberg/Delta in production (swap the writer, keep the call sites):
 from __future__ import annotations
 
 import datetime as _dt
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -217,7 +218,13 @@ def merge_upsert(spark: SparkSession, target_path: str, staged: DataFrame,
     # checkpointed frame), staged rows skip the second materialization
     # instead of being copied through executor storage twice.
     plan = staged._jdf.queryExecution().optimizedPlan().toString()
-    if target_path in plan:
+    # Plan locations print canonicalized file: URIs, so a relative /
+    # symlinked / trailing-slash target_path must be canonicalized before
+    # the substring match — a false negative here skips the checkpoint of
+    # a target-reading staged plan and re-opens the read-before-overwrite
+    # hazard. Match both the raw spelling and the canonical one.
+    canon = os.path.realpath(os.path.abspath(target_path)).rstrip("/")
+    if target_path in plan or canon in plan:
         merged = kept.unionByName(staged).localCheckpoint(eager=True)
     else:
         merged = kept.localCheckpoint(eager=True).unionByName(staged)
