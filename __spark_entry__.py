@@ -356,6 +356,24 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.4, planes=4, tables=4)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup: 8 IVF cells,
+    in-cell exact-cosine pairs only, lowest-id survivor per
+    neighborhood. Threshold 0.35 because the fixture embeddings are
+    random (see q_embedding_near_pairs note) — the oracle mirrors the
+    cell scoping, so parity is threshold-independent."""
+    return SIM.semantic_dedup(read_table(spark, sf_dir, "embeddings"),
+                              threshold=0.35, n_centroids=8)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level boilerplate removal: any trimmed line
+    occurring more than twice across the corpus is removed from every
+    document; empty docs drop out."""
+    return TX.line_dedup(read_table(spark, sf_dir, "documents"),
+                         max_occurrences=2)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: 8 deterministic coarse centroids, 2-cell
     probe, exact-cosine re-rank."""
@@ -909,6 +927,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- changed in round 4 (re-certify) ---
     "fingerprint_pairs": q_fingerprint_pairs,
     "cardinality_sketch": q_cardinality_sketch,
+    # --- NEW in round 4 ---
+    "semantic_dedup": q_semantic_dedup,
+    "line_dedup": q_line_dedup,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1868,6 +1889,66 @@ SELECT q_id, n_id, cosine, "rank" FROM (
                                ORDER BY cosine DESC, n_id ASC) AS "rank"
   FROM scored)
 WHERE "rank" <= 5
+"""
+
+# SemDeDup: same deterministic centroids + assignment as the IVF
+# oracle; pairs exist only within a cell; survivor = no lower-id
+# cell-mate with cosine >= threshold
+ORACLES["semantic_dedup"] = f"""
+WITH c AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (
+           ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1
+         AS cell, qv AS cv
+  FROM c
+  QUALIFY row_number() OVER (
+           ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id)
+          <= {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT c.vec_id, c.qv, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_l2_sql('c.qv', 'cent.cv')}, cent.cell)
+           AS rn
+    FROM c CROSS JOIN cent)
+  WHERE rn = 1
+),
+victims AS (
+  SELECT DISTINCT b.vec_id AS b_id
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(CAST({_qdot('a.qv', 'b.qv')} AS DOUBLE)
+              / (sqrt(CAST({_qdot('a.qv', 'a.qv')} AS DOUBLE))
+                 * sqrt(CAST({_qdot('b.qv', 'b.qv')} AS DOUBLE))), 4)
+        >= 0.35
+)
+SELECT vec_id, cell,
+       vec_id NOT IN (SELECT b_id FROM victims) AS is_kept
+FROM assign
+"""
+
+# C4 boilerplate-line rule: trimmed-line occurrence count over the
+# corpus via the shared 60-bit hash; survivors rejoin in position order
+ORACLES["line_dedup"] = f"""
+WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr
+            FROM documents),
+ln AS (SELECT doc_id, i AS pos, trim(arr[i + 1]) AS line
+       FROM (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i
+             FROM ls)),
+ne AS (SELECT doc_id, pos, line,
+              count(*) OVER (PARTITION BY {_h60('line')}) AS occ
+       FROM ln WHERE line <> ''),
+kept AS (SELECT doc_id, pos, line FROM ne WHERE occ <= 2),
+tot AS (SELECT doc_id, count(*) AS n_tot FROM ln GROUP BY doc_id),
+agg AS (SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT agg.doc_id, clean_text,
+       CAST(n_kept AS BIGINT) AS n_lines_kept,
+       CAST(n_tot - n_kept AS BIGINT) AS n_lines_dropped
+FROM agg JOIN tot USING (doc_id)
 """
 
 # recall@5 of the approximate indexes vs brute force, in exact integer

@@ -256,3 +256,49 @@ def test_fingerprint_pairs_detects_copied_span_and_caps_hot_prints(spark):
     # stop-fingerprint cap: prints in >1 docs dropped -> no pairs at all
     assert TX.fingerprint_pairs(docs, min_shared=1,
                                 max_doc_freq=1).count() == 0
+
+
+def test_line_dedup_removes_corpus_hot_lines(spark):
+    docs = spark.createDataFrame(
+        [(1, "unique one\ncopyright footer\n\nbody text a"),
+         (2, "unique two\ncopyright footer\nbody text b"),
+         (3, "copyright footer\nunique three"),
+         (4, "copyright footer"),           # only boilerplate -> drops out
+         (5, "  copyright footer  \nkept tail")],   # trim-normalized match
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.line_dedup(docs).collect()}
+    # "copyright footer" occurs 5x (> max_occurrences=2) -> gone everywhere
+    assert 4 not in out
+    assert out[1]["clean_text"] == "unique one\nbody text a"
+    assert out[1]["n_lines_kept"] == 2
+    assert out[1]["n_lines_dropped"] == 2        # footer + empty line
+    assert out[2]["clean_text"] == "unique two\nbody text b"
+    assert out[3]["clean_text"] == "unique three"
+    assert out[5]["clean_text"] == "kept tail"
+    # lines under the cap survive even when repeated twice
+    docs2 = spark.createDataFrame(
+        [(1, "twice seen\nalpha"), (2, "twice seen\nbeta")],
+        "doc_id long, text string")
+    out2 = {r["doc_id"]: r["clean_text"]
+            for r in TX.line_dedup(docs2).collect()}
+    assert out2 == {1: "twice seen\nalpha", 2: "twice seen\nbeta"}
+
+
+def test_semantic_dedup_drops_in_cell_neighbors_only(spark):
+    # 8 orthogonal-ish base vectors + one near-copy of vec 0: only the
+    # near-copy (higher id) must be dropped, and cells must partition
+    import random
+    rnd = random.Random(7)
+    dims = 64
+    base = [[rnd.uniform(-1, 1) for _ in range(dims)] for _ in range(8)]
+    near0 = [v * 0.995 + 0.001 for v in base[0]]
+    rows_ = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows_.append((8, [float(x) for x in near0]))
+    emb = spark.createDataFrame(rows_, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           SIM.semantic_dedup(emb, threshold=0.9, n_centroids=4).collect()}
+    assert len(out) == 9                          # one row per input vector
+    assert out[8]["is_kept"] is False             # near-copy dropped
+    assert out[0]["is_kept"] is True              # lowest id survives
+    assert out[0]["cell"] == out[8]["cell"]       # they met inside one cell
+    assert sum(1 for r in out.values() if not r["is_kept"]) == 1

@@ -163,3 +163,16 @@ def test_ann_recall_gate_plan_pin(spark):
     # underlying indexes already plan
     assert_plan(_q(spark, "ann_recall_gate"), max_shuffles=16,
                 min_broadcast_joins=9, max_sort_merge_joins=2)
+
+
+def test_round4_new_queries_plan_pins(spark):
+    # semantic_dedup: centroid model broadcast; the two sort-merge
+    # joins are the id-keyed vector rejoin + the in-cell self-join
+    # (both linear in Σ|cell|²; cells stay bounded by scaling
+    # n_centroids with the corpus)
+    assert_plan(_q(spark, "semantic_dedup"), max_shuffles=12,
+                min_broadcast_joins=4, max_sort_merge_joins=2)
+    # line_dedup: window df-count on the line hash + doc-keyed
+    # reassembly — no joins over the corpus beyond the totals rejoin
+    assert_plan(_q(spark, "line_dedup"), max_shuffles=6,
+                max_sort_merge_joins=0)

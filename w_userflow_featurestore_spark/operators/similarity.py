@@ -378,3 +378,59 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                            F.col("n_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .where(F.col("rank") <= k))
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_centroids: int = 8, dims: int = 64) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    quantizer, compare pairs ONLY within a cluster, and drop every
+    vector that has a lower-id cluster-mate with cosine >=
+    ``threshold`` (lowest-id-wins, the same survivor rule as
+    embedding_dedup / curate_corpus).
+
+    Complements the LSH near-dup family: LSH targets a tight cosine
+    band around near-identical vectors, while SemDeDup's cluster scope
+    catches looser semantic redundancy at a threshold where LSH bucket
+    collisions would be too sparse to enumerate.
+
+    Returns one row per corpus vector: (``id_col``, cell, is_kept).
+
+    Scale: pairwise work is sum(|cell|^2), bounded by raising
+    ``n_centroids`` with the corpus so cells stay ~constant-sized (the
+    paper's regime: 50k clusters over 5B embeddings). The centroid
+    model is an O(n_centroids x dims) broadcast; assignment is one
+    map-side broadcast join + min_by partial agg; the in-cell self-join
+    shuffles (cell, id, vec, norm) once per side and never forms a
+    corpus-wide cross product.
+    """
+    cents = ivf_fit_centroids(corpus, n_centroids, id_col, vec_col)
+    cdf = _centroids_df(corpus.sparkSession, cents)
+    n = _quantized(corpus, id_col, vec_col, "_sid", "_svec", dims,
+                   with_norm="_snorm")
+    assign = (n.select("_sid", "_svec")
+               .crossJoin(F.broadcast(cdf))
+               .select("_sid", "cell",
+                       l2_q(F.col("_svec"), F.col("cv")).alias("d"))
+               .groupBy("_sid")
+               .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
+    sided = n.join(assign, "_sid")
+    a = sided.select(F.col("cell"), F.col("_sid").alias("a_id"),
+                     F.col("_svec").alias("a_vec"),
+                     F.col("_snorm").alias("a_norm"))
+    b = sided.select(F.col("cell"), F.col("_sid").alias("b_id"),
+                     F.col("_svec").alias("b_vec"),
+                     F.col("_snorm").alias("b_norm"))
+    cos = dot_q(F.col("a_vec"), F.col("b_vec")) \
+        / (F.col("a_norm") * F.col("b_norm"))
+    victims = (a.join(b, "cell")
+                .where(F.col("a_id") < F.col("b_id"))
+                .where(fround(cos, 4) >= threshold)
+                .select(F.col("b_id").alias("_sid"))
+                .distinct())
+    return (assign.join(victims.withColumn("_drop", F.lit(True)),
+                        "_sid", "left")
+                  .select(F.col("_sid").alias(id_col), "cell",
+                          F.coalesce(~F.col("_drop"), F.lit(True))
+                           .alias("is_kept")))

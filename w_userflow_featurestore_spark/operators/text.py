@@ -426,3 +426,53 @@ def fingerprint_pairs(docs: DataFrame, min_shared: int = 2,
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .where(F.col("n_shared") >= min_shared))
+
+
+def line_dedup(docs: DataFrame, max_occurrences: int = 2,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level line deduplication — the C4 boilerplate rule
+    (Raffel et al. 2020 §2.2 apply it to three-sentence spans; CCNet /
+    RefinedWeb to paragraphs and lines): a trimmed line occurring more
+    than ``max_occurrences`` times ACROSS THE CORPUS is boilerplate
+    (nav bars, cookie banners, license headers) and is removed from
+    every document. Empty-after-trim lines are always removed.
+    Documents with no surviving lines drop out entirely.
+
+    Returns (doc_id, clean_text, n_lines_kept, n_lines_dropped) with
+    surviving lines rejoined in original order.
+
+    Scale shape: explode -> occurrence count as a WINDOW over the
+    60-bit line hash (one exchange keyed on the hash; a mega-hot
+    boilerplate line spills inside the window operator instead of
+    exploding a join — the fingerprint_pairs discipline), then
+    surviving lines reassemble with one doc-keyed exchange
+    (collect_list + array_sort by position). Line TEXT rides only the
+    two data exchanges; the hash aggregate never carries it.
+    """
+    lines = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+             .select(F.col(id_col),
+                     F.posexplode(F.split(F.col(text_col), "\n"))
+                      .alias("pos", "_raw"))
+             .select(F.col(id_col), "pos",
+                     F.trim(F.col("_raw")).alias("line")))
+    nonempty = lines.where(F.col("line") != "")
+    occ = F.count(F.lit(1)).over(
+        Window.partitionBy(text_hash60(F.col("line"))))
+    kept = (nonempty.withColumn("_occ", occ)
+                    .where(F.col("_occ") <= max_occurrences))
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_total"))
+    out = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                        F.struct("pos", "line"))).alias("_ordered"))
+               .select(F.col(id_col),
+                       F.array_join(
+                           F.transform(F.col("_ordered"),
+                                       lambda s: s["line"]),
+                           "\n").alias("clean_text"),
+                       F.size("_ordered").cast("long")
+                        .alias("n_lines_kept")))
+    return (out.join(totals, id_col)
+               .select(id_col, "clean_text", "n_lines_kept",
+                       (F.col("_n_total") - F.col("n_lines_kept"))
+                        .cast("long").alias("n_lines_dropped")))
