@@ -315,6 +315,12 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.frequent_tokens(read_table(spark, sf_dir, "documents"), k=20)
 
 
+def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram surprisal vs the corpus LM, quantized to whole
+    bits (integer-exact CCNet-style perplexity-filter signal)."""
+    return TX.token_surprisal(read_table(spark, sf_dir, "documents"))
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-64-token chunks with 16-token overlap per document — the
     context-window / retrieval-index chunker (operators/text.py)."""
@@ -357,13 +363,14 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style cluster-scoped semantic dedup: 8 IVF cells,
+    """SemDeDup-style cluster-scoped semantic dedup: 16 IVF cells
+    (in-cell pairwise work scales 1/n_centroids — the paper's lever),
     in-cell exact-cosine pairs only, lowest-id survivor per
     neighborhood. Threshold 0.35 because the fixture embeddings are
     random (see q_embedding_near_pairs note) — the oracle mirrors the
     cell scoping, so parity is threshold-independent."""
     return SIM.semantic_dedup(read_table(spark, sf_dir, "embeddings"),
-                              threshold=0.35, n_centroids=8)
+                              threshold=0.35, n_centroids=16)
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,6 +937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW in round 4 ---
     "semantic_dedup": q_semantic_dedup,
     "line_dedup": q_line_dedup,
+    "token_surprisal": q_token_surprisal,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1618,6 +1626,29 @@ ORDER BY n_occurrences DESC, token ASC
 LIMIT 20
 """
 
+# unigram surprisal in whole bits: floor(log2(N/n_t)) via binary-string
+# length — integer-exact, no floating-point log in either engine
+ORACLES["token_surprisal"] = f"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+    FROM documents)
+  WHERE token <> ''),
+lm AS (SELECT token, count(*) AS n_t FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM lm),
+bits AS (
+  SELECT token,
+         CAST(length(format('{{:b}}', n_total // n_t)) - 1 AS BIGINT)
+           AS b
+  FROM lm CROSS JOIN tot)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(b) AS BIGINT) AS sum_bits,
+       round(sum(b) * 1.0 / count(*), 4) AS mean_bits
+FROM tok JOIN bits USING (token)
+GROUP BY doc_id
+"""
+
 ORACLES["source_balanced_sample"] = f"""
 WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n,
@@ -1891,9 +1922,12 @@ SELECT q_id, n_id, cosine, "rank" FROM (
 WHERE "rank" <= 5
 """
 
-# SemDeDup: same deterministic centroids + assignment as the IVF
-# oracle; pairs exist only within a cell; survivor = no lower-id
-# cell-mate with cosine >= threshold
+# SemDeDup: same deterministic centroid fit + assignment rule as the
+# IVF oracle but its own (larger) centroid count; pairs exist only
+# within a cell; survivor = no lower-id cell-mate with cosine >=
+# threshold
+_SEM_K = 16
+
 ORACLES["semantic_dedup"] = f"""
 WITH c AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
 cent AS (
@@ -1903,7 +1937,7 @@ cent AS (
   FROM c
   QUALIFY row_number() OVER (
            ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id)
-          <= {_IVF_K}
+          <= {_SEM_K}
 ),
 assign AS (
   SELECT vec_id, qv, cell FROM (

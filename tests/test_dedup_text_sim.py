@@ -302,3 +302,15 @@ def test_semantic_dedup_drops_in_cell_neighbors_only(spark):
     assert out[0]["is_kept"] is True              # lowest id survives
     assert out[0]["cell"] == out[8]["cell"]       # they met inside one cell
     assert sum(1 for r in out.values() if not r["is_kept"]) == 1
+
+
+def test_token_surprisal_integer_bits(spark):
+    # corpus: "a" x 8 occurrences, "rare" x 1, N=9 ->
+    # bits(a) = floor(log2(9 div 8)) = 0, bits(rare) = floor(log2(9)) = 3
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a a a rare")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.token_surprisal(docs).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["sum_bits"] == 0
+    assert out[1]["mean_bits"] == 0.0
+    assert out[2]["n_tokens"] == 5 and out[2]["sum_bits"] == 3
+    assert out[2]["mean_bits"] == 0.6

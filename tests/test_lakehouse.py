@@ -163,6 +163,20 @@ def test_vacuum_retention_spares_staged_uncommitted_files(spark, table):
     assert rows(table.read(s2), "k") == [(1,), (2,)]   # commit still readable
 
 
+def test_files_df_metadata_table(spark, table):
+    """files_df: the Iceberg tbl.files analog — one row per live file
+    with size, decoded partition values, and manifest stats."""
+    s1 = table.append(_df(spark, [(1, D1, "a"), (2, D2, "b")]))
+    table.append(_df(spark, [(3, D1, "c")]))
+    got = table.files_df().collect()
+    assert len(got) == len(table.files())
+    assert all(r["size_bytes"] > 0 for r in got)
+    assert {r["partition"]["datetime"] for r in got} == \
+        {"2024-01-01", "2024-01-02"}
+    old = table.files_df(s1)
+    assert old.count() == len(table.files(s1))
+
+
 def test_manifest_export_readable_by_external_engine(spark, table):
     """write_manifest: the symlink-manifest interop pattern — DuckDB
     (standing in for Trino) reads the snapshot from the manifest's

@@ -176,3 +176,7 @@ def test_round4_new_queries_plan_pins(spark):
     # reassembly — no joins over the corpus beyond the totals rejoin
     assert_plan(_q(spark, "line_dedup"), max_shuffles=6,
                 max_sort_merge_joins=0)
+    # token_surprisal: LM hash-agg + 1-row broadcast total + token-key
+    # rejoin + doc agg — zero sort-merge work
+    assert_plan(_q(spark, "token_surprisal"), max_shuffles=7,
+                min_broadcast_joins=1, max_sort_merge_joins=0)

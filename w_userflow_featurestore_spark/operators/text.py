@@ -476,3 +476,48 @@ def line_dedup(docs: DataFrame, max_occurrences: int = 2,
                .select(id_col, "clean_text", "n_lines_kept",
                        (F.col("_n_total") - F.col("n_lines_kept"))
                         .cast("long").alias("n_lines_dropped")))
+
+
+def token_surprisal(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram surprisal under the corpus's own language
+    model — the CCNet/Gopher perplexity-filter signal (Wenzek et al.
+    2020 rank documents by LM perplexity; low-surprisal docs are
+    boilerplate-ish, high-surprisal docs are noise), with surprisal
+    QUANTIZED TO WHOLE BITS so the value is exact integer arithmetic:
+    a token occurring n_t times in a corpus of N tokens contributes
+    ``bit_length(N div n_t) - 1`` = floor(log2(N/n_t)) bits, computed
+    via binary-string length — no floating-point log whose last-ulp
+    libm differences could break cross-engine parity.
+
+    Returns (doc_id, n_tokens, sum_bits, mean_bits) with mean_bits =
+    sum_bits / n_tokens rounded to 4 decimals (one exact division of
+    two integers).
+
+    Scale shape: one token hash-aggregate builds the unigram LM
+    (map-side combine absorbs hot tokens), the scalar N rides a 1-row
+    broadcast (above_avg_orders' global-aggregate pattern), per-token
+    bits join back to the token stream on the token key, and one
+    doc-keyed aggregate emits the profile. Token strings never carry
+    vectors or doc text through the exchanges.
+    """
+    toks = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col),
+                    F.explode(words(F.col(text_col))).alias("token"))
+            .where(F.col("token") != ""))
+    lm = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    total = lm.agg(F.sum("n_t").alias("n_total"))
+    bits = (lm.crossJoin(F.broadcast(total))
+              .withColumn("bits",
+                          (F.length(F.bin(F.expr("n_total DIV n_t")))
+                           - 1).cast("long"))
+              .select("token", "bits"))
+    return (toks.join(bits, "token")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.sum("bits").alias("sum_bits"))
+                .select(F.col(id_col),
+                        F.col("n_tokens").cast("long"),
+                        F.col("sum_bits").cast("long"),
+                        fround(F.col("sum_bits") / F.col("n_tokens"), 4)
+                         .alias("mean_bits")))

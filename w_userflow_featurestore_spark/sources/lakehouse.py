@@ -265,6 +265,35 @@ class LogTable:
         snaps = self.snapshots()
         return snaps[-1].snapshot_id if snaps else None
 
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Live data files at a snapshot as a DataFrame — the queryable
+        twin of Iceberg's ``tbl.files`` metadata table (the reference
+        inspects table internals through exactly such metadata tables,
+        silver_dag.py:102-107): relative path, on-disk size, Hive
+        partition values decoded from the dir segments, and the
+        manifest min/max column stats as JSON. Driver-side O(files)
+        like every metadata read — never a data scan."""
+        from urllib.parse import unquote
+        parts = self.partition_by
+        rows = []
+        stats = self.files_stats(snapshot_id)
+        for rel in self.files(snapshot_id):
+            p = os.path.join(self._data_path, rel)
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                size = None
+            vals = dict(seg.split("=", 1)
+                        for seg in rel.split(os.sep)[:-1] if "=" in seg)
+            part = {c: (None if vals.get(c) == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(vals[c]) if c in vals else None)
+                    for c in parts}
+            rows.append((rel, size, part, json.dumps(stats.get(rel, {}),
+                                                     sort_keys=True)))
+        return self.spark.createDataFrame(
+            rows, "file_path string, size_bytes long,"
+                  " partition map<string,string>, stats_json string")
+
     _UNSET = object()
 
     def _collect_stats(self, rel_files: list[str]) -> dict:
