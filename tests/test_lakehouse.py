@@ -609,3 +609,44 @@ def test_merge_preserves_stats_for_untouched_files(spark, stats_table):
     assert len(pruned.inputFiles()) == 1
     upd = stats_table.read(filters=[("k", "=", 101)])
     assert rows(upd, "v") == [("UPD",)]
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order + manifest stats: a selective predicate on EITHER
+    clustered column must skip files. The x-sorted control layout
+    prunes on x but cannot prune on y — that contrast IS the feature."""
+    from w_userflow_featurestore_spark.sources import zorder
+
+    df = (spark.range(0, 20_000)
+          .select((F.col("id") % 100).alias("x"),
+                  ((F.col("id") / 100).cast("long") % 100).alias("y"),
+                  F.col("id").alias("payload")))
+    n_files = 16
+
+    def pruned_counts(t):
+        total = len(t.files())
+        fx = len(t._prune(t.files(), t.files_stats(),
+                          [("x", ">=", 90)]))
+        fy = len(t._prune(t.files(), t.files_stats(),
+                          [("y", ">=", 90)]))
+        return total, fx, fy
+
+    tz = LogTable.create(spark, str(tmp_path / "z"), [],
+                         stats_columns=["x", "y"])
+    tz.append(zorder(df, ["x", "y"], n_files=n_files))
+    total, fx, fy = pruned_counts(tz)
+    assert total >= n_files // 2
+    assert fx < total and fy < total          # BOTH dimensions prune
+    # values survive the re-layout intact
+    got = tz.read(filters=[("x", ">=", 90), ("y", ">=", 90)])
+    exp = df.where((F.col("x") >= 90) & (F.col("y") >= 90))
+    assert sorted(r["payload"] for r in got.collect()) == \
+        sorted(r["payload"] for r in exp.collect())
+
+    tl = LogTable.create(spark, str(tmp_path / "lin"), [],
+                         stats_columns=["x", "y"])
+    tl.append(df.repartitionByRange(n_files, F.col("x"))
+                .sortWithinPartitions("x"))
+    ltotal, lfx, lfy = pruned_counts(tl)
+    assert lfx < ltotal                       # leading column prunes
+    assert lfy == ltotal                      # trailing column cannot

@@ -13,8 +13,12 @@ from w_userflow_featurestore_spark.sources.lakehouse import (
     ConcurrentCommitError,
     Snapshot,
 )
+from w_userflow_featurestore_spark.sources.layout import (
+    zorder,
+    zorder_key,
+)
 
 __all__ = ["read_table", "fan_out", "write_partitioned",
            "overwrite_partitions", "write_bucketed", "merge_upsert",
            "compact_partitions", "LogTable", "BrokenLineageError",
-           "ConcurrentCommitError", "Snapshot"]
+           "ConcurrentCommitError", "Snapshot", "zorder", "zorder_key"]
