@@ -749,6 +749,29 @@ def q_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["view", "click", "purchase"])
 
 
+def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the item-transition graph (consecutive items per
+    user in event order), 5 integer-quantized iterations — the
+    iterative-algorithm family WITH a full value oracle (a generated
+    chain of per-iteration SQL CTEs); see operators/graph.py for why
+    quantization makes that possible."""
+    from pyspark.sql import Window
+
+    from w_userflow_featurestore_spark.operators.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    item = F.from_json(F.col("props"), "k INT")["k"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.select("user_id", "ts", "event_id", item.alias("k"))
+               .withColumn("prev_k", F.lag("k").over(w))
+               .where(F.col("prev_k").isNotNull())
+               .groupBy("prev_k", "k")
+               .agg(F.count(F.lit(1)).alias("w"))
+               .select(F.col("prev_k").alias("src"),
+                       F.col("k").alias("dst"), "w"))
+    return pagerank(edges, weight="w", iterations=5, id_out="item")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order-Markov transition matrix of consecutive event types
     per user-day, row-normalized (see operators/paths.py)."""
@@ -938,6 +961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "line_dedup": q_line_dedup,
     "token_surprisal": q_token_surprisal,
+    "item_pagerank": q_item_pagerank,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2141,6 +2165,51 @@ SELECT datetime, from_type, to_type, n_transitions,
              4) AS prob
 FROM c
 """
+
+# item_pagerank: fixed-iteration integer-quantized PageRank — one CTE
+# pair (contribution sum, damped mix) generated per iteration, exactly
+# mirroring operators/graph.py's loop. Aggregates are over exact longs,
+# so iteration 10's vector is bit-identical in both engines.
+def _pagerank_sql(iterations: int = 10, damping: int = 85,
+                  scale: int = 10 ** 9) -> str:
+    head = f"""
+WITH ed AS (
+  SELECT prev_k AS src, k AS dst, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k,
+           lag(CAST(regexp_extract(props, '[0-9]+') AS INTEGER))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+    FROM events)
+  WHERE prev_k IS NOT NULL
+  GROUP BY prev_k, k),
+nodes AS (SELECT src AS n FROM ed UNION SELECT dst FROM ed),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ed
+         GROUP BY src),
+r0 AS (SELECT n, {scale} // n_nodes AS rq FROM nodes CROSS JOIN nn)"""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+s{i} AS (SELECT ed.dst AS n,
+                CAST(sum((r.rq * ed.w) // o.outw) AS BIGINT) AS s
+         FROM ed JOIN {prev} r ON ed.src = r.n
+                 JOIN outw o ON ed.src = o.src
+         GROUP BY ed.dst),
+r{i} AS (SELECT nodes.n,
+                ({100 - damping} * ({scale} // nn.n_nodes)) // 100
+                + ({damping} * coalesce(s{i}.s, 0)) // 100 AS rq
+         FROM nodes CROSS JOIN nn
+         LEFT JOIN s{i} ON nodes.n = s{i}.n)""")
+        prev = f"r{i}"
+    tail = f"""
+SELECT n AS item, rq AS rank_q,
+       round(rq / {float(scale)}, 6) AS rank
+FROM {prev}
+"""
+    return head + "".join(steps) + tail
+
+
+ORACLES["item_pagerank"] = _pagerank_sql(5)
 
 ORACLES["funnel_daily"] = """
 WITH e AS (

@@ -314,3 +314,27 @@ def test_token_surprisal_integer_bits(spark):
     assert out[1]["mean_bits"] == 0.0
     assert out[2]["n_tokens"] == 5 and out[2]["sum_bits"] == 3
     assert out[2]["mean_bits"] == 0.6
+
+
+def test_pagerank_quantized_structure(spark):
+    from w_userflow_featurestore_spark.operators.graph import pagerank
+
+    # 3-cycle: perfect symmetry -> identical ranks, mass ~conserved
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    out = {r["node"]: r["rank_q"] for r in pagerank(cyc).collect()}
+    assert len(set(out.values())) == 1
+    assert abs(sum(out.values()) - 10**9) < 100     # truncation only
+    # star: every leaf points at the hub -> hub dominates, leaves equal
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long")
+    ranks = {r["node"]: r["rank_q"] for r in pagerank(star).collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 5
+    assert len({v for k, v in ranks.items() if k != 0}) == 1
+    # weighted: doubling an edge weight shifts rank toward its target
+    wg = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 1), (2, 1, 1), (3, 1, 1)],
+        "src long, dst long, w long")
+    rw = {r["node"]: r["rank_q"]
+          for r in pagerank(wg, weight="w").collect()}
+    assert rw[2] > rw[3]

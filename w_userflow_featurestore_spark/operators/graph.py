@@ -1,0 +1,86 @@
+"""Iterative graph algorithms as fixed-point DataFrame loops.
+
+PageRank here is INTEGER-QUANTIZED: ranks live in ``scale``-denominated
+longs and every per-iteration operation (teleport term, edge
+contribution split, damping mix) is integer arithmetic with truncating
+division. That makes a fixed iteration count bit-for-bit deterministic
+across engines and partitionings — no floating-point summation-order
+drift — so an iterative algorithm can carry a full value oracle (a
+chain of generated SQL CTEs, one per iteration) instead of the usual
+rows-only check. Truncation deliberately leaks a few units of mass per
+node per iteration (and dangling-node mass is dropped, as in the
+classic formulation without a dangling patch); ranking ORDER matches
+float PageRank to well under the quantization step for scale >= 1e9.
+
+Companion to dedup.connected_components (the other iterative op in this
+engine, reference-free min-label propagation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.functions import fround
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             weight: str | None = None, iterations: int = 10,
+             damping_pct: int = 85, scale: int = 10 ** 9,
+             id_out: str = "node",
+             checkpoint_every: int | None = None) -> DataFrame:
+    """Weighted PageRank over a directed edge list, ``iterations``
+    synchronous steps of
+
+        rank'(v) = ((100-d) * (scale DIV N)) DIV 100
+                 + (d * sum_{(u,v) in E} (rank(u)*w(u,v)) DIV outw(u))
+                   DIV 100
+
+    in exact long arithmetic. ``weight=None`` counts each edge as 1.
+
+    Scale shape per iteration: one src-keyed join of the edge list with
+    the rank vector (+ the precomputed out-weight), one dst-keyed hash
+    aggregate — the canonical distributed PageRank step. N rides a
+    1-row broadcast; nothing collects. The loop INVARIANTS (edge list,
+    node set, out-weights) are materialized once with localCheckpoint
+    before the loop — the GraphX discipline: without it, a lazily
+    composed 10-iteration plan re-derives the edge subtree in every
+    iteration (measured 181 shuffles vs 36 on the item graph). Pass
+    ``checkpoint_every`` to additionally cut the RANK vector's lineage
+    every k iterations on deep runs (plan growth is linear either way;
+    checkpointing trades re-execution risk for scheduler size).
+    """
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+        (F.col(weight).cast("long") if weight else F.lit(1).cast("long"))
+        .alias("_w")).localCheckpoint(eager=True)
+    nodes = (e.select(F.col("_src").alias("_n"))
+              .union(e.select(F.col("_dst").alias("_n")))
+              .distinct().localCheckpoint(eager=True))
+    n1 = nodes.agg(F.count(F.lit(1)).alias("_n_nodes"))
+    outw = (e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
+             .localCheckpoint(eager=True))
+    teleport = F.expr(
+        f"(({100 - damping_pct}) * ({scale} DIV _n_nodes)) DIV 100")
+    ranks = (nodes.crossJoin(F.broadcast(n1))
+                  .select("_n", F.expr(f"{scale} DIV _n_nodes")
+                                 .alias("_rq")))
+    for i in range(iterations):
+        contrib = (e.join(ranks, e["_src"] == ranks["_n"])
+                    .join(outw, "_src")
+                    .select(F.col("_dst").alias("_n"),
+                            F.expr("(_rq * _w) DIV _outw").alias("_c")))
+        sums = contrib.groupBy("_n").agg(F.sum("_c").alias("_s"))
+        ranks = (nodes.crossJoin(F.broadcast(n1))
+                      .join(sums, "_n", "left")
+                      .select("_n",
+                              (teleport
+                               + F.expr(f"({damping_pct} *"
+                                        f" coalesce(_s, 0L)) DIV 100"))
+                              .alias("_rq")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(F.col("_n").alias(id_out),
+                        F.col("_rq").alias("rank_q"),
+                        fround(F.col("_rq") / F.lit(float(scale)), 6)
+                         .alias("rank"))
