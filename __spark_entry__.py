@@ -749,6 +749,13 @@ def q_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["view", "click", "purchase"])
 
 
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day event-type distribution drift: per-category
+    chi-square terms floor-quantized to micro-units and integer-summed
+    (see operators/temporal.py for the exact-parity discipline)."""
+    return TMP.distribution_drift(_events(spark, sf_dir))
+
+
 def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the item-transition graph (consecutive items per
     user in event order), 5 integer-quantized iterations — the
@@ -962,6 +969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "token_surprisal": q_token_surprisal,
     "item_pagerank": q_item_pagerank,
+    "distribution_drift": q_distribution_drift,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2211,6 +2219,48 @@ FROM {prev}
 
 ORACLES["item_pagerank"] = _pagerank_sql(5)
 
+# distribution_drift: per-category chi-square terms from exact integer
+# counts — each term's double ops are IEEE-identical in both engines,
+# floor-quantized to micro-units, then INTEGER-summed (order-free)
+ORACLES["distribution_drift"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS datetime, event_type AS category,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT datetime, CAST(sum(n) AS BIGINT) AS n_day
+        FROM daily GROUP BY datetime),
+dp AS (SELECT datetime, n_day,
+              lag(datetime) OVER (ORDER BY datetime) AS prev_date,
+              lag(n_day) OVER (ORDER BY datetime) AS n_prev
+       FROM tot),
+j AS (SELECT c.datetime, c.category, c.n, dp.n_day, dp.prev_date,
+             dp.n_prev, p.n AS n_p
+      FROM daily c JOIN dp USING (datetime)
+      LEFT JOIN daily p ON p.datetime = dp.prev_date
+                       AND p.category = c.category),
+pd AS (
+  SELECT datetime,
+         sum(CASE WHEN n_p IS NOT NULL THEN CAST(floor(
+               ((n * 1.0 / n_day - n_p * 1.0 / n_prev)
+                * (n * 1.0 / n_day - n_p * 1.0 / n_prev)
+                / (n_p * 1.0 / n_prev)) * 1000000.0) AS BIGINT) END)
+           AS chi2raw,
+         CAST(count(*) AS BIGINT) AS n_categories,
+         CAST(sum(CASE WHEN n_p IS NULL AND prev_date IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_categories,
+         max(prev_date) AS pdate
+  FROM j GROUP BY datetime)
+SELECT datetime,
+       CASE WHEN pdate IS NULL THEN NULL
+            ELSE coalesce(chi2raw, 0) END AS chi2_micro,
+       n_categories, n_new_categories,
+       CASE WHEN pdate IS NULL THEN NULL
+            ELSE CAST(coalesce(chi2raw, 0) > 100000 AS INTEGER) END
+         AS is_drift
+FROM pd
+"""
+
 ORACLES["funnel_daily"] = """
 WITH e AS (
   SELECT CAST(ts AS DATE) AS datetime, user_id, event_type, ts, event_id
@@ -2725,6 +2775,7 @@ _DATE_QUERIES = {
     "retention_yesterday", "retention_today", "cohort_vs_global",
     "dim_gap_features", "duration_percentiles", "funnel_daily",
     "event_transitions", "volume_anomaly", "cardinality_sketch",
+    "distribution_drift",
 }
 
 

@@ -338,3 +338,27 @@ def test_pagerank_quantized_structure(spark):
     rw = {r["node"]: r["rank_q"]
           for r in pagerank(wg, weight="w").collect()}
     assert rw[2] > rw[3]
+
+
+def test_distribution_drift_flags_mix_shift(spark):
+    from w_userflow_featurestore_spark.operators import temporal as TMP2
+
+    rows_ = []
+    eid = 0
+    # day 1: 50/50 a-b; day 2: identical mix; day 3: 100% a + new type c
+    for day, mix in [(1, ["a"] * 10 + ["b"] * 10),
+                     (2, ["a"] * 10 + ["b"] * 10),
+                     (3, ["a"] * 20 + ["c"] * 2)]:
+        for t in mix:
+            rows_.append((eid, f"2024-01-0{day} 12:00:00", 1, t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows_, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["datetime"]): r
+           for r in TMP2.distribution_drift(ev).collect()}
+    d1, d2, d3 = (out["2024-01-01"], out["2024-01-02"], out["2024-01-03"])
+    assert d1["chi2_micro"] is None and d1["is_drift"] is None   # no baseline
+    assert d2["chi2_micro"] == 0 and d2["is_drift"] == 0         # same mix
+    assert d3["chi2_micro"] > 100_000 and d3["is_drift"] == 1    # b vanished
+    assert d3["n_new_categories"] == 1                           # c appeared

@@ -14,6 +14,7 @@ import math
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from w_userflow_featurestore_spark.operators.sessionize import (
     DEFAULT_COMPLETE_THRESHOLD, DEFAULT_GAP_MS, DEFAULT_TIMEOUT_MS,
@@ -130,3 +131,47 @@ def test_repetition_profile_matches_counter_model(spark, words_list):
                    - round(max(bc.values()) / (n - 1), 4)) < 1e-9
     else:
         assert row.top_bigram_frac == 0.0
+
+
+# ---------------------------------------------------------------- pagerank
+
+graph_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7),
+              st.integers(1, 5)),                    # src, dst, weight
+    min_size=1, max_size=24)
+
+
+def _pagerank_model(edges, iterations=10, scale=10 ** 9):
+    """Independent quantized PageRank: plain dicts, same truncating
+    integer arithmetic as operators/graph.py — no Spark, no shared
+    code."""
+    w: dict[tuple[int, int], int] = {}
+    for s, d, x in edges:
+        w[(s, d)] = w.get((s, d), 0) + x
+    nodes = sorted({s for s, _ in w} | {d for _, d in w})
+    n = len(nodes)
+    outw: dict[int, int] = {}
+    for (s, _d), x in w.items():
+        outw[s] = outw.get(s, 0) + x
+    rq = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        sums = {v: 0 for v in nodes}
+        for (s, d), x in w.items():
+            sums[d] += (rq[s] * x) // outw[s]
+        rq = {v: (15 * (scale // n)) // 100 + (85 * sums[v]) // 100
+              for v in nodes}
+    return rq
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=graph_strategy)
+def test_pagerank_matches_independent_model(spark, edges):
+    from w_userflow_featurestore_spark.operators.graph import pagerank
+
+    # aggregate duplicate (src, dst) pairs the same way the model does
+    df = (spark.createDataFrame(edges, "src long, dst long, w long")
+          .groupBy("src", "dst").agg(F.sum("w").alias("w")))
+    got = {r["node"]: r["rank_q"]
+           for r in pagerank(df, weight="w", iterations=10).collect()}
+    assert got == _pagerank_model(edges, iterations=10)

@@ -201,3 +201,73 @@ def daily_volume_anomaly(events: DataFrame, dim_col: str = "event_type",
                         F.when(prev.isNull(), F.lit(None).cast("int"))
                          .otherwise(((ratio < lo_bp) | (ratio > hi_bp))
                                     .cast("int"))))
+
+
+def distribution_drift(events: DataFrame, dim_col: str = "event_type",
+                       ts_col: str = "ts",
+                       threshold_micro: int = 100_000) -> DataFrame:
+    """Day-over-day DISTRIBUTION-shape drift per day — the feature-
+    monitoring companion to daily_volume_anomaly (which watches volume;
+    this watches the mix): a chi-square statistic between today's and
+    the previous observed day's category distribution of ``dim_col``.
+
+    chi2_micro = sum over categories of
+        floor( 1e6 * (p_today - p_prev)^2 / p_prev )
+
+    Each per-category term is computed in doubles built from EXACT
+    integer counts — subtraction, multiplication, division are
+    IEEE-correctly-rounded, so the term is bit-identical in any engine
+    — then floor-quantized to micro-units and INTEGER-summed, removing
+    the float-summation-order hazard entirely (the token_surprisal /
+    pagerank quantization discipline). Categories absent on the
+    previous day contribute no term (no division by zero) but are
+    counted in ``n_new_categories`` — a new category appearing IS
+    drift signal and the count exposes it. The first observed day has
+    no baseline: NULL statistic, NULL flag.
+
+    Scale shape: one hash aggregate to (day, category), lag windows
+    over that tiny aggregate (state is O(days x |dim|)), no joins over
+    raw events.
+    """
+    daily = (events
+             .groupBy(F.to_date(F.col(ts_col)).alias("datetime"),
+                      F.col(dim_col).alias("category"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = (daily.groupBy("datetime")
+                   .agg(F.sum("n").alias("n_day")))
+    wd = Window.orderBy("datetime")
+    prev_day = F.lag("datetime").over(wd)
+    day_pairs = (totals
+                 .select("datetime",
+                         F.col("n_day"),
+                         prev_day.alias("prev_date"),
+                         F.lag("n_day").over(wd).alias("n_prev")))
+    cur = daily.select("datetime", "category", "n")
+    prv = daily.select(F.col("datetime").alias("prev_date"),
+                       F.col("category"),
+                       F.col("n").alias("n_p"))
+    joined = (cur.join(day_pairs, "datetime")
+                 .join(prv, ["prev_date", "category"], "left"))
+    p_t = F.col("n") / F.col("n_day")
+    p_p = F.col("n_p") / F.col("n_prev")
+    term = F.floor((p_t - p_p) * (p_t - p_p) / p_p * 1e6).cast("long")
+    per_day = (joined
+               .groupBy("datetime")
+               .agg(F.sum(F.when(F.col("n_p").isNotNull(), term))
+                     .alias("chi2_micro"),
+                    F.count(F.lit(1)).cast("long").alias("n_categories"),
+                    F.sum(F.when(F.col("n_p").isNull()
+                                 & F.col("prev_date").isNotNull(), 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_new_categories"),
+                    F.first("prev_date").alias("_pd")))
+    chi2 = F.when(F.col("_pd").isNull(), F.lit(None).cast("long")) \
+            .otherwise(F.coalesce(F.col("chi2_micro"), F.lit(0)))
+    return (per_day
+            .select("datetime", chi2.alias("chi2_micro"), "n_categories",
+                    "n_new_categories",
+                    F.when(F.col("_pd").isNull(),
+                           F.lit(None).cast("int"))
+                     .otherwise((F.coalesce(F.col("chi2_micro"), F.lit(0))
+                                 > threshold_micro)
+                                .cast("int")).alias("is_drift")))
