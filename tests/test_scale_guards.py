@@ -97,3 +97,29 @@ def test_simhash_chunk_bucket_occupancy_bounded(spark):
             for c in range(4)])).alias("cb")
     ).select("cb.chunk", "cb.val")
     assert _max_bucket(banded, "chunk", "val") <= 64
+
+
+def test_semantic_dedup_cell_occupancy_balanced(spark):
+    """semantic_dedup's pairwise work is sum(|cell|^2): the coarse
+    quantizer must actually SPREAD the corpus — a degenerate fit that
+    funnels most vectors into one cell silently reverts the operator
+    toward the corpus-wide cross product it exists to avoid."""
+    from w_userflow_featurestore_spark.operators import similarity as SIM
+
+    emb = read_table(spark, SF001, "embeddings")
+    n_total = emb.count()
+    k = 16
+    cents = SIM.ivf_fit_centroids(emb, k)
+    cdf = SIM._centroids_df(spark, cents)
+    q = SIM._quantized(emb, "vec_id", "embedding", "_sid", "_svec", 64)
+    assign = (q.crossJoin(F.broadcast(cdf))
+               .select("_sid", "cell",
+                       SIM.l2_q(F.col("_svec"), F.col("cv")).alias("d"))
+               .groupBy("_sid")
+               .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
+    occupancy = _max_bucket(assign, "cell")
+    # random-vector fixture -> near-uniform Voronoi cells; even a loose
+    # 4x-mean bound catches a collapsed quantizer
+    assert occupancy <= 4 * (n_total // k), (
+        f"hottest cell {occupancy} of {n_total} vectors "
+        f"(mean {n_total // k}) — quantizer collapsed")

@@ -441,13 +441,17 @@ def line_dedup(docs: DataFrame, max_occurrences: int = 2,
     Returns (doc_id, clean_text, n_lines_kept, n_lines_dropped) with
     surviving lines rejoined in original order.
 
-    Scale shape: explode -> occurrence count as a WINDOW over the
-    60-bit line hash (one exchange keyed on the hash; a mega-hot
-    boilerplate line spills inside the window operator instead of
-    exploding a join — the fingerprint_pairs discipline), then
-    surviving lines reassemble with one doc-keyed exchange
-    (collect_list + array_sort by position). Line TEXT rides only the
-    two data exchanges; the hash aggregate never carries it.
+    Scale shape: explode -> occurrence counts as a hash AGGREGATE over
+    the 60-bit line hash (map-side partial combine absorbs corpus-hot
+    boilerplate lines — no single reducer ever sees all copies of one
+    line, unlike a count-window over the hash), filter that aggregate
+    down to the HOT set (lines over the cap — at most N/cap rows, in
+    practice the boilerplate heavy-hitters), and drop survivors via a
+    hash-keyed ANTI-join, where AQE's skew split can fan a mega-hot
+    probe key across tasks. Surviving lines then reassemble with one
+    doc-keyed exchange (collect_list + array_sort by position). Line
+    TEXT rides only the data exchanges; the aggregate and the
+    anti-join carry hashes.
     """
     lines = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
              .select(F.col(id_col),
@@ -455,11 +459,13 @@ def line_dedup(docs: DataFrame, max_occurrences: int = 2,
                       .alias("pos", "_raw"))
              .select(F.col(id_col), "pos",
                      F.trim(F.col("_raw")).alias("line")))
-    nonempty = lines.where(F.col("line") != "")
-    occ = F.count(F.lit(1)).over(
-        Window.partitionBy(text_hash60(F.col("line"))))
-    kept = (nonempty.withColumn("_occ", occ)
-                    .where(F.col("_occ") <= max_occurrences))
+    nonempty = (lines.where(F.col("line") != "")
+                     .withColumn("_lh", text_hash60(F.col("line"))))
+    hot = (nonempty.groupBy("_lh")
+                   .agg(F.count(F.lit(1)).alias("_occ"))
+                   .where(F.col("_occ") > max_occurrences)
+                   .select("_lh"))
+    kept = nonempty.join(hot, "_lh", "left_anti")
     totals = lines.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n_total"))
     out = (kept.groupBy(id_col)
