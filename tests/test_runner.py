@@ -100,3 +100,39 @@ def test_run_daily_features_end_to_end(spark, tmp_path):
     # idempotent: rerun converges to identical contents
     again = run_daily_features(spark, silver, ev_df, gold)
     assert written == again
+
+
+def test_run_daily_features_for_date_matches_full_run(spark, tmp_path):
+    """Day-scoped gold (the reference's per-execution-date DAG regime):
+    running each date separately with for_date must converge to the
+    exact same tables as one full recompute — including the
+    history-dependent return-interval metrics, because the scan is
+    bounded at for_date, not sliced to it."""
+    events, silver, ledger = (str(tmp_path / p)
+                              for p in ("events", "silver", "ledger.json"))
+    _write(spark, events, [
+        _ev(1, "2024-01-01 10:00:00", 1),
+        _ev(2, "2024-01-01 10:05:00", 1, "purchase", 60.0),
+        _ev(3, "2024-01-02 09:00:00", 1),            # day-2 return visit
+        _ev(4, "2024-01-02 11:00:00", 2, "error", 5.0),
+        _ev(5, "2024-01-03 08:00:00", 2, "purchase", 9.0),
+    ])
+    run_silver(spark, events, silver, ledger, NOW)
+    ev_df = spark.read.parquet(events)
+    g_full, g_daily = str(tmp_path / "g_full"), str(tmp_path / "g_daily")
+    run_daily_features(spark, silver, ev_df, g_full)
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        run_daily_features(spark, silver, ev_df, g_daily, for_date=d)
+    for t in ("user_daily", "item_daily", "top_item_per_day",
+              "entry_type_daily", "cohort_vs_global"):
+        full = spark.read.parquet(f"{g_full}/{t}")
+        daily = spark.read.parquet(f"{g_daily}/{t}")
+        cols = sorted(full.columns)
+        assert sorted(map(tuple, full.select(*cols).collect())) == \
+            sorted(map(tuple, daily.select(*cols).collect())), t
+    # re-running one date converges (idempotent partition overwrite)
+    run_daily_features(spark, silver, ev_df, g_daily,
+                       for_date="2024-01-02")
+    ud = spark.read.parquet(f"{g_daily}/user_daily")
+    full_ud = spark.read.parquet(f"{g_full}/user_daily")
+    assert ud.count() == full_ud.count()

@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
                    default="parquet",
                    help="'log' = each gold table is a LogTable; the "
                         "daily overwrite is one atomic commit")
+    g.add_argument("--date", default=None, metavar="YYYY-MM-DD",
+                   help="day-scoped run (the reference daily-DAG "
+                        "regime): scan history up to this date, "
+                        "produce and overwrite only its partition")
 
     c = sub.add_parser(
         "curate",
@@ -105,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
         events = spark.read.parquet(args.events)
         written = run_daily_features(spark, args.silver, events, args.out,
                                      min_rows_per_day=args.min_rows,
-                                     table_format=args.table_format)
+                                     table_format=args.table_format,
+                                     for_date=args.date)
         # rows WRITTEN THIS RUN (observed on the write action), not total
         # table rows — with dynamic partition overwrite, untouched prior
         # partitions remain in the table but are not re-counted here

@@ -141,7 +141,8 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
 # (gold_webtoon_daily_metrics.py:74-85, gold_daily_dag.py:146)
 def run_daily_features(spark: SparkSession, silver_path: str, events: DataFrame,
                        out_dir: str, min_rows_per_day: int = 1,
-                       table_format: str = "parquet") -> dict[str, int]:
+                       table_format: str = "parquet",
+                       for_date: str | None = None) -> dict[str, int]:
     """All gold-grain feature tables, gated then written idempotently.
     ``table_format="log"`` makes each table a LogTable whose daily
     overwrite is one atomic remove+add commit (reference S10 on a real
@@ -152,13 +153,35 @@ def run_daily_features(spark: SparkSession, silver_path: str, events: DataFrame,
     count of the partitions this run produced — prior-day partitions
     remain in the table but are deliberately not re-counted (a total-
     table count would cost a full re-read per table; callers wanting
-    totals can count the table on read)."""
+    totals can count the table on read).
+
+    ``for_date`` (``YYYY-MM-DD``) = the reference's daily-DAG regime
+    (gold_daily_dag.py runs per execution date): inputs are bounded to
+    ``datetime <= for_date`` — a partition-pruned upper scan bound, so
+    history-dependent metrics (user return intervals) see exactly the
+    history they would have seen on that day — and only the
+    ``for_date`` partition of each table is produced and overwritten.
+    At 100 TB this is THE difference between a daily job that touches
+    one day's partitions and one that rewrites the table: recompute
+    cost tracks history size read-only, write cost tracks one day.
+    Re-running any date converges (same inputs -> same partition)."""
     from w_userflow_featurestore_spark.sources import LogTable
     if LogTable.is_log_table(silver_path):
         sessions = LogTable(spark, silver_path).read()
     else:
         sessions = spark.read.parquet(silver_path)
-    completeness_gate(sessions, "datetime", min_rows_per_day)
+    if for_date is not None:
+        d = F.lit(for_date).cast("date")
+        sessions = sessions.where(F.col("datetime") <= d)
+        # raw-ts bound (not to_date(ts) <= d) so the predicate pushes
+        # to the events parquet scan instead of hiding behind a cast
+        events = events.where(
+            F.col("ts") < F.date_add(d, 1).cast("timestamp"))
+    import datetime as _dt
+    completeness_gate(
+        sessions, "datetime", min_rows_per_day,
+        partitions=([_dt.date.fromisoformat(for_date)]
+                    if for_date else None))
 
     item = M.item_daily(events)
     outputs: dict[str, DataFrame] = {
@@ -170,6 +193,9 @@ def run_daily_features(spark: SparkSession, silver_path: str, events: DataFrame,
     }
     written: dict[str, int] = {}
     for name, df in outputs.items():
+        if for_date is not None:
+            df = df.where(F.col("datetime")
+                          == F.lit(for_date).cast("date"))
         # rows-written diagnostic rides the write action itself (observe,
         # not a post-hoc re-read+count of the table we just wrote)
         obs = Observation()
