@@ -180,3 +180,7 @@ def test_round4_new_queries_plan_pins(spark):
     # rejoin + doc agg — zero sort-merge work
     assert_plan(_q(spark, "token_surprisal"), max_shuffles=7,
                 min_broadcast_joins=1, max_sort_merge_joins=0)
+    # distribution_drift: everything after the (day, category) hash-agg
+    # operates on the tiny aggregate — raw events shuffle once
+    assert_plan(_q(spark, "distribution_drift"), max_shuffles=6,
+                max_sort_merge_joins=0)

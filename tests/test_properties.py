@@ -175,3 +175,39 @@ def test_pagerank_matches_independent_model(spark, edges):
     got = {r["node"]: r["rank_q"]
            for r in pagerank(df, weight="w", iterations=10).collect()}
     assert got == _pagerank_model(edges, iterations=10)
+
+
+# -------------------------------------------------------------- line_dedup
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "shared line",
+                              "another shared", ""]),
+             min_size=1, max_size=6),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=doc_strategy)
+def test_line_dedup_matches_counting_model(spark, docs):
+    from collections import Counter
+
+    from w_userflow_featurestore_spark.operators.text import line_dedup
+
+    cap = 2
+    rows_in = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_lines_kept"],
+                         r["n_lines_dropped"])
+           for r in line_dedup(df, max_occurrences=cap).collect()}
+    # independent model: count trimmed non-empty lines corpus-wide
+    counts = Counter(ln.strip() for _i, lines in enumerate(docs)
+                     for ln in lines if ln.strip())
+    for i, lines in enumerate(docs):
+        trimmed = [ln.strip() for ln in lines]
+        kept = [ln for ln in trimmed if ln and counts[ln] <= cap]
+        if not kept:
+            assert i not in got
+            continue
+        assert got[i] == ("\n".join(kept), len(kept),
+                          len(trimmed) - len(kept))
