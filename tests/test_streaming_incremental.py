@@ -368,3 +368,45 @@ def test_streaming_dedup_drops_replays_within_watermark(spark, tmp_path):
                          key=["event_id"], order_by=["ts"])
     assert got == rows(batch, "event_id", "user_id", "value")
     assert [g[0] for g in got] == [1, 2, 3]
+
+
+def test_streaming_drift_monitor_matches_batch_and_replays_once(spark, tmp_path):
+    """The drift ledger's summed deltas + batch drift core must equal
+    distribution_drift over the full history, and a checkpoint restart
+    must not double-count (txn-token replay dedup at the LogTable)."""
+    from w_userflow_featurestore_spark.operators.temporal import (
+        distribution_drift,
+    )
+    from w_userflow_featurestore_spark.streaming.ingest import (
+        read_drift, streaming_drift_monitor,
+    )
+
+    src, tbl, ckpt = (str(tmp_path / d) for d in ("src", "drift", "ck"))
+    _write_events(spark, src, [
+        _batch(1, "2024-01-01 10:00:00", 1, "view"),
+        _batch(2, "2024-01-01 11:00:00", 1, "click"),
+        _batch(3, "2024-01-02 10:00:00", 2, "view"),
+    ])
+    q = streaming_drift_monitor(
+        spark.readStream.schema(EVENTS_DDL).parquet(src), tbl, ckpt,
+        available_now=True)
+    q.awaitTermination(120)
+    # second tranche shifts day-2's mix; restart on the same checkpoint
+    _write_events(spark, src, [
+        _batch(4, "2024-01-02 12:00:00", 2, "error"),
+        _batch(5, "2024-01-02 13:00:00", 2, "error"),
+    ])
+    q2 = streaming_drift_monitor(
+        spark.readStream.schema(EVENTS_DDL).parquet(src), tbl, ckpt,
+        available_now=True)
+    q2.awaitTermination(120)
+
+    got = {str(r["datetime"]): r for r in
+           read_drift(spark, tbl).collect()}
+    want = {str(r["datetime"]): r for r in
+            distribution_drift(spark.read.parquet(src)).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d]["chi2_micro"] == want[d]["chi2_micro"], d
+        assert got[d]["n_categories"] == want[d]["n_categories"], d
+        assert got[d]["is_drift"] == want[d]["is_drift"], d

@@ -233,6 +233,17 @@ def distribution_drift(events: DataFrame, dim_col: str = "event_type",
              .groupBy(F.to_date(F.col(ts_col)).alias("datetime"),
                       F.col(dim_col).alias("category"))
              .agg(F.count(F.lit(1)).alias("n")))
+    return drift_from_daily_counts(daily, threshold_micro)
+
+
+def drift_from_daily_counts(daily: DataFrame,
+                            threshold_micro: int = 100_000) -> DataFrame:
+    """distribution_drift's core over pre-aggregated (datetime,
+    category, n) counts — shared by the batch operator and the
+    streaming monitor's delta-ledger reader (duplicate (day, category)
+    rows are summed first, so additive count deltas compose)."""
+    daily = (daily.groupBy("datetime", "category")
+                  .agg(F.sum("n").alias("n")))
     totals = (daily.groupBy("datetime")
                    .agg(F.sum("n").alias("n_day")))
     wd = Window.orderBy("datetime")

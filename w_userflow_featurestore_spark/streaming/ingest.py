@@ -215,3 +215,59 @@ def streaming_dedup(events: DataFrame, key_cols: list[str] | None = None,
     lifetime) state at scale."""
     return (events.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(key_cols or ["event_id"]))
+
+
+def streaming_drift_monitor(events: DataFrame, table_path: str,
+                            checkpoint: str, *,
+                            dim_col: str = "event_type",
+                            ts_col: str = "ts",
+                            trigger_seconds: int | None = 30,
+                            available_now: bool = False):
+    """Ingest-health monitoring as a streaming job: each micro-batch
+    appends its (datetime, category, n) count DELTAS to an append-only
+    LogTable ledger with a per-batch txn token — checkpoint recovery
+    re-delivers the last unacknowledged batch, and the token makes the
+    replayed append a no-op, so counts are exactly-once at the table
+    (the same protocol as the bronze sink). ``read_drift`` then sums
+    the deltas and runs the batch drift core, so the monitor's numbers
+    are IDENTICAL to running operators/temporal.distribution_drift
+    over the full event history — no separate streaming math to trust.
+
+    Scale: each delta append is O(|dim| x days-in-batch) rows; the
+    ledger grows one tiny file per batch and compacts with
+    ``LogTable.compact()`` like any other table. The stream itself
+    carries no state — aggregation happens inside foreachBatch on the
+    batch frame, so there is no unbounded streaming-state store.
+    """
+    from w_userflow_featurestore_spark.sources import LogTable
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        inc = (batch.groupBy(F.to_date(F.col(ts_col)).alias("datetime"),
+                             F.col(dim_col).alias("category"))
+                    .agg(F.count(F.lit(1)).cast("long").alias("n")))
+        if not inc.isEmpty():
+            t = LogTable.create(batch.sparkSession, table_path, [])
+            t.append(inc, txn=f"drift:{checkpoint}:{batch_id}")
+
+    writer = (events.writeStream
+              .foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def read_drift(spark: SparkSession, table_path: str,
+               threshold_micro: int = 100_000) -> DataFrame:
+    """Current drift view over a ``streaming_drift_monitor`` ledger:
+    sum the count deltas per (day, category), then the exact batch
+    drift core (operators/temporal.drift_from_daily_counts)."""
+    from w_userflow_featurestore_spark.operators.temporal import (
+        drift_from_daily_counts,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable
+
+    return drift_from_daily_counts(LogTable(spark, table_path).read(),
+                                   threshold_micro)
