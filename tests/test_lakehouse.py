@@ -650,3 +650,30 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     ltotal, lfx, lfy = pruned_counts(tl)
     assert lfx < ltotal                       # leading column prunes
     assert lfy == ltotal                      # trailing column cannot
+
+
+def test_compact_with_zorder_tightens_stats_for_both_dims(spark, tmp_path):
+    """compact(zorder_by=...): the sort-order-rewrite maintenance job —
+    after accreting unclustered appends, one replace commit re-lays the
+    table on the Morton curve and the refreshed manifest stats prune on
+    both clustered columns."""
+    t = LogTable.create(spark, str(tmp_path / "cz"), [],
+                        stats_columns=["x", "y"])
+    df = (spark.range(0, 10_000)
+          .select((F.col("id") % 100).alias("x"),
+                  ((F.col("id") / 100).cast("long") % 100).alias("y"),
+                  F.col("id").alias("payload")))
+    # four genuinely unclustered appends (round-robin mixes the id
+    # range across every file) -> stats too wide to prune anything
+    for i in range(4):
+        t.append(df.where(F.col("payload") % 4 == i).repartition(8))
+    before = len(t._prune(t.files(), t.files_stats(), [("y", ">=", 90)]))
+    assert before == len(t.files())           # no pruning pre-rewrite
+    rows_before = t.read().count()
+    t.compact(target_files=16, zorder_by=["x", "y"])
+    assert t.snapshots()[-1].operation == "replace"
+    assert t.read().count() == rows_before    # data intact
+    total = len(t.files())
+    fx = len(t._prune(t.files(), t.files_stats(), [("x", ">=", 90)]))
+    fy = len(t._prune(t.files(), t.files_stats(), [("y", ">=", 90)]))
+    assert fx < total and fy < total          # both dimensions now prune

@@ -739,7 +739,8 @@ class LogTable:
         adds = self._stage_write(kept.unionByName(staged))
         return self._commit("merge", adds, victim_rel, expected_base=base)
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(self, target_files: int = 1,
+                zorder_by: list[str] | None = None) -> int:
         """Rewrite the live file set into ``target_files`` files per
         partition as ONE ``replace`` commit (the maintenance job
         Iceberg's rewrite_data_files performs for the reference's
@@ -749,13 +750,25 @@ class LogTable:
         (immutable files); an incremental reader whose range crosses
         the replace commit gets BrokenLineageError and replans a full
         read — identical data, so downstream MERGE/overwrite stays
-        idempotent."""
+        idempotent.
+
+        ``zorder_by`` re-clusters the rewrite along the Morton curve of
+        those columns (sources/layout.py) instead of hash-repartitioning
+        — Iceberg's sort-order rewrite / Delta OPTIMIZE ZORDER BY as the
+        same replace commit. Combined with ``stats_columns`` covering
+        the same columns, the freshly tightened per-file min/max let
+        ``read(filters=...)`` skip files on ANY clustered dimension."""
         base = self.latest_snapshot_id()
         live = self.files(base)
         if not live:
             return base or 0
-        adds = self._stage_write(
-            self._read_files(live).repartition(target_files))
+        df = self._read_files(live)
+        if zorder_by:
+            from w_userflow_featurestore_spark.sources.layout import zorder
+            df = zorder(df, zorder_by, n_files=target_files)
+        else:
+            df = df.repartition(target_files)
+        adds = self._stage_write(df)
         return self._commit("replace", adds, live, expected_base=base)
 
     def rollback(self, snapshot_id: int) -> int:
