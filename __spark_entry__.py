@@ -922,16 +922,15 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.multimodal_features(read_table(spark, sf_dir, "documents")))
 
 
-# driver-walk order: the correctness harness certifies entries front-to-back
-# and stops at 50, so each round rotates the least-recently-certified
-# queries to the front. Round 3: the 22 carrying round-1 certificates
-# (doc_chunks .. training_set) plus the NEW ann_recall_gate run first;
-# the 50 certified in round 2 follow in their round-2 order.
-# The driver certifies entries FRONT-TO-BACK and stops at 50, so the
-# dict is kept in least-recently-certified order: the block that
-# currently holds the OLDEST certificates goes first, plus anything
-# whose implementation or oracle changed this round. Union across the
-# last two rounds must cover all entries.
+# driver-walk order: the correctness harness certifies entries
+# front-to-back and stops at 50, so the dict is kept in
+# least-recently-certified order — the block holding the OLDEST
+# certificates first, plus anything whose implementation or oracle
+# changed this round, plus every NEW query. Union across the last two
+# rounds must cover all entries. Round 4: the 27 round-2-certificate
+# queries lead, then the 2 changed + 5 new this round, then the
+# round-3 certificates; the first 50 re-covers all round-2 holders and
+# the tail keeps valid round-3 certificates.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-2 certificates (oldest) — certify these first ---
     "user_daily": q_user_daily,
