@@ -315,6 +315,14 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.frequent_tokens(read_table(spark, sf_dir, "documents"), k=20)
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs weighted by word frequency —
+    the BPE tokenizer-training counting step (first merge iteration),
+    computed over DISTINCT words so corpus size enters only through
+    the frequency aggregate."""
+    return TX.bpe_pair_counts(read_table(spark, sf_dir, "documents"), k=20)
+
+
 def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram surprisal vs the corpus LM, quantized to whole
     bits (integer-exact CCNet-style perplexity-filter signal)."""
@@ -928,7 +936,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # certificates first, plus anything whose implementation or oracle
 # changed this round, plus every NEW query. Union across the last two
 # rounds must cover all entries. Round 4: the 27 round-2-certificate
-# queries lead, then the 2 changed + 5 new this round, then the
+# queries lead, then the 2 changed + 6 new this round, then the
 # round-3 certificates; the first 50 re-covers all round-2 holders and
 # the tail keeps valid round-3 certificates.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -969,6 +977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_surprisal": q_token_surprisal,
     "item_pagerank": q_item_pagerank,
     "distribution_drift": q_distribution_drift,
+    "bpe_pair_counts": q_bpe_pair_counts,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1654,6 +1663,25 @@ FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
 WHERE token <> ''
 GROUP BY token
 ORDER BY n_occurrences DESC, token ASC
+LIMIT 20
+"""
+
+# BPE pair counting: adjacent char pairs of DISTINCT words weighted by
+# word frequency (Sennrich et al. 2016's training inner loop)
+ORACLES["bpe_pair_counts"] = f"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY w),
+p AS (
+  SELECT substring(w, i, 1) || ' ' || substring(w, i + 1, 1) AS pair,
+         freq
+  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wf)
+  WHERE length(w) >= 2)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
 LIMIT 20
 """
 

@@ -362,3 +362,16 @@ def test_distribution_drift_flags_mix_shift(spark):
     assert d2["chi2_micro"] == 0 and d2["is_drift"] == 0         # same mix
     assert d3["chi2_micro"] > 100_000 and d3["is_drift"] == 1    # b vanished
     assert d3["n_new_categories"] == 1                           # c appeared
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    # "ab" x 3 docs, "abc" x 1 -> pair "a b": 3+1=4; "b c": 1
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab"), (3, "abc")], "doc_id long, text string")
+    got = {r["pair"]: r["n_occurrences"]
+           for r in TX.bpe_pair_counts(docs, k=10).collect()}
+    # NB: word-frequency weighting counts "ab" 3x (once per occurrence)
+    assert got == {"a b": 4, "b c": 1}
+    # single-char words contribute no pairs
+    single = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert TX.bpe_pair_counts(single).count() == 0

@@ -527,3 +527,40 @@ def token_surprisal(docs: DataFrame, text_col: str = "text",
                         F.col("sum_bits").cast("long"),
                         fround(F.col("sum_bits") / F.col("n_tokens"), 4)
                          .alias("mean_bits")))
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """The inner counting step of BPE tokenizer training (Sennrich et
+    al. 2016): corpus-wide frequencies of ADJACENT symbol pairs, with
+    each word weighted by its corpus frequency — the quantity argmaxed
+    to pick the next merge. This engine computes one counting pass
+    (symbols = characters, i.e. the first BPE iteration); a trainer
+    loops it, applying the chosen merge between rounds.
+
+    Returns the top-``k`` (pair, n_occurrences) with deterministic
+    lexicographic tie-break, pair printed as "left right".
+
+    Scale shape: the pair explode runs over DISTINCT words (the
+    standard BPE-training trick — corpus size only enters through the
+    word-frequency aggregate, so a trillion-token corpus with a 10M
+    vocabulary explodes 10M words, not 1e12), one hash aggregate with
+    map-side combine, TakeOrdered top-k. All row-local HOFs, no UDFs.
+    """
+    word_freq = (fan_out(docs.select(F.col(text_col)))
+                 .select(F.explode(words(F.col(text_col))).alias("w"))
+                 .where(F.col("w") != "")
+                 .groupBy("w")
+                 .agg(F.count(F.lit(1)).alias("freq")))
+    w = F.col("w")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(w) - 1),
+        lambda i: F.concat(w.substr(i, F.lit(1)), F.lit(" "),
+                           w.substr(i + 1, F.lit(1))))
+    return (word_freq
+            .where(F.length(w) >= 2)
+            .select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(k))
