@@ -184,3 +184,8 @@ def test_round4_new_queries_plan_pins(spark):
     # operates on the tiny aggregate — raw events shuffle once
     assert_plan(_q(spark, "distribution_drift"), max_shuffles=6,
                 max_sort_merge_joins=0)
+    # bpe_pair_counts: word-freq agg + pair agg + TakeOrdered top-k —
+    # the pair explode runs over distinct words, never raw tokens
+    df = _q(spark, "bpe_pair_counts")
+    assert_plan(df, max_shuffles=3, max_sort_merge_joins=0)
+    assert "TakeOrderedAndProject" in physical_plan(df)
