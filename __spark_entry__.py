@@ -523,6 +523,30 @@ def q_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.expr("percentile(duration_ms, 0.99)"), 2).alias("p99_ms"))
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile's GK summaries —
+    the 100 TB path where an exact percentile's global sort is the
+    bottleneck) gated against exact, the cardinality_sketch treatment:
+    the sketch value is engine- and merge-order-specific, so the
+    output carries exact_p50_ms plus rank_err_ok — whether the sketch
+    median landed inside the exact [p40, p60] band, far looser than
+    GK's 1/accuracy rank guarantee so any merge order passes while a
+    degraded sketch flips the value hash red."""
+    s = _sessions(spark, sf_dir)
+    return (s.groupBy("datetime")
+             .agg(F.count(F.lit(1)).alias("n_sessions"),
+                  fround(F.expr("percentile(duration_ms, 0.5)"), 2)
+                   .alias("exact_p50_ms"),
+                  F.expr("approx_percentile(duration_ms, 0.5, 1000)")
+                   .alias("_a50"),
+                  F.expr("percentile(duration_ms, 0.40)").alias("_lo"),
+                  F.expr("percentile(duration_ms, 0.60)").alias("_hi"))
+             .select("datetime", "n_sessions", "exact_p50_ms",
+                     ((F.col("_a50") >= F.col("_lo"))
+                      & (F.col("_a50") <= F.col("_hi")))
+                     .alias("rank_err_ok")))
+
+
 def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL cardinality features: approx_count_distinct per (day, type),
     gated against exact. The raw sketch estimate is engine-specific (no
@@ -936,7 +960,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # certificates first, plus anything whose implementation or oracle
 # changed this round, plus every NEW query. Union across the last two
 # rounds must cover all entries. Round 4: the 27 round-2-certificate
-# queries lead, then the 2 changed + 6 new this round, then the
+# queries lead, then the 2 changed + 7 new this round, then the
 # round-3 certificates; the first 50 re-covers all round-2 holders and
 # the tail keeps valid round-3 certificates.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -978,6 +1002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "item_pagerank": q_item_pagerank,
     "distribution_drift": q_distribution_drift,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "quantile_sketch": q_quantile_sketch,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2086,6 +2111,16 @@ SELECT datetime,
 FROM sessions GROUP BY datetime
 """
 
+# GK quantile sketch gate, same treatment as cardinality_sketch below:
+# the oracle pins exact p50 + rank_err_ok=TRUE
+ORACLES["quantile_sketch"] = _SESSIONS_CTE + """
+SELECT datetime,
+       count(*) AS n_sessions,
+       round(quantile_cont(duration_ms, 0.5), 2) AS exact_p50_ms,
+       TRUE AS rank_err_ok
+FROM sessions GROUP BY datetime
+"""
+
 # The sketch estimate itself is engine-specific; the portable contract
 # is exact_users + "HLL landed within the 5% band" — the oracle pins
 # the band check TRUE, so a degraded sketch hash-mismatches.
@@ -2802,7 +2837,7 @@ _DATE_QUERIES = {
     "retention_yesterday", "retention_today", "cohort_vs_global",
     "dim_gap_features", "duration_percentiles", "funnel_daily",
     "event_transitions", "volume_anomaly", "cardinality_sketch",
-    "distribution_drift",
+    "distribution_drift", "quantile_sketch",
 }
 
 
