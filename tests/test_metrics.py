@@ -214,3 +214,12 @@ def test_dimension_gap_features_leave_one_out(spark):
     # across device (partition by platform): web {0.2,0.6} -> 0.4
     assert got[("web", "mobile")]["completion_rate_gap_across_device"] == 0.4
     assert got[("ios", "mobile")]["completion_rate_gap_across_device"] == 0.0
+
+
+def test_quantile_sketch_gate_and_exactness(spark):
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["quantile_sketch"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert out and all(r["rank_err_ok"] for r in out)
+    assert all(r["exact_p50_ms"] >= 0 for r in out)

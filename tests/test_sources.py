@@ -199,3 +199,15 @@ def test_read_table_normalizes_ntz_timestamps(spark, tmp_path):
     plan = flt._jdf.queryExecution().executedPlan().toString()
     assert "LessThanOrEqual(ts" in plan.split("PushedFilters")[1][:200]
     assert [r["event_id"] for r in flt.collect()] == [0]
+
+
+def test_zorder_key_guards_bit_budget(spark):
+    import pytest
+
+    from w_userflow_featurestore_spark.sources import zorder_key
+
+    df = spark.range(4).selectExpr(*[f"id as c{i}" for i in range(9)])
+    with pytest.raises(ValueError, match="signed long"):
+        zorder_key(df, [f"c{i}" for i in range(9)], bits=8)   # 72 bits
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key(df, [])
