@@ -954,6 +954,47 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.multimodal_features(read_table(spark, sf_dir, "documents")))
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals of each user's event-type state
+    (operators/scd.py scd2_history): one row per maximal run with
+    half-open [valid_from, valid_to) epoch-ms bounds, per-key version,
+    is_current — the mutable-attribute history that AS-OF feature
+    serving reads. One shuffle, two windows over change rows only."""
+    from w_userflow_featurestore_spark.operators.scd import scd2_history
+    return scd2_history(_events(spark, sf_dir))
+
+
+def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-(user, day) grid with gap-fill (operators/temporal.py
+    feature_backfill): inactive days materialized with n_events=0,
+    LOCF value state in exact cents, days-since-activity — the
+    feature-matrix densification step before sequence models."""
+    return TMP.feature_backfill(_events(spark, sf_dir))
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based negative sampling over (user, item)
+    positives (operators/sampling.py negative_samples): k=4 catalog
+    draws per positive pair, true interactions anti-joined out —
+    rerun-stable, engine-replayable (md5 oracle twin)."""
+    item = F.from_json(F.col("props"), "k INT")["k"]
+    pos = (_events(spark, sf_dir)
+           .select("user_id", item.alias("item_k"))
+           .where(F.col("item_k").isNotNull()))
+    return SMP.negative_samples(pos, k=4)
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew profiler on events.user_id
+    (operators/skew.py key_skew_profile): top-20 hottest keys, exact
+    counts, share in basis points — the pre-flight diagnostic for
+    salting/broadcast decisions. TakeOrdered top-k, no global sort."""
+    from w_userflow_featurestore_spark.operators.skew import (
+        key_skew_profile,
+    )
+    return key_skew_profile(_events(spark, sf_dir), "user_id", top_k=20)
+
+
 # driver-walk order: the correctness harness certifies entries
 # front-to-back and stops at 50, so the dict is kept in
 # least-recently-certified order — the block holding the OLDEST
@@ -1003,6 +1044,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distribution_drift": q_distribution_drift,
     "bpe_pair_counts": q_bpe_pair_counts,
     "quantile_sketch": q_quantile_sketch,
+    "scd2_history": q_scd2_history,
+    "feature_backfill": q_feature_backfill,
+    "negative_samples": q_negative_samples,
+    "key_skew_profile": q_key_skew_profile,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2779,6 +2824,119 @@ JOIN ({ORACLES['exact_dedup']}) d ON d.doc_id = p.doc_id
 WHERE d.keep = 1
   AND p.quality >= 0.5
   AND p.doc_id NOT IN (SELECT doc_b FROM ({ORACLES['minhash_lsh_pairs']}))
+"""
+
+
+ORACLES["scd2_history"] = """
+WITH obs AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), chg AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM obs WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       epoch_ms(ts) AS valid_from_ms,
+       epoch_ms(lead(ts) OVER w) AS valid_to_ms,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLES["feature_backfill"] = """
+WITH daily AS (
+  SELECT user_id AS key, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT key, min(day) AS d0 FROM daily GROUP BY 1),
+maxd AS (SELECT max(day) AS dmax FROM daily),
+grid AS (
+  SELECT b.key,
+         CAST(unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                     CAST(m.dmax AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds b CROSS JOIN maxd m
+),
+g AS (
+  SELECT grid.key, grid.day, daily.n_events, daily.v_cents
+  FROM grid LEFT JOIN daily
+    ON daily.key = grid.key AND daily.day = grid.day
+)
+SELECT key AS user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(v_cents, 0) AS BIGINT) AS sum_value_cents,
+       CAST(last_value(v_cents IGNORE NULLS) OVER w AS BIGINT)
+         AS locf_value_cents,
+       CAST(date_diff('day',
+                      last_value(CASE WHEN n_events IS NOT NULL
+                                      THEN day END IGNORE NULLS) OVER w,
+                      day) AS BIGINT) AS days_since_activity
+FROM g
+WINDOW w AS (PARTITION BY key ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+# hash draw mirrors sampling.negative_samples: 60-bit md5 of
+# "neg:user:item:draw" mod |catalog|; k=4 draws, positives anti-joined
+ORACLES["negative_samples"] = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS item_k
+  FROM events
+),
+pos AS (
+  SELECT DISTINCT user_id AS u, item_k AS i
+  FROM ev WHERE item_k IS NOT NULL
+),
+cat AS (
+  SELECT i AS cat_item,
+         CAST(row_number() OVER (ORDER BY i) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT i FROM pos)
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM cat),
+draws AS (
+  SELECT p.u, p.i, d.draw,
+         {_H60.format(x="'neg:' || CAST(p.u AS VARCHAR) || ':' || "
+                        "CAST(p.i AS VARCHAR) || ':' || "
+                        "CAST(d.draw AS VARCHAR)")} % n.n_items AS idx
+  FROM pos p
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS draw) d
+  CROSS JOIN n
+),
+cand AS (
+  SELECT draws.u, draws.i, draws.draw, cat.cat_item AS neg
+  FROM draws JOIN cat USING (idx)
+)
+SELECT u AS user_id, i AS item_k, CAST(draw AS BIGINT) AS draw,
+       neg AS neg_item_k
+FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.i = c.neg)
+"""
+
+ORACLES["key_skew_profile"] = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+total AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM counts),
+ranked AS (
+  SELECT key, n_rows,
+         CAST(row_number() OVER (ORDER BY n_rows DESC,
+                                 key ASC NULLS FIRST) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT key, n_rows,
+       CAST(floor(n_rows * 10000 / t) AS BIGINT) AS share_bp, rank
+FROM ranked CROSS JOIN total
+WHERE rank <= 20
 """
 
 

@@ -189,3 +189,25 @@ def test_round4_new_queries_plan_pins(spark):
     df = _q(spark, "bpe_pair_counts")
     assert_plan(df, max_shuffles=3, max_sort_merge_joins=0)
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_round4_feature_ops_plan_pins(spark):
+    # scd2_history: ONE key-hash exchange shared by the change-detect
+    # and interval-close windows — history build never re-shuffles
+    assert_plan(_q(spark, "scd2_history"), max_shuffles=1,
+                max_sort_merge_joins=0)
+    # feature_backfill: daily agg + per-key bounds + grid join; the
+    # global end day rides in as a broadcast 1-row scalar and the LOCF
+    # windows reuse the grid join's partitioning
+    assert_plan(_q(spark, "feature_backfill"), max_shuffles=3,
+                min_broadcast_joins=2, max_sort_merge_joins=0)
+    # negative_samples: catalog + |catalog| scalar broadcast; the k-way
+    # draw expansion is a row-local projection, anti-join hash-keyed
+    assert_plan(_q(spark, "negative_samples"), max_shuffles=6,
+                min_broadcast_joins=3, max_sort_merge_joins=0)
+    # key_skew_profile: hash-agg + TakeOrdered top-k — the rank window
+    # runs on <= top_k rows, never the key universe
+    df = _q(spark, "key_skew_profile")
+    assert_plan(df, max_shuffles=3, min_broadcast_joins=1,
+                max_sort_merge_joins=0)
+    assert "TakeOrderedAndProject" in physical_plan(df)

@@ -153,3 +153,53 @@ def source_balanced_sample(df: DataFrame, source_col: str = "source",
     return (df.join(F.broadcast(rates), source_col)
               .where(b < F.col("_keep_bp"))
               .drop("_keep_bp"))
+
+
+def negative_samples(positives: DataFrame, user_col: str = "user_id",
+                     item_col: str = "item_k", k: int = 4,
+                     salt: str = "neg") -> DataFrame:
+    """Deterministic negative sampling for (user, item) training pairs.
+
+    For every distinct positive pair, draw ``k`` pseudo-random items
+    from the observed item catalog by content hash (draw i of pair p =
+    hash(salt:user:item:i) mod |catalog|), then anti-join out anything
+    the user actually interacted with. Collisions between draws and
+    true positives are dropped, not re-drawn — so a pair yields AT MOST
+    k negatives; the draw set never changes when the corpus grows rows
+    for other users (rerun-stable, like dataset_split), and any engine
+    can replay the exact sample from the md5 expression (the DuckDB
+    oracle does).
+
+    Scale shape: the catalog (distinct items + dense index) is tiny and
+    broadcast; the k-way expansion is a row-local posexplode of a
+    literal range (projection, no shuffle); the only shuffles are the
+    two distincts and the anti-join, all on the same (user, item)-family
+    keys. No RNG state, no driver-side sampling loops.
+    """
+    pos = positives.select(F.col(user_col).alias("_u"),
+                           F.col(item_col).alias("_i")).distinct()
+    wcat = Window.orderBy("_i")
+    catalog = (pos.select("_i").distinct()
+                  .select(F.col("_i").alias("_cat_item"),
+                          (F.row_number().over(wcat) - 1).alias("_idx")))
+    n_items = catalog.groupBy().agg(
+        F.count(F.lit(1)).alias("_n_items"))
+    draws = (pos.crossJoin(F.broadcast(n_items))
+                .select("_u", "_i",
+                        F.posexplode(F.array(*[F.lit(i) for i in range(k)]))
+                         .alias("draw", "_z"),
+                        "_n_items")
+                .select("_u", "_i", "draw",
+                        F.pmod(text_hash60(
+                            F.concat_ws(":", F.lit(salt), F.col("_u"),
+                                        F.col("_i"), F.col("draw"))),
+                            F.col("_n_items")).alias("_idx")))
+    cand = (draws.join(F.broadcast(catalog), "_idx")
+                 .select(F.col("_u"), F.col("_i"), F.col("draw"),
+                         F.col("_cat_item").alias("_neg")))
+    out = cand.join(pos.select(F.col("_u"), F.col("_i").alias("_neg")),
+                    ["_u", "_neg"], "left_anti")
+    return out.select(F.col("_u").alias(user_col),
+                      F.col("_i").alias(item_col),
+                      F.col("draw").cast("long").alias("draw"),
+                      F.col("_neg").alias("neg_" + item_col))

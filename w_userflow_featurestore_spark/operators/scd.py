@@ -1,0 +1,62 @@
+"""Slowly-changing-dimension (SCD Type-2) history from an event stream.
+
+The reference keeps only a *current* per-user state (the session state
+machine collapses history into flags — silver_user_session_events.py);
+a feature store serving point-in-time training sets also needs the
+HISTORY of any mutable attribute: "what was this user's state at label
+time?". SCD Type-2 is the canonical warehouse answer — one row per
+(key, value-run) with [valid_from, valid_to) validity — and composes
+directly with the AS-OF join family (operators/asof.py) for
+leakage-free feature serving.
+
+Spark-first plan: one shuffle on the key, then two window passes —
+  1. lag(attr) over (key ORDER BY ts, tiebreak) marks change points
+     (streaming window, O(1) state per row);
+  2. on the *collapsed* change rows only, lead(valid_from) closes each
+     interval and row_number versions it.
+The second pass runs on |changes| rows (<< |events| for any attribute
+that changes rarely), and both windows share the single key-hash
+partitioning — Catalyst plans exactly one Exchange. No self-joins, no
+collect, no state proportional to history length beyond the sort the
+window already does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from w_userflow_featurestore_spark.functions import epoch_ms
+
+
+def scd2_history(df: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", attr_col: str = "event_type",
+                 tiebreak_col: str = "event_id") -> DataFrame:
+    """Collapse an observation stream into SCD Type-2 validity intervals.
+
+    Each output row is a maximal run of consecutive identical
+    ``attr_col`` values for a key: ``valid_from_ms`` (first observation
+    of the run, epoch ms), ``valid_to_ms`` (start of the next run, NULL
+    while current — half-open intervals, so AS-OF lookups need no +1
+    fudge), ``version`` (1-based per key), ``is_current``.
+
+    Ties (same key, same timestamp) are ordered by ``tiebreak_col`` so
+    the run structure is deterministic across engines and reruns — a
+    requirement for the DuckDB value oracle and for rerun-stable
+    incremental rebuilds.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w_obs = Window.partitionBy(key_col).orderBy(*order)
+    changes = (df.select(key_col, ts_col, tiebreak_col, attr_col)
+                 .withColumn("_prev", F.lag(attr_col).over(w_obs))
+                 .where(F.col("_prev").isNull()
+                        | (F.col("_prev") != F.col(attr_col))))
+    w_run = Window.partitionBy(key_col).orderBy(*order)
+    return (changes.select(
+                F.col(key_col),
+                F.col(attr_col),
+                epoch_ms(F.col(ts_col)).alias("valid_from_ms"),
+                epoch_ms(F.lead(ts_col).over(w_run)).alias("valid_to_ms"),
+                F.row_number().over(w_run).cast("long").alias("version"))
+            .withColumn("is_current",
+                        F.col("valid_to_ms").isNull().cast("int")))

@@ -18,7 +18,7 @@ unavailable. The operator exists so pipelines can opt in per-hot-table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # (partial aggregate, final combiner) per supported algebraic aggregate
@@ -80,3 +80,33 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
     return salted.join(rep, on + ["__salt"], how).drop("__salt")
+
+
+def key_skew_profile(df: DataFrame, key_col: str,
+                     top_k: int = 20) -> DataFrame:
+    """Key-distribution skew profiler: the diagnostic you run BEFORE
+    choosing a salting/broadcast strategy for a join or agg on
+    ``key_col``. Emits the top-k hottest keys with exact counts, their
+    share of all rows in basis points, and rank — the artifact that
+    tells you whether AQE's skew split will fire and how many salt
+    buckets a hot key needs.
+
+    Scale shape: one hash aggregate (map-side partial combine absorbs
+    the hot key's rows per task), a broadcast 1-row total, and a
+    TakeOrdered top-k — no global sort, no collect. NULL keys count as
+    a key (a null-heavy join column is the classic skew culprit).
+    """
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+                .agg(F.count(F.lit(1)).alias("n_rows")))
+    total = counts.groupBy().agg(F.sum("n_rows").alias("_total"))
+    # orderBy+limit = TakeOrderedAndProject (distributed per-partition
+    # top-k + driver merge of k*partitions rows) — NOT a global sort;
+    # the rank window then runs on <= top_k rows, never the key universe
+    top = (counts.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
+                 .limit(top_k))
+    w = Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
+    return (top.crossJoin(F.broadcast(total))
+               .select("key", "n_rows",
+                       F.floor(F.col("n_rows") * 10000 / F.col("_total"))
+                        .cast("long").alias("share_bp"),
+                       F.row_number().over(w).cast("long").alias("rank")))

@@ -282,3 +282,56 @@ def drift_from_daily_counts(daily: DataFrame,
                      .otherwise((F.coalesce(F.col("chi2_micro"), F.lit(0))
                                  > threshold_micro)
                                 .cast("int")).alias("is_drift")))
+
+
+def feature_backfill(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     end_day: str | None = None) -> DataFrame:
+    """Dense per-(key, day) feature grid with gap-fill: every key gets
+    one row for EVERY calendar day from its first activity to the
+    corpus's last observed day (or ``end_day``), inactive days filled
+    with count 0, last-observation-carried-forward value state, and
+    days-since-last-activity — the feature-matrix densification step a
+    training pipeline runs before sequence models (a missing row is NOT
+    a zero-activity observation unless you materialize it).
+
+    Output: key, day, n_events, sum_value_cents (that day, 0 when
+    inactive), locf_value_cents (carried forward, exact integer cents),
+    days_since_activity (0 on active days).
+
+    Scale shape: raw events collapse to the (key, day) grain first (one
+    hash agg — the only pass over the big table); the dense grid is a
+    per-key ``sequence()`` explode bounded by calendar span, i.e.
+    O(keys x days), the size of the output itself; the LOCF windows
+    run per key over that grid. No per-row Python, no cross joins —
+    the global end day rides in as a broadcast 1-row scalar.
+    """
+    daily = (events.groupBy(F.col(key_col).alias("key"),
+                            F.to_date(ts_col).alias("day"))
+                   .agg(F.count(F.lit(1)).alias("n_events"),
+                        F.sum(scaled_long(F.col(value_col)))
+                         .alias("sum_value_cents")))
+    if end_day is None:
+        end = daily.agg(F.max("day").alias("_end"))
+        bounds = (daily.groupBy("key").agg(F.min("day").alias("_d0"))
+                       .crossJoin(F.broadcast(end)))
+    else:
+        bounds = (daily.groupBy("key").agg(F.min("day").alias("_d0"))
+                       .withColumn("_end", F.lit(end_day).cast("date")))
+    grid = bounds.select(
+        "key", F.explode(F.sequence("_d0", "_end")).alias("day"))
+    g = grid.join(daily, ["key", "day"], "left")
+    w = (Window.partitionBy("key").orderBy("day")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    active_day = F.when(F.col("n_events").isNotNull(), F.col("day"))
+    return g.select(
+        F.col("key").alias(key_col),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_value_cents", F.lit(0)).cast("long")
+         .alias("sum_value_cents"),
+        F.last("sum_value_cents", ignorenulls=True).over(w)
+         .cast("long").alias("locf_value_cents"),
+        F.datediff(F.col("day"),
+                   F.last(active_day, ignorenulls=True).over(w))
+         .cast("long").alias("days_since_activity"))
