@@ -677,3 +677,50 @@ def test_compact_with_zorder_tightens_stats_for_both_dims(spark, tmp_path):
     fx = len(t._prune(t.files(), t.files_stats(), [("x", ">=", 90)]))
     fy = len(t._prune(t.files(), t.files_stats(), [("y", ">=", 90)]))
     assert fx < total and fy < total          # both dimensions now prune
+
+
+# ------------------------------------------------------------ delete
+
+def test_delete_where_removes_only_matching_rows(spark, table):
+    table.append(_df(spark, [(1, D1, "a"), (2, D1, "b")]))
+    s2 = table.append(_df(spark, [(3, D2, "c")]))
+    s3 = table.delete_where([("k", "=", 2)])
+    assert s3 > s2
+    assert rows(table.read(), "k") == [(1,), (3,)]
+    # snapshot isolation: the pre-delete snapshot still sees the row
+    assert rows(table.read(s2), "k") == [(1,), (2,), (3,)]
+    assert table.snapshots()[-1].operation == "delete"
+
+
+def test_delete_where_untouched_files_not_rewritten(spark, table):
+    """Only files CONTAINING a match are rewritten — the D2 file's
+    add-name must survive the delete commit verbatim."""
+    table.append(_df(spark, [(1, D1, "a")]))
+    table.append(_df(spark, [(3, D2, "c")]))
+    d2_files = {f for f in table.files() if "2024-01-02" in f}
+    table.delete_where([("datetime", "=", "2024-01-01")])
+    assert {f for f in table.files()} == d2_files
+    assert rows(table.read(), "k") == [(3,)]
+
+
+def test_delete_where_no_match_is_noop(spark, table):
+    s1 = table.append(_df(spark, [(1, D1, "a")]))
+    assert table.delete_where([("k", "=", 99)]) == s1
+    assert len(table.snapshots()) == 1      # no empty commit
+    assert rows(table.read(), "k") == [(1,)]
+
+
+def test_delete_where_null_predicate_rows_kept(spark, table):
+    table.append(spark.createDataFrame([(1, D1, None), (2, D1, "x")], DDL))
+    table.delete_where([("v", "=", "x")])
+    # NULL never satisfies '=': the NULL-v row survives (SQL DELETE)
+    assert rows(table.read(), "k") == [(1,)]
+
+
+def test_delete_where_incremental_reader_replans(spark, table):
+    """A delete rewrites files, so an incremental reader whose range
+    crosses it must NOT see a pure-append increment."""
+    s1 = table.append(_df(spark, [(1, D1, "a"), (2, D1, "b")]))
+    table.delete_where([("k", "=", 1)])
+    with pytest.raises(BrokenLineageError):
+        table.read_increment(s1, None)

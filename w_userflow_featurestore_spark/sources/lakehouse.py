@@ -739,6 +739,63 @@ class LogTable:
         adds = self._stage_write(kept.unionByName(staged))
         return self._commit("merge", adds, victim_rel, expected_base=base)
 
+    def delete_where(self, filters: list[tuple]) -> int:
+        """DELETE FROM ... WHERE, as file-granular copy-on-write — the
+        Iceberg row-level delete the reference relies on for GDPR
+        erasure and bad-batch retraction, with the same conjunctive
+        ``(col, op, value)`` filters the read path takes.
+
+        Three-stage narrowing keeps the rewrite proportional to the
+        matched data, not the table:
+
+          1. manifest stats + partition dirs PRUNE files that provably
+             hold no match (no IO at all);
+          2. one distributed pass over the surviving candidates finds
+             files actually CONTAINING >=1 matching row (victims);
+          3. only victims are rewritten, keeping their non-matching
+             rows; the commit removes victims and adds the rewrites.
+
+        SQL DELETE semantics: a row is removed iff the predicate is
+        TRUE — NULL-predicate rows are kept (filters compare with =,
+        so a NULL column value never matches). Readers pinned to older
+        snapshots still see the deleted rows (immutable files) until
+        ``vacuum`` ages them out — exactly Iceberg's snapshot-isolation
+        contract for deletes."""
+        base = self.latest_snapshot_id()
+        if base is None:
+            raise ValueError(f"LogTable {self.path} has no commits")
+        live = self.files(base)
+        candidates = self._prune(live, self.files_stats(base), filters)
+        if not candidates:
+            return base
+        cand = self._read_files(candidates)
+        matched = self._apply_filters(cand, filters)
+        victims = (matched
+                   .select(F.col("_metadata.file_path").alias("_file"))
+                   .distinct().collect())
+        from urllib.parse import unquote, urlparse
+        victim_rel = sorted(
+            os.path.relpath(unquote(urlparse(r["_file"]).path),
+                            self._data_path)
+            for r in victims)
+        if not victim_rel:
+            return base
+        victim_df = self._read_files(victim_rel)
+        # keep = NOT(all filters match); NULLs in any compared column
+        # make the conjunction non-TRUE, so those rows are kept
+        cond = F.lit(True)
+        for col, op, val in filters:
+            if op == "in":
+                term = F.col(col).isin(list(val))
+            else:
+                term = getattr(F.col(col),
+                               LogTable._OPS[op])(F.lit(val))
+            cond = cond & term
+        kept = victim_df.where(~F.coalesce(cond, F.lit(False)))
+        adds = self._stage_write(kept.select(*victim_df.columns))
+        return self._commit("delete", adds, victim_rel,
+                            expected_base=base)
+
     def compact(self, target_files: int = 1,
                 zorder_by: list[str] | None = None) -> int:
         """Rewrite the live file set into ``target_files`` files per
