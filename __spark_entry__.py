@@ -984,6 +984,34 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.negative_samples(pos, k=4)
 
 
+def q_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch over the corpus token stream
+    (operators/sketch.py), probed at the exact top-20 tokens. CMS is
+    built from the repo's own md5 hash families, so unlike the
+    HLL/GK gates the ESTIMATES are engine-deterministic — the oracle
+    pins cms_n itself, plus the classic one-sided bound flag
+    (exact <= estimate <= exact + 2N/width)."""
+    from w_userflow_featurestore_spark.operators.dedup import words
+    from w_userflow_featurestore_spark.operators.sketch import (
+        cms_build, cms_lookup,
+    )
+    from w_userflow_featurestore_spark.sources import fan_out
+    docs = read_table(spark, sf_dir, "documents")
+    toks = (fan_out(docs.select("text"))
+            .select(F.explode(words(F.col("text"))).alias("token"))
+            .where(F.col("token") != ""))
+    sketch = cms_build(toks, "token", depth=4, width=1024)
+    probes = TX.frequent_tokens(docs, k=20)
+    est = cms_lookup(sketch, probes, "token", depth=4, width=1024)
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("_n_tok"))
+    bound = F.floor(F.lit(2.0) * F.col("_n_tok") / 1024).cast("long")
+    return (est.crossJoin(F.broadcast(total))
+               .select("token", "n_occurrences", "cms_n",
+                       ((F.col("cms_n") >= F.col("n_occurrences"))
+                        & ((F.col("cms_n") - F.col("n_occurrences"))
+                           <= bound)).cast("int").alias("bound_ok")))
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution skew profiler on events.user_id
     (operators/skew.py key_skew_profile): top-20 hottest keys, exact
@@ -1048,6 +1076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_backfill": q_feature_backfill,
     "negative_samples": q_negative_samples,
     "key_skew_profile": q_key_skew_profile,
+    "frequency_sketch": q_frequency_sketch,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2918,6 +2947,44 @@ SELECT u AS user_id, i AS item_k, CAST(draw AS BIGINT) AS draw,
        neg AS neg_item_k
 FROM cand c
 WHERE NOT EXISTS (SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.i = c.neg)
+"""
+
+# CMS cells mirror sketch.cms_build: 60-bit md5 of "cms:d:token" mod
+# width over DISTINCT-token counts; estimates = min over depth rows
+ORACLES["frequency_sketch"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+), live AS (
+  SELECT token FROM toks WHERE token <> ''
+), tc AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM live GROUP BY token
+), dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+cells AS (
+  SELECT dd.d,
+         {_H60.format(x="'cms:' || CAST(dd.d AS VARCHAR) || ':' || "
+                        "tc.token")} % 1024 AS cell,
+         CAST(sum(tc.n) AS BIGINT) AS n
+  FROM tc CROSS JOIN dd GROUP BY 1, 2
+), top AS (
+  SELECT token, n AS n_occurrences FROM tc
+  ORDER BY n DESC, token ASC LIMIT 20
+), total AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM live),
+probed AS (
+  SELECT t.token, t.n_occurrences,
+         CAST(min(coalesce(c.n, 0)) AS BIGINT) AS cms_n
+  FROM top t CROSS JOIN dd
+  LEFT JOIN cells c
+    ON c.d = dd.d
+   AND c.cell = {_H60.format(x="'cms:' || CAST(dd.d AS VARCHAR) || "
+                               "':' || t.token")} % 1024
+  GROUP BY 1, 2
+)
+SELECT p.token, p.n_occurrences, p.cms_n,
+       CAST(p.cms_n >= p.n_occurrences
+            AND (p.cms_n - p.n_occurrences)
+                <= CAST(floor(2.0 * total.n_tok / 1024) AS BIGINT)
+            AS INT) AS bound_ok
+FROM probed p CROSS JOIN total
 """
 
 ORACLES["key_skew_profile"] = """

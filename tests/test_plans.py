@@ -211,3 +211,11 @@ def test_round4_feature_ops_plan_pins(spark):
     assert_plan(df, max_shuffles=3, min_broadcast_joins=1,
                 max_sort_merge_joins=0)
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_frequency_sketch_plan_pin(spark):
+    # CMS: token-count agg absorbs heavy hitters map-side, the depth
+    # expansion runs over DISTINCT tokens, the finished sketch and the
+    # 1-row total ride broadcast joins — zero sort-merge work
+    assert_plan(_q(spark, "frequency_sketch"), max_shuffles=7,
+                min_broadcast_joins=2, max_sort_merge_joins=0)

@@ -1,0 +1,44 @@
+"""Count-min sketch: mergeability, the one-sided error guarantee, and
+empty-cell probes — the properties the sf-scale oracle can't isolate."""
+
+from __future__ import annotations
+
+from tests.conftest import rows
+from w_userflow_featurestore_spark.operators.sketch import (
+    cms_build, cms_lookup, cms_merge,
+)
+
+
+def _stream(spark, items):
+    return spark.createDataFrame([(i,) for i in items], "item string")
+
+
+def test_cms_never_underestimates_and_is_exact_when_sparse(spark):
+    items = ["a"] * 50 + ["b"] * 30 + ["c"] * 7 + ["d"]
+    sk = cms_build(_stream(spark, items), "item", depth=4, width=256)
+    probes = _stream(spark, ["a", "b", "c", "d"])
+    got = dict(rows(cms_lookup(sk, probes, "item", depth=4, width=256),
+                    "item", "cms_n"))
+    true = {"a": 50, "b": 30, "c": 7, "d": 1}
+    assert all(got[k] >= v for k, v in true.items())   # one-sided
+    # 4 items in 4x256 cells: collisions vanishingly unlikely -> exact
+    assert got == true
+
+
+def test_cms_merge_equals_sketch_of_concatenation(spark):
+    a = ["x"] * 10 + ["y"] * 5
+    b = ["y"] * 5 + ["z"] * 3
+    merged = cms_merge(
+        cms_build(_stream(spark, a), "item", depth=3, width=64),
+        cms_build(_stream(spark, b), "item", depth=3, width=64))
+    whole = cms_build(_stream(spark, a + b), "item", depth=3, width=64)
+    assert rows(merged, "d", "cell", "n") == rows(whole, "d", "cell", "n")
+
+
+def test_cms_unseen_probe_estimates_zero_on_empty_cells(spark):
+    sk = cms_build(_stream(spark, ["only"]), "item", depth=4, width=4096)
+    got = rows(cms_lookup(sk, _stream(spark, ["absent"]), "item",
+                          depth=4, width=4096), "item", "cms_n")
+    # 4 independent 1/4096 collision chances: all-empty is the
+    # overwhelmingly likely deterministic outcome for this fixed salt
+    assert got == [("absent", 0)]
