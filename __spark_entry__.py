@@ -1012,6 +1012,33 @@ def q_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                            <= bound)).cast("int").alias("bound_ok")))
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct actives per day (operators/temporal.py
+    rolling_active_users) — the rolling-DAU/WAU metric that RANGE
+    frames can't express; contribution-explode keeps it hash-agg-only."""
+    return TMP.rolling_active_users(_events(spark, sf_dir))
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite over events in ONE aggregation
+    pass (operators/quality.py): completeness, uniqueness, bounds,
+    domain membership, volume floor — one row per rule with its
+    violation count."""
+    from w_userflow_featurestore_spark.operators.quality import (
+        bounds, in_set, min_rows, not_null, quality_report, unique,
+    )
+    return quality_report(_events(spark, sf_dir), [
+        not_null("event_id"),
+        unique("event_id"),
+        not_null("user_id"),
+        not_null("ts"),
+        bounds("value", lo=0, hi=1000),
+        in_set("event_type",
+               ["click", "error", "purchase", "signup", "view"]),
+        min_rows(1000),
+    ])
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution skew profiler on events.user_id
     (operators/skew.py key_skew_profile): top-20 hottest keys, exact
@@ -1077,6 +1104,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "negative_samples": q_negative_samples,
     "key_skew_profile": q_key_skew_profile,
     "frequency_sketch": q_frequency_sketch,
+    "rolling_active_users": q_rolling_active_users,
+    "quality_report": q_quality_report,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2947,6 +2976,68 @@ SELECT u AS user_id, i AS item_k, CAST(draw AS BIGINT) AS draw,
        neg AS neg_item_k
 FROM cand c
 WHERE NOT EXISTS (SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.i = c.neg)
+"""
+
+ORACLES["rolling_active_users"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS key, CAST(ts AS DATE) AS day FROM events
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM pairs),
+contrib AS (
+  SELECT DISTINCT key, w_end FROM (
+    SELECT key,
+           CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                       CAST(day AS TIMESTAMP)
+                                         + INTERVAL 6 DAY,
+                                       INTERVAL 1 DAY)) AS DATE) AS w_end
+    FROM pairs)
+),
+dau AS (
+  SELECT day AS w_end, CAST(count(*) AS BIGINT) AS n_active_1d
+  FROM pairs GROUP BY 1
+),
+roll AS (
+  SELECT w_end, CAST(count(*) AS BIGINT) AS n_active_7d
+  FROM contrib GROUP BY 1
+)
+SELECT strftime(r.w_end, '%Y-%m-%d') AS day,
+       CAST(coalesce(d.n_active_1d, 0) AS BIGINT) AS n_active_1d,
+       r.n_active_7d,
+       CAST(date_diff('day', b.d0, r.w_end) >= 6 AS INT)
+         AS is_complete_window
+FROM roll r
+CROSS JOIN bounds b
+LEFT JOIN dau d ON d.w_end = r.w_end
+WHERE r.w_end <= b.d1
+"""
+
+ORACLES["quality_report"] = """
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+    CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS m1,
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+    CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS m4,
+    CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                  ('click','error','purchase','signup','view')
+             THEN 1 ELSE 0 END) AS BIGINT) AS m5,
+    CAST(greatest(1000 - count(*), 0) AS BIGINT) AS m6
+  FROM events
+)
+SELECT 'event_id_not_null' AS rule, 'event_id' AS col,
+       m0 AS n_violations, CAST(m0 = 0 AS INT) AS passed FROM m
+UNION ALL SELECT 'event_id_unique', 'event_id', m1,
+       CAST(m1 = 0 AS INT) FROM m
+UNION ALL SELECT 'user_id_not_null', 'user_id', m2,
+       CAST(m2 = 0 AS INT) FROM m
+UNION ALL SELECT 'ts_not_null', 'ts', m3, CAST(m3 = 0 AS INT) FROM m
+UNION ALL SELECT 'value_bounds', 'value', m4,
+       CAST(m4 = 0 AS INT) FROM m
+UNION ALL SELECT 'event_type_in_set', 'event_type', m5,
+       CAST(m5 = 0 AS INT) FROM m
+UNION ALL SELECT 'min_rows', '*', m6, CAST(m6 = 0 AS INT) FROM m
 """
 
 # CMS cells mirror sketch.cms_build: 60-bit md5 of "cms:d:token" mod

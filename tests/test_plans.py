@@ -219,3 +219,14 @@ def test_frequency_sketch_plan_pin(spark):
     # 1-row total ride broadcast joins — zero sort-merge work
     assert_plan(_q(spark, "frequency_sketch"), max_shuffles=7,
                 min_broadcast_joins=2, max_sort_merge_joins=0)
+
+
+def test_rolling_actives_and_quality_report_plan_pins(spark):
+    # rolling_active_users: dedup -> x7 projection -> dedup -> count,
+    # all hash aggs; day-spine joins stay broadcast
+    assert_plan(_q(spark, "rolling_active_users"), max_shuffles=6,
+                min_broadcast_joins=2, max_sort_merge_joins=0)
+    # quality_report: the whole constraint suite is ONE scan — two
+    # barriers only because exact uniqueness needs the distinct expand
+    assert_plan(_q(spark, "quality_report"), max_shuffles=2,
+                max_sort_merge_joins=0)

@@ -335,3 +335,52 @@ def feature_backfill(events: DataFrame, key_col: str = "user_id",
         F.datediff(F.col("day"),
                    F.last(active_day, ignorenulls=True).over(w))
          .cast("long").alias("days_since_activity"))
+
+
+def rolling_active_users(events: DataFrame, key_col: str = "user_id",
+                         ts_col: str = "ts",
+                         window_days: int = 7) -> DataFrame:
+    """Trailing-N-day DISTINCT actives per day (rolling DAU/WAU/MAU) —
+    the one rolling metric a RANGE window CANNOT express, because
+    count(DISTINCT) doesn't decompose over frame slides.
+
+    The scalable form is contribution explode: each distinct
+    (key, active_day) pair contributes key to the ``window_days``
+    window-end days it falls inside, so the plan is
+    dedup -> x N projection -> dedup -> count, all hash aggregates
+    with partial combine — per-day state is O(distinct keys in
+    window), never O(events), and no day ever holds the full history
+    (the naive "self-join the day spine to a 7-day range" does a
+    pair-explosion over raw events instead).
+
+    Output days cover the observed range only (a window end beyond
+    the last active day is meaningless); the leading ``window_days-1``
+    days are partial windows, flagged ``is_complete_window`` so
+    consumers can drop the ramp-up.
+    """
+    pairs = (events.select(F.col(key_col).alias("key"),
+                           F.to_date(ts_col).alias("day"))
+                   .distinct())
+    bounds = pairs.groupBy().agg(F.min("day").alias("_d0"),
+                                 F.max("day").alias("_d1"))
+    contrib = (pairs.select(
+        "key",
+        F.explode(F.sequence(
+            "day", F.date_add("day", window_days - 1))).alias("w_end")))
+    dau = (pairs.groupBy(F.col("day").alias("w_end"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_active_1d")))
+    out = (contrib.distinct()
+                  .groupBy("w_end")
+                  .agg(F.count(F.lit(1)).cast("long")
+                        .alias(f"n_active_{window_days}d")))
+    return (out.crossJoin(F.broadcast(bounds))
+               .where(F.col("w_end") <= F.col("_d1"))
+               .join(dau, "w_end", "left")
+               .select(
+                   F.date_format("w_end", "yyyy-MM-dd").alias("day"),
+                   F.coalesce("n_active_1d", F.lit(0)).cast("long")
+                    .alias("n_active_1d"),
+                   F.col(f"n_active_{window_days}d"),
+                   (F.datediff("w_end", F.col("_d0"))
+                    >= window_days - 1).cast("int")
+                    .alias("is_complete_window")))
