@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from w_userflow_featurestore_spark.functions import (
@@ -1012,6 +1012,29 @@ def q_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                            <= bound)).cast("int").alias("bound_ok")))
 
 
+def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family over per-(event_type, user) exact value
+    totals: rank, dense_rank, ntile(4), percent_rank and cume_dist in
+    integer basis points — the leaderboard/quartile-bucketing shapes
+    (completes W-coverage beyond row_number/lag/lead). Deterministic
+    unique ordering (cents desc, user asc) so every engine agrees."""
+    from w_userflow_featurestore_spark.functions import scaled_long
+    daily = (_events(spark, sf_dir)
+             .groupBy("event_type", "user_id")
+             .agg(F.sum(scaled_long(F.col("value"))).alias("v_cents")))
+    w = (Window.partitionBy("event_type")
+               .orderBy(F.desc("v_cents"), F.asc("user_id")))
+    return daily.select(
+        "event_type", "user_id", "v_cents",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("dense_rnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 10000).cast("long")
+         .alias("pct_rank_bp"),
+        F.floor(F.cume_dist().over(w) * 10000).cast("long")
+         .alias("cume_dist_bp"))
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day distinct actives per day (operators/temporal.py
     rolling_active_users) — the rolling-DAU/WAU metric that RANGE
@@ -1106,6 +1129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequency_sketch": q_frequency_sketch,
     "rolling_active_users": q_rolling_active_users,
     "quality_report": q_quality_report,
+    "user_value_ranks": q_user_value_ranks,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2976,6 +3000,26 @@ SELECT u AS user_id, i AS item_k, CAST(draw AS BIGINT) AS draw,
        neg AS neg_item_k
 FROM cand c
 WHERE NOT EXISTS (SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.i = c.neg)
+"""
+
+ORACLES["user_value_ranks"] = """
+WITH daily AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, v_cents,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(floor(percent_rank() OVER w * 10000) AS BIGINT)
+         AS pct_rank_bp,
+       CAST(floor(cume_dist() OVER w * 10000) AS BIGINT)
+         AS cume_dist_bp
+FROM daily
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY v_cents DESC, user_id ASC)
 """
 
 ORACLES["rolling_active_users"] = """

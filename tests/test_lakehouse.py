@@ -724,3 +724,30 @@ def test_delete_where_incremental_reader_replans(spark, table):
     table.delete_where([("k", "=", 1)])
     with pytest.raises(BrokenLineageError):
         table.read_increment(s1, None)
+
+
+def test_update_where_rewrites_matching_rows_only(spark, table):
+    table.append(_df(spark, [(1, D1, "a"), (2, D1, "b")]))
+    s2 = table.append(_df(spark, [(3, D2, "c")]))
+    table.update_where([("datetime", "=", "2024-01-01"), ("k", ">", 1)],
+                       {"v": "B"})
+    assert rows(table.read(), "k", "v") == [(1, "a"), (2, "B"), (3, "c")]
+    # snapshot isolation + untouched-file preservation
+    assert rows(table.read(s2), "k", "v") == [(1, "a"), (2, "b"), (3, "c")]
+    d2_files = {f for f in table.files() if "2024-01-02" in f}
+    assert d2_files == {f for f in table.files(s2) if "2024-01-02" in f}
+    assert table.snapshots()[-1].operation == "update"
+
+
+def test_update_where_accepts_column_expressions(spark, table):
+    table.append(_df(spark, [(1, D1, "a"), (5, D1, "b")]))
+    table.update_where([("k", ">=", 5)],
+                       {"v": F.concat(F.col("v"), F.lit("!")),
+                        "k": F.col("k") * 10})
+    assert rows(table.read(), "k", "v") == [(1, "a"), (50, "b!")]
+
+
+def test_update_where_no_match_is_noop(spark, table):
+    s1 = table.append(_df(spark, [(1, D1, "a")]))
+    assert table.update_where([("k", "=", 99)], {"v": "X"}) == s1
+    assert len(table.snapshots()) == 1

@@ -230,3 +230,10 @@ def test_rolling_actives_and_quality_report_plan_pins(spark):
     # barriers only because exact uniqueness needs the distinct expand
     assert_plan(_q(spark, "quality_report"), max_shuffles=2,
                 max_sort_merge_joins=0)
+
+
+def test_user_value_ranks_plan_pin(spark):
+    # exact-cents agg then ONE window exchange shared by all five
+    # ranking functions (same partition+order spec -> one sort)
+    assert_plan(_q(spark, "user_value_ranks"), max_shuffles=2,
+                max_sort_merge_joins=0)

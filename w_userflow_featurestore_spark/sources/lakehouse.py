@@ -49,7 +49,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["LogTable", "BrokenLineageError", "ConcurrentCommitError",
@@ -761,39 +761,73 @@ class LogTable:
         snapshots still see the deleted rows (immutable files) until
         ``vacuum`` ages them out — exactly Iceberg's snapshot-isolation
         contract for deletes."""
-        base = self.latest_snapshot_id()
-        if base is None:
-            raise ValueError(f"LogTable {self.path} has no commits")
-        live = self.files(base)
-        candidates = self._prune(live, self.files_stats(base), filters)
-        if not candidates:
-            return base
-        cand = self._read_files(candidates)
-        matched = self._apply_filters(cand, filters)
-        victims = (matched
-                   .select(F.col("_metadata.file_path").alias("_file"))
-                   .distinct().collect())
-        from urllib.parse import unquote, urlparse
-        victim_rel = sorted(
-            os.path.relpath(unquote(urlparse(r["_file"]).path),
-                            self._data_path)
-            for r in victims)
+        base, victim_rel = self._row_level_victims(filters)
         if not victim_rel:
             return base
         victim_df = self._read_files(victim_rel)
         # keep = NOT(all filters match); NULLs in any compared column
         # make the conjunction non-TRUE, so those rows are kept
-        cond = F.lit(True)
-        for col, op, val in filters:
-            if op == "in":
-                term = F.col(col).isin(list(val))
-            else:
-                term = getattr(F.col(col),
-                               LogTable._OPS[op])(F.lit(val))
-            cond = cond & term
-        kept = victim_df.where(~F.coalesce(cond, F.lit(False)))
+        hit = F.coalesce(self._filter_cond(filters), F.lit(False))
+        kept = victim_df.where(~hit)
         adds = self._stage_write(kept.select(*victim_df.columns))
         return self._commit("delete", adds, victim_rel,
+                            expected_base=base)
+
+    @staticmethod
+    def _filter_cond(filters: list[tuple]) -> Column:
+        """Conjunction of read-path filters as one boolean Column."""
+        cond = F.lit(True)
+        for col, op, val in filters:
+            term = (F.col(col).isin(list(val)) if op == "in"
+                    else getattr(F.col(col),
+                                 LogTable._OPS[op])(F.lit(val)))
+            cond = cond & term
+        return cond
+
+    def _row_level_victims(self,
+                           filters: list[tuple]) -> tuple[int, list[str]]:
+        """Shared delete/update narrowing: manifest-stats pruning, then
+        one containment pass finding the live files that hold >=1 row
+        matching ``filters``. Returns (base snapshot, victim paths)."""
+        base = self.latest_snapshot_id()
+        if base is None:
+            raise ValueError(f"LogTable {self.path} has no commits")
+        candidates = self._prune(self.files(base),
+                                 self.files_stats(base), filters)
+        if not candidates:
+            return base, []
+        matched = self._apply_filters(self._read_files(candidates),
+                                      filters)
+        victims = (matched
+                   .select(F.col("_metadata.file_path").alias("_file"))
+                   .distinct().collect())
+        from urllib.parse import unquote, urlparse
+        return base, sorted(
+            os.path.relpath(unquote(urlparse(r["_file"]).path),
+                            self._data_path)
+            for r in victims)
+
+    def update_where(self, filters: list[tuple],
+                     set_exprs: dict[str, object]) -> int:
+        """UPDATE ... SET ... WHERE — the third leg of the DML triad
+        (merge upserts, delete_where removes, this rewrites in place).
+        Same three-stage narrowing as delete_where: stats-pruned
+        candidates -> containment scan -> victim-only rewrite, where
+        matching rows get ``set_exprs`` (column -> Column or literal)
+        applied and non-matching rows in the same files are carried
+        unchanged. NULL-predicate rows are NOT updated (SQL UPDATE)."""
+        base, victim_rel = self._row_level_victims(filters)
+        if not victim_rel:
+            return base
+        victim_df = self._read_files(victim_rel)
+        hit = F.coalesce(self._filter_cond(filters), F.lit(False))
+        updated = victim_df
+        for col, expr in set_exprs.items():
+            new = expr if isinstance(expr, Column) else F.lit(expr)
+            updated = updated.withColumn(
+                col, F.when(hit, new).otherwise(F.col(col)))
+        adds = self._stage_write(updated.select(*victim_df.columns))
+        return self._commit("update", adds, victim_rel,
                             expected_base=base)
 
     def compact(self, target_files: int = 1,
