@@ -693,7 +693,8 @@ class LogTable:
         return self._commit("overwrite_partitions", adds, removes,
                             expected_base=base)
 
-    def merge(self, staged: DataFrame, keys: list[str]) -> int:
+    def merge(self, staged: DataFrame, keys: list[str],
+              txn: str | None = None) -> int:
         """MERGE INTO: matched rows updated, new rows inserted, as
         file-granular copy-on-write (reference S9,
         silver_user_session_events.py:146-186 MERGEs on the session
@@ -705,11 +706,24 @@ class LogTable:
 
         Scale: the victim scan is one distributed semi-join over the
         file-path metadata column; unmatched files are untouched, so
-        steady-state merge cost tracks the overlap, not table size."""
+        steady-state merge cost tracks the overlap, not table size.
+
+        ``txn`` gives merges the same idempotent-replay protocol as
+        append: a token already on the live chain short-circuits before
+        any staging work, so a checkpoint-recovered foreachBatch that
+        re-delivers a merge micro-batch commits exactly once even when
+        re-applying it would NOT be a semantic no-op (multi-run SCD2
+        batches are the canonical example)."""
+        if txn is not None:
+            latest = self.latest_snapshot_id()
+            if latest is not None:
+                for s in self._chain(latest):
+                    if s.txn == txn:
+                        return s.snapshot_id
         base = self.latest_snapshot_id()
         if base is None:
             return self._commit("merge", self._stage_write(staged), [],
-                                expected_base=None)
+                                expected_base=None, txn=txn)
         target = self._read_files(self.files(base)).withColumn(
             "_file", F.col("_metadata.file_path"))
         key_rows = staged.select(*keys).distinct()
@@ -727,7 +741,7 @@ class LogTable:
             for r in victims)
         if not victim_rel:
             return self._commit("merge", self._stage_write(staged), [],
-                                expected_base=base)
+                                expected_base=base, txn=txn)
         kept = (self._read_files(victim_rel)
                 .join(key_rows, keys, "left_anti")
                 .select(*staged.columns))
@@ -737,7 +751,8 @@ class LogTable:
         # only unreferences them, so there is no read-before-overwrite
         # hazard at all: immutable files are the point of the format)
         adds = self._stage_write(kept.unionByName(staged))
-        return self._commit("merge", adds, victim_rel, expected_base=base)
+        return self._commit("merge", adds, victim_rel, expected_base=base,
+                            txn=txn)
 
     def delete_where(self, filters: list[tuple]) -> int:
         """DELETE FROM ... WHERE, as file-granular copy-on-write — the

@@ -4,6 +4,8 @@ from w_userflow_featurestore_spark.streaming.ingest import (
     read_event_stream,
     stream_upsert,
     streaming_dedup,
+    streaming_drift_monitor,
+    streaming_scd2,
     streaming_sessionize,
     streaming_window_counts,
 )
@@ -14,7 +16,8 @@ from w_userflow_featurestore_spark.streaming.stateful import (
 )
 
 __all__ = ["bronze_ingest", "parse_kafka_events", "read_event_stream",
-           "stream_upsert", "streaming_dedup", "streaming_sessionize",
+           "stream_upsert", "streaming_dedup", "streaming_drift_monitor",
+           "streaming_scd2", "streaming_sessionize",
            "streaming_window_counts",
            "stateful_sessionize", "fold_events",
            "close_session"]

@@ -271,3 +271,51 @@ def read_drift(spark: SparkSession, table_path: str,
 
     return drift_from_daily_counts(LogTable(spark, table_path).read(),
                                    threshold_micro)
+
+
+def streaming_scd2(events: DataFrame, table_path: str, checkpoint: str, *,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   attr_col: str = "event_type",
+                   tiebreak_col: str = "event_id",
+                   trigger_seconds: int | None = 30,
+                   available_now: bool = False):
+    """Maintain an SCD Type-2 validity-interval LogTable from a stream
+    — Delta Live Tables' APPLY CHANGES ... STORED AS SCD TYPE 2, on
+    this engine's own table format.
+
+    Each micro-batch folds into the interval table via
+    operators/scd.scd2_apply_batch: continuing values extend the open
+    interval, changed values close it and open the next version, all
+    as ONE transactional merge per batch carrying a per-batch txn
+    token — checkpoint recovery re-delivers the last unacknowledged
+    batch and the token makes the replayed merge a no-op (re-APPLYING
+    a multi-run batch would corrupt intervals, so exactly-once here is
+    load-bearing, not cosmetic). The maintained table is byte-equal to
+    running operators/scd.scd2_history over the full event history
+    (equivalence-tested), so consumers point AS-OF joins at it without
+    trusting separate streaming math.
+
+    The stream carries no state store at all — per-key state IS the
+    table's is_current rows, read back per batch via a key semi-join.
+    """
+    from w_userflow_featurestore_spark.operators.scd import (
+        scd2_apply_batch,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        t = LogTable.create(batch.sparkSession, table_path, [])
+        scd2_apply_batch(t, batch, key_col, ts_col, attr_col,
+                         tiebreak_col,
+                         txn=f"scd2:{checkpoint}:{batch_id}")
+
+    writer = (events.writeStream
+              .foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
