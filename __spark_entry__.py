@@ -1012,6 +1012,25 @@ def q_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                            <= bound)).cast("int").alias("bound_ok")))
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle (operators/metrics.py
+    cohort_retention_triangle): first-seen-day cohorts x day offset,
+    retention in exact basis points — the growth-analytics readout the
+    one-day-back retention metrics can't show."""
+    return M.cohort_retention_triangle(_events(spark, sf_dir))
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-assigned A/B arms + two-proportion z-test on purchase
+    conversion (operators/experiment.py): exact integer counts,
+    IEEE-exact inference floor-quantized to micro-units — the
+    chi-square drift discipline applied to experiment analysis."""
+    from w_userflow_featurestore_spark.operators.experiment import (
+        ab_test_summary,
+    )
+    return ab_test_summary(_events(spark, sf_dir))
+
+
 def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window family over per-(event_type, user) exact value
     totals: rank, dense_rank, ntile(4), percent_rank and cume_dist in
@@ -1130,6 +1149,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_active_users": q_rolling_active_users,
     "quality_report": q_quality_report,
     "user_value_ranks": q_user_value_ranks,
+    "cohort_retention": q_cohort_retention,
+    "ab_test": q_ab_test,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -3000,6 +3021,73 @@ SELECT u AS user_id, i AS item_k, CAST(draw AS BIGINT) AS draw,
        neg AS neg_item_k
 FROM cand c
 WHERE NOT EXISTS (SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.i = c.neg)
+"""
+
+ORACLES["cohort_retention"] = """
+WITH days AS (
+  SELECT DISTINCT user_id AS key, CAST(ts AS DATE) AS day FROM events
+),
+firstd AS (SELECT key, min(day) AS cohort_day FROM days GROUP BY 1),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firstd GROUP BY 1
+),
+act AS (
+  SELECT f.cohort_day,
+         date_diff('day', f.cohort_day, d.day) AS day_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM days d JOIN firstd f USING (key)
+  GROUP BY 1, 2
+)
+SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(a.day_offset AS BIGINT) AS day_offset,
+       a.n_active, s.cohort_size,
+       CAST(floor(a.n_active * 10000 / s.cohort_size) AS BIGINT)
+         AS retention_bp
+FROM act a JOIN sizes s USING (cohort_day)
+"""
+
+# arm = 60-bit md5 of "ab:user" mod 2 (the dataset_split idiom); the z
+# statistic mirrors experiment.ab_test_summary's exact op order
+ORACLES["ab_test"] = f"""
+WITH conv AS (
+  SELECT user_id AS uid,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1
+),
+assigned AS (
+  SELECT {_H60.format(x="'ab:' || CAST(uid AS VARCHAR)")} % 2 AS arm,
+         converted
+  FROM conv
+),
+counts AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN converted END) AS BIGINT)
+           AS conv_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 1 THEN converted END) AS BIGINT)
+           AS conv_b
+  FROM assigned
+),
+stats AS (
+  SELECT *,
+         (conv_a + conv_b) / (n_a + n_b) AS p,
+         sqrt(((conv_a + conv_b) / (n_a + n_b))
+              * (1 - (conv_a + conv_b) / (n_a + n_b))
+              * (1.0 / n_a + 1.0 / n_b)) AS se
+  FROM counts
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(floor(conv_a / n_a * 10000) AS BIGINT) AS rate_a_bp,
+       CAST(floor(conv_b / n_b * 10000) AS BIGINT) AS rate_b_bp,
+       CASE WHEN se > 0
+            THEN CAST(floor((conv_a / n_a - conv_b / n_b) / se * 1e6)
+                      AS BIGINT) END AS z_micro,
+       CASE WHEN se > 0
+            THEN CAST(abs(floor((conv_a / n_a - conv_b / n_b) / se * 1e6))
+                      >= 1960000 AS INT) END AS significant
+FROM stats
 """
 
 ORACLES["user_value_ranks"] = """

@@ -223,3 +223,29 @@ def test_quantile_sketch_gate_and_exactness(spark):
         spark, "/root/testdata/sf0.001").collect()
     assert out and all(r["rank_err_ok"] for r in out)
     assert all(r["exact_p50_ms"] >= 0 for r in out)
+
+
+def test_cohort_retention_triangle_semantics(spark):
+    import datetime as dt
+    ev = spark.createDataFrame(
+        [(i, dt.datetime.fromisoformat(ts), u, "view", 1.0, "{}")
+         for i, (ts, u) in enumerate([
+             ("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 2),
+             ("2024-01-02 10:00:00", 1),   # u1 returns day+1
+             ("2024-01-02 11:00:00", 3),   # u3 is a day-2 cohort
+             ("2024-01-03 10:00:00", 1), ("2024-01-03 11:00:00", 3),
+         ])],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    from w_userflow_featurestore_spark.operators.metrics import (
+        cohort_retention_triangle,
+    )
+    got = {(r["cohort_day"], r["day_offset"]):
+           (r["n_active"], r["cohort_size"], r["retention_bp"])
+           for r in cohort_retention_triangle(ev).collect()}
+    assert got[("2024-01-01", 0)] == (2, 2, 10000)   # both cohort users
+    assert got[("2024-01-01", 1)] == (1, 2, 5000)    # only u1 back
+    assert got[("2024-01-01", 2)] == (1, 2, 5000)
+    assert got[("2024-01-02", 0)] == (1, 1, 10000)   # u3's cohort
+    assert got[("2024-01-02", 1)] == (1, 1, 10000)
+    assert ("2024-01-03", 0) not in got              # no new users day 3

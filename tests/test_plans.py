@@ -237,3 +237,14 @@ def test_user_value_ranks_plan_pin(spark):
     # ranking functions (same partition+order spec -> one sort)
     assert_plan(_q(spark, "user_value_ranks"), max_shuffles=2,
                 max_sort_merge_joins=0)
+
+
+def test_cohort_and_abtest_plan_pins(spark):
+    # cohort triangle: two hash aggs on the user key + broadcast
+    # cohort sizes; nothing downstream sees more than days^2 rows
+    assert_plan(_q(spark, "cohort_retention"), max_shuffles=5,
+                min_broadcast_joins=2, max_sort_merge_joins=0)
+    # ab_test: one user-grain agg, then |arms|-row rollups — the
+    # inference is row-local arithmetic on a 1-row frame
+    assert_plan(_q(spark, "ab_test"), max_shuffles=3,
+                max_sort_merge_joins=0)

@@ -377,3 +377,37 @@ def dimension_gap_features(df: DataFrame, time_col: str, dims: list[str],
                 f"{m}_gap_across_{left_out}",
                 fround(F.max(m).over(w) - F.min(m).over(w), 2))
     return out
+
+
+def cohort_retention_triangle(events: DataFrame, key_col: str = "user_id",
+                              ts_col: str = "ts") -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-seen
+    day, then for every (cohort_day, day_offset) the share of the
+    cohort active ``offset`` days later, in exact basis points — the
+    canonical growth-analytics readout the per-day retention metrics
+    (A11/A16) can't show because they only look one day back.
+
+    Plan: first-seen day per key (one hash agg), distinct activity
+    days per key (one hash agg over the same shuffle key), broadcast
+    the per-cohort sizes onto the (cohort, offset) counts — per-row
+    state never exceeds the (cohort x offset) triangle, which is
+    O(days^2) regardless of user or event count."""
+    days = (events.select(F.col(key_col).alias("key"),
+                          F.to_date(ts_col).alias("day"))
+                  .distinct())
+    first = days.groupBy("key").agg(F.min("day").alias("cohort_day"))
+    sizes = (first.groupBy("cohort_day")
+                  .agg(F.count(F.lit(1)).alias("cohort_size")))
+    act = (days.join(first, "key")
+               .groupBy("cohort_day",
+                        F.datediff("day", "cohort_day").alias("day_offset"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n_active")))
+    return (act.join(F.broadcast(sizes), "cohort_day")
+               .select(F.date_format("cohort_day", "yyyy-MM-dd")
+                        .alias("cohort_day"),
+                       F.col("day_offset").cast("long").alias("day_offset"),
+                       "n_active",
+                       F.col("cohort_size").cast("long").alias("cohort_size"),
+                       F.floor(F.col("n_active") * 10000
+                               / F.col("cohort_size")).cast("long")
+                        .alias("retention_bp")))
