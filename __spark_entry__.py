@@ -568,6 +568,29 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                       <= 0.05 * F.col("exact_users")).alias("rel_err_ok")))
 
 
+def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE cardinality: per-day Datasketches HLL sketches of the
+    user set, unioned into one corpus estimate — the 100 TB rollup
+    path where per-partition sketches combine without rescanning
+    (hll_sketch_agg -> hll_union_agg; what approx_count_distinct alone
+    can't do across independently-built aggregates). Sketch bytes are
+    engine-specific, so the output is the portable gate: exact total,
+    n_days merged, and whether the UNIONED estimate lands within 5% of
+    exact — a broken merge path flips the hash red."""
+    e = (_events(spark, sf_dir)
+         .withColumn("datetime", F.to_date("ts")))
+    daily = (e.groupBy("datetime")
+              .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    merged = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    return (merged.crossJoin(F.broadcast(exact))
+            .select("n_days", "exact_users",
+                    (F.abs(F.col("_est") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users")).alias("rel_err_ok")))
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: quality floor -> exact dedup -> LSH near-dup
     removal. The oracle is the composition of the stage oracles."""
@@ -1151,6 +1174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_ranks": q_user_value_ranks,
     "cohort_retention": q_cohort_retention,
     "ab_test": q_ab_test,
+    "hll_union_rollup": q_hll_union_rollup,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2277,6 +2301,13 @@ SELECT CAST(ts AS DATE) AS datetime, event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
        TRUE AS rel_err_ok
 FROM events GROUP BY 1, 2
+"""
+
+ORACLES["hll_union_rollup"] = """
+SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS rel_err_ok
+FROM events
 """
 
 # multimodal fake-decode oracle: the payload is md5-derived, so the

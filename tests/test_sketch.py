@@ -42,3 +42,19 @@ def test_cms_unseen_probe_estimates_zero_on_empty_cells(spark):
     # 4 independent 1/4096 collision chances: all-empty is the
     # overwhelmingly likely deterministic outcome for this fixed salt
     assert got == [("absent", 0)]
+
+
+def test_hll_union_of_slices_matches_whole(spark):
+    """Datasketches HLL: union of per-slice sketches must estimate the
+    SAME value as one sketch over the whole set (union is lossless for
+    HLL state) — the property hll_union_rollup's 5% gate rides on."""
+    from pyspark.sql import functions as F
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 4).alias("slice"), (F.col("id") % 5000).alias("v"))
+    sliced = (df.groupBy("slice").agg(F.hll_sketch_agg("v").alias("sk"))
+                .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                      .alias("est")).collect()[0]["est"])
+    whole = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("v"))
+                    .alias("est")).collect()[0]["est"]
+    assert sliced == whole                       # identical merged state
+    assert abs(sliced - 5000) <= 0.05 * 5000     # and actually accurate
