@@ -85,3 +85,34 @@ def test_streaming_scd2_matches_batch_history(spark, tmp_path):
     run()   # checkpoint restart picks up only the new tranche
     got = rows(LogTable(spark, tbl).read(), *SCD_COLS)
     assert got == rows(scd2_history(_df(spark, B1 + B2 + B3)), *SCD_COLS)
+
+
+def test_random_batch_splits_equal_one_shot(spark, tmp_path):
+    """Batch-split invariance: ANY in-order partitioning of the stream
+    folds to the same table as the one-shot history build — seeded
+    random streams and split points, the property the per-case tests
+    can only sample."""
+    import random
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        events, t0 = [], 0
+        for eid in range(n):
+            t0 += rng.randint(1, 90)
+            events.append(_b(eid, "2024-01-01 00:00:00", rng.randint(1, 4),
+                             rng.choice(["a", "b", "c"])))
+            # re-stamp with a strictly increasing timestamp
+            e = list(events[-1])
+            e[1] = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t0)
+            events[-1] = tuple(e)
+        cuts = sorted(rng.sample(range(1, n), rng.randint(1, 5)))
+        batches, prev = [], 0
+        for c in cuts + [n]:
+            batches.append(events[prev:c])
+            prev = c
+        t = LogTable.create(spark, str(tmp_path / f"scd{trial}"), [])
+        for i, b in enumerate(batches):
+            scd2_apply_batch(t, _df(spark, b), txn=f"t{trial}b{i}")
+        assert rows(t.read(), *SCD_COLS) == \
+            rows(scd2_history(_df(spark, events)), *SCD_COLS), \
+            f"trial {trial} cuts {cuts}"
