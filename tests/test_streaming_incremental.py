@@ -410,3 +410,31 @@ def test_streaming_drift_monitor_matches_batch_and_replays_once(spark, tmp_path)
         assert got[d]["chi2_micro"] == want[d]["chi2_micro"], d
         assert got[d]["n_categories"] == want[d]["n_categories"], d
         assert got[d]["is_drift"] == want[d]["is_drift"], d
+
+
+def test_parse_with_dead_letter_splits_and_preserves_payload(spark):
+    """Malformed / incomplete payloads quarantine with a reason and the
+    BYTE-FAITHFUL original; valid rows match parse_kafka_events
+    exactly. Pure projection -> batch test == streaming semantics."""
+    from w_userflow_featurestore_spark.streaming.ingest import (
+        parse_kafka_events, parse_with_dead_letter,
+    )
+    ddl = ("event_id long, ts timestamp, user_id long, event_type string,"
+           " value double, props string")
+    good = ('{"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7,'
+            ' "event_type": "view", "value": 1.5, "props": "{}"}')
+    noid = ('{"ts": "2024-01-01T11:00:00", "user_id": 8,'
+            ' "event_type": "click", "value": 2.0, "props": "{}"}')
+    junk = "not json at all"
+    raw = spark.createDataFrame(
+        [(g.encode(),) for g in (good, noid, junk)], "value binary")
+    valid, dead = parse_with_dead_letter(raw, ddl)
+    assert [tuple(r) for r in
+            valid.select("event_id", "user_id", "event_type").collect()] \
+        == [(1, 7, "view")]
+    # the valid side is plan-identical to the no-DLQ parser's output
+    only_good = spark.createDataFrame([(good.encode(),)], "value binary")
+    assert rows(valid, *valid.columns) == \
+        rows(parse_kafka_events(only_good, ddl), *valid.columns)
+    got = {r["reason"]: r["payload"] for r in dead.collect()}
+    assert got == {"missing:event_id": noid, "unparseable": junk}

@@ -319,3 +319,51 @@ def streaming_scd2(events: DataFrame, table_path: str, checkpoint: str, *,
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def parse_with_dead_letter(raw: DataFrame, schema: StructType | str,
+                           required: tuple[str, ...] = ("event_id", "ts"),
+                           ) -> tuple[DataFrame, DataFrame]:
+    """parse_kafka_events with a dead-letter split: returns
+    ``(valid, dead)`` where ``valid`` is the typed flattened stream
+    (exactly parse_kafka_events' shape) and ``dead`` carries the RAW
+    payload plus a reason — ``unparseable`` (from_json returned null:
+    malformed JSON / wrong root type) or ``missing:<col>`` (parsed but
+    a required key is absent) — so bad producer payloads land in a
+    quarantine table instead of silently becoming null rows or
+    poisoning downstream null-key drops.
+
+    Pure transformation (one projection, no shuffle): works identically
+    on a batch frame and a streaming frame, so the batch test IS the
+    streaming semantics (the wire-schema plan-equivalence discipline).
+    Route ``dead`` to an append sink (LogTable DLQ) and replay after
+    the producer fix — payloads pass through byte-faithful.
+    """
+    # PERMISSIVE from_json yields an all-null row (not a null struct)
+    # for malformed input, so detection needs the corrupt-record column
+    # contract: an extra field that from_json fills with the raw text
+    # exactly when parsing failed.
+    if isinstance(schema, str):
+        full = schema + ", _corrupt string"
+    else:
+        from pyspark.sql.types import StringType
+        full = schema.add("_corrupt", StringType())
+    parsed = (raw.selectExpr("CAST(value AS STRING) AS _json")
+                 .withColumn("_data", F.from_json(
+                     "_json", full,
+                     {"columnNameOfCorruptRecord": "_corrupt"})))
+    bad_json = F.col("_data._corrupt").isNotNull()
+    ok = ~bad_json
+    for c in required:
+        ok = ok & F.col(f"_data.{c}").isNotNull()
+    valid = (parsed.where(ok)
+                   .select("_data.*").drop("_corrupt")
+                   .withColumn("datetime", F.to_date("ts")))
+    reason = F.when(bad_json, F.lit("unparseable"))
+    for c in required:
+        reason = reason.when(F.col(f"_data.{c}").isNull(),
+                             F.lit(f"missing:{c}"))
+    dead = (parsed.where(~F.coalesce(ok, F.lit(False)))
+                  .select(F.col("_json").alias("payload"),
+                          reason.alias("reason")))
+    return valid, dead
