@@ -375,3 +375,66 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     # single-char words contribute no pairs
     single = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert TX.bpe_pair_counts(single).count() == 0
+
+
+# --------------------------------------------------------- persisted IVF
+
+def test_ivf_index_search_equals_inline_ivf(spark, tmp_path):
+    """Build-once/query-many must return exactly what the inline
+    operator computes (same deterministic centroid seeds)."""
+    from w_userflow_featurestore_spark.operators.similarity import (
+        ivf_index_build, ivf_index_search, ivf_topk,
+    )
+    from w_userflow_featurestore_spark.sources import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_index_build(emb, path, n_centroids=4)
+    queries = emb.where("vec_id < 3")
+    got = rows(ivf_index_search(spark, path, queries, k=3, nprobe=2),
+               "q_id", "n_id", "cosine", "rank")
+    want = rows(ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=2),
+                "q_id", "n_id", "cosine", "rank")
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_probe_reads_only_probed_cells(spark, tmp_path):
+    """The scan must touch ONLY the probed cells' partition files —
+    IO proportional to nprobe/n_centroids, enforced at the manifest."""
+    from w_userflow_featurestore_spark.operators.similarity import (
+        ivf_index_build, ivf_index_search,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable
+    from w_userflow_featurestore_spark.sources import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_index_build(emb, path, n_centroids=4)
+    out = ivf_index_search(spark, path, emb.where("vec_id = 0"),
+                           k=3, nprobe=1)
+    touched = {f for f in out.inputFiles() if "/vectors/" in f}
+    assert len({f.split("cell=")[1].split("/")[0] for f in touched}) == 1
+    n_parts = len({r["cell"] for r in
+                   LogTable(spark, path + "/vectors").read()
+                   .select("cell").distinct().collect()})
+    assert n_parts > 1          # pruning actually skipped something
+
+
+def test_ivf_index_append_is_incremental_and_exactly_once(spark, tmp_path):
+    from w_userflow_featurestore_spark.operators.similarity import (
+        ivf_index_append, ivf_index_build, ivf_index_search,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable
+    from w_userflow_featurestore_spark.sources import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    old = emb.where("vec_id >= 10")
+    new = emb.where("vec_id < 10")
+    ivf_index_build(old, path, n_centroids=4)
+    s = ivf_index_append(spark, path, new, txn="batch-1")
+    # replay with the same token is a no-op commit
+    assert ivf_index_append(spark, path, new, txn="batch-1") == s
+    vt = LogTable(spark, path + "/vectors")
+    assert vt.read().count() == emb.count()
+    # the appended vectors are findable
+    got = ivf_index_search(spark, path, emb.where("vec_id = 499"),
+                           k=5, nprobe=4).collect()
+    assert len(got) == 5

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 import hashlib
+import os
 
 from w_userflow_featurestore_spark.functions import fround
 from w_userflow_featurestore_spark.sources import fan_out
@@ -434,3 +435,111 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
                   .select(F.col("_sid").alias(id_col), "cell",
                           F.coalesce(~F.col("_drop"), F.lit(True))
                            .alias("is_kept")))
+
+
+# --------------------------------------------------------- persisted IVF
+
+def ivf_index_build(corpus: DataFrame, table_path: str,
+                    n_centroids: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding", dims: int = 64) -> int:
+    """Materialize an IVF index as two LogTables — build once, query
+    many (the production ANN pattern; ivf_topk refits per call, which
+    is right for one-shot analytics and wrong for a serving index):
+
+    - ``<path>/centroids``: the fitted coarse quantizer (cell, cv) —
+      model-sized, read whole at query time;
+    - ``<path>/vectors``: (vec_id, qvec, norm) PARTITIONED BY cell, so
+      a probe reads ONLY the probed cells' files via partition-dir
+      pruning — IO proportional to nprobe/n_centroids of the corpus,
+      enforced at the scan, not just the join.
+
+    Quantized vectors and norms are precomputed at build time, so
+    query-time work is probe + dot products — no per-query corpus
+    re-quantization. Returns the vectors table's snapshot id.
+    """
+    from w_userflow_featurestore_spark.sources import LogTable
+    spark = corpus.sparkSession
+    ct = LogTable.create(spark, os.path.join(table_path, "centroids"), [])
+    if ct.latest_snapshot_id() is not None:
+        raise ValueError(f"IVF index already exists at {table_path}; "
+                         f"use ivf_index_append or a fresh path")
+    cents = ivf_fit_centroids(corpus, n_centroids, id_col, vec_col)
+    cdf = _centroids_df(spark, cents)
+    ct.append(cdf)
+    vt = LogTable.create(spark, os.path.join(table_path, "vectors"),
+                         ["cell"])
+    return vt.append(_ivf_assign(corpus, cdf, id_col, vec_col, dims))
+
+
+def _ivf_assign(vecs: DataFrame, cdf: DataFrame, id_col: str,
+                vec_col: str, dims: int) -> DataFrame:
+    """(vec_id, cell, qvec, norm): nearest-centroid assignment keeping
+    the precomputed quantized vector + norm (min_by over a carrier
+    struct — the x n_centroids fan-out collapses map-side)."""
+    n = _quantized(vecs, id_col, vec_col, "vec_id", "qvec", dims,
+                   with_norm="norm")
+    return (n.crossJoin(F.broadcast(cdf))
+             .select("vec_id",
+                     F.struct("cell", "qvec", "norm").alias("_carry"),
+                     F.struct(l2_q(F.col("qvec"), F.col("cv")).alias("d"),
+                              F.col("cell")).alias("_key"))
+             .groupBy("vec_id")
+             .agg(F.min_by("_carry", "_key").alias("s"))
+             .select("vec_id", F.col("s.cell").alias("cell"),
+                     F.col("s.qvec").alias("qvec"),
+                     F.col("s.norm").alias("norm")))
+
+
+def ivf_index_append(spark, table_path: str, new_vecs: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dims: int = 64, txn: str | None = None) -> int:
+    """Incrementally add vectors to a persisted IVF index: assign
+    against the EXISTING centroids (no retrain — the standard serving
+    tradeoff; if the data distribution drifts, cell sizes skew and
+    recall sags, which ann_recall_gate-style monitoring catches) and
+    append as one atomic commit. ``txn`` makes streaming replays
+    exactly-once, so a foreachBatch can feed the index directly."""
+    from w_userflow_featurestore_spark.sources import LogTable
+    cdf = LogTable(spark, os.path.join(table_path, "centroids")).read()
+    vt = LogTable(spark, os.path.join(table_path, "vectors"))
+    return vt.append(_ivf_assign(new_vecs, cdf, id_col, vec_col, dims),
+                     txn=txn)
+
+
+def ivf_index_search(spark, table_path: str, queries: DataFrame,
+                     k: int = 5, nprobe: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dims: int = 64) -> DataFrame:
+    """Probe a persisted IVF index: nprobe nearest cells per query
+    (broadcast centroid model), then ONE partition-pruned read of just
+    the probed cells' files, exact-cosine re-rank. The only driver
+    materialization is the probed cell-id list — model-sized
+    (<= n_centroids), needed to push the cell predicate into the
+    MANIFEST before Spark lists the scan."""
+    from w_userflow_featurestore_spark.sources import LogTable
+    cdf = LogTable(spark, os.path.join(table_path, "centroids")).read()
+    q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
+                   with_norm="q_norm", spread=False)
+    wq = Window.partitionBy("q_id").orderBy("d", "cell")
+    probes = (q.select("q_id", "q_vec")
+               .crossJoin(F.broadcast(cdf))
+               .select("q_id", "cell",
+                       l2_q(F.col("q_vec"), F.col("cv")).alias("d"))
+               .withColumn("_rn", F.row_number().over(wq))
+               .where(F.col("_rn") <= nprobe)
+               .select("q_id", "cell"))
+    cells = sorted({r["cell"] for r in
+                    probes.select("cell").distinct().collect()})
+    vt = LogTable(spark, os.path.join(table_path, "vectors"))
+    vecs = vt.read(filters=[("cell", "in", cells)])
+    cand = (vecs.join(F.broadcast(probes), "cell")
+                .where(F.col("vec_id") != F.col("q_id")))
+    cos = dot_q(F.col("q_vec"), F.col("qvec")) \
+        / (F.col("q_norm") * F.col("norm"))
+    scored = (cand.join(F.broadcast(q), "q_id")
+                  .select("q_id", F.col("vec_id").alias("n_id"),
+                          fround(cos, 4).alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                           F.col("n_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= k))
