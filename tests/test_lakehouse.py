@@ -751,3 +751,44 @@ def test_update_where_no_match_is_noop(spark, table):
     s1 = table.append(_df(spark, [(1, D1, "a")]))
     assert table.update_where([("k", "=", 99)], {"v": "X"}) == s1
     assert len(table.snapshots()) == 1
+
+
+# ------------------------------------------------------------ change feed
+
+def test_change_feed_append_merge_delete_update(spark, table):
+    s0 = table.append(_df(spark, [(1, D1, "a"), (2, D1, "b")]))
+    table.merge(_df(spark, [(2, D1, "B"), (3, D2, "c")]), keys=["k"])
+    table.delete_where([("k", "=", 1)])
+    table.update_where([("k", "=", 3)], {"v": "C"})
+    feed = {(r["k"], r["v"], r["_change_type"])
+            for r in table.change_feed(s0).collect()}
+    # u2: update pair; k1: delete; k3: insert (its later update folds
+    # into the NET change since s0 — inserted as C)
+    assert feed == {(2, "b", "delete"), (2, "B", "insert"),
+                    (1, "a", "delete"),
+                    (3, "C", "insert")}
+
+
+def test_change_feed_compact_and_copied_rows_cancel(spark, table):
+    table.append(_df(spark, [(1, D1, "a"), (2, D1, "b")]))
+    s = table.latest_snapshot_id()
+    table.compact(target_files=1)            # rewrite, identical data
+    assert table.change_feed(s).count() == 0
+    # a merge copies the untouched row (k=1) into a new file: the copy
+    # must NOT appear as a change
+    table.merge(_df(spark, [(2, D1, "B")]), keys=["k"])
+    feed = {(r["k"], r["v"], r["_change_type"])
+            for r in table.change_feed(s).collect()}
+    assert feed == {(2, "b", "delete"), (2, "B", "insert")}
+
+
+def test_change_feed_full_history_and_bad_range(spark, table):
+    table.append(_df(spark, [(1, D1, "a")]))
+    s1 = table.latest_snapshot_id()
+    table.delete_where([("k", "=", 1)])
+    # from table birth: net effect is empty (inserted then deleted)
+    assert table.change_feed(None).count() == 0
+    table.rollback(s1)
+    with pytest.raises(BrokenLineageError):
+        # the dead fork's head is not an ancestor of the new head
+        table.change_feed(s1 + 1)
