@@ -1035,6 +1035,27 @@ def q_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                            <= bound)).cast("int").alias("bound_ok")))
 
 
+def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per item over the co-view graph (items
+    sharing a user-day; operators/graph.py triangle_count) — the
+    cohesion metric for recommendation clusters; oriented-wedge join,
+    each triangle found exactly once."""
+    from w_userflow_featurestore_spark.operators.graph import (
+        triangle_count,
+    )
+    item = F.from_json(F.col("props"), "k INT")["k"]
+    ui = (_events(spark, sf_dir)
+          .select(F.to_date("ts").alias("day"), "user_id",
+                  item.alias("i"))
+          .where(F.col("i").isNotNull()).distinct())
+    pairs = (ui.alias("l")
+             .join(ui.alias("r"), ["day", "user_id"])
+             .where(F.col("l.i") < F.col("r.i"))
+             .select(F.col("l.i").alias("src"), F.col("r.i").alias("dst"))
+             .distinct())
+    return triangle_count(pairs)
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort-retention triangle (operators/metrics.py
     cohort_retention_triangle): first-seen-day cohorts x day offset,
@@ -1175,6 +1196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "ab_test": q_ab_test,
     "hll_union_rollup": q_hll_union_rollup,
+    "item_triangles": q_item_triangles,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -3052,6 +3074,37 @@ SELECT u AS user_id, i AS item_k, CAST(draw AS BIGINT) AS draw,
        neg AS neg_item_k
 FROM cand c
 WHERE NOT EXISTS (SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.i = c.neg)
+"""
+
+ORACLES["item_triangles"] = """
+WITH ui AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id,
+         CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS i
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT l.i AS a, r.i AS b
+  FROM ui l JOIN ui r
+    ON l.day = r.day AND l.user_id = r.user_id AND l.i < r.i
+),
+wedge AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+),
+tri AS (
+  SELECT w.x, w.y, w.z
+  FROM wedge w JOIN edges e ON e.a = w.x AND e.b = w.z
+),
+pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY 1
+),
+nodes AS (SELECT a AS node FROM edges UNION SELECT b FROM edges)
+SELECT node, CAST(coalesce(n, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN pn USING (node)
 """
 
 ORACLES["cohort_retention"] = """

@@ -248,3 +248,11 @@ def test_cohort_and_abtest_plan_pins(spark):
     # inference is row-local arithmetic on a 1-row frame
     assert_plan(_q(spark, "ab_test"), max_shuffles=3,
                 max_sort_merge_joins=0)
+
+
+def test_item_triangles_plan_pin(spark):
+    # oriented-wedge triangle counting over the ONCE-materialized edge
+    # list (loop-invariant discipline): bounded joins, no cartesians
+    df = _q(spark, "item_triangles")
+    assert_plan(df, max_shuffles=8)
+    assert "CartesianProduct" not in physical_plan(df)

@@ -211,3 +211,19 @@ def test_line_dedup_matches_counting_model(spark, docs):
             continue
         assert got[i] == ("\n".join(kept), len(kept),
                           len(trimmed) - len(kept))
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: triangles {1,2,3} and {1,2,4} -> corners 1,2
+    in both, 3 and 4 in one each; an isolated edge contributes zeros."""
+    from tests.conftest import rows
+    from w_userflow_featurestore_spark.operators.graph import (
+        triangle_count,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4),   # K4 minus (3,4)
+         (3, 2), (2, 1),                           # dupes / reversed
+         (9, 8)],                                  # triangle-free edge
+        "src long, dst long")
+    got = dict(rows(triangle_count(edges), "node", "n_triangles"))
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1, 8: 0, 9: 0}
