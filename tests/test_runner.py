@@ -136,3 +136,26 @@ def test_run_daily_features_for_date_matches_full_run(spark, tmp_path):
     ud = spark.read.parquet(f"{g_daily}/user_daily")
     full_ud = spark.read.parquet(f"{g_full}/user_daily")
     assert ud.count() == full_ud.count()
+
+
+def test_quality_gate_blocks_bad_silver(spark, tmp_path):
+    """Content constraints refuse the gold write before any partition
+    is touched — and the error reports EVERY failing rule."""
+    import pytest as _pt
+
+    from w_userflow_featurestore_spark.operators.quality import (
+        not_null, unique,
+    )
+    from w_userflow_featurestore_spark.runner import (
+        QualityGateError, quality_gate,
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c")], "session_id long, v string")
+    with _pt.raises(QualityGateError) as ei:
+        quality_gate(df, [not_null("session_id"), unique("session_id")])
+    msg = str(ei.value)
+    assert "session_id_not_null" in msg and "session_id_unique" in msg
+    # a clean frame passes silently
+    ok = spark.createDataFrame([(1, "a"), (2, "b")],
+                               "session_id long, v string")
+    quality_gate(ok, [not_null("session_id"), unique("session_id")])

@@ -68,6 +68,27 @@ def completeness_gate(df: DataFrame, partition_col: str, min_rows: int,
     return got
 
 
+class QualityGateError(RuntimeError):
+    """Raised when a content-constraint suite fails before a write."""
+
+
+def quality_gate(df: DataFrame, rules: list[dict]) -> None:
+    """Evaluate a quality_report constraint suite and REFUSE the write
+    on any violation — the content-level upgrade of completeness_gate
+    (which only counts rows, the reference's file-count proxy). One
+    aggregation pass; the error carries every failing rule with its
+    violation count so the on-call sees the whole blast radius at once,
+    not just the first failed assert."""
+    from w_userflow_featurestore_spark.operators.quality import (
+        quality_report,
+    )
+    bad = [(r["rule"], r["n_violations"])
+           for r in quality_report(df, rules).collect()
+           if r["passed"] == 0]
+    if bad:
+        raise QualityGateError(f"constraints failed: {bad}")
+
+
 @dataclass
 class SilverResult:
     mode: str            # incremental | full | empty
@@ -142,7 +163,8 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
 def run_daily_features(spark: SparkSession, silver_path: str, events: DataFrame,
                        out_dir: str, min_rows_per_day: int = 1,
                        table_format: str = "parquet",
-                       for_date: str | None = None) -> dict[str, int]:
+                       for_date: str | None = None,
+                       quality_rules: list[dict] | None = None) -> dict[str, int]:
     """All gold-grain feature tables, gated then written idempotently.
     ``table_format="log"`` makes each table a LogTable whose daily
     overwrite is one atomic remove+add commit (reference S10 on a real
@@ -182,6 +204,10 @@ def run_daily_features(spark: SparkSession, silver_path: str, events: DataFrame,
         sessions, "datetime", min_rows_per_day,
         partitions=([_dt.date.fromisoformat(for_date)]
                     if for_date else None))
+    if quality_rules:
+        # content constraints on the silver input, same fail-fast spot
+        # as the volume gate (before any gold partition is touched)
+        quality_gate(sessions, quality_rules)
 
     item = M.item_daily(events)
     outputs: dict[str, DataFrame] = {
