@@ -1035,6 +1035,29 @@ def q_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                            <= bound)).cast("int").alias("bound_ok")))
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributed to the user's
+    most recent click within a 30-minute lookback (AS-OF join +
+    tolerance filter) — the marketing/ads counterpart of point-in-time
+    feature serving; clicks outside the window leave the purchase
+    unattributed rather than matching stale touches."""
+    from w_userflow_featurestore_spark.operators.asof import asof_join
+    e = _events(spark, sf_dir)
+    purchases = (e.where(F.col("event_type") == "purchase")
+                  .select("event_id", "user_id", "ts"))
+    clicks = (e.where(F.col("event_type") == "click")
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_id").alias("click_id")))
+    j = asof_join(purchases, clicks, on=["user_id"], suffix="_c")
+    lat = epoch_ms(F.col("ts")) - epoch_ms(F.col("ts_c"))
+    ok = F.col("ts_c").isNotNull() & (lat <= 30 * 60 * 1000)
+    return j.select(
+        "event_id", "user_id", epoch_ms(F.col("ts")).alias("ts_ms"),
+        F.when(ok, F.col("click_id_c")).alias("click_event_id"),
+        F.when(ok, lat).cast("long").alias("latency_ms"),
+        ok.cast("int").alias("attributed"))
+
+
 def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle participation per item over the co-view graph (items
     sharing a user-day; operators/graph.py triangle_count) — the
@@ -1197,6 +1220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_test": q_ab_test,
     "hll_union_rollup": q_hll_union_rollup,
     "item_triangles": q_item_triangles,
+    "attribution": q_attribution,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -3074,6 +3098,35 @@ SELECT u AS user_id, i AS item_k, CAST(draw AS BIGINT) AS draw,
        neg AS neg_item_k
 FROM cand c
 WHERE NOT EXISTS (SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.i = c.neg)
+"""
+
+ORACLES["attribution"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, max(event_id) AS click_id FROM events
+  WHERE event_type = 'click' GROUP BY 1, 2
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         c.ts AS cts, c.click_id
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       CASE WHEN cts IS NOT NULL
+             AND epoch_ms(ts) - epoch_ms(cts) <= 1800000
+            THEN click_id END AS click_event_id,
+       CAST(CASE WHEN cts IS NOT NULL
+                  AND epoch_ms(ts) - epoch_ms(cts) <= 1800000
+                 THEN epoch_ms(ts) - epoch_ms(cts) END AS BIGINT)
+         AS latency_ms,
+       CAST(cts IS NOT NULL
+            AND epoch_ms(ts) - epoch_ms(cts) <= 1800000 AS INT)
+         AS attributed
+FROM j
 """
 
 ORACLES["item_triangles"] = """

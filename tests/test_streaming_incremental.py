@@ -438,3 +438,40 @@ def test_parse_with_dead_letter_splits_and_preserves_payload(spark):
         rows(parse_kafka_events(only_good, ddl), *valid.columns)
     got = {r["reason"]: r["payload"] for r in dead.collect()}
     assert got == {"missing:event_id": noid, "unparseable": junk}
+
+
+def test_streaming_attribution_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream left-outer join: in-window clicks
+    attach, out-of-window and clickless purchases emit with NULLs once
+    the watermark closes — matched against the equivalent batch join."""
+    from w_userflow_featurestore_spark.streaming.ingest import (
+        streaming_attribution,
+    )
+    psrc, csrc, out = (str(tmp_path / d) for d in ("p", "c", "o"))
+    _write_events(spark, psrc, [
+        _batch(100, "2024-01-01 10:00:00", 1, "purchase"),
+        _batch(101, "2024-01-01 12:00:00", 2, "purchase"),
+        _batch(102, "2024-01-01 12:00:00", 3, "purchase"),
+        # late sentinel far ahead so the watermark closes everything
+        _batch(103, "2024-01-02 12:00:00", 9, "purchase"),
+    ])
+    _write_events(spark, csrc, [
+        _batch(200, "2024-01-01 09:50:00", 1, "click"),   # in window
+        _batch(201, "2024-01-01 09:40:00", 1, "click"),   # also in window
+        _batch(202, "2024-01-01 09:00:00", 2, "click"),   # too old
+        _batch(203, "2024-01-02 12:00:00", 9, "click"),
+    ])
+    joined = streaming_attribution(
+        spark.readStream.schema(EVENTS_DDL).parquet(psrc),
+        spark.readStream.schema(EVENTS_DDL).parquet(csrc))
+    q = (joined.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["event_id"], r["click_event_id"])
+           for r in spark.read.parquet(out).collect()}
+    assert (100, 200) in got and (100, 201) in got   # both candidates
+    assert (102, None) in got                        # clickless purchase
+    assert (101, None) in got                        # only stale click
+    assert (101, 202) not in got

@@ -6,6 +6,7 @@ from w_userflow_featurestore_spark.streaming.ingest import (
     stream_upsert,
     streaming_dedup,
     streaming_drift_monitor,
+    streaming_attribution,
     streaming_scd2,
     streaming_sessionize,
     streaming_window_counts,
@@ -18,7 +19,7 @@ from w_userflow_featurestore_spark.streaming.stateful import (
 
 __all__ = ["bronze_ingest", "parse_kafka_events", "parse_with_dead_letter", "read_event_stream",
            "stream_upsert", "streaming_dedup", "streaming_drift_monitor",
-           "streaming_scd2", "streaming_sessionize",
+           "streaming_attribution", "streaming_scd2", "streaming_sessionize",
            "streaming_window_counts",
            "stateful_sessionize", "fold_events",
            "close_session"]

@@ -367,3 +367,35 @@ def parse_with_dead_letter(raw: DataFrame, schema: StructType | str,
                   .select(F.col("_json").alias("payload"),
                           reason.alias("reason")))
     return valid, dead
+
+
+def streaming_attribution(purchases: DataFrame, clicks: DataFrame,
+                          window: str = "30 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Watermarked STREAM-STREAM left-outer join: each purchase joined
+    to the user's clicks within the lookback ``window`` — the
+    candidate-generation half of last-touch attribution (the batch
+    ``attribution`` query then picks the latest touch; a stream-stream
+    join cannot rank within the frame, so ranking belongs downstream
+    in foreachBatch or the batch layer).
+
+    Both sides carry event-time watermarks and the join predicate
+    carries the time-range constraint — the two conditions Spark needs
+    to BOUND the join state store: a click's state is dropped once the
+    purchase watermark passes click_ts + window, so state is
+    O(replay window x click rate), not stream lifetime. Unmatched
+    purchases emit with NULL click columns when the watermark closes
+    their window (left-outer stream-stream semantics).
+    """
+    p = purchases.withWatermark("ts", watermark)
+    c = (clicks.select(F.col("user_id").alias("c_user_id"),
+                       F.col("ts").alias("click_ts"),
+                       F.col("event_id").alias("click_event_id"))
+               .withWatermark("click_ts", watermark))
+    cond = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("ts"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr(f"interval {window}"))
+    )
+    return (p.join(c, cond, "leftOuter")
+             .drop("c_user_id"))
