@@ -1035,6 +1035,30 @@ def q_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                            <= bound)).cast("int").alias("bound_ok")))
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type [p01, p99] winsorization of value
+    (operators/features.py): exact percentile bounds from one
+    group-grain aggregate broadcast onto the scan — outlier capping
+    without a global sort."""
+    from w_userflow_featurestore_spark.operators.features import (
+        winsorize,
+    )
+    return (winsorize(_events(spark, sf_dir), "value", "event_type")
+            .select("event_id", "event_type", "value_w", "clipped"))
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value with
+    additive smoothing (operators/features.py) — the leakage-safe
+    high-cardinality categorical encoding, exact integer cents
+    throughout with one mirrored double division."""
+    from w_userflow_featurestore_spark.operators.features import (
+        target_encode,
+    )
+    return (target_encode(_events(spark, sf_dir), "event_type", "value")
+            .select("event_id", "event_type", "te_event_type"))
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase attributed to the user's
     most recent click within a 30-minute lookback (AS-OF join +
@@ -1221,6 +1245,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_union_rollup": q_hll_union_rollup,
     "item_triangles": q_item_triangles,
     "attribution": q_attribution,
+    "winsorize": q_winsorize,
+    "target_encode": q_target_encode,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -3098,6 +3124,43 @@ SELECT u AS user_id, i AS item_k, CAST(draw AS BIGINT) AS draw,
        neg AS neg_item_k
 FROM cand c
 WHERE NOT EXISTS (SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.i = c.neg)
+"""
+
+ORACLES["winsorize"] = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, b.lo), b.hi), 2) AS value_w,
+       CAST(e.value < b.lo OR e.value > b.hi AS INT) AS clipped
+FROM events e JOIN b USING (event_type)
+"""
+
+# exact-cents LOO numerator, one mirrored double division chain
+ORACLES["target_encode"] = """
+WITH c AS (
+  SELECT *, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(sum(cents) AS BIGINT) AS csum,
+         CAST(count(*) AS BIGINT) AS cn
+  FROM c GROUP BY 1
+),
+g AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS gsum,
+         CAST(count(*) AS BIGINT) AS gn
+  FROM c
+)
+SELECT c.event_id, c.event_type,
+       round((c2.csum - c.cents
+              + CAST(floor(g.gsum / g.gn) AS BIGINT) * 20)
+             / (c2.cn - 1 + 20) / 100.0, 2) AS te_event_type
+FROM c JOIN s c2 USING (event_type) CROSS JOIN g
 """
 
 ORACLES["attribution"] = """

@@ -256,3 +256,15 @@ def test_item_triangles_plan_pin(spark):
     df = _q(spark, "item_triangles")
     assert_plan(df, max_shuffles=8)
     assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_feature_transform_plan_pins(spark):
+    # attribution: union + keyed window AS-OF form — ONE shuffle
+    assert_plan(_q(spark, "attribution"), max_shuffles=2,
+                max_sort_merge_joins=0)
+    # winsorize / target_encode: group-grain aggregate broadcast back
+    # onto the scan; the fact table shuffles zero times
+    assert_plan(_q(spark, "winsorize"), max_shuffles=2,
+                min_broadcast_joins=1, max_sort_merge_joins=0)
+    assert_plan(_q(spark, "target_encode"), max_shuffles=2,
+                min_broadcast_joins=2, max_sort_merge_joins=0)

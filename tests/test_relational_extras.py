@@ -90,3 +90,42 @@ def test_daily_volume_anomaly_null_baseline_and_flags(spark):
     assert got["2024-01-01"] == (None, None, None)       # no baseline
     assert got["2024-01-02"] == (10, 3000, 1)            # collapse -> flag
     assert got["2024-01-03"] == (3, 13333, 0)            # within band
+
+
+def test_winsorize_caps_and_flags(spark):
+    from tests.conftest import rows as _rows
+    from w_userflow_featurestore_spark.operators.features import (
+        winsorize,
+    )
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(1, 101)],
+        "event_id long, event_type string, value double")
+    out = winsorize(df, "value", "event_type", 0.10, 0.90)
+    got = {r["event_id"]: (r["value_w"], r["clipped"])
+           for r in out.collect()}
+    # p10 of 1..100 = 10.9, p90 = 90.1 (linear interpolation)
+    assert got[1] == (10.9, 1) and got[100] == (90.1, 1)
+    assert got[50] == (50.0, 0)
+    assert sum(c for _, c in got.values()) == 20   # 1..10 and 91..100
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    from w_userflow_featurestore_spark.operators.features import (
+        target_encode,
+    )
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "x", 20.0), (3, "x", 30.0),
+         (4, "y", 100.0)],
+        "event_id long, event_type string, value double")
+    out = {r["event_id"]: r["te_event_type"]
+           for r in target_encode(df, "event_type", "value",
+                                  smoothing=0).collect()}
+    # LOO means for x: row1 -> (20+30)/2, row2 -> (10+30)/2, ...
+    assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+    # singleton category with no smoothing: 0/0 -> NULL, not a crash
+    assert out[4] is None
+    # with smoothing, the singleton shrinks to the global prior
+    sm = {r["event_id"]: r["te_event_type"]
+          for r in target_encode(df, "event_type", "value",
+                                 smoothing=10).collect()}
+    assert sm[4] == 40.0                  # prior = mean(10,20,30,100)
