@@ -1059,6 +1059,14 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type", "te_event_type"))
 
 
+def q_behavior_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral trigrams (operators/paths.py path_ngrams):
+    path DISCOVERY one order above the transition matrix — n-1 lead
+    windows over ONE entity-partitioned sort, no sequence self-joins."""
+    from w_userflow_featurestore_spark.operators.paths import path_ngrams
+    return path_ngrams(_events(spark, sf_dir), n=3, k=20)
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase attributed to the user's
     most recent click within a 30-minute lookback (AS-OF join +
@@ -1247,6 +1255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "winsorize": q_winsorize,
     "target_encode": q_target_encode,
+    "behavior_trigrams": q_behavior_trigrams,
     # --- round-3 certificates ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -3124,6 +3133,20 @@ SELECT u AS user_id, i AS item_k, CAST(draw AS BIGINT) AS draw,
        neg AS neg_item_k
 FROM cand c
 WHERE NOT EXISTS (SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.i = c.neg)
+"""
+
+ORACLES["behavior_trigrams"] = """
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
 """
 
 ORACLES["winsorize"] = """

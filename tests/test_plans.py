@@ -268,3 +268,10 @@ def test_feature_transform_plan_pins(spark):
                 min_broadcast_joins=1, max_sort_merge_joins=0)
     assert_plan(_q(spark, "target_encode"), max_shuffles=2,
                 min_broadcast_joins=2, max_sort_merge_joins=0)
+
+
+def test_behavior_trigrams_plan_pin(spark):
+    # n-1 leads share ONE entity sort; top-k via TakeOrdered
+    df = _q(spark, "behavior_trigrams")
+    assert_plan(df, max_shuffles=2, max_sort_merge_joins=0)
+    assert "TakeOrderedAndProject" in physical_plan(df)

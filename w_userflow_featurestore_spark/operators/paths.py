@@ -112,3 +112,32 @@ def behavior_diversity(events: DataFrame, key_col: str = "user_id",
                  F.count(F.lit(1)).cast("long").alias("n_behaviors"),
                  fround((n * n - sq).cast("double") / (n * n), 4)
                  .alias("gini_impurity")))
+
+
+def path_ngrams(events: DataFrame, n: int = 3, k: int = 20, *,
+                entity_col: str = "user_id", type_col: str = "event_type",
+                ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Top-``k`` behavioral n-grams: the most frequent length-``n``
+    consecutive event-type sequences across entity streams — path
+    mining one order above transition_matrix's bigrams (where funnels
+    test a KNOWN sequence, this DISCOVERS the dominant ones).
+
+    n-1 lead windows share one (entity)-partitioned sort, the n-gram
+    is a row-local concat (no self-joins — the classic sequence-join
+    formulation shuffles n times; this shuffles once), then a hash
+    aggregate with map-side combine and a TakeOrdered top-k with the
+    engine's deterministic tie-break. Per-task state is the window
+    frame (n-1 rows), never the stream.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    steps = [F.col(type_col)] + [F.lead(type_col, i).over(w)
+                                 for i in range(1, n)]
+    gram = F.concat_ws(">", *steps)
+    return (events
+            .select(gram.alias("path"),
+                    steps[-1].isNotNull().alias("_full"))
+            .where(F.col("_full"))
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+            .orderBy(F.desc("n_paths"), F.asc("path"))
+            .limit(k))
