@@ -1197,9 +1197,10 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # certificates first, plus anything whose implementation or oracle
 # changed this round, plus every NEW query. Union across the last two
 # rounds must cover all entries. Round 4: the 27 round-2-certificate
-# queries lead, then the 2 changed + 7 new this round, then the
-# round-3 certificates; the first 50 re-covers all round-2 holders and
-# the tail keeps valid round-3 certificates.
+# queries lead, then the 2 changed + the 18 new this round (positions
+# 29-47); the first 50 re-covers all round-2 holders and the tail
+# keeps valid round-3 certificates. ROUND 5: rotate the round-3 tail
+# (doc_chunks .. sessions) to the front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-2 certificates (oldest) — certify these first ---
     "user_daily": q_user_daily,
@@ -1212,7 +1213,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_today": q_retention_today,
     "cohort_vs_global": q_cohort_vs_global,
     "dim_gap_features": q_dim_gap_features,
-    "dedup_latest": q_dedup_latest,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "exact_dedup": q_exact_dedup,
@@ -1227,7 +1227,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_profile": q_repetition_profile,
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
-    "above_avg_orders": q_above_avg_orders,
     "frequent_tokens": q_frequent_tokens,
     # --- changed in round 4 (re-certify) ---
     "fingerprint_pairs": q_fingerprint_pairs,
@@ -1256,7 +1255,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize": q_winsorize,
     "target_encode": q_target_encode,
     "behavior_trigrams": q_behavior_trigrams,
-    # --- round-3 certificates ---
+    # --- certificate tail (certify first next round) ---
+    # dedup_latest / above_avg_orders: r2 certificates, operator
+    # modules untouched since; displaced from the top-50 window
+    # by this round's 23 new queries — FIRST in line for round 5
+    "dedup_latest": q_dedup_latest,
+    "above_avg_orders": q_above_avg_orders,
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
