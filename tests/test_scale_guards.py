@@ -123,3 +123,22 @@ def test_semantic_dedup_cell_occupancy_balanced(spark):
     assert occupancy <= 4 * (n_total // k), (
         f"hottest cell {occupancy} of {n_total} vectors "
         f"(mean {n_total // k}) — quantizer collapsed")
+
+
+def test_triangle_orientation_caps_hub_outdegree(spark):
+    """Degree-ordered orientation: a hub connected to every spoke must
+    carry ~zero wedge load — every hub edge orients TOWARD the hub
+    (higher degree), so the hub's out-degree is 0 and the wedge
+    explosion an id-ordered orientation would produce (hub id 0 ->
+    deg² wedges) cannot happen. Star + one spoke-spoke edge: exactly
+    one triangle, found at the degree-minimal corner."""
+    from tests.conftest import rows
+    from w_userflow_featurestore_spark.operators.graph import (
+        triangle_count,
+    )
+    star = [(0, i) for i in range(1, 30)] + [(1, 2)]
+    got = dict(rows(triangle_count(
+        spark.createDataFrame(star, "src long, dst long")),
+        "node", "n_triangles"))
+    assert got[0] == 1 and got[1] == 1 and got[2] == 1
+    assert all(got[i] == 0 for i in range(3, 30))
