@@ -109,3 +109,16 @@ def test_key_skew_profile_ranks_and_shares(spark):
     assert (top["key"], top["n_rows"], top["share_bp"]) == ("1", 6, 6000)
     # deterministic tie-break among the 1-row keys: lexicographic key
     assert [r["key"] for r in got[1:]] == sorted(r["key"] for r in got[1:])
+
+
+def test_backfill_explicit_end_day_excludes_later_cohorts(spark):
+    """end_day earlier than a key's first activity must yield NO rows
+    for that key — sequence(start, stop) REVERSES when start > stop,
+    so without the guard the key would get a descending phantom grid."""
+    df = _ev(spark, [
+        (1, "2024-01-01 12:00:00", 1, "view", 1.0),
+        (2, "2024-01-05 12:00:00", 2, "view", 2.0),   # after end_day
+    ])
+    out = feature_backfill(df, end_day="2024-01-03").collect()
+    assert sorted((r["user_id"], r["day"]) for r in out) == [
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-03")]

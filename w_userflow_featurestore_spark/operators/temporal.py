@@ -318,8 +318,12 @@ def feature_backfill(events: DataFrame, key_col: str = "user_id",
     else:
         bounds = (daily.groupBy("key").agg(F.min("day").alias("_d0"))
                        .withColumn("_end", F.lit(end_day).cast("date")))
-    grid = bounds.select(
-        "key", F.explode(F.sequence("_d0", "_end")).alias("day"))
+    # keys whose first activity postdates end_day get NO rows — guard
+    # required because sequence(start, stop) REVERSES when start > stop
+    # (a descending phantom grid, not an empty one)
+    grid = (bounds.where(F.col("_d0") <= F.col("_end"))
+                  .select("key",
+                          F.explode(F.sequence("_d0", "_end")).alias("day")))
     g = grid.join(daily, ["key", "day"], "left")
     w = (Window.partitionBy("key").orderBy("day")
                .rowsBetween(Window.unboundedPreceding, 0))

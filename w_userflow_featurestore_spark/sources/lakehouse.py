@@ -639,7 +639,13 @@ class LogTable:
         ``rollback`` are rewrites with identical data — their
         adds/removes cancel here by construction. Raises
         :class:`BrokenLineageError` only when ``start`` is not an
-        ancestor of ``end``."""
+        ancestor of ``end``.
+
+        Retention constraint (same as Delta CDF): the before-image
+        lives in the range's net-removed files, which ``vacuum`` is
+        free to delete once they leave the current timeline — read
+        the feed within the vacuum retention window, or vacuum with a
+        retention that covers your longest feed lag."""
         if end_snapshot_id is None:
             end_snapshot_id = self.latest_snapshot_id()
         if end_snapshot_id is None:
