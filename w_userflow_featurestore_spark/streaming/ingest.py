@@ -346,8 +346,11 @@ def parse_with_dead_letter(raw: DataFrame, schema: StructType | str,
     if isinstance(schema, str):
         full = schema + ", _corrupt string"
     else:
-        from pyspark.sql.types import StringType
-        full = schema.add("_corrupt", StringType())
+        from pyspark.sql.types import StringType, StructField
+        # StructType.add MUTATES (and returns) self — build a fresh
+        # StructType so the caller's schema object stays untouched
+        full = StructType(list(schema.fields)
+                          + [StructField("_corrupt", StringType())])
     parsed = (raw.selectExpr("CAST(value AS STRING) AS _json")
                  .withColumn("_data", F.from_json(
                      "_json", full,
