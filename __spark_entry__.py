@@ -964,6 +964,25 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex_r, sem_r], k=10)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit-resize geometry for image payloads
+    (operators/multimodal.py resize_images) — mapInPandas Arrow stage
+    with pure-integer output geometry, so even the Python path carries
+    a full value oracle."""
+    return MM.resize_images(
+        MM.multimodal_features(read_table(spark, sf_dir, "documents")),
+        target_w=224, target_h=224)
+
+
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio windowing (1 -> N fan-out; the STFT framing
+    step) over decoded audio rows — deterministic per-window checksums
+    keep the Arrow stage value-oracle-able."""
+    return MM.audio_windows(
+        MM.multimodal_features(read_table(spark, sf_dir, "documents")),
+        window_ms=1000, hop_ms=500)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> typed features through the Arrow mapInPandas
     path (deterministic fake decode; the plumbing under test is real)."""
@@ -1213,8 +1232,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_today": q_retention_today,
     "cohort_vs_global": q_cohort_vs_global,
     "dim_gap_features": q_dim_gap_features,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1255,12 +1272,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize": q_winsorize,
     "target_encode": q_target_encode,
     "behavior_trigrams": q_behavior_trigrams,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
     # --- certificate tail (certify first next round) ---
     # dedup_latest / above_avg_orders: r2 certificates, operator
     # modules untouched since; displaced from the top-50 window
     # by this round's 23 new queries — FIRST in line for round 5
     "dedup_latest": q_dedup_latest,
     "above_avg_orders": q_above_avg_orders,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
@@ -2424,6 +2445,46 @@ decoded AS (
               ELSE 0 END AS BIGINT) AS duration_ms,
          CAST({_MM_CHECKSUM} AS BIGINT) AS checksum
   FROM m
+)
+"""
+
+ORACLES["multimodal_resize"] = _MM_CTE + """
+SELECT media_id, width, height,
+       CAST(CASE WHEN width <= 224 AND height <= 224 THEN width
+                 WHEN width * 224 >= height * 224
+                 THEN 224
+                 ELSE greatest(1, (width * 224) // height) END AS INT)
+         AS out_width,
+       CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
+                 WHEN width * 224 >= height * 224
+                 THEN greatest(1, (height * 224) // width)
+                 ELSE 224 END AS INT) AS out_height,
+       CAST(width > 224 OR height > 224 AS INT) AS resized,
+       CAST(checksum
+            + (CASE WHEN width <= 224 AND height <= 224 THEN width
+                    WHEN width * 224 >= height * 224 THEN 224
+                    ELSE greatest(1, (width * 224) // height) END) * 31
+            + (CASE WHEN width <= 224 AND height <= 224 THEN height
+                    WHEN width * 224 >= height * 224
+                    THEN greatest(1, (height * 224) // width)
+                    ELSE 224 END) AS BIGINT) AS resize_checksum
+FROM decoded WHERE kind = 'image'
+"""
+
+ORACLES["multimodal_audio_windows"] = _MM_CTE + """
+SELECT media_id, CAST(window_idx AS INT) AS window_idx,
+       CAST(window_idx * 500 AS BIGINT) AS start_ms,
+       CAST(least(window_idx * 500 + 1000, duration_ms) AS BIGINT)
+         AS end_ms,
+       CAST(checksum + window_idx * 500
+            + least(window_idx * 500 + 1000, duration_ms) * 7 AS BIGINT)
+         AS window_checksum
+FROM (
+  SELECT media_id, checksum, duration_ms,
+         unnest(range(0, CASE WHEN duration_ms <= 1000 THEN 1
+                              ELSE (duration_ms - 1000) // 500 + 1
+                         END)) AS window_idx
+  FROM decoded WHERE kind = 'audio'
 )
 """
 

@@ -60,3 +60,48 @@ def test_frame_fanout_bounds_and_features(spark):
     # only videos fan out
     kinds = {r["media_id"]: r["kind"] for r in decoded.collect()}
     assert all(kinds[m] == "video" for m in by_media)
+
+
+def test_resize_never_upscales_and_preserves_aspect(spark):
+    from w_userflow_featurestore_spark.operators.multimodal import (
+        multimodal_features, resize_images,
+    )
+    docs = spark.createDataFrame(
+        [(i * 3, f"text {i}") for i in range(40)],   # ids % 3 == 0 -> image
+        "doc_id long, text string")
+    out = resize_images(multimodal_features(docs), 224, 224).collect()
+    assert out
+    for r in out:
+        assert r["out_width"] <= 224 and r["out_height"] <= 224
+        if r["resized"] == 0:
+            assert (r["out_width"], r["out_height"]) == \
+                (r["width"], r["height"])
+        else:
+            # the limiting edge hits the target exactly; the other is
+            # integer-scaled (never above true aspect)
+            assert r["out_width"] == 224 or r["out_height"] == 224
+            assert r["out_width"] * r["height"] <= \
+                r["width"] * (r["out_height"] + 1)
+
+
+def test_audio_windows_cover_clip_with_hop_overlap(spark):
+    from w_userflow_featurestore_spark.operators.multimodal import (
+        audio_windows, multimodal_features,
+    )
+    docs = spark.createDataFrame(
+        [(i * 3 + 1, f"text {i}") for i in range(40)],  # ids % 3 == 1 -> audio
+        "doc_id long, text string")
+    out = audio_windows(multimodal_features(docs), 1000, 500).collect()
+    assert out
+    by_id: dict = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for rows_ in by_id.values():
+        rows_.sort(key=lambda r: r["window_idx"])
+        assert [r["window_idx"] for r in rows_] == list(range(len(rows_)))
+        for r in rows_:
+            assert r["start_ms"] == r["window_idx"] * 500
+            assert r["end_ms"] <= r["start_ms"] + 1000
+        # last window reaches the end of the clip (no uncovered tail
+        # longer than a hop)
+        assert rows_[-1]["end_ms"] >= rows_[-1]["start_ms"]

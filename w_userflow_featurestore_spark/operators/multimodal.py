@@ -131,3 +131,83 @@ def sample_frames(decoded: DataFrame, fps: float = 1.0,
 def multimodal_features(docs: DataFrame, decode: str = "fake") -> DataFrame:
     """End-to-end: synthesize payloads -> Arrow decode -> typed features."""
     return decode_media(synthesize_media(docs), decode=decode)
+
+
+RESIZE_SCHEMA = ("media_id long, width int, height int, out_width int, "
+                 "out_height int, resized int, resize_checksum long")
+
+AUDIO_WINDOW_SCHEMA = ("media_id long, window_idx int, start_ms long, "
+                       "end_ms long, window_checksum long")
+
+
+def resize_images(decoded: DataFrame, target_w: int = 224,
+                  target_h: int = 224,
+                  decode: str = "fake") -> DataFrame:
+    """Aspect-preserving fit-resize plan for image rows — the
+    preprocessing step in front of a vision encoder. The OUTPUT
+    geometry is pure integer arithmetic (width-limited iff
+    w*target_h >= h*target_w; the scaled edge uses integer division),
+    so the Arrow stage's results are engine-exact and fully
+    value-oracle-able — the same discipline as the fake decode.
+    ``decode="real"`` (actual pixel resampling via PIL) is stubbed:
+    the geometry, batch shape, and schema ARE the real plumbing.
+
+    Rows already inside the target box pass through unresized
+    (resized=0, output dims = input dims) — never upscale."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real pixel resampling needs PIL/pillow — not available "
+            "here; the geometry computation and Arrow plumbing are the "
+            "production path")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["kind"] == "image"]
+            rows = []
+            for r in imgs.itertuples():
+                w, h = int(r.width), int(r.height)
+                if w <= target_w and h <= target_h:
+                    ow, oh, rs = w, h, 0
+                elif w * target_h >= h * target_w:     # width-limited
+                    ow = target_w
+                    oh = max(1, (h * target_w) // w)
+                    rs = 1
+                else:
+                    oh = target_h
+                    ow = max(1, (w * target_h) // h)
+                    rs = 1
+                rows.append((int(r.media_id), w, h, ow, oh, rs,
+                             int(r.checksum) + ow * 31 + oh))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "out_width",
+                "out_height", "resized", "resize_checksum"])
+
+    return decoded.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def audio_windows(decoded: DataFrame, window_ms: int = 1000,
+                  hop_ms: int = 500) -> DataFrame:
+    """Overlapping-window fan-out for audio rows (1 -> N, the STFT /
+    feature-extraction framing step): windows start every ``hop_ms``
+    while a full ``window_ms`` fits in the clip; a clip shorter than
+    one window yields a single truncated window. Deterministic
+    per-window checksum rides the decode checksum, so the whole Arrow
+    stage is value-oracle-able."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            auds = pdf[pdf["kind"] == "audio"]
+            rows = []
+            for r in auds.itertuples():
+                dur = int(r.duration_ms)
+                n = 1 if dur <= window_ms else (dur - window_ms) // hop_ms + 1
+                for i in range(n):
+                    start = i * hop_ms
+                    end = min(start + window_ms, dur)
+                    rows.append((int(r.media_id), i, start, end,
+                                 int(r.checksum) + start + end * 7))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "window_idx", "start_ms", "end_ms",
+                "window_checksum"])
+
+    return decoded.mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
