@@ -20,6 +20,13 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime Bloom-filter join pruning: on a selective shuffle join,
+    # Spark builds a Bloom filter from the small side and pre-filters
+    # the big side BEFORE its shuffle — a major IO/shuffle saver at
+    # 100 TB. Injection conditions (scan-size and selectivity
+    # estimates) only materialize at real scale; at fixture scale the
+    # rule declines and the conf is inert, so enabling is pure upside.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for the few pandas-UDF extension ops (multimodal / ANN refine).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics for oracle parity: DuckDB reads the
