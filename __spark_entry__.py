@@ -1363,9 +1363,12 @@ WITH seq AS (
 ),
 numbered AS (
   SELECT *,
-         CAST(user_id * 1000000 + CAST(sum(is_new) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS BIGINT) AS session_id
+         CAST(user_id * 10000000000
+              + CAST(floor(max(CASE WHEN is_new = 1 THEN epoch_ms(ts) END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) / 1000)
+                     AS BIGINT) AS BIGINT) AS session_id
   FROM seq
 ),
 roll AS (

@@ -792,3 +792,18 @@ def test_change_feed_full_history_and_bad_range(spark, table):
     with pytest.raises(BrokenLineageError):
         # the dead fork's head is not an ancestor of the new head
         table.change_feed(s1 + 1)
+
+
+# --------------------------------------------------------- expire
+
+def test_expire_snapshots_releases_history_files(spark, table):
+    s1 = table.append(_df(spark, [(1, D1, "a")]))
+    table.append(_df(spark, [(2, D2, "b")]))
+    table.compact(target_files=1)
+    assert table.vacuum(retention_seconds=0) == 0   # all reachable
+    assert table.expire_snapshots(keep_last=1) == 2
+    assert table.vacuum(retention_seconds=0) >= 2   # pre-compaction files
+    assert rows(table.read(), "k") == [(1,), (2,)]  # current data intact
+    # time travel to expired history now fails cleanly
+    with pytest.raises(BrokenLineageError):
+        table.read_increment(s1, None)

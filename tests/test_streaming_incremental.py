@@ -204,8 +204,12 @@ def test_stateful_sessionize_emits_classified_closed_sessions(spark, tmp_path):
     got = {r["session_id"]: r for r in spark.table("stateful_sess").collect()}
 
     # only the two gap-closed sessions of user 1 emit; open sessions
-    # (user 1 session 3, user 2 session 1) live in the state store
-    assert set(got) == {1_000_001, 1_000_002}
+    # (user 1 session 3, user 2 session 1) live in the state store;
+    # ids are content-derived (user * 1e10 + session-start epoch sec),
+    # matching batch assign_sessions exactly
+    S1 = 11704103200        # user 1 @ 2024-01-01 10:00:00 UTC
+    S2 = 11704108600        # user 1 @ 2024-01-01 11:30:00 UTC
+    assert set(got) == {S1, S2}
 
     batch = {r["session_id"]: r
              for r in sessionize(spark.createDataFrame(data, EVENTS_DDL),
@@ -216,8 +220,8 @@ def test_stateful_sessionize_emits_classified_closed_sessions(spark, tmp_path):
                     "n_items", "seen_purchase", "seen_error", "datetime",
                     "session_state", "is_complete", "is_exit"):
             assert got[sid][col] == batch[sid][col], (sid, col)
-    assert got[1_000_001]["session_state"] == "COMPLETE"
-    assert got[1_000_002]["session_state"] == "EXIT"
+    assert got[S1]["session_state"] == "COMPLETE"
+    assert got[S2]["session_state"] == "EXIT"
 
 
 def test_stateful_fold_and_timeout_close_pure():

@@ -40,18 +40,30 @@ def assign_sessions(events: DataFrame, user_col: str = "user_id",
     """Gaps-and-islands session assignment: adds a ``session_id`` column.
 
     session boundary  <=>  first event of a user OR gap > gap_ms
-    session_id = user_id * 1_000_000 + running count of boundaries  (stable,
-    deterministic, unique across users for user_id < ~9e12).
+    session_id = user_id * 1e10 + epoch-SECOND of the session's first
+    event — CONTENT-derived, so the id of a session is a function of
+    (user, session start) alone, identical no matter which batch or
+    increment computes it. A batch-positional id (user * K + running
+    boundary count, the obvious formulation) silently COLLIDES across
+    incremental runs: the increment's first session of a user takes
+    position 1 again and its MERGE overwrites a different, earlier
+    session. Two sessions of one user start > gap apart (minutes), so
+    epoch-second granularity cannot collide; unique across users for
+    user_id < ~9.2e8 (long headroom above the 1e10 multiplier).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     prev_ms = F.lag(epoch_ms(F.col(ts_col))).over(w)
     is_new = F.when(
         prev_ms.isNull() | (epoch_ms(F.col(ts_col)) - prev_ms > gap_ms), 1
     ).otherwise(0)
-    seq = F.sum(is_new).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # running last-boundary timestamp: same single (user) exchange as
+    # the lag — no extra shuffle for the session-start lookup
+    start_ms = F.max(F.when(is_new == 1, epoch_ms(F.col(ts_col)))).over(cum)
     return events.withColumn(
-        "session_id", (F.col(user_col) * F.lit(1_000_000) + seq).cast("long"))
+        "session_id",
+        (F.col(user_col) * F.lit(10_000_000_000)
+         + F.floor(start_ms / 1000)).cast("long"))
 
 
 def rollup_sessions(events_with_sessions: DataFrame,

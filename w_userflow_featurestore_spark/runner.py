@@ -96,17 +96,70 @@ class SilverResult:
     sessions_upserted: int
 
 
+def _extend_with_open_tails(spark: SparkSession, increment: DataFrame,
+                            silver_path: str, events_path: str,
+                            table_format: str) -> DataFrame:
+    """run_silver's continuation lookback (see its docstring): union the
+    increment with the raw events of still-open tail sessions so
+    re-sessionization merges across the increment boundary. One
+    driver-side scalar (the earliest affected tail start — the bound
+    that makes the re-read prunable) is the only collect."""
+    from w_userflow_featurestore_spark.operators.sessionize import (
+        DEFAULT_GAP_MS,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable
+    try:
+        if table_format == "log":
+            tails = LogTable(spark, silver_path).read()
+        else:
+            tails = spark.read.parquet(silver_path)
+    except Exception:          # first incremental run against no table
+        return increment
+    first_new = (increment.groupBy("user_id")
+                 .agg(F.min("ts").alias("_new_ts")))
+    cand = (tails.join(first_new, "user_id")
+                 .where(F.col("end_time") >=
+                        F.col("_new_ts")
+                        - F.expr(f"interval {DEFAULT_GAP_MS // 1000} seconds"))
+                 .select("user_id", "start_time"))
+    bound = cand.agg(F.min("start_time")).collect()[0][0]
+    if bound is None:
+        return increment
+    if table_format == "log":
+        hist = LogTable(spark, events_path).read(
+            filters=[("ts", ">=", bound)])
+    else:
+        hist = (spark.read.parquet(events_path)
+                     .where(F.col("ts") >= F.lit(bound)))
+    lookback = hist.join(cand.select("user_id").distinct(), "user_id",
+                         "left_semi")
+    return increment.unionByName(
+        lookback.select(*increment.columns))
+
+
 def run_silver(spark: SparkSession, events_path: str, silver_path: str,
                ledger_path: str, now: str,
                table_format: str = "parquet") -> SilverResult:
     """Events -> classified sessions, MERGEd by session key.
 
-    A session's events can span increments (a gap session is only closed
-    by later data), so the sessionize input is each increment's USERS'
-    full history re-read — here, for the parquet fixture, the increment's
-    rows only: the merge key (session_id) makes re-derived sessions
-    idempotent upserts, converging exactly like the reference's 10-minute
-    re-judgment MERGE loop (silver_user_session_events.py:146-186).
+    CONTINUATION-AWARE incremental sessionization: a session can span
+    increments (its tail is still open when the increment is cut), and
+    recomputing only the new rows would fragment it. Before
+    sessionizing, the increment is extended with a LOOKBACK: silver
+    sessions of the increment's users whose end_time is within the
+    session gap of that user's first new event are identified, and the
+    raw events from the earliest such tail's start_time onward (for
+    those users only — a partition/stat-prunable time filter plus a
+    user semi-join, never a full history re-read) are unioned back in.
+    Re-sessionizing the union reproduces each tail session WITH its new
+    events; because session ids are content-derived (user + session
+    start second), the recomputed session carries the SAME id and the
+    MERGE replaces the stale tail row in place — all rollup columns,
+    including non-combinable ones like distinct item counts, come out
+    exact. The reference sidesteps this only because its events carry
+    client-assigned session ids (silver_user_session_events.py:146-186);
+    this engine derives sessions, so the continuation logic is the
+    price of gaps-and-islands semantics.
 
     ``table_format="log"`` binds both ends to the transactional LogTable
     format: the events increment comes from real snapshot lineage
@@ -134,8 +187,12 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
     if plan.mode == "empty":
         plan.commit()
         return SilverResult("empty", 0, 0)
+    raw = plan.df
+    if plan.mode == "incremental":
+        raw = _extend_with_open_tails(spark, raw, silver_path,
+                                      events_path, table_format)
     events = drop_null_keys(
-        dedup_latest(plan.df, key=["event_id"], order_by=["ts"]),
+        dedup_latest(raw, key=["event_id"], order_by=["ts"]),
         ["event_id", "user_id", "ts"])
     # Diagnostics ride the data pass (A17 "counts in ONE pass"): observe()
     # attaches CollectMetrics nodes that are harvested by the single eager

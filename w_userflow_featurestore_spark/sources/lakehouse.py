@@ -416,7 +416,9 @@ class LogTable:
         chain: list[Snapshot] = []
         cur: int | None = snapshot_id
         while cur is not None:
-            s = by_id[cur]
+            s = by_id.get(cur)
+            if s is None:
+                break          # expired history: truncated chain root
             chain.append(s)
             cur = s.parent_id
         return list(reversed(chain))
@@ -962,6 +964,38 @@ class LogTable:
             add=[f for f in chain_files if f not in set(cur)],
             remove=[f for f in cur if f not in set(chain_files)],
             parent_id=snapshot_id, expected_base=base)
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Truncate table history to the newest ``keep_last`` snapshots
+        on the live chain — Iceberg's ``expire_snapshots`` maintenance
+        op. Expired commits' log entries are deleted, so data files
+        referenced ONLY by expired history become unreferenced and the
+        next ``vacuum`` reclaims them (compaction/merge/delete leave
+        old files time-travel-reachable forever otherwise — metadata
+        AND storage grow without bound on a busy table).
+
+        Consequences, all standard for the operation: time travel and
+        ``change_feed`` ranges starting before the truncation point
+        raise/replan (incremental readers fall back to a full read via
+        the broken-lineage path), and a streaming txn token recorded
+        only in expired history would be RE-applied on replay — expire
+        only past the replay window, exactly Iceberg's guidance.
+        Returns the number of snapshots expired."""
+        latest = self.latest_snapshot_id()
+        if latest is None:
+            return 0
+        chain = self._chain(latest)
+        expired = chain[:-keep_last] if keep_last > 0 else chain[:-1]
+        n = 0
+        for snap in expired:
+            p = os.path.join(self._log_path,
+                             f"{snap.snapshot_id:020d}.json")
+            try:
+                os.remove(p)
+                n += 1
+            except FileNotFoundError:
+                pass           # lost a race with another expire
+        return n
 
     def vacuum(self, retention_seconds: float = 24 * 3600.0) -> int:
         """Delete data files unreferenced by the CURRENT timeline (all

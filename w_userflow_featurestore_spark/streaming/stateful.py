@@ -116,7 +116,10 @@ def close_session(st: list, user_id: int, now_ms: int,
         state = "IN_PROGRESS"
     start = pd.Timestamp(st[1], unit="ms")
     return {
-        "session_id": user_id * 1_000_000 + st[0],
+        # content-derived id (user + session-start second) — identical
+        # to batch assign_sessions, so streaming and batch/incremental
+        # outputs merge into the same table rows
+        "session_id": user_id * 10_000_000_000 + st[1] // 1000,
         "user_id": user_id,
         "start_time": start,
         "end_time": pd.Timestamp(st[2], unit="ms"),
