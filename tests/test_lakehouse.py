@@ -807,3 +807,33 @@ def test_expire_snapshots_releases_history_files(spark, table):
     # time travel to expired history now fails cleanly
     with pytest.raises(BrokenLineageError):
         table.read_increment(s1, None)
+
+
+def test_update_where_can_relocate_partition_values(spark, table):
+    """An UPDATE that changes the partition column rewrites the row
+    into its new Hive dir — reads see it under the new value, and
+    partition-filtered reads prune correctly afterwards."""
+    table.append(_df(spark, [(1, D1, "a"), (2, D2, "b")]))
+    table.update_where([("k", "=", 1)], {"datetime": F.lit(D2)})
+    assert rows(table.read(), "k", "datetime") == [(1, D2), (2, D2)]
+    assert table.read(filters=[("datetime", "=", str(D1))]).count() == 0
+    assert rows(table.read(filters=[("datetime", "=", str(D2))]), "k") \
+        == [(1,), (2,)]
+
+
+def test_expire_then_txn_replay_reapplies(spark, table):
+    """expire_snapshots drops the commit that carried a txn token, so
+    a replay past the retention window RE-applies — the documented
+    Iceberg-guidance tradeoff, pinned so it stays a known boundary."""
+    table.append(_df(spark, [(1, D1, "a")]), txn="b1")
+    table.append(_df(spark, [(2, D2, "b")]))
+    assert table.read().count() == 2
+    # replay before expire: no-op
+    table.append(_df(spark, [(1, D1, "a")]), txn="b1")
+    assert table.read().count() == 2
+    table.expire_snapshots(keep_last=1)
+    # the checkpoint rewrite preserves the full live data set
+    assert rows(table.read(), "k") == [(1,), (2,)]
+    # replay after expire: token history gone -> re-applied
+    table.append(_df(spark, [(1, D1, "a")]), txn="b1")
+    assert table.read().count() == 3

@@ -979,13 +979,38 @@ class LogTable:
         raise/replan (incremental readers fall back to a full read via
         the broken-lineage path), and a streaming txn token recorded
         only in expired history would be RE-applied on replay — expire
-        only past the replay window, exactly Iceberg's guidance.
-        Returns the number of snapshots expired."""
+        only past the replay window, exactly Iceberg's guidance. The
+        oldest kept commit is rewritten as a CHECKPOINT holding the
+        full live file set + stats as of its snapshot (Delta's
+        checkpoint-then-clean protocol — a delta log cannot just drop
+        its base). Returns the number of snapshots expired."""
         latest = self.latest_snapshot_id()
         if latest is None:
             return 0
+        keep_last = max(1, keep_last)
         chain = self._chain(latest)
-        expired = chain[:-keep_last] if keep_last > 0 else chain[:-1]
+        expired = chain[:-keep_last]
+        if not expired:
+            return 0
+        # The log is a DELTA log — each commit records only its own
+        # add/remove — so before dropping history the oldest KEPT
+        # commit must become a CHECKPOINT carrying the full live file
+        # set (and its stats) as of that snapshot: exactly Delta's
+        # checkpoint-then-clean protocol. Atomic tmp+rename rewrite.
+        oldest = chain[-keep_last]
+        full = self.files(oldest.snapshot_id)
+        stats = self.files_stats(oldest.snapshot_id)
+        body = {"snapshot_id": oldest.snapshot_id, "parent_id": None,
+                "committed_at_ms": oldest.committed_at_ms,
+                "operation": "checkpoint", "add": sorted(full),
+                "remove": [], "txn": oldest.txn,
+                "stats": {f: stats.get(f, {}) for f in full}}
+        target = os.path.join(self._log_path,
+                              f"{oldest.snapshot_id:020d}.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        os.replace(tmp, target)
         n = 0
         for snap in expired:
             p = os.path.join(self._log_path,
