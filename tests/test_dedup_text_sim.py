@@ -438,3 +438,40 @@ def test_ivf_index_append_is_incremental_and_exactly_once(spark, tmp_path):
     got = ivf_index_search(spark, path, emb.where("vec_id = 499"),
                            k=5, nprobe=4).collect()
     assert len(got) == 5
+
+
+def test_ivf_index_streaming_feed_exactly_once(spark, tmp_path):
+    """A foreachBatch stream feeds the persisted IVF index through
+    ivf_index_append's txn tokens: checkpoint-recovery double-delivery
+    lands exactly once, and the index stays searchable mid-growth."""
+    from w_userflow_featurestore_spark.operators.similarity import (
+        ivf_index_append, ivf_index_build, ivf_index_search,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable, read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_index_build(emb.where("vec_id >= 100"), path, n_centroids=4)
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    emb.where("vec_id < 100").write.parquet(src)
+
+    def _sink(batch, batch_id):
+        if not batch.isEmpty():
+            ivf_index_append(batch.sparkSession, path, batch,
+                             txn=f"ivf:{ck}:{batch_id}")
+
+    def run():
+        q = (spark.readStream.schema(emb.schema).parquet(src)
+             .writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    n1 = LogTable(spark, path + "/vectors").read().count()
+    run()      # restart on the same checkpoint: no new data, no dupes
+    assert LogTable(spark, path + "/vectors").read().count() == n1 == 500
+    got = ivf_index_search(spark, path, emb.where("vec_id = 0"),
+                           k=3, nprobe=4)
+    assert got.count() == 3
