@@ -837,3 +837,20 @@ def test_expire_then_txn_replay_reapplies(spark, table):
     # replay after expire: token history gone -> re-applied
     table.append(_df(spark, [(1, D1, "a")]), txn="b1")
     assert table.read().count() == 3
+
+
+def test_compact_partition_scoped(spark, table):
+    """compact(filters=...) rewrites only the targeted partition's
+    files; other partitions' file names survive the replace commit."""
+    table.append(_df(spark, [(1, D1, "a")]))
+    table.append(_df(spark, [(2, D1, "b")]))
+    table.append(_df(spark, [(3, D2, "c")]))
+    d2_before = {f for f in table.files() if "2024-01-02" in f}
+    n_d1_before = sum("2024-01-01" in f for f in table.files())
+    assert n_d1_before == 2
+    table.compact(target_files=1,
+                  filters=[("datetime", "=", "2024-01-01")])
+    after = table.files()
+    assert {f for f in after if "2024-01-02" in f} == d2_before
+    assert sum("2024-01-01" in f for f in after) == 1
+    assert rows(table.read(), "k") == [(1,), (2,), (3,)]

@@ -919,7 +919,8 @@ class LogTable:
                             expected_base=base)
 
     def compact(self, target_files: int = 1,
-                zorder_by: list[str] | None = None) -> int:
+                zorder_by: list[str] | None = None,
+                filters: list[tuple] | None = None) -> int:
         """Rewrite the live file set into ``target_files`` files per
         partition as ONE ``replace`` commit (the maintenance job
         Iceberg's rewrite_data_files performs for the reference's
@@ -939,6 +940,13 @@ class LogTable:
         ``read(filters=...)`` skip files on ANY clustered dimension."""
         base = self.latest_snapshot_id()
         live = self.files(base)
+        if filters:
+            # partition-scoped maintenance: rewrite ONLY the files the
+            # manifest proves relevant (a daily table compacts
+            # yesterday's partition, never the year of history behind
+            # it) — same pruning as the read path, and the replace
+            # commit removes exactly what it rewrote
+            live = self._prune(live, self.files_stats(base), filters)
         if not live:
             return base or 0
         df = self._read_files(live)
