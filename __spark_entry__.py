@@ -3178,10 +3178,26 @@ pos AS (
   SELECT DISTINCT user_id AS u, item_k AS i
   FROM ev WHERE item_k IS NOT NULL
 ),
-cat AS (
-  SELECT i AS cat_item,
-         CAST(row_number() OVER (ORDER BY i) - 1 AS BIGINT) AS idx
+bkt AS (
+  SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
   FROM (SELECT DISTINCT i FROM pos)
+),
+ranked AS (
+  SELECT i, b,
+         CAST(row_number() OVER (PARTITION BY b ORDER BY i) - 1
+              AS BIGINT) AS rn
+  FROM bkt
+),
+offs AS (
+  SELECT b,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM (SELECT b, count(*) AS cnt FROM bkt GROUP BY 1)
+),
+cat AS (
+  SELECT r.i AS cat_item, o.off + r.rn AS idx
+  FROM ranked r JOIN offs o USING (b)
 ),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM cat),
 draws AS (

@@ -201,10 +201,12 @@ def test_round4_feature_ops_plan_pins(spark):
     # windows reuse the grid join's partitioning
     assert_plan(_q(spark, "feature_backfill"), max_shuffles=3,
                 min_broadcast_joins=2, max_sort_merge_joins=0)
-    # negative_samples: catalog + |catalog| scalar broadcast; the k-way
-    # draw expansion is a row-local projection, anti-join hash-keyed
-    assert_plan(_q(spark, "negative_samples"), max_shuffles=6,
-                min_broadcast_joins=3, max_sort_merge_joins=0)
+    # negative_samples: the catalog's dense index is a two-phase
+    # distributed dense rank (per-bucket row_number + broadcast prefix
+    # offsets — no single-partition global sort); draw expansion stays
+    # a row-local projection, anti-join hash-keyed
+    assert_plan(_q(spark, "negative_samples"), max_shuffles=10,
+                min_broadcast_joins=5, max_sort_merge_joins=0)
     # key_skew_profile: hash-agg + TakeOrdered top-k — the rank window
     # runs on <= top_k rows, never the key universe
     df = _q(spark, "key_skew_profile")

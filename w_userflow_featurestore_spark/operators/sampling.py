@@ -170,18 +170,39 @@ def negative_samples(positives: DataFrame, user_col: str = "user_id",
     can replay the exact sample from the md5 expression (the DuckDB
     oracle does).
 
-    Scale shape: the catalog (distinct items + dense index) is tiny and
-    broadcast; the k-way expansion is a row-local posexplode of a
-    literal range (projection, no shuffle); the only shuffles are the
-    two distincts and the anti-join, all on the same (user, item)-family
-    keys. No RNG state, no driver-side sampling loops.
+    Scale shape: the catalog's dense 0..n-1 index is built with a
+    two-phase distributed dense rank (per-bucket row_number +
+    broadcast prefix offsets — never a single-partition global sort);
+    the k-way expansion is a row-local posexplode of a literal range
+    (projection, no shuffle); the only other shuffles are the two
+    distincts and the anti-join, all on the same (user, item)-family
+    keys. No RNG state, no driver-side sampling loops. The finished
+    catalog still broadcasts, which bounds it at broadcast scale — the
+    same envelope any hash-negative-sampling scheme needs.
     """
     pos = positives.select(F.col(user_col).alias("_u"),
                            F.col(item_col).alias("_i")).distinct()
-    wcat = Window.orderBy("_i")
-    catalog = (pos.select("_i").distinct()
-                  .select(F.col("_i").alias("_cat_item"),
-                          (F.row_number().over(wcat) - 1).alias("_idx")))
+    # dense 0..n-1 catalog index WITHOUT a single-partition global
+    # sort: two-phase distributed dense rank — row_number within a
+    # hash bucket plus broadcast per-bucket prefix offsets (the
+    # offsets are |buckets| rows of driver-side metadata, the ranking
+    # work itself stays spread across buckets)
+    n_rank_buckets = 64
+    items = (pos.select("_i").distinct()
+                .withColumn("_b", F.pmod(text_hash60(
+                    F.col("_i").cast("string")), F.lit(n_rank_buckets))))
+    wb = Window.partitionBy("_b").orderBy("_i")
+    bucket_sizes = (items.groupBy("_b")
+                         .agg(F.count(F.lit(1)).alias("_n")))
+    woff = (Window.orderBy("_b")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = bucket_sizes.select(
+        "_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    catalog = (items
+               .withColumn("_rn", F.row_number().over(wb) - 1)
+               .join(F.broadcast(offsets), "_b")
+               .select(F.col("_i").alias("_cat_item"),
+                       (F.col("_off") + F.col("_rn")).alias("_idx")))
     n_items = catalog.groupBy().agg(
         F.count(F.lit(1)).alias("_n_items"))
     draws = (pos.crossJoin(F.broadcast(n_items))
