@@ -854,3 +854,17 @@ def test_compact_partition_scoped(spark, table):
     assert {f for f in after if "2024-01-02" in f} == d2_before
     assert sum("2024-01-01" in f for f in after) == 1
     assert rows(table.read(), "k") == [(1,), (2,), (3,)]
+
+
+def test_update_where_evaluates_sets_against_original_row(spark, table):
+    """SQL UPDATE semantics: every SET right-hand side and the WHERE
+    predicate see the PRE-update row — a column swap must work and a
+    SET of a predicate column must not hide the row from other SETs."""
+    table.append(_df(spark, [(1, D1, "a"), (2, D1, "b")]))
+    table.update_where([("k", "=", 1)], {"k": F.lit(100), "v": "X"})
+    assert rows(table.read(), "k", "v") == [(100, "X"), (2, "b")]
+    # swap two columns via each other's original values
+    t2 = LogTable.create(spark, table.path + "_swap", [])
+    t2.append(spark.createDataFrame([(1, 2)], "a long, b long"))
+    t2.update_where([("a", "=", 1)], {"a": F.col("b"), "b": F.col("a")})
+    assert rows(t2.read(), "a", "b") == [(2, 1)]

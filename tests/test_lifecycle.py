@@ -121,3 +121,43 @@ def test_full_lifecycle_bronze_silver_gold_cdf_vacuum(spark, tmp_path):
     assert st.expire_snapshots(keep_last=1) >= 1
     assert st.vacuum(retention_seconds=0) >= 1
     assert rows(st.read(), "session_id", "n_events") == before
+
+
+def test_lookback_bound_is_per_user_no_phantom_fragments(spark, tmp_path):
+    """Review regression: user A has a CLOSED morning session straddling
+    another user B's tail-start bound. A global-min lookback cut would
+    re-admit A's mid-session events without their session head and
+    mint a phantom fragment session; the per-user bound must not."""
+    src, bronze, silver, ledger, ck = (
+        str(tmp_path / d) for d in ("src", "bronze", "silver", "led", "ck"))
+    _write(spark, src, [
+        # B's open session starts 08:00 (the global min tail start)
+        _ev(1, "2024-01-01 08:00:00", 20, "view"),
+        _ev(2, "2024-01-01 08:20:00", 20, "view"),
+        # A's CLOSED session 07:50-08:10 (head BEFORE B's tail start)
+        _ev(3, "2024-01-01 07:50:00", 10, "view"),
+        _ev(4, "2024-01-01 08:05:00", 10, "view"),
+        _ev(5, "2024-01-01 08:10:00", 10, "view"),
+        # A's open tail starting 10:00
+        _ev(6, "2024-01-01 10:00:00", 10, "view"),
+    ])
+    q = bronze_ingest(spark.readStream.schema(EVENTS_DDL).parquet(src),
+                      bronze, ck, available_now=True, table_format="log")
+    q.awaitTermination(120)
+    run_silver(spark, bronze, silver, ledger, now=NOW, table_format="log")
+    # increment: continues BOTH open tails (B @ 08:20+gap, A @ 10:00+gap)
+    _write(spark, src, [
+        _ev(7, "2024-01-01 10:20:00", 10, "view"),
+        _ev(8, "2024-01-01 08:40:00", 20, "view"),
+    ])
+    q2 = bronze_ingest(spark.readStream.schema(EVENTS_DDL).parquet(src),
+                       bronze, ck, available_now=True, table_format="log")
+    q2.awaitTermination(120)
+    run_silver(spark, bronze, silver, ledger, now=NOW, table_format="log")
+    got = {(r["user_id"], str(r["start_time"])): r["n_events"]
+           for r in LogTable(spark, silver).read().collect()}
+    # exactly 3 sessions; A's closed morning session keeps ALL 3 events
+    # (no phantom fragment starting 08:05)
+    assert got == {(10, "2024-01-01 07:50:00"): 3,
+                   (10, "2024-01-01 10:00:00"): 2,
+                   (20, "2024-01-01 08:00:00"): 3}

@@ -91,17 +91,23 @@ def test_audio_windows_cover_clip_with_hop_overlap(spark):
     docs = spark.createDataFrame(
         [(i * 3 + 1, f"text {i}") for i in range(40)],  # ids % 3 == 1 -> audio
         "doc_id long, text string")
-    out = audio_windows(multimodal_features(docs), 1000, 500).collect()
+    decoded = multimodal_features(docs)
+    durations = {r["media_id"]: r["duration_ms"]
+                 for r in decoded.collect() if r["kind"] == "audio"}
+    out = audio_windows(decoded, 1000, 500).collect()
     assert out
     by_id: dict = {}
     for r in out:
         by_id.setdefault(r["media_id"], []).append(r)
-    for rows_ in by_id.values():
+    assert set(by_id) == set(durations)     # every audio clip windowed
+    for mid, rows_ in by_id.items():
         rows_.sort(key=lambda r: r["window_idx"])
         assert [r["window_idx"] for r in rows_] == list(range(len(rows_)))
         for r in rows_:
             assert r["start_ms"] == r["window_idx"] * 500
             assert r["end_ms"] <= r["start_ms"] + 1000
-        # last window reaches the end of the clip (no uncovered tail
-        # longer than a hop)
-        assert rows_[-1]["end_ms"] >= rows_[-1]["start_ms"]
+        # closed-form count against the TRUE decode duration: dropping
+        # the final window (uncovered tail > hop) fails here
+        dur = durations[mid]
+        want = 1 if dur <= 1000 else (dur - 1000) // 500 + 1
+        assert len(rows_) == want

@@ -121,8 +121,9 @@ def _extend_with_open_tails(spark: SparkSession, increment: DataFrame,
                  .where(F.col("end_time") >=
                         F.col("_new_ts")
                         - F.expr(f"interval {DEFAULT_GAP_MS // 1000} seconds"))
-                 .select("user_id", "start_time"))
-    bound = cand.agg(F.min("start_time")).collect()[0][0]
+                 .groupBy("user_id")
+                 .agg(F.min("start_time").alias("_tail_start")))
+    bound = cand.agg(F.min("_tail_start")).collect()[0][0]
     if bound is None:
         return increment
     if table_format == "log":
@@ -131,8 +132,12 @@ def _extend_with_open_tails(spark: SparkSession, increment: DataFrame,
     else:
         hist = (spark.read.parquet(events_path)
                      .where(F.col("ts") >= F.lit(bound)))
-    lookback = hist.join(cand.select("user_id").distinct(), "user_id",
-                         "left_semi")
+    # the global bound only PRUNES the scan; membership is per-user —
+    # ts >= that user's own qualifying tail start. A global-min cut
+    # would admit another user's mid-session events without their
+    # session head and re-sessionize them into a phantom fragment.
+    lookback = (hist.join(cand, "user_id")
+                    .where(F.col("ts") >= F.col("_tail_start")))
     return increment.unionByName(
         lookback.select(*increment.columns))
 

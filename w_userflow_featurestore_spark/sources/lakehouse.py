@@ -418,7 +418,16 @@ class LogTable:
         while cur is not None:
             s = by_id.get(cur)
             if s is None:
-                break          # expired history: truncated chain root
+                # an ancestor is gone (expired history): the walked
+                # snapshot's file set is NOT reconstructible — raising
+                # beats silently returning a partial chain (a dead-fork
+                # read would otherwise yield incomplete data). The live
+                # chain never hits this: expire rewrites its oldest
+                # kept commit as a parentless checkpoint.
+                raise BrokenLineageError(
+                    f"snapshot {cur} (ancestor of {snapshot_id}) has "
+                    f"been expired; the requested state is not "
+                    f"reconstructible")
             chain.append(s)
             cur = s.parent_id
         return list(reversed(chain))
@@ -517,11 +526,7 @@ class LogTable:
     @staticmethod
     def _apply_filters(df: DataFrame, filters: list[tuple]) -> DataFrame:
         for col, op, val in filters:
-            if op == "in":
-                df = df.where(F.col(col).isin(list(val)))
-            else:
-                df = df.where(getattr(F.col(col),
-                                      LogTable._OPS[op])(F.lit(val)))
+            df = df.where(LogTable._filter_term(col, op, val))
         return df
 
     # ------------------------------------------------------------- reads
@@ -862,14 +867,19 @@ class LogTable:
                             expected_base=base)
 
     @staticmethod
+    def _filter_term(col: str, op: str, val) -> Column:
+        """One (col, op, value) filter as a boolean Column — the single
+        translation both the read path and DML share."""
+        if op == "in":
+            return F.col(col).isin(list(val))
+        return getattr(F.col(col), LogTable._OPS[op])(F.lit(val))
+
+    @staticmethod
     def _filter_cond(filters: list[tuple]) -> Column:
         """Conjunction of read-path filters as one boolean Column."""
         cond = F.lit(True)
         for col, op, val in filters:
-            term = (F.col(col).isin(list(val)) if op == "in"
-                    else getattr(F.col(col),
-                                 LogTable._OPS[op])(F.lit(val)))
-            cond = cond & term
+            cond = cond & LogTable._filter_term(col, op, val)
         return cond
 
     def _row_level_victims(self,
@@ -909,12 +919,17 @@ class LogTable:
             return base
         victim_df = self._read_files(victim_rel)
         hit = F.coalesce(self._filter_cond(filters), F.lit(False))
-        updated = victim_df
-        for col, expr in set_exprs.items():
-            new = expr if isinstance(expr, Column) else F.lit(expr)
-            updated = updated.withColumn(
-                col, F.when(hit, new).otherwise(F.col(col)))
-        adds = self._stage_write(updated.select(*victim_df.columns))
+        # ONE select evaluating predicate and every SET expression
+        # against the ORIGINAL row — sequential withColumn would let a
+        # SET of a predicate column hide the row from later SETs, and
+        # {a: col(b), b: col(a)} would fail to swap (SQL UPDATE
+        # evaluates all right-hand sides against the pre-update row)
+        updated = victim_df.select(*[
+            F.when(hit, set_exprs[c] if isinstance(set_exprs[c], Column)
+                   else F.lit(set_exprs[c])).otherwise(F.col(c)).alias(c)
+            if c in set_exprs else F.col(c)
+            for c in victim_df.columns])
+        adds = self._stage_write(updated)
         return self._commit("update", adds, victim_rel,
                             expected_base=base)
 

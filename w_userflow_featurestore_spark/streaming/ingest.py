@@ -355,7 +355,12 @@ def parse_with_dead_letter(raw: DataFrame, schema: StructType | str,
                  .withColumn("_data", F.from_json(
                      "_json", full,
                      {"columnNameOfCorruptRecord": "_corrupt"})))
-    bad_json = F.col("_data._corrupt").isNotNull()
+    # unparseable covers: corrupt-record capture (malformed JSON),
+    # NULL payloads (Kafka tombstones -> NULL _json), and JSON whose
+    # root is literal null (from_json yields a NULL struct, which the
+    # corrupt column does NOT flag)
+    bad_json = (F.col("_data._corrupt").isNotNull()
+                | F.col("_json").isNull() | F.col("_data").isNull())
     ok = ~bad_json
     for c in required:
         ok = ok & F.col(f"_data.{c}").isNotNull()
