@@ -755,6 +755,53 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
               .limit(10))
 
 
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority in a one-quarter window that
+    have >=1 LATE line item (shipped >30 days after order) — the
+    EXISTS decorrelated to a left-semi join; the quarter predicate
+    pushes to the orders scan."""
+    o = (read_table(spark, sf_dir, "orders",
+                    ts_filter=("o_orderdate", "1995-01-01 00:00:00",
+                               "1995-04-01 00:00:00"))
+         .where(F.col("o_orderdate")
+                < F.lit("1995-04-01").cast("timestamp")))
+    li = read_table(spark, sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+    late = (o.join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+                   & (F.col("l_shipdate")
+                      > F.date_add(F.col("o_orderdate"), 30)
+                        .cast("timestamp")),
+                   "left_semi"))
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+                .orderBy("o_orderpriority"))
+
+
+def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline: each day's revenue vs the
+    value 7 calendar days earlier (exact-cents calendar self-join, not
+    a row-offset lag that smears across gaps), absolute error and
+    error in basis points — the sanity baseline every real forecast
+    must beat, and a drift alarm when APE spikes."""
+    daily = (_events(spark, sf_dir)
+             .where(F.col("event_type") == "purchase")
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                        .cast("long")).alias("rev_cents")))
+    prior = daily.select(F.date_add("day", 7).alias("day"),
+                         F.col("rev_cents").alias("forecast_cents"))
+    return (daily.join(prior, "day", "left")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "rev_cents", "forecast_cents",
+                    F.abs(F.col("rev_cents") - F.col("forecast_cents"))
+                     .cast("long").alias("abs_err_cents"),
+                    F.when(F.col("forecast_cents") > 0,
+                           F.floor(F.abs(F.col("rev_cents")
+                                         - F.col("forecast_cents"))
+                                   * 10000 / F.col("forecast_cents")))
+                     .cast("long").alias("ape_bp")))
+
+
 def q_user_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: (purchasers ∪ signups) ∩ clickers − error users —
     UNION / INTERSECT / EXCEPT with SQL set-distinct semantics."""
@@ -1244,8 +1291,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_language_stats": q_corpus_language_stats,
     "repetition_profile": q_repetition_profile,
     "pii_scrub": q_pii_scrub,
-    "pack_sequences": q_pack_sequences,
-    "frequent_tokens": q_frequent_tokens,
     # --- changed in round 4 (re-certify) ---
     "fingerprint_pairs": q_fingerprint_pairs,
     "cardinality_sketch": q_cardinality_sketch,
@@ -1275,6 +1320,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "behavior_trigrams": q_behavior_trigrams,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_audio_windows": q_multimodal_audio_windows,
+    "order_priority_counts": q_order_priority_counts,
+    "forecast_baseline": q_forecast_baseline,
     # --- certificate tail (certify first next round) ---
     # dedup_latest / above_avg_orders: r2 certificates, operator
     # modules untouched since; displaced from the top-50 window
@@ -1283,6 +1330,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "above_avg_orders": q_above_avg_orders,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    "pack_sequences": q_pack_sequences,
+    "frequent_tokens": q_frequent_tokens,
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
@@ -3396,6 +3445,35 @@ SELECT n_a, conv_a, n_b, conv_b,
             THEN CAST(abs(floor((conv_a / n_a - conv_b / n_b) / se * 1e6))
                       >= 1960000 AS INT) END AS significant
 FROM stats
+"""
+
+ORACLES["order_priority_counts"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["forecast_baseline"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       d.rev_cents,
+       p.rev_cents AS forecast_cents,
+       CAST(abs(d.rev_cents - p.rev_cents) AS BIGINT) AS abs_err_cents,
+       CASE WHEN p.rev_cents > 0
+            THEN CAST(floor(abs(d.rev_cents - p.rev_cents) * 10000
+                            / p.rev_cents) AS BIGINT) END AS ape_bp
+FROM daily d
+LEFT JOIN daily p ON p.day = d.day - INTERVAL 7 DAY
 """
 
 ORACLES["user_value_ranks"] = """

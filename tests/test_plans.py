@@ -277,3 +277,16 @@ def test_behavior_trigrams_plan_pin(spark):
     df = _q(spark, "behavior_trigrams")
     assert_plan(df, max_shuffles=2, max_sort_merge_joins=0)
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_q4_and_forecast_plan_pins(spark):
+    # order_priority_counts: quarter predicate pushed to the orders
+    # scan, EXISTS as a broadcast semi-join, one agg barrier
+    df = _q(spark, "order_priority_counts")
+    assert_plan(df, max_shuffles=2, min_broadcast_joins=1,
+                max_sort_merge_joins=0)
+    assert any("o_orderdate" in p for p in pushed_filters(df))
+    # forecast_baseline: one daily agg; the calendar self-join runs on
+    # the tiny aggregate (broadcast), never raw events
+    assert_plan(_q(spark, "forecast_baseline"), max_shuffles=2,
+                min_broadcast_joins=1, max_sort_merge_joins=0)
