@@ -1262,12 +1262,13 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # least-recently-certified order — the block holding the OLDEST
 # certificates first, plus anything whose implementation or oracle
 # changed this round, plus every NEW query. Union across the last two
-# rounds must cover all entries. Round 4: 23 round-2-certificate
-# queries lead, then the 2 changed + the 27 new this round — all
+# rounds must cover all entries. Round 4: 21 round-2-certificate
+# queries lead, then the 2 changed + the 29 new this round — all
 # inside the 50-entry window; the tail keeps valid round-3
-# certificates plus 4 displaced round-2 holders (dedup_latest,
-# above_avg_orders, pricing_summary, revenue_by_nation) parked at its
-# head. ROUND 5: rotate the tail to the front, those 4 first.
+# certificates plus 6 displaced round-2 holders (dedup_latest,
+# above_avg_orders, pricing_summary, revenue_by_nation,
+# pack_sequences, frequent_tokens) parked at its head. ROUND 5:
+# rotate the tail to the front, those 6 first.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-2 certificates (oldest) — certify these first ---
     "user_daily": q_user_daily,
