@@ -283,3 +283,43 @@ def test_cms_one_sided_error_property(spark, items):
     for i, t in true.items():
         assert got[i] >= t                       # never underestimates
         assert got[i] - t <= len(items)          # bounded by stream mass
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(1, 3),       # user
+                          st.integers(0, 9),       # day offset
+                          st.integers(0, 500)),    # value cents
+                min_size=1, max_size=25))
+def test_feature_backfill_matches_independent_model(spark, obs):
+    """Random activity: the dense grid, LOCF state, and staleness
+    counters must match a from-scratch Python model."""
+    from w_userflow_featurestore_spark.operators.temporal import (
+        feature_backfill,
+    )
+    rows_in = [(i, dt.datetime(2024, 1, 1 + d, 12, 0), u, "view",
+                c / 100.0, "{}")
+               for i, (u, d, c) in enumerate(obs)]
+    df = spark.createDataFrame(rows_in, EVENTS_DDL)
+    got = {(r["user_id"], r["day"]):
+           (r["n_events"], r["sum_value_cents"], r["locf_value_cents"],
+            r["days_since_activity"])
+           for r in feature_backfill(df).collect()}
+    # independent model
+    daily: dict = {}
+    for i, (u, d, c) in enumerate(obs):
+        k = (u, d)
+        n, s = daily.get(k, (0, 0))
+        daily[k] = (n + 1, s + c)
+    end = max(d for _, d, _ in obs)
+    want = {}
+    for u in {u for u, _, _ in obs}:
+        d0 = min(d for uu, d, _ in obs if uu == u)
+        locf, last_active = None, None
+        for d in range(d0, end + 1):
+            n, s = daily.get((u, d), (0, 0))
+            if n > 0:
+                locf, last_active = s, d
+            want[(u, f"2024-01-{1 + d:02d}")] = (n, s, locf,
+                                                 d - last_active)
+    assert got == want
