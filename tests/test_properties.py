@@ -323,3 +323,39 @@ def test_feature_backfill_matches_independent_model(spark, obs):
             want[(u, f"2024-01-{1 + d:02d}")] = (n, s, locf,
                                                  d - last_active)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(1, 4),       # user
+                          st.integers(0, 7)),      # day offset
+                min_size=1, max_size=30))
+def test_cohort_retention_matches_independent_model(spark, obs):
+    """Random activity: the cohort triangle must match a from-scratch
+    model (cohort = first-seen day; one count per distinct active
+    (user, offset); share in floored basis points)."""
+    from w_userflow_featurestore_spark.operators.metrics import (
+        cohort_retention_triangle,
+    )
+    rows_in = [(i, dt.datetime(2024, 1, 1 + d, 12, 0), u, "view", 1.0,
+                "{}")
+               for i, (u, d) in enumerate(obs)]
+    df = spark.createDataFrame(rows_in, EVENTS_DDL)
+    got = {(r["cohort_day"], r["day_offset"]):
+           (r["n_active"], r["cohort_size"], r["retention_bp"])
+           for r in cohort_retention_triangle(df).collect()}
+    first = {}
+    for u, d in obs:
+        first[u] = min(first.get(u, d), d)
+    sizes: dict = {}
+    for u, c in first.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    active = {(u, d) for u, d in obs}
+    counts: dict = {}
+    for u, d in active:
+        k = (first[u], d - first[u])
+        counts[k] = counts.get(k, 0) + 1
+    want = {(f"2024-01-{1 + c:02d}", off):
+            (n, sizes[c], n * 10000 // sizes[c])
+            for (c, off), n in counts.items()}
+    assert got == want
