@@ -19,6 +19,15 @@ strips most of that noise (a round-2 judge cycle was spent proving a
 1.43x "regression" was machine load). The JSON additionally records the
 repeat count and the 1-minute load average at start/end so a noisy
 environment is visible in the artifact itself.
+
+Output-size discipline: the harness that records this run keeps only the
+LAST ~2000 characters of the output, and parses the final line as JSON.
+Round 4's 104-query line was ~2800 chars — it ran clean (rc=0) but the
+truncated line failed to parse and the round lost its bench artifact.
+So the final stdout line is now a bounded-size summary (total + errors +
+the slowest queries that fit a 1600-char budget), and the COMPLETE
+per-query map is (a) written to ``BENCH_DETAIL.json`` beside this file
+and (b) printed in full to stderr for logs.
 """
 
 from __future__ import annotations
@@ -38,6 +47,56 @@ from w_userflow_featurestore_spark import get_spark  # noqa: E402
 def _force(df) -> None:
     # noop datasource: full execution, zero sink cost, nothing to driver
     df.write.format("noop").mode("overwrite").save()
+
+
+#: byte budget for the final stdout line — the recorder keeps only the
+#: last ~2000 chars of output, so the parsed line must fit WELL inside
+#: that window even with a few stray log lines after it.
+_LINE_BUDGET = 1600
+
+
+def summary_line(out: dict, budget: int = _LINE_BUDGET) -> str:
+    """Render ``out`` as one JSON line guaranteed <= ``budget`` chars.
+
+    Always keeps the scalar fields and every ``err`` entry; then fills
+    the remaining budget with per-query timings, slowest first (the
+    slowest queries are the ones a reviewer compares round-over-round).
+    ``queries_omitted`` counts what didn't fit; the full map lives in
+    BENCH_DETAIL.json.
+    """
+    scalars = {k: v for k, v in out.items() if k != "queries"}
+    scalars["detail"] = "BENCH_DETAIL.json"
+    qs = out.get("queries", {})
+    errs = {n: {"err": str(v.get("err", ""))[:100]}
+            for n, v in qs.items() if isinstance(v, dict)}
+    times = {n: v for n, v in qs.items() if not isinstance(v, dict)}
+    by_slowest = sorted(times, key=times.get, reverse=True)
+    # errors alone must fit too: keep as many as the budget allows (the
+    # count survives in n_errors either way)
+    while errs and len(json.dumps({**scalars, "n_queries": len(qs),
+                                   "queries": errs},
+                                  separators=(",", ":"))) > budget:
+        errs.pop(next(iter(errs)))
+
+    def render(kept_n: int) -> str:
+        body = dict(scalars)
+        body["n_queries"] = len(qs)
+        omitted = len(times) - kept_n
+        if omitted:
+            body["queries_omitted"] = omitted
+        body["queries"] = {**errs,
+                           **{n: times[n] for n in by_slowest[:kept_n]}}
+        return json.dumps(body, separators=(",", ":"))
+
+    # binary search the largest kept_n that fits (render is monotone)
+    lo, hi = 0, len(by_slowest)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if len(render(mid)) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    return render(lo)
 
 
 def main() -> None:
@@ -89,7 +148,21 @@ def main() -> None:
     }
     if errors:
         out["n_errors"] = len(errors)
-    print(json.dumps(out))
+
+    # Complete artifact: sidecar file + stderr (never the parsed line).
+    detail = json.dumps(out, separators=(",", ":"))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(detail_path, "w") as fh:
+            fh.write(detail + "\n")
+    except OSError as exc:
+        print(f"detail sidecar write failed: {exc}", file=sys.stderr)
+    print(detail, file=sys.stderr)
+
+    # Final stdout line: bounded size so the recorder's tail window can
+    # always parse it (round 4 lost its artifact to an oversized line).
+    print(summary_line(out))
 
 
 if __name__ == "__main__":

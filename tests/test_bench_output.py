@@ -1,0 +1,81 @@
+"""Bench artifact size invariant.
+
+The recorder that runs bench.py keeps only the last ~2000 chars of
+output and parses the FINAL line as JSON. Round 3 lost its artifact to
+an OOM (fixed with per-query fault isolation); round 4 ran clean (rc=0)
+but lost it again because the 104-query JSON line was ~2800 chars and
+the truncated line failed to parse. These tests pin the new contract:
+the final line is always parseable and always fits the window, no
+matter how many queries the suite grows to.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+
+spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+bench = importlib.util.module_from_spec(spec)
+sys.modules.setdefault("bench", bench)
+spec.loader.exec_module(bench)
+
+
+def _fake_out(n_queries: int, n_errors: int = 0) -> dict:
+    qs: dict = {
+        f"some_quite_long_query_name_{i:03d}": round(0.1 + i * 0.013, 3)
+        for i in range(n_queries)
+    }
+    for i in range(n_errors):
+        qs[f"failing_query_{i}"] = {"err": "java.lang.OutOfMemoryError: x" * 3}
+    return {
+        "metric": "total_query_sec",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+        "repeat": 2,
+        "loadavg": [11.36, 8.44],
+        **({"n_errors": n_errors} if n_errors else {}),
+    }
+
+
+def test_summary_line_fits_budget_at_200_queries():
+    line = bench.summary_line(_fake_out(200))
+    assert len(line) <= bench._LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "total_query_sec"
+    assert parsed["value"] == 123.456
+    assert parsed["n_queries"] == 200
+    assert parsed["detail"] == "BENCH_DETAIL.json"
+    # the kept subset is the slowest queries (the round-over-round signal)
+    kept = parsed["queries"]
+    assert parsed["queries_omitted"] == 200 - len(kept)
+    slowest = "some_quite_long_query_name_199"
+    assert slowest in kept
+
+
+def test_summary_line_keeps_every_error_entry():
+    line = bench.summary_line(_fake_out(150, n_errors=3))
+    parsed = json.loads(line)
+    assert len(line) <= bench._LINE_BUDGET
+    errs = {n: v for n, v in parsed["queries"].items() if isinstance(v, dict)}
+    assert len(errs) == 3
+    assert parsed["n_errors"] == 3
+
+
+def test_summary_line_small_suite_keeps_everything():
+    out = _fake_out(10)
+    parsed = json.loads(bench.summary_line(out))
+    assert "queries_omitted" not in parsed
+    assert len(parsed["queries"]) == 10
+    # timings survive verbatim
+    assert parsed["queries"]["some_quite_long_query_name_009"] == out[
+        "queries"]["some_quite_long_query_name_009"]
+
+
+def test_summary_line_fits_even_with_pathological_budget_pressure():
+    # hundreds of queries + errors: line still bounded and parseable
+    line = bench.summary_line(_fake_out(500, n_errors=10))
+    assert len(line) <= bench._LINE_BUDGET
+    json.loads(line)
