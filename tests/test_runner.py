@@ -159,3 +159,45 @@ def test_quality_gate_blocks_bad_silver(spark, tmp_path):
     ok = spark.createDataFrame([(1, "a"), (2, "b")],
                                "session_id long, v string")
     quality_gate(ok, [not_null("session_id"), unique("session_id")])
+
+
+def test_open_tail_lookback_propagates_read_failures(spark, tmp_path):
+    """_extend_with_open_tails treats ONLY 'table missing' as first-run.
+
+    A corrupted silver table (or any other read failure) must raise,
+    not silently skip the continuation lookback: skipping would
+    re-sessionize a spanning session without its head and MERGE a
+    fragment row next to the stale tail — permanent silent corruption.
+    """
+    import pytest as _pt
+
+    from w_userflow_featurestore_spark.runner import _extend_with_open_tails
+
+    events, silver = str(tmp_path / "events"), str(tmp_path / "silver")
+    _write(spark, events, [_ev(1, "2024-01-01 10:00:00", 1)])
+    inc = spark.read.parquet(events)
+
+    # missing table -> first-run path, increment passes through
+    out = _extend_with_open_tails(spark, inc, silver, events, "parquet")
+    assert out.count() == inc.count()
+
+    # corrupted table (a non-parquet file at the path) -> must raise
+    import os
+    os.makedirs(silver, exist_ok=True)
+    with open(os.path.join(silver, "part-00000.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+    with _pt.raises(Exception) as ei:
+        _extend_with_open_tails(
+            spark, inc, silver, events, "parquet").count()
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+    # LogTable format: zero-commit table -> first-run; corrupt log -> raise
+    logdir = str(tmp_path / "logsilver")
+    out = _extend_with_open_tails(spark, inc, logdir, events, "log")
+    assert out.count() == inc.count()
+    os.makedirs(os.path.join(logdir, "_txn_log"), exist_ok=True)
+    with open(os.path.join(logdir, "_txn_log", "00000000000000000001.json"),
+              "w") as fh:
+        fh.write("{corrupt json")
+    with _pt.raises(Exception):
+        _extend_with_open_tails(spark, inc, logdir, events, "log").count()

@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from w_userflow_featurestore_spark.incremental import IncrementalPlanner
 from w_userflow_featurestore_spark.operators import metrics as M
@@ -108,12 +109,30 @@ def _extend_with_open_tails(spark: SparkSession, increment: DataFrame,
         DEFAULT_GAP_MS,
     )
     from w_userflow_featurestore_spark.sources import LogTable
+    # Only the narrow "table doesn't exist yet" signals mean "first run,
+    # no tails to look back at": a LogTable with zero commits raises
+    # ValueError("... has no commits"), a missing parquet path raises
+    # AnalysisException(PATH_NOT_FOUND). Anything else (corrupt log
+    # JSON, transient FS error, concurrent-commit race) must PROPAGATE:
+    # silently skipping the lookback would re-sessionize a spanning
+    # session without its head — a fragment row under a new
+    # content-derived id next to the stale tail, i.e. permanent silent
+    # corruption instead of a visible failed run.
     try:
         if table_format == "log":
             tails = LogTable(spark, silver_path).read()
         else:
             tails = spark.read.parquet(silver_path)
-    except Exception:          # first incremental run against no table
+    except FileNotFoundError:  # LogTable dir never created
+        return increment
+    except ValueError as exc:
+        if "has no commits" not in str(exc):
+            raise
+        return increment
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and \
+                "Path does not exist" not in str(exc):
+            raise
         return increment
     first_new = (increment.groupBy("user_id")
                  .agg(F.min("ts").alias("_new_ts")))
