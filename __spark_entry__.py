@@ -3443,7 +3443,7 @@ SELECT n_a, conv_a, n_b, conv_b,
             THEN CAST(floor((conv_a / n_a - conv_b / n_b) / se * 1e6)
                       AS BIGINT) END AS z_micro,
        CASE WHEN se > 0
-            THEN CAST(abs(floor((conv_a / n_a - conv_b / n_b) / se * 1e6))
+            THEN CAST(floor(abs((conv_a / n_a - conv_b / n_b) / se) * 1e6)
                       >= 1960000 AS INT) END AS significant
 FROM stats
 """

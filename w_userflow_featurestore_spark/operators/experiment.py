@@ -67,6 +67,13 @@ def ab_test_summary(events: DataFrame, id_col: str = "user_id",
     se = F.sqrt(p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
     z_micro = F.when(se > 0, F.floor((p_a - p_b) / se * 1e6)
                      .cast("long"))
+    # Significance quantizes the MAGNITUDE: floor(|z| * 1e6). Flooring
+    # the signed z first would be asymmetric at the boundary — a
+    # negative z in (-1.96, -1.959999] floors past the threshold and
+    # flags significant while the mirrored positive z does not. The
+    # signed floor stays in z_micro for reporting only.
+    absz_micro = F.when(se > 0, F.floor(F.abs((p_a - p_b) / se) * 1e6)
+                        .cast("long"))
     return row.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("conv_a").cast("long").alias("conv_a"),
@@ -75,6 +82,6 @@ def ab_test_summary(events: DataFrame, id_col: str = "user_id",
         F.floor(p_a * 10000).cast("long").alias("rate_a_bp"),
         F.floor(p_b * 10000).cast("long").alias("rate_b_bp"),
         z_micro.alias("z_micro"),
-        F.when(z_micro.isNotNull(),
-               (F.abs(z_micro) >= z_crit_micro).cast("int"))
+        F.when(absz_micro.isNotNull(),
+               (absz_micro >= z_crit_micro).cast("int"))
          .alias("significant"))
