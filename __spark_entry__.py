@@ -3280,7 +3280,7 @@ WITH s AS (
 )
 SELECT e1 || '>' || e2 || '>' || e3 AS path,
        CAST(count(*) AS BIGINT) AS n_paths
-FROM s WHERE e3 IS NOT NULL
+FROM s WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
 GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
 """
 

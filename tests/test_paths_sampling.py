@@ -180,3 +180,26 @@ def test_source_balanced_sample_is_broadcast_no_corpus_shuffle(spark):
     df = source_balanced_sample(docs)
     assert broadcast_join_count(df) >= 1
     assert sort_merge_join_count(df) == 0
+
+
+def test_path_ngrams_null_step_disqualifies_gram(spark):
+    """A NULL event type ANYWHERE in the window kills the gram.
+
+    concat_ws skips NULLs, so without the per-step guard a stream
+    (a, NULL, b) would yield the phantom trigram 'a>b'. The guard must
+    drop grams with a NULL at any position — head, middle, or running
+    off the stream end — matching the oracle's NULL-propagating ||.
+    """
+    import datetime as dt
+
+    from w_userflow_featurestore_spark.operators.paths import path_ngrams
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, et)
+            for i, et in enumerate(["a", None, "b", "c", "d"])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    paths = {r["path"]: r["n_paths"]
+             for r in path_ngrams(ev, n=3, k=10).collect()}
+    # only the fully-non-null window survives
+    assert paths == {"b>c>d": 1}

@@ -133,9 +133,16 @@ def path_ngrams(events: DataFrame, n: int = 3, k: int = 20, *,
     steps = [F.col(type_col)] + [F.lead(type_col, i).over(w)
                                  for i in range(1, n)]
     gram = F.concat_ws(">", *steps)
+    # EVERY step must be non-null, not just the last lead: concat_ws
+    # silently skips NULLs, so a stream (a, NULL, b) would otherwise
+    # collapse to the phantom bigram-as-trigram 'a>b'. A NULL mid-path
+    # (and a window running off the stream end) both disqualify the
+    # gram — matching the SQL oracle's NULL-propagating `||` concat.
+    full = steps[0].isNotNull()
+    for s in steps[1:]:
+        full = full & s.isNotNull()
     return (events
-            .select(gram.alias("path"),
-                    steps[-1].isNotNull().alias("_full"))
+            .select(gram.alias("path"), full.alias("_full"))
             .where(F.col("_full"))
             .groupBy("path")
             .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
