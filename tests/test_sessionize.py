@@ -139,3 +139,27 @@ def test_sessionize_one_row_per_session(spark):
     s = sessionize(ev, now=NOW)
     assert s.count() == 3
     assert s.select("session_id").distinct().count() == 3
+
+
+def test_sub_second_gap_rejected(spark):
+    """Epoch-second session ids require gap_ms >= 1000: two sessions of
+    one user starting within the same second would silently merge under
+    one content-derived id and corrupt MERGE upserts. Both the batch
+    and streaming sessionizers refuse the parameter up front."""
+    import pytest as _pt
+
+    from w_userflow_featurestore_spark.operators.sessionize import (
+        assign_sessions,
+    )
+    from w_userflow_featurestore_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string")
+    with _pt.raises(ValueError, match="gap_ms"):
+        assign_sessions(ev, gap_ms=500)
+    with _pt.raises(ValueError, match="gap_ms"):
+        stateful_sessionize(ev, gap_ms=999)
+    # the boundary value itself is legal
+    assign_sessions(ev, gap_ms=1000)

@@ -51,6 +51,12 @@ def assign_sessions(events: DataFrame, user_col: str = "user_id",
     epoch-second granularity cannot collide; unique across users for
     user_id < ~9.2e8 (long headroom above the 1e10 multiplier).
     """
+    if gap_ms < 1000:
+        raise ValueError(
+            f"gap_ms={gap_ms} < 1000: the content-derived session id uses "
+            "epoch-SECOND of the session start, so a sub-second gap could "
+            "start two sessions of one user within the same second and "
+            "silently merge them under one id (corrupting MERGE upserts)")
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     prev_ms = F.lag(epoch_ms(F.col(ts_col))).over(w)
     is_new = F.when(

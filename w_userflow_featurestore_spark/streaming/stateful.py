@@ -176,6 +176,11 @@ def stateful_sessionize(events: DataFrame,
     its next scheduled run). Works on a batch DataFrame too (state folds
     once per group, no timeouts) — handy for backfills and tests.
     """
+    if gap_ms < 1000:
+        raise ValueError(
+            f"gap_ms={gap_ms} < 1000: session ids are epoch-second "
+            "content-derived (see assign_sessions) — sub-second gaps can "
+            "collide two sessions of one user under one id")
     import pandas as pd
 
     def handle(key: Any, pdfs: Iterator, state: Any) -> Iterator:
