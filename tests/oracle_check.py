@@ -128,8 +128,18 @@ if __name__ == "__main__":
     sys.path.insert(0, "/root/repo")
     from w_userflow_featurestore_spark import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:] or None
+    # --json=PATH writes the per-query verdicts as a committed artifact
+    # (the self-certification record for queries outside the driver's
+    # 50-entry window — see the QUERIES rotation comment).
+    json_path = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+        else:
+            argv.append(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1:] or None
     spark = get_spark()
     res = run_check(spark, sf_dir, only)
     failed = False
@@ -138,4 +148,10 @@ if __name__ == "__main__":
         if problems:
             failed = True
         print(f"{status:4s} {name}" + ("" if not problems else f"  -> {problems}"))
+    if json_path:
+        import json as _json
+        with open(json_path, "w") as fh:
+            _json.dump({"sf_dir": sf_dir,
+                        "results": {n: {"pass": not p, "problems": p}
+                                    for n, p in res.items()}}, fh, indent=1)
     sys.exit(1 if failed else 0)

@@ -475,3 +475,42 @@ def test_ivf_index_streaming_feed_exactly_once(spark, tmp_path):
     got = ivf_index_search(spark, path, emb.where("vec_id = 0"),
                            k=3, nprobe=4)
     assert got.count() == 3
+
+
+def test_minhash_accuracy_identical_and_invariants(spark):
+    """minhash_accuracy: identical docs estimate exactly (err_bp = 0);
+    every output row obeys the integer-bp invariants (est a multiple of
+    10000/k and >= the floor, exact within [0, 10000], err = |diff|)."""
+    from w_userflow_featurestore_spark.operators.dedup import (
+        minhash_accuracy,
+    )
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                      # exact duplicates
+         (3, base + " with a small tail change"),   # near-dup
+         (4, "completely different content about spark adaptive "
+             "query execution and shuffle partition coalescing")],
+        "doc_id long, text string")
+    rows = minhash_accuracy(docs, n=3, k=8, bands=4,
+                            min_est_bp=5000).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in by_pair
+    ident = by_pair[(1, 2)]
+    assert ident["est_bp"] == 10000 and ident["exact_bp"] == 10000
+    assert ident["err_bp"] == 0
+    for r in rows:
+        assert r["est_bp"] % 1250 == 0 and r["est_bp"] >= 5000
+        assert 0 <= r["exact_bp"] <= 10000
+        assert r["err_bp"] == abs(r["est_bp"] - r["exact_bp"])
+
+
+def test_minhash_accuracy_rejects_non_divisible_k(spark):
+    import pytest as _pt
+
+    from w_userflow_featurestore_spark.operators.dedup import (
+        minhash_accuracy,
+    )
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="divide 10000"):
+        minhash_accuracy(docs, k=7)

@@ -290,3 +290,33 @@ def test_q4_and_forecast_plan_pins(spark):
     # the tiny aggregate (broadcast), never raw events
     assert_plan(_q(spark, "forecast_baseline"), max_shuffles=2,
                 min_broadcast_joins=1, max_sort_merge_joins=0)
+
+
+def test_promo_revenue_plan_pin(spark):
+    # Q14 shape: shipdate bound pushed to the raw nano column on the
+    # lineitem scan; lineitem x part equi-join (NOT forced broadcast —
+    # part is a medium dim that outgrows the broadcast budget at scale,
+    # AQE may still elect one at fixture size); one agg barrier
+    df = _q(spark, "promo_revenue")
+    assert_plan(df, max_shuffles=3)
+    assert any("l_shipdate" in p for p in pushed_filters(df))
+    # the part scan is pruned to join key + type (no wide dim read)
+    assert any(set(scan) == {"p_partkey", "p_type"}
+               for scan in read_schema_columns(df))
+
+
+def test_volume_shipping_plan_pin(spark):
+    # Q7 shape: supplier + both nation dims broadcast; the fact-side
+    # chain (lineitem x orders x customer) is the only shuffle work
+    df = _q(spark, "volume_shipping")
+    assert_plan(df, max_shuffles=4, min_broadcast_joins=3)
+
+
+def test_minhash_accuracy_plan_pin(spark):
+    # exact side must be candidate-restricted: the shingle explode
+    # feeds semi-joins (no full-corpus pair join), band join + posting
+    # join both equi-joins, no cartesian
+    df = _q(spark, "minhash_accuracy")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan

@@ -209,6 +209,86 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
                                min_est_jaccard=min_est_jaccard)
 
 
+def minhash_accuracy(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3, k: int = 8,
+                     bands: int = 4, min_est_bp: int = 5000,
+                     max_posting: int = 64) -> DataFrame:
+    """Estimator-quality eval: MinHash estimate vs EXACT Jaccard per
+    LSH candidate pair — the dedup analog of the ANN recall gate. A
+    hash-green LSH pipeline can still ship a useless estimator (too few
+    permutations, broken hash family); this query makes the estimation
+    error itself a certified value.
+
+    All outputs are integer basis points built from pure integer
+    arithmetic (counts, multiply, floor-div) so the value oracle is
+    engine-exact with no float-parity treatment:
+      est_bp   = agreeing-minhash count * (10000 / k)
+      exact_bp = (|A ∩ B| * 10000) div (|A| + |B| - |A ∩ B|)
+      err_bp   = |est_bp - exact_bp|
+
+    Scale shape: the exact side is computed ONLY for candidate-pair
+    members (a semi-join keeps the shingle explode proportional to the
+    candidate set, not the corpus), and the inverted-index join carries
+    the same always-on ``max_posting`` stop-shingle cap as
+    ngram_jaccard_pairs — per-bucket work stays <= cap^2 at any corpus
+    size. Set sizes are measured BEFORE the cap so exact_bp is the true
+    Jaccard whenever no posting overflows (all test corpora).
+    """
+    if 10000 % k:
+        raise ValueError(f"k={k} must divide 10000 for exact basis points")
+    sigs = minhash_signatures(docs, text_col, id_col, n=n, k=k)
+    banded = band_buckets(sigs, id_col, k=k, bands=bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    sigs_n = sigs.select(F.col(id_col).alias("_sid"), sig_arr.alias("_sig"))
+    est = (pairs
+           .join(sigs_n.select(F.col("_sid").alias("doc_a"),
+                               F.col("_sig").alias("sig_a")), "doc_a")
+           .join(sigs_n.select(F.col("_sid").alias("doc_b"),
+                               F.col("_sig").alias("sig_b")), "doc_b")
+           .withColumn("est_bp",
+                       (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                                   lambda x, y: x == y),
+                                        lambda e: e))
+                        * F.lit(10000 // k)).cast("long"))
+           .where(F.col("est_bp") >= min_est_bp)
+           .select("doc_a", "doc_b", "est_bp"))
+
+    cand_ids = (est.select(F.col("doc_a").alias(id_col))
+                .unionByName(est.select(F.col("doc_b").alias(id_col)))
+                .distinct())
+    sh = (exploded_shingles(docs, text_col, id_col, n)
+          .join(cand_ids, id_col, "left_semi"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ok = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pl"))
+            .where(F.col("pl") <= max_posting))
+    capped = sh.join(ok.select("shingle"), "shingle", "left_semi")
+    ca, cb = capped.alias("ca"), capped.alias("cb")
+    common = (ca.join(cb, (F.col("ca.shingle") == F.col("cb.shingle"))
+                      & (F.col(f"ca.{id_col}") < F.col(f"cb.{id_col}")))
+              .groupBy(F.col(f"ca.{id_col}").alias("doc_a"),
+                       F.col(f"cb.{id_col}").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (est
+            .join(common, ["doc_a", "doc_b"], "left")
+            .withColumn("common", F.coalesce(F.col("common"), F.lit(0)))
+            .join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("exact_bp",
+                        F.expr("(common * 10000) div "
+                               "(sz_a + sz_b - common)").cast("long"))
+            .withColumn("err_bp", F.abs(F.col("est_bp") - F.col("exact_bp"))
+                        .cast("long"))
+            .select("doc_a", "doc_b", "est_bp", "exact_bp", "err_bp"))
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verify stage)
 # ---------------------------------------------------------------------------
