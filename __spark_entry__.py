@@ -984,7 +984,13 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_curate, signature_index,
     )
     docs = read_table(spark, sf_dir, "documents")
-    ledger = signature_index(docs.where(F.col("doc_id") % 2 == 0))
+    # In production the ledger IS a persisted table (LogTable /
+    # parquet); here it's derived inline, so materialize it once —
+    # otherwise each of its three consumers (hash anti-join, banded
+    # probe, signature verify) re-derives it from the corpus text,
+    # which is exactly what the ledger exists to avoid.
+    ledger = signature_index(docs.where(F.col("doc_id") % 2 == 0)) \
+        .localCheckpoint(eager=True)
     return incremental_curate(docs.where(F.col("doc_id") % 2 == 1), ledger)
 
 

@@ -97,12 +97,18 @@ def test_flagship_user_daily_shuffle_budget(spark):
 
 
 def test_incremental_curate_plan_pin(spark):
-    # ledger probe + batch self-probe + victim anti-joins: many small
-    # control-plane exchanges are fine, but the corpus-text side must
-    # stay out of them and the ledger joins must broadcast
+    # The ledger and the batch signatures are lineage-cut (each is a
+    # bounded ~100 B/doc frame feeding 3-6 branches; without the cut the
+    # corpus/batch text was re-scanned 13x). The final plan must read
+    # the corpus text exactly ONCE (the batch profile) with everything
+    # else rooted at the materialized frames, inside a tight barrier
+    # budget.
     df = _q(spark, "incremental_curate")
-    assert_plan(df, max_shuffles=24, min_broadcast_joins=10,
+    assert_plan(df, max_shuffles=10, min_broadcast_joins=5,
                 max_sort_merge_joins=2)
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "ExistingRDD" in plan
 
 
 def test_embedding_near_pairs_plan_pin(spark):
@@ -313,10 +319,14 @@ def test_volume_shipping_plan_pin(spark):
 
 
 def test_minhash_accuracy_plan_pin(spark):
-    # exact side must be candidate-restricted: the shingle explode
-    # feeds semi-joins (no full-corpus pair join), band join + posting
-    # join both equi-joins, no cartesian
+    # The two candidate-proportional intermediates (est pairs, candidate
+    # shingles) are lineage-cut with localCheckpoint — without the cut
+    # every downstream branch recomputes from the RAW corpus (measured
+    # 58 documents.parquet scans). The final plan must therefore be
+    # rooted at the materialized RDDs with ZERO residual corpus scans,
+    # and stay cartesian-free.
     df = _q(spark, "minhash_accuracy")
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert "LeftSemi" in plan
+    assert "ExistingRDD" in plan
+    assert "documents.parquet" not in plan

@@ -113,7 +113,14 @@ def incremental_curate(new_docs: DataFrame, ledger: DataFrame,
         band_buckets, minhash_signatures)
 
     prof = text_profile(new_docs)
-    new_sigs = minhash_signatures(new_docs, id_col=id_col, n=n, k=k)
+    # Lineage cut: the batch signatures feed SIX downstream branches
+    # (banded probe, batch self-probe x2, signature verify x3); without
+    # it each branch re-shingles the batch text from source. The frame
+    # is batch-proportional and ~100 bytes/doc — the same bounded
+    # executor-local materialization the ledger gets in production by
+    # being a real table.
+    new_sigs = minhash_signatures(new_docs, id_col=id_col, n=n, k=k) \
+        .localCheckpoint(eager=True)
 
     # rule 2: exact dups — vs ledger, then lowest-id-wins inside batch
     keep = (prof

@@ -259,12 +259,23 @@ def minhash_accuracy(docs: DataFrame, text_col: str = "text",
                         * F.lit(10000 // k)).cast("long"))
            .where(F.col("est_bp") >= min_est_bp)
            .select("doc_a", "doc_b", "est_bp"))
+    # Materialize the two SMALL intermediates executor-locally: est
+    # (candidate pairs) and the candidates' shingles both feed multiple
+    # downstream branches (cand-id union, sizes, the capped self-join's
+    # two aliases, the final join), and without a lineage cut Spark
+    # recomputes each branch from the RAW CORPUS — measured 58 corpus
+    # scans at fixture scale, i.e. dozens at 100 TB. Both frames are
+    # candidate-proportional (never corpus-proportional), the same
+    # bounded-materialization call incremental_curate makes for its
+    # ledger probes.
+    est = est.localCheckpoint(eager=True)
 
     cand_ids = (est.select(F.col("doc_a").alias(id_col))
                 .unionByName(est.select(F.col("doc_b").alias(id_col)))
                 .distinct())
     sh = (exploded_shingles(docs, text_col, id_col, n)
-          .join(cand_ids, id_col, "left_semi"))
+          .join(cand_ids, id_col, "left_semi")
+          .localCheckpoint(eager=True))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ok = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pl"))
             .where(F.col("pl") <= max_posting))
