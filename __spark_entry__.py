@@ -489,7 +489,10 @@ def q_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     below ANN_RECALL_FLOOR_BP, recall_ok flips and the driver row goes
     red."""
     emb = read_table(spark, sf_dir, "embeddings")
-    qs = emb.where(F.col("vec_id") < 5)
+    # the 5-vector query set feeds all three pipelines; materialize it
+    # once (bounded frame) so each pipeline doesn't re-derive it from
+    # the corpus scan
+    qs = emb.where(F.col("vec_id") < 5).localCheckpoint(eager=True)
     brute = SIM.brute_force_topk(emb, qs, k=5).select("q_id", "n_id")
     lsh = SIM.lsh_topk(emb, qs, k=5, planes=4).select("q_id", "n_id") \
         .withColumn("_l", F.lit(1))
