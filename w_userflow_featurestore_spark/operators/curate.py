@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from w_userflow_featurestore_spark.operators.dedup import (
-    exact_dedup, minhash_lsh_dedup,
+    exact_dedup, lsh_candidate_pairs, minhash_signatures,
 )
 from w_userflow_featurestore_spark.operators.text import text_profile
 
@@ -47,7 +47,14 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.5,
     """
     prof = text_profile(docs)
     keep = exact_dedup(docs).where(F.col("keep") == 1).select(id_col)
-    victims = (minhash_lsh_dedup(docs, min_est_jaccard=near_threshold)
+    # Signatures feed the band self-join (x2) and the agreement rejoin
+    # (x2); lineage-cut the ~100 B/doc frame so the corpus text is
+    # shingled ONCE, not four times (same bounded materialization the
+    # signature_index ledger gets in the incremental path).
+    sigs = minhash_signatures(docs, id_col=id_col) \
+        .localCheckpoint(eager=True)
+    victims = (lsh_candidate_pairs(sigs, id_col,
+                                   min_est_jaccard=near_threshold)
                .select(F.col("doc_b").alias(id_col)).distinct())
     return (prof
             .where(F.col("quality") >= min_quality)
