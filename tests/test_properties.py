@@ -359,3 +359,82 @@ def test_cohort_retention_matches_independent_model(spark, obs):
             (n, sizes[c], n * 10000 // sizes[c])
             for (c, off), n in counts.items()}
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# minhash_accuracy vs an independent pure-Python model
+# --------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps",
+                              "zeta", "eta", "theta"]),
+             min_size=3, max_size=12).map(lambda ws: " ".join(ws)),
+    min_size=2, max_size=8)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_strategy)
+def test_minhash_accuracy_matches_independent_model(spark, docs):
+    """Pure-Python twin of dedup.minhash_accuracy (md5 minwise hashes,
+    band buckets, integer-bp exact Jaccard) recomputed from scratch —
+    any disagreement is an implementation bug, not an oracle echo."""
+    import hashlib
+
+    from w_userflow_featurestore_spark.operators.dedup import (
+        minhash_accuracy,
+    )
+
+    K, BANDS = 8, 4
+
+    def norm_words(text):
+        import re as _re
+        return [w for w in _re.sub(r"[^a-z0-9]+", " ", text.lower())
+                .strip().split(" ") if w]
+
+    def shingle_set(text):
+        ws = norm_words(text)
+        n_sh = max(len(ws) - 2, 1)
+        return {" ".join(ws[i:i + 3]) for i in range(n_sh)}
+
+    def h60(payload):
+        return int(hashlib.md5(payload.encode()).hexdigest()[:15], 16)
+
+    def signature(sset):
+        return [min(h60(f"{i}:{s}") for s in sset) for i in range(K)]
+
+    rows = [(i + 1, t) for i, t in enumerate(docs) if norm_words(t)]
+    if len(rows) < 2:
+        return
+    sigs = {i: signature(shingle_set(t)) for i, t in rows}
+    sets = {i: shingle_set(t) for i, t in rows}
+
+    def buckets(sig):
+        r = K // BANDS
+        return [(b, hashlib.md5(
+            ",".join(str(v) for v in sig[b * r:(b + 1) * r]).encode())
+            .hexdigest()) for b in range(BANDS)]
+
+    expected = {}
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not set(buckets(sigs[a])) & set(buckets(sigs[b])):
+                continue
+            agree = sum(1 for i in range(K) if sigs[a][i] == sigs[b][i])
+            est_bp = agree * (10000 // K)
+            if est_bp < 5000:
+                continue
+            common = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - common
+            exact_bp = (common * 10000) // union
+            expected[(a, b)] = (est_bp, exact_bp, abs(est_bp - exact_bp))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): (r["est_bp"], r["exact_bp"],
+                                      r["err_bp"])
+           for r in minhash_accuracy(df, n=3, k=K, bands=BANDS,
+                                     min_est_bp=5000,
+                                     max_posting=64).collect()}
+    assert got == expected
