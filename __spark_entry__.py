@@ -276,6 +276,97 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.lit(1)).alias("n_lineitems")))
 
 
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: HAVING-derived key set joined back to the fact
+    (the aggregate-IN-subquery shape). lineitem aggregates ONCE on its
+    natural key; the surviving key set is tiny after HAVING, so it
+    broadcasts onto orders instead of re-shuffling the fact."""
+    li = read_table(spark, sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity"])
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer",
+                      columns=["c_custkey", "c_name"])
+    big = (li.groupBy("l_orderkey")
+             .agg(exact_sum(F.col("l_quantity"), scale=2).alias("sum_qty"))
+             .where(F.col("sum_qty") > 250))
+    return (orders.join(F.broadcast(big),
+                        orders.o_orderkey == big.l_orderkey)
+                  .join(cust, orders.o_custkey == cust.c_custkey)
+                  .select("c_name", "c_custkey", "o_orderkey",
+                          epoch_ms(F.col("o_orderdate").cast("timestamp"))
+                          .alias("o_orderdate_ms"),
+                          "o_totalprice", "sum_qty"))
+
+
+def q_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape, rewritten aggregation-first: among completed
+    multi-supplier orders where EXACTLY ONE supplier shipped returned
+    lines, charge that order's returned lines to the lone supplier.
+
+    The textbook formulation is two correlated self-joins over the fact
+    (EXISTS another-supplier / NOT EXISTS another-returning-supplier —
+    the oracle SQL is that literal form). At 100 TB those are two extra
+    full shuffles of lineitem; here ONE groupBy(l_orderkey) computes
+    both existentials as distinct-supplier counts, the fact shuffles
+    once, and the supplier dim broadcasts onto the tiny survivor set."""
+    li = read_table(spark, sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    orders = (read_table(spark, sf_dir, "orders",
+                         columns=["o_orderkey", "o_orderstatus"])
+              .where(F.col("o_orderstatus") == "F"))
+    sup = read_table(spark, sf_dir, "supplier",
+                     columns=["s_suppkey", "s_name"])
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (li.join(orders, li.l_orderkey == orders.o_orderkey,
+                         "left_semi")
+                   .groupBy("l_orderkey")
+                   .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                        F.count_distinct(ret_supp).alias("n_ret_supp"),
+                        F.max(ret_supp).alias("ret_supp"),
+                        F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                              .otherwise(0)).alias("n_ret_lines")))
+    blamed = per_order.where((F.col("n_supp") > 1)
+                             & (F.col("n_ret_supp") == 1))
+    return (blamed.join(F.broadcast(sup),
+                        blamed.ret_supp == sup.s_suppkey)
+                  .groupBy("s_suppkey", "s_name")
+                  .agg(F.sum("n_ret_lines").cast("long").alias("numwait"),
+                       F.count(F.lit(1)).cast("long").alias("n_orders")))
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape: scalar-subquery threshold + anti join + rollup.
+    Customers richer than the positive-balance average with NO ORDER
+    since 2000-01-01 (dormant), by nation. The threshold comparison
+    stays in pure integer space (cents * count > sum-of-cents) so the
+    boundary is engine-exact — no float average ever materializes. The
+    1-row aggregate broadcasts; orders is touched only as an anti-join
+    key ledger with the date predicate pushed to its scan."""
+    from w_userflow_featurestore_spark.functions import scaled_long
+    cust = read_table(spark, sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = read_table(spark, sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"],
+                        ts_filter=("o_orderdate", "2000-01-01 00:00:00",
+                                   None)).select("o_custkey")
+    nation = read_table(spark, sf_dir, "nation")
+    pos_avg = (cust.where(F.col("c_acctbal") > 0)
+                   .agg(F.sum(scaled_long(F.col("c_acctbal"), 2))
+                        .alias("sum_c"),
+                        F.count(F.lit(1)).alias("n_c")))
+    rich = (cust.join(F.broadcast(pos_avg))
+                .where(scaled_long(F.col("c_acctbal"), 2) * F.col("n_c")
+                       > F.col("sum_c")))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey,
+                     "left_anti")
+    return (idle.join(F.broadcast(nation),
+                      idle.c_nationkey == nation.n_nationkey)
+                .groupBy("n_name")
+                .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
+                     exact_sum(F.col("c_acctbal"), scale=2)
+                     .alias("total_acctbal")))
+
+
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality gate for MinHash-LSH: estimated vs EXACT
     Jaccard per candidate pair in integer basis points (operator
@@ -1369,6 +1460,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue": q_promo_revenue,
     "volume_shipping": q_volume_shipping,
     "minhash_accuracy": q_minhash_accuracy,
+    "large_volume_orders": q_large_volume_orders,
+    "sole_return_supplier": q_sole_return_supplier,
+    "idle_customer_balance": q_idle_customer_balance,
     # --- round-3 certificates (rotate through the window) ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1893,6 +1987,61 @@ JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
 GROUP BY 1, 2, 3
+"""
+
+ORACLES["large_volume_orders"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         round(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+               / 100.0, 2) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum_qty > 250)
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+# the literal correlated-EXISTS form the Spark side decorrelates into
+# one groupBy(l_orderkey); granularity of numwait = qualifying RETURNED
+# LINES (the outer query's row), n_orders = distinct qualifying orders
+ORACLES["sole_return_supplier"] = """
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait,
+       CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1, 2
+"""
+
+ORACLES["idle_customer_balance"] = """
+WITH t AS (
+  SELECT sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS sum_c,
+         count(*) AS n_c
+  FROM customer WHERE c_acctbal > 0)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+             / 100.0, 2) AS total_acctbal
+FROM customer c
+CROSS JOIN t
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) * n_c > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
 """
 
 

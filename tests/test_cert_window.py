@@ -28,6 +28,7 @@ ROUND_WINDOW_HEAD = [
     "ab_test", "behavior_trigrams",
     # new this round
     "promo_revenue", "volume_shipping", "minhash_accuracy",
+    "large_volume_orders", "sole_return_supplier", "idle_customer_balance",
 ]
 
 

@@ -330,3 +330,33 @@ def test_minhash_accuracy_plan_pin(spark):
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan
     assert "documents.parquet" not in plan
+
+
+def test_large_volume_orders_plan_pin(spark):
+    # Q18 shape: lineitem aggregates ONCE (one shuffle barrier); the
+    # HAVING-surviving key set joins back by broadcast, never by
+    # re-shuffling the fact
+    df = _q(spark, "large_volume_orders")
+    assert_plan(df, max_shuffles=1, min_broadcast_joins=1,
+                max_sort_merge_joins=0)
+
+
+def test_sole_return_supplier_scans_fact_once(spark):
+    # Q21 shape decorrelated: the textbook EXISTS / NOT-EXISTS form
+    # self-joins lineitem twice; this plan must read lineitem exactly
+    # once and derive both existentials from one per-order aggregate
+    df = _q(spark, "sole_return_supplier")
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert_plan(df, max_shuffles=3, min_broadcast_joins=1,
+                max_sort_merge_joins=0)
+
+
+def test_idle_customer_balance_plan_pin(spark):
+    # Q22 shape: the 1-row threshold aggregate and the nation dim are
+    # broadcast; the date bound reaches the orders scan so the anti-join
+    # ledger is the FILTERED keyset, not all of orders
+    df = _q(spark, "idle_customer_balance")
+    assert_plan(df, max_shuffles=2, min_broadcast_joins=3,
+                max_sort_merge_joins=0)
+    assert any("o_orderdate" in p for p in pushed_filters(df))
