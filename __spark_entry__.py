@@ -1440,11 +1440,13 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (plus the committed sf0.01 self-check artifact, SELFCHECK_r05.json).
 # Round 5 window: the 6 displaced round-2 holders first, then the 2
 # queries whose oracle changed this round (ab_test significance
-# quantization, behavior_trigrams NULL-step filter), the 3 NEW queries,
-# then 39 of the 48 round-3-certificate queries. The 9 round-3 holders
-# that don't fit (stable untouched modules: relational pivots/anti-semi
-# joins, skew salting, multimodal, top-k/percentile entry queries) lead
-# the tail — FIRST in line for round 6.
+# quantization, behavior_trigrams NULL-step filter), the 6 NEW queries
+# (promo_revenue, volume_shipping, minhash_accuracy, and the
+# Q18/Q21/Q22-shape relational trio), then 36 of the 48
+# round-3-certificate queries. The 12 round-3 holders that don't fit
+# (stable untouched modules: relational pivots/anti-semi joins, skew
+# salting, multimodal, top-k/percentile entry queries) lead the tail —
+# FIRST in line for round 6.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-2 certificates (oldest) — certify these first ---
     "dedup_latest": q_dedup_latest,

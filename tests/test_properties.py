@@ -438,3 +438,170 @@ def test_minhash_accuracy_matches_independent_model(spark, docs):
                                      min_est_bp=5000,
                                      max_posting=64).collect()}
     assert got == expected
+
+
+# ------------------------------------------------------------ as-of join
+
+asof_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(1, 3),            # key
+                       st.integers(0, 100)),         # left ts (s offset)
+             min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(1, 3),            # key
+                       st.integers(0, 100),          # right ts
+                       st.integers(0, 999)),         # payload value
+             min_size=0, max_size=20,
+             unique_by=lambda r: (r[0], r[1])),      # unique (key, ts):
+)                                                    # no tiebreak in model
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(asof_strategy, st.booleans())
+def test_asof_join_matches_independent_model(spark, data, strict):
+    """Random update/observation streams, both strict and non-strict:
+    every left row must see exactly the latest right payload at-or-
+    before (strictly-before) its timestamp — the no-future-leakage
+    contract — per key, NULL when no prior update exists."""
+    from w_userflow_featurestore_spark.operators.asof import asof_join
+
+    lefts, rights = data
+    l_rows = [(k, BASE + dt.timedelta(seconds=s), i)
+              for i, (k, s) in enumerate(lefts)]
+    r_rows = [(k, BASE + dt.timedelta(seconds=s), v)
+              for k, s, v in rights]
+    ldf = spark.createDataFrame(l_rows, "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(r_rows, "k long, ts timestamp, val long")
+    res = asof_join(ldf, rdf, on=["k"], strict=strict).collect()
+    got = {r["lid"]: (r["val_r"], r["ts_r"]) for r in res}
+    assert len(got) == len(lefts)
+    for i, (k, s) in enumerate(lefts):
+        cands = [(rs, v) for rk, rs, v in rights
+                 if rk == k and (rs < s if strict else rs <= s)]
+        if cands:
+            rs, v = max(cands)
+            assert got[i] == (v, BASE + dt.timedelta(seconds=rs)), \
+                (i, got[i], (v, rs))
+        else:
+            assert got[i] == (None, None), (i, got[i])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(1, 2), st.integers(0, 120)),
+                min_size=1, max_size=15),
+       st.lists(st.tuples(st.integers(1, 2), st.integers(0, 120)),
+                min_size=0, max_size=15))
+def test_interval_join_matches_bruteforce_pairs(spark, lefts, rights):
+    """Random event pairs: the bucketed interval join must produce
+    exactly the brute-force pair set {(l, r): r.ts in [l.ts, l.ts+30s]}
+    — no pair lost at bucket boundaries, none duplicated by the
+    2-bucket explode."""
+    from w_userflow_featurestore_spark.operators.asof import interval_join
+
+    l_rows = [(k, BASE + dt.timedelta(seconds=s), i)
+              for i, (k, s) in enumerate(lefts)]
+    r_rows = [(k, BASE + dt.timedelta(seconds=s), j)
+              for j, (k, s) in enumerate(rights)]
+    ldf = spark.createDataFrame(l_rows, "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(r_rows, "k long, ts timestamp, rid long")
+    out = interval_join(ldf, rdf, on=["k"], lower_ms=0,
+                        upper_ms=30_000).collect()
+    got = sorted((r["lid"], r["rid_r"]) for r in out)
+    want = sorted((i, j)
+                  for i, (lk, ls) in enumerate(lefts)
+                  for j, (rk, rs) in enumerate(rights)
+                  if lk == rk and ls <= rs <= ls + 30)
+    assert got == want
+
+
+# ---------------------------------------------------------------- packing
+
+pack_docs_strategy = st.lists(
+    st.tuples(st.sampled_from(["en", "de"]),          # lang
+              st.sampled_from(["web", "book"]),       # source
+              st.lists(st.sampled_from(["alpha", "beta", "gamma", "x1"]),
+                       min_size=0, max_size=9).map(" ".join)),
+    min_size=1, max_size=16)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=pack_docs_strategy)
+def test_pack_sequences_matches_running_sum_model(spark, docs):
+    """Random per-stream corpora: start offsets, pack ids, pack offsets
+    and span counts must equal a from-scratch running-token-sum model
+    (packing is defined per (lang, source) stream, ordered by doc_id)."""
+    import re as _re
+
+    from w_userflow_featurestore_spark.operators.packing import (
+        pack_sequences,
+    )
+    budget = 16
+    rows_in = [(i, lang, src, text)
+               for i, (lang, src, text) in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows_in, "doc_id long, lang string, source string, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"], r["pack_id"],
+                         r["pack_offset"], r["n_packs_spanned"])
+           for r in pack_sequences(df, budget=budget).collect()}
+
+    def n_tok(text):
+        # mirror words(): normalize, then split on single spaces — an
+        # empty normalized text still yields one (empty) token
+        norm = _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        return len(norm.split(" "))
+
+    streams: dict = {}
+    for i, (lang, src, text) in enumerate(docs):
+        streams.setdefault((lang, src), []).append(i)
+    want = {}
+    for ids in streams.values():
+        off = 0
+        for i in sorted(ids):
+            n = n_tok(docs[i][2])
+            pack = off // budget
+            last = (off + n - 1) // budget
+            want[i] = (n, off, pack, off % budget, last - pack + 1)
+            off += n
+    assert got == want
+
+
+# ----------------------------------------------------------------- funnel
+
+funnel_events_strategy = st.lists(
+    st.tuples(st.integers(1, 3),                      # user
+              st.integers(0, 40),                     # ts seconds
+              st.sampled_from(["view", "click", "purchase", "other"])),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(evs=funnel_events_strategy)
+def test_funnel_progress_matches_independent_model(spark, evs):
+    """Random event streams: each step's completion time must be the
+    earliest event of that type at-or-after the previous step's time,
+    walking (ts, event_id) order — NULLs cascade after a stall."""
+    from w_userflow_featurestore_spark.operators.funnel import (
+        funnel_progress,
+    )
+    steps = ["view", "click", "purchase"]
+    rows_in = [(i, BASE + dt.timedelta(seconds=s), u, t, 1.0, "{}")
+               for i, (u, s, t) in enumerate(evs)]
+    df = spark.createDataFrame(rows_in, EVENTS_DDL)
+    out = funnel_progress(df, steps).collect()
+    got = {r["user_id"]: tuple(r[f"{s}_ts"] for s in steps) for r in out}
+
+    want = {}
+    for u in {u for u, _, _ in evs}:
+        best = [None] * len(steps)
+        ordered = sorted((BASE + dt.timedelta(seconds=s), i, t)
+                         for i, (uu, s, t) in enumerate(evs) if uu == u)
+        for ts, _i, t in ordered:
+            for k, sname in enumerate(steps):
+                if t != sname or best[k] is not None:
+                    continue
+                if k == 0 or best[k - 1] is not None:
+                    best[k] = ts
+        want[u] = tuple(best)
+    assert got == want
