@@ -367,6 +367,62 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("total_acctbal")))
 
 
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape: quarter revenue per supplier, keeping the
+    supplier(s) whose revenue EQUALS the global max — the
+    scalar-aggregate equality join. The per-supplier aggregate computes
+    ONCE; the 1-row max and the supplier dim broadcast onto it (the
+    classic view-reuse formulation, no second pass over the fact).
+    Revenue compares in exact integer ten-thousandths so the argmax
+    boundary is engine-exact."""
+    from w_userflow_featurestore_spark.functions import scaled_long
+    li = read_table(spark, sf_dir, "lineitem",
+                    ts_filter=("l_shipdate", "1996-01-01 00:00:00",
+                               "1996-03-31 23:59:59"))
+    sup = read_table(spark, sf_dir, "supplier",
+                     columns=["s_suppkey", "s_name"])
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.sum(scaled_long(F.col("l_extendedprice")
+                                    * (1 - F.col("l_discount")), 4))
+                  .alias("rev_c")))
+    # the per-supplier aggregate feeds BOTH the scalar max and the
+    # equality join; without a lineage cut each branch re-scans the
+    # fact — materialize the supplier-cardinality intermediate once
+    rev = rev.localCheckpoint(eager=True)
+    mx = rev.agg(F.max("rev_c").alias("max_c"))
+    return (rev.join(F.broadcast(mx), rev.rev_c == mx.max_c)
+               .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+               .select("s_suppkey", "s_name",
+                       fround(F.col("rev_c") / 1e4, 2)
+                       .alias("total_revenue")))
+
+
+def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shape: nested semi-join chain — suppliers with >= 1
+    'widget' part whose total shipped quantity exceeds 50. Decorrelated
+    bottom-up: name-filtered parts broadcast-semi-filter the fact, one
+    (part, supplier) aggregate applies the HAVING, and the surviving
+    DISTINCT supplier keyset left-semi joins the dim — the correlated
+    EXISTS-with-GROUP-BY never touches the fact twice. Quantities
+    compare in exact integer centi-units."""
+    from w_userflow_featurestore_spark.functions import scaled_long
+    part = (read_table(spark, sf_dir, "part",
+                       columns=["p_partkey", "p_name"])
+            .where(F.col("p_name").contains("widget")))
+    li = read_table(spark, sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity"])
+    sup = read_table(spark, sf_dir, "supplier")
+    bulk = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey,
+                    "left_semi")
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum(scaled_long(F.col("l_quantity"), 2))
+                   .alias("qty_c"))
+              .where(F.col("qty_c") > 5000)
+              .select("l_suppkey").distinct())
+    return (sup.join(bulk, sup.s_suppkey == bulk.l_suppkey, "left_semi")
+               .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+
+
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality gate for MinHash-LSH: estimated vs EXACT
     Jaccard per candidate pair in integer basis points (operator
@@ -1440,10 +1496,10 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (plus the committed sf0.01 self-check artifact, SELFCHECK_r05.json).
 # Round 5 window: the 6 displaced round-2 holders first, then the 2
 # queries whose oracle changed this round (ab_test significance
-# quantization, behavior_trigrams NULL-step filter), the 6 NEW queries
+# quantization, behavior_trigrams NULL-step filter), the 8 NEW queries
 # (promo_revenue, volume_shipping, minhash_accuracy, and the
-# Q18/Q21/Q22-shape relational trio), then 36 of the 48
-# round-3-certificate queries. The 12 round-3 holders that don't fit
+# Q18/Q21/Q22/Q15/Q20-shape relational batch), then 34 of the 48
+# round-3-certificate queries. The 14 round-3 holders that don't fit
 # (stable untouched modules: relational pivots/anti-semi joins, skew
 # salting, multimodal, top-k/percentile entry queries) lead the tail —
 # FIRST in line for round 6.
@@ -1465,6 +1521,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_orders": q_large_volume_orders,
     "sole_return_supplier": q_sole_return_supplier,
     "idle_customer_balance": q_idle_customer_balance,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "bulk_part_suppliers": q_bulk_part_suppliers,
     # --- round-3 certificates (rotate through the window) ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2044,6 +2102,32 @@ WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) * n_c > sum_c
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY 1
+"""
+
+ORACLES["top_revenue_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                        * 10000.0 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <= TIMESTAMP '1996-03-31 23:59:59'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, round(rev_c / 10000.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM rev)
+"""
+
+# the literal correlated EXISTS-with-GROUP-BY the Spark side
+# decorrelates into one (part, supplier) aggregate + semi joins
+ORACLES["bulk_part_suppliers"] = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l JOIN part p ON l_partkey = p_partkey
+  WHERE l.l_suppkey = s.s_suppkey AND p.p_name LIKE '%widget%'
+  GROUP BY l.l_partkey
+  HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 5000)
 """
 
 

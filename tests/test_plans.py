@@ -360,3 +360,24 @@ def test_idle_customer_balance_plan_pin(spark):
     assert_plan(df, max_shuffles=2, min_broadcast_joins=3,
                 max_sort_merge_joins=0)
     assert any("o_orderdate" in p for p in pushed_filters(df))
+
+
+def test_top_revenue_supplier_scans_fact_once(spark):
+    # Q15 shape: the per-supplier aggregate is materialized once and
+    # reused by the scalar max AND the equality join — no second pass
+    # over lineitem for the argmax
+    df = _q(spark, "top_revenue_supplier")
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 0  # rooted at the cut
+    assert "ExistingRDD" in plan
+    assert_plan(df, min_broadcast_joins=2, max_sort_merge_joins=0)
+
+
+def test_bulk_part_suppliers_plan_pin(spark):
+    # Q20 shape: the name-filtered part keyset broadcast-semi-filters
+    # the fact BEFORE the aggregate; one fact scan, no sort-merge joins
+    df = _q(spark, "bulk_part_suppliers")
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert_plan(df, max_shuffles=2, min_broadcast_joins=2,
+                max_sort_merge_joins=0)
