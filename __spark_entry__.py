@@ -1514,6 +1514,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- changed in round 5 (re-certify) ---
     "ab_test": q_ab_test,
     "behavior_trigrams": q_behavior_trigrams,
+    "curate_corpus": q_curate_corpus,   # curate.py shingle-once rewrite
+    "sessions": q_sessions,             # sessionize.py gap guard
     # --- NEW in round 5 ---
     "promo_revenue": q_promo_revenue,
     "volume_shipping": q_volume_shipping,
@@ -1555,18 +1557,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "incremental_curate": q_incremental_curate,
     "time_decay_features": q_time_decay_features,
-    "capped_user_events": q_capped_user_events,
-    "churn_labels": q_churn_labels,
     "behavior_diversity": q_behavior_diversity,
     "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
     "user_cohort_setops": q_user_cohort_setops,
-    "curate_corpus": q_curate_corpus,
-    "sessions": q_sessions,
     # --- certificate tail ---
-    # 9 round-3 holders that didn't fit the window (stable untouched
-    # modules, each pytest- and sf0.001-parity-covered) — FIRST for
-    # round 6:
+    # displaced by the round-5 window swap (modules untouched this
+    # round; r03 certificates + sf0.001 parity pytest carry them) —
+    # FIRST for round 6:
+    "capped_user_events": q_capped_user_events,
+    "churn_labels": q_churn_labels,
+    # round-3 holders that didn't fit the window (stable untouched
+    # modules, each pytest- and sf0.001-parity-covered) — next in the
+    # round-6 rotation after the two above:
     "event_type_pivot": q_event_type_pivot,
     "customers_no_orders": q_customers_no_orders,
     "big_spender_customers": q_big_spender_customers,

@@ -24,8 +24,9 @@ ROUND_WINDOW_HEAD = [
     # displaced round-2 certificate holders
     "dedup_latest", "above_avg_orders", "pricing_summary",
     "revenue_by_nation", "pack_sequences", "frequent_tokens",
-    # oracle changed this round
-    "ab_test", "behavior_trigrams",
+    # implementation or oracle changed this round (curate.py
+    # shingle-once rewrite; sessionize.py gap guard)
+    "ab_test", "behavior_trigrams", "curate_corpus", "sessions",
     # new this round
     "promo_revenue", "volume_shipping", "minhash_accuracy",
     "large_volume_orders", "sole_return_supplier", "idle_customer_balance",
