@@ -605,3 +605,49 @@ def test_funnel_progress_matches_independent_model(spark, evs):
                     best[k] = ts
         want[u] = tuple(best)
     assert got == want
+
+
+# -------------------------------------------------------------- winnowing
+
+winnow_text_strategy = st.lists(
+    st.text(alphabet="ab1 .,-", min_size=0, max_size=40),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=winnow_text_strategy)
+def test_winnow_fingerprints_matches_independent_model(spark, texts):
+    """Pure-Python winnowing (Schleimer et al.): char-k-gram md5-60
+    hashes, min of each w-window, distinct per doc — recomputed from
+    scratch for arbitrary text incl. degenerate (< k chars / < w
+    k-grams) docs; any disagreement is an implementation bug."""
+    import hashlib
+    import re as _re
+
+    from w_userflow_featurestore_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    K, W = 8, 4
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def model(text):
+        norm = _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        if len(norm) >= K:
+            hs = [h60(norm[i:i + K]) for i in range(len(norm) - K + 1)]
+        else:
+            hs = [h60(norm)]
+        if len(hs) >= W:
+            return {min(hs[i:i + W]) for i in range(len(hs) - W + 1)}
+        return {min(hs)}
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    out = winnow_fingerprints(df, k=K, w=W).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    want = {i: model(t) for i, t in enumerate(texts)}
+    assert got == want
