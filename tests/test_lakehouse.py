@@ -547,8 +547,9 @@ def test_commit_manifest_records_footer_stats(spark, stats_table):
     snaps = stats_table.snapshots()
     assert all(s.stats for s in snaps)
     (f,) = snaps[0].add
-    assert snaps[0].stats[f]["k"] == [0, 2]
-    assert snaps[0].stats[f]["v"] == ["v000", "v002"]
+    # extended form [min, max, null_count, num_rows]
+    assert snaps[0].stats[f]["k"] == [0, 2, 0, 3]
+    assert snaps[0].stats[f]["v"] == ["v000", "v002", 0, 3]
 
 
 def test_read_filters_skip_files_and_match_full_scan(spark, stats_table):
@@ -868,3 +869,54 @@ def test_update_where_evaluates_sets_against_original_row(spark, table):
     t2.append(spark.createDataFrame([(1, 2)], "a long, b long"))
     t2.update_where([("a", "=", 1)], {"a": F.col("b"), "b": F.col("a")})
     assert rows(t2.read(), "a", "b") == [(2, 1)]
+
+
+def test_null_count_stats_prune_null_predicates(spark, tmp_path):
+    """IS NULL / IS NOT NULL file skipping: commit manifests record
+    per-file null counts alongside min/max, an all-null file prunes
+    under notnull, a fully-populated file prunes under isnull, and the
+    residual filter keeps results exact either way."""
+    from w_userflow_featurestore_spark.sources.lakehouse import LogTable
+
+    path = str(tmp_path / "nulltbl")
+    t = LogTable.create(spark, path, stats_columns=["v"])
+    dense = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    allnull = spark.createDataFrame(
+        [(3, None), (4, None)], "id long, v long")
+    mixed = spark.createDataFrame([(5, 50), (6, None)], "id long, v long")
+    for df in (dense, allnull, mixed):
+        t.append(df.coalesce(1))
+
+    stats = t.files_stats()
+    assert len(stats) == 3
+    by_nulls = sorted(s["v"][2] for s in stats.values())
+    assert by_nulls == [0, 1, 2]          # null counts harvested per file
+    # the all-null file has no min/max but DOES carry its null count
+    (an,) = [s["v"] for s in stats.values() if s["v"][2] == 2]
+    assert an[0] is None and an[1] is None and an[3] == 2
+
+    live = t.files()
+    pruned_nn = t._prune(live, stats, [("v", "notnull", None)])
+    assert len(pruned_nn) == 2            # all-null file skipped
+    pruned_in = t._prune(live, stats, [("v", "isnull", None)])
+    assert len(pruned_in) == 2            # zero-null file skipped
+
+    got_nn = sorted(r["id"] for r in
+                    t.read(filters=[("v", "notnull", None)]).collect())
+    assert got_nn == [1, 2, 5]
+    got_in = sorted(r["id"] for r in
+                    t.read(filters=[("v", "isnull", None)]).collect())
+    assert got_in == [3, 4, 6]
+
+
+def test_delete_where_isnull_removes_null_rows(spark, tmp_path):
+    """DELETE ... WHERE col IS NULL — the GDPR-ish scrub of rows with a
+    missing value; non-null rows in the same file are carried over."""
+    from w_userflow_featurestore_spark.sources.lakehouse import LogTable
+
+    path = str(tmp_path / "deltbl")
+    t = LogTable.create(spark, path, stats_columns=["v"])
+    t.append(spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long").coalesce(1))
+    t.delete_where([("v", "isnull", None)])
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3]

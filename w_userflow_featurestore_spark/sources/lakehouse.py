@@ -96,13 +96,24 @@ def _comparable(a, b) -> bool:
 
 
 def _stats_exclude(col_stats, op: str, val) -> bool:
-    """True iff [min, max] PROVES no row of the file satisfies
-    ``col op val``. Parquet min/max ignore NULLs, and every supported
+    """True iff the per-file stats PROVE no row of the file satisfies
+    ``col op val``. ``col_stats`` is ``[min, max]`` or the extended
+    ``[min, max, null_count, num_rows]`` form (readers accept both —
+    stats written before null counts existed simply never prune null
+    predicates). Parquet min/max ignore NULLs, and every supported
     comparison is already false for NULL under SQL semantics, so
     null-heavy files stay prunable without a null count."""
     if col_stats is None:
         return False
-    lo, hi = col_stats
+    lo, hi = col_stats[0], col_stats[1]
+    if op == "isnull":
+        # a file with zero nulls cannot satisfy IS NULL
+        return len(col_stats) >= 4 and col_stats[2] == 0
+    if op == "notnull":
+        # a file that is ALL nulls cannot satisfy IS NOT NULL
+        return (len(col_stats) >= 4 and col_stats[2] is not None
+                and col_stats[3] is not None
+                and col_stats[2] == col_stats[3])
     if val is None or lo is None or hi is None:
         return False
     if op == "in":
@@ -321,18 +332,38 @@ class LogTable:
                     continue             # partition col (in dir) or absent
                 lo = hi = None
                 ok = True
+                nulls, nrows, nulls_ok = 0, 0, True
                 for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx[col]).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
+                    rg_meta = md.row_group(rg)
+                    nrows += rg_meta.num_rows
+                    st = rg_meta.column(idx[col]).statistics
+                    if st is None:
+                        ok = nulls_ok = False
                         break
+                    # null counts are harvested INDEPENDENTLY of min/max
+                    # usability: an all-null column has no min/max but
+                    # its null count is exactly what IS NOT NULL pruning
+                    # needs
+                    if st.has_null_count:
+                        nulls += st.null_count
+                    else:
+                        nulls_ok = False
+                    if not ok:
+                        continue
+                    if not st.has_min_max:
+                        ok = False
+                        continue
                     mn, mx = _stat_value(st.min), _stat_value(st.max)
                     if mn is None or mx is None:
                         ok = False
-                        break
+                        continue
                     lo = mn if lo is None or mn < lo else lo
                     hi = mx if hi is None or mx > hi else hi
-                if ok and lo is not None:
+                if not (ok and lo is not None):
+                    lo = hi = None
+                if nulls_ok:
+                    fstats[col] = [lo, hi, nulls, nrows]
+                elif lo is not None:
                     fstats[col] = [lo, hi]
             if fstats:
                 out[rel] = fstats
@@ -509,6 +540,12 @@ class LogTable:
                                        pv not in {str(x) for x in val}):
                         drop = True
                         break
+                    if op == "isnull" and pv is not None:
+                        drop = True
+                        break
+                    if op == "notnull" and pv is None:
+                        drop = True
+                        break
                     continue
                 norm = ([_filter_value(x) for x in val]
                         if op == "in" else _filter_value(val))
@@ -557,7 +594,9 @@ class LogTable:
         dirs under one basePath (reference S5 scan semantics).
 
         ``filters`` — ``[(col, op, value), ...]`` conjuncts with op in
-        {=, ==, >, >=, <, <=, in} — performs MANIFEST-LEVEL file
+        {=, ==, >, >=, <, <=, in, isnull, notnull} (the null tests
+        ignore ``value``; files prune on the manifest's per-file null
+        counts) — performs MANIFEST-LEVEL file
         skipping before Spark ever lists the scan: a file is dropped
         when the commit's per-file min/max (``stats_columns``) or its
         partition-dir value proves no row can match. This is the
@@ -869,9 +908,14 @@ class LogTable:
     @staticmethod
     def _filter_term(col: str, op: str, val) -> Column:
         """One (col, op, value) filter as a boolean Column — the single
-        translation both the read path and DML share."""
+        translation both the read path and DML share. ``isnull`` /
+        ``notnull`` ignore ``val`` (pass None)."""
         if op == "in":
             return F.col(col).isin(list(val))
+        if op == "isnull":
+            return F.col(col).isNull()
+        if op == "notnull":
+            return F.col(col).isNotNull()
         return getattr(F.col(col), LogTable._OPS[op])(F.lit(val))
 
     @staticmethod
