@@ -490,27 +490,32 @@ def test_asof_join_matches_independent_model(spark, data, strict):
 @given(st.lists(st.tuples(st.integers(1, 2), st.integers(0, 120)),
                 min_size=1, max_size=15),
        st.lists(st.tuples(st.integers(1, 2), st.integers(0, 120)),
-                min_size=0, max_size=15))
-def test_interval_join_matches_bruteforce_pairs(spark, lefts, rights):
-    """Random event pairs: the bucketed interval join must produce
-    exactly the brute-force pair set {(l, r): r.ts in [l.ts, l.ts+30s]}
-    — no pair lost at bucket boundaries, none duplicated by the
-    2-bucket explode."""
+                min_size=0, max_size=15),
+       st.tuples(st.integers(-20, 20), st.integers(1, 40))
+       .map(lambda t: (t[0], t[0] + t[1])))
+def test_interval_join_matches_bruteforce_pairs(spark, lefts, rights,
+                                                bounds):
+    """Random event pairs AND random window bounds (including negative
+    lower bounds — lookback windows): the bucketed interval join must
+    produce exactly the brute-force pair set
+    {(l, r): r.ts in [l.ts + lower, l.ts + upper]} — no pair lost at
+    bucket boundaries, none duplicated by the multi-bucket explode."""
     from w_userflow_featurestore_spark.operators.asof import interval_join
 
+    lo_s, hi_s = bounds
     l_rows = [(k, BASE + dt.timedelta(seconds=s), i)
               for i, (k, s) in enumerate(lefts)]
     r_rows = [(k, BASE + dt.timedelta(seconds=s), j)
               for j, (k, s) in enumerate(rights)]
     ldf = spark.createDataFrame(l_rows, "k long, ts timestamp, lid long")
     rdf = spark.createDataFrame(r_rows, "k long, ts timestamp, rid long")
-    out = interval_join(ldf, rdf, on=["k"], lower_ms=0,
-                        upper_ms=30_000).collect()
+    out = interval_join(ldf, rdf, on=["k"], lower_ms=lo_s * 1000,
+                        upper_ms=hi_s * 1000).collect()
     got = sorted((r["lid"], r["rid_r"]) for r in out)
     want = sorted((i, j)
                   for i, (lk, ls) in enumerate(lefts)
                   for j, (rk, rs) in enumerate(rights)
-                  if lk == rk and ls <= rs <= ls + 30)
+                  if lk == rk and ls + lo_s <= rs <= ls + hi_s)
     assert got == want
 
 
