@@ -1,0 +1,185 @@
+"""Randomized cross-engine parity: the relational query suite vs its
+DuckDB oracles on GENERATED micro-instances.
+
+The driver's correctness gate runs every oracle on the fixed fixture
+tables — thorough on that data, blind to everything the fixtures never
+contain (boundary dates on a ts_filter edge, negative balances, empty
+join sides, months with one row). This harness generates small random
+TPC-H-shaped instances with hypothesis, writes them as parquet, and
+requires the Spark query and the oracle SQL to agree cell-for-cell on
+each one — the oracle is an independent implementation, so agreement
+on arbitrary data pins the SEMANTICS, not the fixture.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF0001
+from tests.oracle_check import run_check
+
+# queries whose inputs are only the TPC-H star tables
+REL_QUERIES = [
+    "pricing_summary", "revenue_by_nation", "promo_revenue",
+    "volume_shipping", "large_volume_orders", "sole_return_supplier",
+    "idle_customer_balance", "top_revenue_supplier",
+    "bulk_part_suppliers", "above_avg_orders", "customers_no_orders",
+    "big_spender_customers", "shipping_priority",
+    "order_priority_counts",
+]
+
+BASE_DAY = dt.datetime(1994, 1, 1)
+# offsets that land EXACTLY on the predicates' boundary dates
+_BOUNDARY_DAYS = [
+    (dt.datetime(1995, 3, 15) - BASE_DAY).days,   # shipping_priority
+    (dt.datetime(1996, 1, 1) - BASE_DAY).days,    # promo/top_revenue lo
+    (dt.datetime(1996, 3, 31) - BASE_DAY).days,   # top_revenue hi
+    (dt.datetime(1996, 12, 31) - BASE_DAY).days,  # promo hi
+    (dt.datetime(2000, 1, 1) - BASE_DAY).days,    # idle_customer cutoff
+]
+
+day_strategy = st.one_of(
+    st.integers(0, 2900),
+    st.sampled_from(_BOUNDARY_DAYS))
+
+cents = st.integers(1, 999_999).map(lambda c: c / 100.0)
+small_cents = st.integers(-99_999, 999_999).map(lambda c: c / 100.0)
+qty = st.integers(100, 5100).map(lambda c: c / 100.0)
+disc = st.integers(0, 10).map(lambda c: c / 100.0)
+
+
+def maybe(strategy):
+    """~1-in-5 NULL — pandas NaN/NaT become parquet nulls, which both
+    engines read back as SQL NULL; the fixtures contain none, so this is
+    the only place NULL semantics of the relational suite get tested."""
+    return st.one_of(st.just(None), strategy, strategy, strategy,
+                     strategy)
+
+
+@st.composite
+def micro_instance(draw):
+    n_nation = 4
+    nation = pd.DataFrame({
+        "n_nationkey": pd.array(range(n_nation), dtype="int64"),
+        "n_name": ["NATION_1", "NATION_2", "NATION_3", "NATION_4"],
+        "n_regionkey": pd.array([0, 0, 1, 1], dtype="int64"),
+    })
+    region = pd.DataFrame({
+        "r_regionkey": pd.array([0, 1], dtype="int64"),
+        "r_name": ["ASIA", "EUROPE"],
+    })
+    n_cust = draw(st.integers(1, 6))
+    customer = pd.DataFrame({
+        "c_custkey": pd.array(range(1, n_cust + 1), dtype="int64"),
+        "c_name": [f"cust{i}" for i in range(1, n_cust + 1)],
+        "c_nationkey": pd.array(
+            [draw(st.integers(0, n_nation - 1)) for _ in range(n_cust)],
+            dtype="int64"),
+        "c_acctbal": [draw(maybe(small_cents)) for _ in range(n_cust)],
+        "c_mktsegment": [draw(st.sampled_from(["BUILDING", "AUTOMOBILE"]))
+                         for _ in range(n_cust)],
+    })
+    n_supp = draw(st.integers(1, 4))
+    supplier = pd.DataFrame({
+        "s_suppkey": pd.array(range(1, n_supp + 1), dtype="int64"),
+        "s_name": [f"supp{i}" for i in range(1, n_supp + 1)],
+        "s_nationkey": pd.array(
+            [draw(st.integers(0, n_nation - 1)) for _ in range(n_supp)],
+            dtype="int64"),
+        "s_acctbal": [draw(small_cents) for _ in range(n_supp)],
+    })
+    n_part = draw(st.integers(1, 5))
+    part = pd.DataFrame({
+        "p_partkey": pd.array(range(1, n_part + 1), dtype="int64"),
+        "p_name": [draw(st.sampled_from(
+            ["red widget", "blue bolt", "small gizmo", "hot widget"]))
+            for _ in range(1, n_part + 1)],
+        "p_brand": ["B1"] * n_part,
+        "p_type": [draw(st.sampled_from(["PROMO", "STANDARD"]))
+                   for _ in range(n_part)],
+        "p_size": pd.array([draw(st.integers(1, 50))
+                            for _ in range(n_part)], dtype="int64"),
+        "p_retailprice": [draw(cents) for _ in range(n_part)],
+    })
+    n_ord = draw(st.integers(0, 10))
+    orders = pd.DataFrame({
+        "o_orderkey": pd.array(range(1, n_ord + 1), dtype="int64"),
+        "o_custkey": pd.array(
+            [draw(st.integers(1, n_cust)) for _ in range(n_ord)],
+            dtype="int64"),
+        "o_orderstatus": [draw(st.sampled_from(["F", "O"]))
+                          for _ in range(n_ord)],
+        "o_totalprice": [draw(cents) for _ in range(n_ord)],
+        "o_orderdate": pd.Series(
+            [None if draw(st.integers(0, 4)) == 0
+             else BASE_DAY + dt.timedelta(days=draw(day_strategy))
+             for _ in range(n_ord)], dtype="datetime64[us]"),
+        "o_orderpriority": [draw(st.sampled_from(["1-URGENT", "3-MEDIUM"]))
+                            for _ in range(n_ord)],
+    })
+    n_li = draw(st.integers(0, 20)) if n_ord else 0
+    lineitem = pd.DataFrame({
+        "l_orderkey": pd.array(
+            [draw(st.integers(1, n_ord)) for _ in range(n_li)],
+            dtype="int64"),
+        "l_partkey": pd.array(
+            [draw(st.integers(1, n_part)) for _ in range(n_li)],
+            dtype="int64"),
+        "l_suppkey": pd.array(
+            [draw(st.integers(1, n_supp)) for _ in range(n_li)],
+            dtype="int64"),
+        "l_linenumber": pd.array(range(1, n_li + 1), dtype="int64"),
+        "l_quantity": [draw(qty) for _ in range(n_li)],
+        "l_extendedprice": [draw(cents) for _ in range(n_li)],
+        "l_discount": [draw(maybe(disc)) for _ in range(n_li)],
+        "l_tax": [draw(disc) for _ in range(n_li)],
+        "l_returnflag": [draw(st.sampled_from(["R", "N", "A"]))
+                         for _ in range(n_li)],
+        "l_linestatus": [draw(st.sampled_from(["F", "O"]))
+                         for _ in range(n_li)],
+        "l_shipdate": pd.Series(
+            [None if draw(st.integers(0, 4)) == 0
+             else BASE_DAY + dt.timedelta(days=draw(day_strategy))
+             for _ in range(n_li)], dtype="datetime64[us]"),
+    })
+    return {"region": region, "nation": nation, "customer": customer,
+            "supplier": supplier, "part": part, "orders": orders,
+            "lineitem": lineitem}
+
+
+def _write_instance(dirpath, tables: dict) -> None:
+    import pyarrow.parquet as pq
+    from pyarrow import Table
+
+    dirpath.mkdir(parents=True, exist_ok=True)
+    for name, df in tables.items():
+        pq.write_table(Table.from_pandas(df, preserve_index=False),
+                       str(dirpath / f"{name}.parquet"))
+    # the oracle connection registers views for ALL fixture tables;
+    # the unused ones just need to exist with their real schema
+    for extra in ("events", "documents", "embeddings"):
+        pq.write_table(
+            pq.read_table(f"{SF0001}/{extra}.parquet").slice(0, 0),
+            str(dirpath / f"{extra}.parquet"))
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(tables=micro_instance())
+def test_relational_queries_match_oracles_on_random_instances(
+        spark, tmp_path_factory, tables):
+    d = tmp_path_factory.mktemp("microtpch")
+    try:
+        _write_instance(d, tables)
+        results = run_check(spark, str(d), only=REL_QUERIES)
+        assert len(results) == len(REL_QUERIES)
+        bad = {n: p for n, p in results.items() if p}
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
