@@ -1516,6 +1516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "behavior_trigrams": q_behavior_trigrams,
     "curate_corpus": q_curate_corpus,   # curate.py shingle-once rewrite
     "sessions": q_sessions,             # sessionize.py gap guard
+    "event_type_pivot": q_event_type_pivot,  # n_total = true row count
     # --- NEW in round 5 ---
     "promo_revenue": q_promo_revenue,
     "volume_shipping": q_volume_shipping,
@@ -1556,7 +1557,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
     "incremental_curate": q_incremental_curate,
-    "time_decay_features": q_time_decay_features,
     "behavior_diversity": q_behavior_diversity,
     "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
@@ -1567,10 +1567,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST for round 6:
     "capped_user_events": q_capped_user_events,
     "churn_labels": q_churn_labels,
+    "time_decay_features": q_time_decay_features,
     # round-3 holders that didn't fit the window (stable untouched
     # modules, each pytest- and sf0.001-parity-covered) — next in the
-    # round-6 rotation after the two above:
-    "event_type_pivot": q_event_type_pivot,
+    # round-6 rotation after the three above:
     "customers_no_orders": q_customers_no_orders,
     "big_spender_customers": q_big_spender_customers,
     "multimodal_decode": q_multimodal_decode,
@@ -1579,7 +1579,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join": q_salted_join,
     "top_docs_per_source": q_top_docs_per_source,
     "duration_percentiles": q_duration_percentiles,
-    # round-4 certificates (freshest):
+    # round-4 certificates (freshest). Note: the round-5
+    # entry_event_type fix (NULL kept / (ts, event_id) tie-break,
+    # sessionize.py) is BIT-IDENTICAL on all fixture scales — the
+    # fixtures contain zero NULL cells and zero duplicate (user, ts)
+    # pairs (verified sf0.001/0.01/0.1) and the whole family re-passed
+    # sf0.01 oracle parity post-change — so these certificates stand;
+    # the behavior change is observable only on the randomized-parity
+    # harness's generated streams.
     "user_daily": q_user_daily,
     "item_daily": q_item_daily,
     "item_continuation": q_item_continuation,
@@ -1675,7 +1682,7 @@ roll AS (
          max(ts) AS end_time,
          epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
          count(*) AS n_events,
-         arg_min(event_type, ts) AS entry_event_type,
+         (list(event_type ORDER BY ts, event_id))[1] AS entry_event_type,
          round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_value,
          round(max(value), 2) AS max_value,
          count(DISTINCT CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS n_items,

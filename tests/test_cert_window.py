@@ -25,8 +25,10 @@ ROUND_WINDOW_HEAD = [
     "dedup_latest", "above_avg_orders", "pricing_summary",
     "revenue_by_nation", "pack_sequences", "frequent_tokens",
     # implementation or oracle changed this round (curate.py
-    # shingle-once rewrite; sessionize.py gap guard)
+    # shingle-once rewrite; sessionize.py gap guard; pivot n_total =
+    # true row count)
     "ab_test", "behavior_trigrams", "curate_corpus", "sessions",
+    "event_type_pivot",
     # new this round
     "promo_revenue", "volume_shipping", "minhash_accuracy",
     "large_volume_orders", "sole_return_supplier", "idle_customer_balance",

@@ -183,3 +183,83 @@ def test_relational_queries_match_oracles_on_random_instances(
         assert not bad, bad
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------- events family
+
+# queries that read ONLY the events table
+EVENT_QUERIES = [
+    "dedup_latest", "sessions", "user_daily", "entry_type_daily",
+    "binge_ratio", "funnel_daily", "event_transitions",
+    "behavior_trigrams", "behavior_diversity", "event_rollup",
+    "event_cube", "event_type_pivot", "rolling_active_users",
+    "cohort_retention", "item_daily",
+]
+
+EVENT_TYPES = ["signup", "click", "error", "view", "purchase"]
+EV_BASE = dt.datetime(2024, 1, 2, 0, 0, 0)
+
+
+@st.composite
+def events_instance(draw):
+    n_users = draw(st.integers(1, 6))
+    n_ev = draw(st.integers(1, 60))
+    # second-level offsets over ~12 days; duplicates allowed on purpose
+    # (tie-break semantics), sub-30-min AND super-30-min gaps both occur
+    offs = [draw(st.integers(0, 12 * 24 * 3600)) for _ in range(n_ev)]
+    events = pd.DataFrame({
+        "event_id": pd.array(range(n_ev), dtype="int64"),
+        "ts": pd.Series([EV_BASE + dt.timedelta(seconds=s)
+                         for s in offs], dtype="datetime64[us]"),
+        "user_id": pd.array(
+            [draw(st.integers(1, n_users)) for _ in range(n_ev)],
+            dtype="int64"),
+        # NULL event types included: the fixtures have none, so this is
+        # the only oracle-parity coverage of NULL-step semantics
+        # (e.g. behavior_trigrams' any-NULL-step disqualification)
+        "event_type": [draw(maybe(st.sampled_from(EVENT_TYPES)))
+                       for _ in range(n_ev)],
+        "value": [draw(maybe(st.integers(1, 33_000)
+                             .map(lambda c: c / 100.0)))
+                  for _ in range(n_ev)],
+        "props": [draw(maybe(st.integers(0, 99)
+                             .map(lambda k: '{"k": %d}' % k)))
+                  for _ in range(n_ev)],
+    })
+    return events
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(events=events_instance())
+def test_event_queries_match_oracles_on_random_streams(
+        spark, tmp_path_factory, events):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import Table
+
+    # explicit schema: an all-NULL drawn column must stay string/double,
+    # not degrade to parquet's `null` type (which neither engine can
+    # bind functions against)
+    ev_schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    d = tmp_path_factory.mktemp("microevents")
+    try:
+        pq.write_table(Table.from_pandas(events, schema=ev_schema,
+                                         preserve_index=False),
+                       str(d / "events.parquet"))
+        for extra in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "documents", "embeddings"):
+            pq.write_table(
+                pq.read_table(f"{SF0001}/{extra}.parquet").slice(0, 0),
+                str(d / f"{extra}.parquet"))
+        results = run_check(spark, str(d), only=EVENT_QUERIES)
+        assert len(results) == len(EVENT_QUERIES)
+        bad = {n: p for n, p in results.items() if p}
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

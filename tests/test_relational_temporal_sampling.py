@@ -57,6 +57,16 @@ def test_pivot_zero_fills_missing_vocab(spark):
     assert (r.n_click, r.n_purchase, r.n_total) == (1, 0, 1)
 
 
+def test_pivot_total_counts_out_of_vocab_and_null_rows(spark):
+    # n_total is the TRUE row count: an out-of-vocabulary type and a
+    # NULL type are invisible in the per-value columns yet still count
+    ev = _events(spark, [(TS(2024, 1, 1), 1, "click", 1.0),
+                         (TS(2024, 1, 1, 1), 1, "scroll", 1.0),
+                         (TS(2024, 1, 1, 2), 1, None, 1.0)])
+    r = REL.pivot_counts(ev, ["click", "purchase"]).collect()[0]
+    assert (r.n_click, r.n_purchase, r.n_total) == (1, 0, 3)
+
+
 def test_semi_anti_partition_probe(spark):
     probe = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
     ledger = spark.createDataFrame([(2,), (2,), (9,)], "fk long")

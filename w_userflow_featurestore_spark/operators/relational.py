@@ -68,16 +68,20 @@ def pivot_counts(events: DataFrame, values: list[str],
                  key_col: str = "user_id",
                  dim_col: str = "event_type") -> DataFrame:
     """Long->wide reshape: one row per key, one count column per
-    vocabulary entry (missing combinations = 0) plus the row total.
-    Explicit `values` keeps it a single-pass conditional aggregate."""
-    out = (events.groupBy(key_col)
-                 .pivot(dim_col, values)
-                 .agg(F.count(F.lit(1))))
-    for v in values:
-        out = out.withColumn(f"n_{v}", F.coalesce(F.col(v), F.lit(0))) \
-                 .drop(v)
-    return out.withColumn(
-        "n_total", sum(F.col(f"n_{v}") for v in values).cast("long"))
+    vocabulary entry (missing combinations = 0) plus the TRUE row total
+    — count(*) per key, so rows whose ``dim_col`` is NULL or outside
+    the vocabulary still count toward ``n_total`` (they are invisible
+    in the per-value columns but they happened). Written as one
+    conditional aggregate rather than ``.pivot()``: same single-pass
+    plan with explicit values, and the total can see every row —
+    ``pivot()`` would drop out-of-vocabulary rows before any aggregate
+    runs (caught by the randomized cross-engine parity harness on
+    NULL-typed events)."""
+    aggs = [F.sum(F.when(F.col(dim_col) == v, 1).otherwise(0))
+            .cast("long").alias(f"n_{v}") for v in values]
+    return (events.groupBy(key_col)
+                  .agg(*aggs,
+                       F.count(F.lit(1)).cast("long").alias("n_total")))
 
 
 def semi_join_keys(probe: DataFrame, ledger: DataFrame,

@@ -90,9 +90,17 @@ def rollup_sessions(events_with_sessions: DataFrame,
              F.max(ts_col).alias("end_time"),
              (epoch_ms(F.max(ts_col)) - epoch_ms(F.min(ts_col))).alias("duration_ms"),
              F.count(F.lit(1)).alias("n_events"),
-             # min_by on ts alone: event timestamps are microsecond-unique per
-             # user in practice; DuckDB's arg_min matches this exactly
-             F.min_by("event_type", ts_col).alias("entry_event_type"),
+             # entry type = the FIRST event's type by (ts, event_id) —
+             # deterministic under equal timestamps, and a NULL type at
+             # the session head stays NULL (the honest answer) instead
+             # of silently borrowing the next event's type. min_by over
+             # the (ts, id) struct pins the tie-break; the oracle's
+             # list(... ORDER BY ts, event_id)[1] mirrors both
+             # behaviors (DuckDB's arg_min would skip NULLs — caught
+             # by the randomized parity harness).
+             F.min_by("event_type",
+                      F.struct(F.col(ts_col), F.col("event_id")))
+             .alias("entry_event_type"),
              exact_sum(F.col("value")).alias("sum_value"),
              fround(F.max("value"), 2).alias("max_value"),
              F.count_distinct(item).alias("n_items"),
