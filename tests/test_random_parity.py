@@ -263,3 +263,94 @@ def test_event_queries_match_oracles_on_random_streams(
         assert not bad, bad
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------- documents family
+
+# queries that read ONLY the documents table
+DOC_QUERIES = [
+    "exact_dedup", "minhash_signatures", "ngram_jaccard_pairs",
+    "simhash", "text_profile", "corpus_language_stats",
+    "repetition_profile", "line_dedup", "doc_chunks", "vocab_coverage",
+    "frequent_tokens", "pack_sequences", "dataset_split", "pii_scrub",
+]
+
+# token pool stressing normalization: case, punctuation runs, digits,
+# PII shapes, repeated boilerplate (line_dedup), near-dup prefixes
+_TOKENS = [
+    "spark", "hash", "join", "vector", "the", "scan", "merge",
+    "Batch", "STREAM", "a,b", "x;y", "...", "!!", "123", "3.14",
+    "bob@example.com", "+1-555-123-4567", "(555)", "555-0199",
+]
+_LINES = [
+    "the quick brown fox", "shared boilerplate line", "",
+    "Contact: bob@example.com or +1-555-123-4567.",
+    "spark hash JOIN vector!!", "123 456 789",
+]
+
+
+@st.composite
+def docs_instance(draw):
+    n_docs = draw(st.integers(2, 10))
+    texts = []
+    for _ in range(n_docs):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:      # word soup (dedup/minhash territory)
+            texts.append(" ".join(
+                draw(st.lists(st.sampled_from(_TOKENS),
+                              min_size=0, max_size=25))))
+        elif kind == 1:    # multi-line (line_dedup territory)
+            texts.append("\n".join(
+                draw(st.lists(st.sampled_from(_LINES),
+                              min_size=1, max_size=6))))
+        elif kind == 2 and texts:   # exact duplicate of a prior doc
+            texts.append(texts[draw(st.integers(0, len(texts) - 1))])
+        else:              # near-dup: shared prefix + small suffix
+            base = " ".join(["spark", "hash", "join", "vector",
+                             "scan", "merge", "table", "sort"] * 3)
+            texts.append(base + " " + " ".join(
+                draw(st.lists(st.sampled_from(_TOKENS),
+                              min_size=0, max_size=3))))
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(n_docs), dtype="int64"),
+        "text": texts,
+        "lang": [draw(st.sampled_from(["en", "de", "fr", "es", "zh"]))
+                 for _ in range(n_docs)],
+        "source": [draw(st.sampled_from(["src0", "src1", "src2"]))
+                   for _ in range(n_docs)],
+        "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+    })
+    return docs
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(docs=docs_instance())
+def test_doc_queries_match_oracles_on_random_corpora(
+        spark, tmp_path_factory, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import Table
+
+    doc_schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ])
+    d = tmp_path_factory.mktemp("microdocs")
+    try:
+        pq.write_table(Table.from_pandas(docs, schema=doc_schema,
+                                         preserve_index=False),
+                       str(d / "documents.parquet"))
+        for extra in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "embeddings"):
+            pq.write_table(
+                pq.read_table(f"{SF0001}/{extra}.parquet").slice(0, 0),
+                str(d / f"{extra}.parquet"))
+        results = run_check(spark, str(d), only=DOC_QUERIES)
+        assert len(results) == len(DOC_QUERIES)
+        bad = {n: p for n, p in results.items() if p}
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
