@@ -354,3 +354,113 @@ def test_doc_queries_match_oracles_on_random_corpora(
         assert not bad, bad
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# second events batch: temporal / SCD / windows / rank / sketch queries
+EVENT_QUERIES_2 = [
+    "scd2_history", "feature_backfill", "user_value_ranks",
+    "duration_percentiles", "quantile_sketch", "distribution_drift",
+    "rolling_user_features", "event_time_windows",
+    "event_sliding_windows", "session_windows", "forecast_baseline",
+    "churn_labels", "time_decay_features", "capped_user_events",
+]
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(events=events_instance())
+def test_event_queries_batch2_match_oracles(spark, tmp_path_factory,
+                                            events):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import Table
+
+    ev_schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    d = tmp_path_factory.mktemp("microevents2")
+    try:
+        pq.write_table(Table.from_pandas(events, schema=ev_schema,
+                                         preserve_index=False),
+                       str(d / "events.parquet"))
+        for extra in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "documents", "embeddings"):
+            pq.write_table(
+                pq.read_table(f"{SF0001}/{extra}.parquet").slice(0, 0),
+                str(d / f"{extra}.parquet"))
+        results = run_check(spark, str(d), only=EVENT_QUERIES_2)
+        assert len(results) == len(EVENT_QUERIES_2)
+        bad = {n: p for n, p in results.items() if p}
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------- embeddings family
+
+# queries that read ONLY the embeddings table
+ANN_QUERIES = [
+    "ann_cosine_topk", "ann_lsh_bucket", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_near_pairs", "embedding_dedup", "semantic_dedup",
+]
+
+
+@st.composite
+def embeddings_instance(draw):
+    n_vec = draw(st.integers(16, 28))
+    dims = 64
+    vecs = []
+    for i in range(n_vec):
+        if i >= 2 and draw(st.integers(0, 3)) == 0:
+            # near-duplicate of an earlier vector: same direction with a
+            # one-coordinate nudge (exercises the near-dup thresholds)
+            base = list(vecs[draw(st.integers(0, i - 1))])
+            j = draw(st.integers(0, dims - 1))
+            base[j] = round(base[j] + 0.01, 3)
+            vecs.append(base)
+        else:
+            vecs.append([draw(st.integers(-1000, 1000)) / 1000.0
+                         for _ in range(dims)])
+    emb = pd.DataFrame({
+        "vec_id": pd.array(range(n_vec), dtype="int64"),
+        "embedding": vecs,
+        "label": pd.array([draw(st.integers(0, 3)) for _ in range(n_vec)],
+                          dtype="int32"),
+    })
+    return emb
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(emb=embeddings_instance())
+def test_ann_queries_match_oracles_on_random_vectors(
+        spark, tmp_path_factory, emb):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import Table
+
+    emb_schema = pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ])
+    d = tmp_path_factory.mktemp("microann")
+    try:
+        pq.write_table(Table.from_pandas(emb, schema=emb_schema,
+                                         preserve_index=False),
+                       str(d / "embeddings.parquet"))
+        for extra in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents"):
+            pq.write_table(
+                pq.read_table(f"{SF0001}/{extra}.parquet").slice(0, 0),
+                str(d / f"{extra}.parquet"))
+        results = run_check(spark, str(d), only=ANN_QUERIES)
+        assert len(results) == len(ANN_QUERIES)
+        bad = {n: p for n, p in results.items() if p}
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
