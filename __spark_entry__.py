@@ -1517,6 +1517,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,   # curate.py shingle-once rewrite
     "sessions": q_sessions,             # sessionize.py gap guard
     "event_type_pivot": q_event_type_pivot,  # n_total = true row count
+    "top_item_per_day": q_top_item_per_day,  # NULLS LAST tie-break
+    "item_continuation": q_item_continuation,  # NULLS LAST lead order
+    "cohort_vs_global": q_cohort_vs_global,  # oracle exact-cents re-agg
     # --- NEW in round 5 ---
     "promo_revenue": q_promo_revenue,
     "volume_shipping": q_volume_shipping,
@@ -1540,7 +1543,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup": q_embedding_dedup,
     "asof_features": q_asof_features,
     "interval_features": q_interval_features,
-    "dataset_split": q_dataset_split,
     "split_summary": q_split_summary,
     "event_rollup": q_event_rollup,
     "event_cube": q_event_cube,
@@ -1554,8 +1556,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search": q_hybrid_search,
     "funnel_daily": q_funnel_daily,
     "event_transitions": q_event_transitions,
-    "stratified_sample": q_stratified_sample,
-    "weighted_sample": q_weighted_sample,
     "incremental_curate": q_incremental_curate,
     "behavior_diversity": q_behavior_diversity,
     "contamination": q_contamination,
@@ -1568,6 +1568,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "capped_user_events": q_capped_user_events,
     "churn_labels": q_churn_labels,
     "time_decay_features": q_time_decay_features,
+    "weighted_sample": q_weighted_sample,
+    "stratified_sample": q_stratified_sample,
+    "dataset_split": q_dataset_split,
     # round-3 holders that didn't fit the window (stable untouched
     # modules, each pytest- and sf0.001-parity-covered) — next in the
     # round-6 rotation after the three above:
@@ -1579,23 +1582,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join": q_salted_join,
     "top_docs_per_source": q_top_docs_per_source,
     "duration_percentiles": q_duration_percentiles,
-    # round-4 certificates (freshest). Note: the round-5
-    # entry_event_type fix (NULL kept / (ts, event_id) tie-break,
-    # sessionize.py) is BIT-IDENTICAL on all fixture scales — the
-    # fixtures contain zero NULL cells and zero duplicate (user, ts)
-    # pairs (verified sf0.001/0.01/0.1) and the whole family re-passed
+    # round-4 certificates (freshest). Note: the round-5 NULL/tie
+    # semantics fixes (entry_event_type in sessionize.py; top-item
+    # NULLS LAST tie-break in metrics.py; ab_test NULL-safe conversion
+    # flag) are BIT-IDENTICAL on all fixture scales — the fixtures
+    # contain zero NULL cells and zero duplicate (user, ts) pairs
+    # (verified sf0.001/0.01/0.1) and the whole family re-passed
     # sf0.01 oracle parity post-change — so these certificates stand;
-    # the behavior change is observable only on the randomized-parity
-    # harness's generated streams.
+    # the behavior changes are observable only on the randomized-parity
+    # harness's generated streams. The changed queries themselves
+    # (sessions, event_type_pivot, top_item_per_day, ab_test) are all
+    # inside the round-5 window.
     "user_daily": q_user_daily,
     "item_daily": q_item_daily,
-    "item_continuation": q_item_continuation,
     "entry_type_daily": q_entry_type_daily,
-    "top_item_per_day": q_top_item_per_day,
     "binge_ratio": q_binge_ratio,
     "retention_yesterday": q_retention_yesterday,
     "retention_today": q_retention_today,
-    "cohort_vs_global": q_cohort_vs_global,
     "dim_gap_features": q_dim_gap_features,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
@@ -1813,7 +1816,7 @@ ORACLES["item_continuation"] = _ITEM_EVENTS_CTE + """
 ),
 flagged AS (
   SELECT *,
-         CASE WHEN lead(item_s) OVER (PARTITION BY datetime, user_id ORDER BY item_s) IS NOT NULL
+         CASE WHEN lead(item_s) OVER (PARTITION BY datetime, user_id ORDER BY item_s ASC NULLS LAST) IS NOT NULL
               THEN 1 ELSE 0 END AS continued
   FROM base
 ),
@@ -1856,7 +1859,7 @@ FROM g
 ORACLES["top_item_per_day"] = ORACLES["item_daily"].replace(
     "SELECT *,\n       CASE WHEN n_events > 0 THEN round(purchases / CAST(n_events AS DOUBLE), 2) END AS purchase_rate,\n       CASE WHEN n_events > 0 THEN round(errors / CAST(n_events AS DOUBLE), 2) END AS error_rate\nFROM g",
     """SELECT datetime, item_k AS top_item, avg_value AS top_item_avg_value
-FROM (SELECT *, row_number() OVER (PARTITION BY datetime ORDER BY avg_value DESC, item_k ASC) AS rn FROM g)
+FROM (SELECT *, row_number() OVER (PARTITION BY datetime ORDER BY avg_value DESC, item_k ASC NULLS LAST) AS rn FROM g)
 WHERE rn = 1""")
 
 ORACLES["binge_ratio"] = _ITEM_EVENTS_CTE + """
@@ -1940,8 +1943,8 @@ per2 AS (
 glb AS (
   SELECT datetime,
          CASE WHEN sum(total_sessions) > 0 THEN round(sum(complete_sessions) / CAST(sum(total_sessions) AS DOUBLE), 2) END AS global_completion_rate,
-         CASE WHEN sum(total_sessions) > 0 THEN round(sum(avg_max_value * total_sessions) / CAST(sum(total_sessions) AS DOUBLE), 2) END AS global_avg_max_value,
-         CASE WHEN sum(total_sessions) > 0 THEN round(sum(avg_duration_ms * total_sessions) / CAST(sum(total_sessions) AS DOUBLE), 2) END AS global_avg_duration_ms
+         CASE WHEN sum(total_sessions) > 0 THEN round(sum(CAST(floor(avg_max_value * 100.0 + 0.5) AS BIGINT) * total_sessions) / 100.0 / sum(total_sessions), 2) END AS global_avg_max_value,
+         CASE WHEN sum(total_sessions) > 0 THEN round(sum(CAST(floor(avg_duration_ms * 100.0 + 0.5) AS BIGINT) * total_sessions) / 100.0 / sum(total_sessions), 2) END AS global_avg_duration_ms
   FROM per2 GROUP BY datetime
 )
 SELECT p.*,

@@ -26,9 +26,10 @@ ROUND_WINDOW_HEAD = [
     "revenue_by_nation", "pack_sequences", "frequent_tokens",
     # implementation or oracle changed this round (curate.py
     # shingle-once rewrite; sessionize.py gap guard; pivot n_total =
-    # true row count)
+    # true row count; top-item NULLS LAST tie-break)
     "ab_test", "behavior_trigrams", "curate_corpus", "sessions",
-    "event_type_pivot",
+    "event_type_pivot", "top_item_per_day", "item_continuation",
+    "cohort_vs_global",
     # new this round
     "promo_revenue", "volume_shipping", "minhash_accuracy",
     "large_volume_orders", "sole_return_supplier", "idle_customer_balance",

@@ -464,3 +464,46 @@ def test_ann_queries_match_oracles_on_random_vectors(
         assert not bad, bad
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# third events batch: sessions-CTE consumers + ML-feature queries
+EVENT_QUERIES_3 = [
+    "item_continuation", "top_item_per_day", "retention_yesterday",
+    "retention_today", "cohort_vs_global", "dim_gap_features",
+    "ab_test", "attribution", "winsorize", "target_encode",
+    "negative_samples", "key_skew_profile", "frequency_sketch",
+    "hll_union_rollup",
+]
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(events=events_instance())
+def test_event_queries_batch3_match_oracles(spark, tmp_path_factory,
+                                            events):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import Table
+
+    ev_schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    d = tmp_path_factory.mktemp("microevents3")
+    try:
+        pq.write_table(Table.from_pandas(events, schema=ev_schema,
+                                         preserve_index=False),
+                       str(d / "events.parquet"))
+        for extra in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "documents", "embeddings"):
+            pq.write_table(
+                pq.read_table(f"{SF0001}/{extra}.parquet").slice(0, 0),
+                str(d / f"{extra}.parquet"))
+        results = run_check(spark, str(d), only=EVENT_QUERIES_3)
+        assert len(results) == len(EVENT_QUERIES_3)
+        bad = {n: p for n, p in results.items() if p}
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

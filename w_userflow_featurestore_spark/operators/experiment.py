@@ -48,9 +48,12 @@ def ab_test_summary(events: DataFrame, id_col: str = "user_id",
     ``z_crit_micro`` (default |z| >= 1.96). Degenerate pooled rates
     (0% or 100% -> zero standard error) yield NULL z and flag."""
     users = (events
+             # when/otherwise, not a bare boolean cast: a NULL event
+             # type must count as non-converting 0, never poison the
+             # user's flag to NULL (randomized-parity finding)
              .groupBy(F.col(id_col).alias("uid"))
-             .agg(F.max((F.col(event_type_col) == conversion_event)
-                        .cast("int")).alias("converted"))
+             .agg(F.max(F.when(F.col(event_type_col) == conversion_event,
+                               1).otherwise(0)).alias("converted"))
              .select(ab_assign(F.col("uid"), 2, salt).alias("arm"),
                      "converted"))
     arms = (users.groupBy("arm")

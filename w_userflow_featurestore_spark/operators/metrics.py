@@ -184,7 +184,12 @@ def item_continuation(events: DataFrame) -> DataFrame:
             .withColumn("item_s", item.cast("string"))  # lexicographic on purpose
             .withColumn("datetime", F.to_date("ts"))
             .dropDuplicates(["datetime", "item_k", "user_id"]))
-    w = Window.partitionBy("datetime", "user_id").orderBy("item_s")
+    # asc_nulls_last: a NULL item (unknown id) sorts LAST in both
+    # engines (bare asc would be nulls-first in Spark, nulls-last in
+    # SQL — randomized-parity finding), so real items chain among
+    # themselves and the unknown-item row is never counted as continued
+    w = (Window.partitionBy("datetime", "user_id")
+         .orderBy(F.asc_nulls_last("item_s")))
     flagged = base.withColumn(
         "continued", F.when(F.lead("item_s").over(w).isNotNull(), 1).otherwise(0))
     g = (flagged.groupBy("datetime", "item_k").agg(
@@ -232,8 +237,12 @@ def entry_type_daily(sessions: DataFrame) -> DataFrame:
 def top_item_per_day(item_metrics: DataFrame) -> DataFrame:
     """Top-1-per-group idiom — reference A9 (gold_webtoon_daily_metrics.py:74-85):
     row_number over (partition by day order by avg_value desc, item asc) == 1."""
+    # asc_nulls_last, not bare asc: Spark sorts NULLS FIRST ascending
+    # while SQL engines default NULLS LAST, so a NULL-item row tied at
+    # the top would win here and lose in the oracle (randomized-parity
+    # finding). A real item beats an unknown one at equal value.
     w = Window.partitionBy("datetime").orderBy(
-        F.col("avg_value").desc(), F.col("item_k").asc())
+        F.col("avg_value").desc(), F.asc_nulls_last("item_k"))
     return (item_metrics
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
