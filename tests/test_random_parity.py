@@ -30,7 +30,7 @@ REL_QUERIES = [
     "idle_customer_balance", "top_revenue_supplier",
     "bulk_part_suppliers", "above_avg_orders", "customers_no_orders",
     "big_spender_customers", "shipping_priority",
-    "order_priority_counts",
+    "order_priority_counts", "salted_join",
 ]
 
 BASE_DAY = dt.datetime(1994, 1, 1)
@@ -405,6 +405,7 @@ def test_event_queries_batch2_match_oracles(spark, tmp_path_factory,
 ANN_QUERIES = [
     "ann_cosine_topk", "ann_lsh_bucket", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_near_pairs", "embedding_dedup", "semantic_dedup",
+    "ann_recall_gate",
 ]
 
 
@@ -503,6 +504,127 @@ def test_event_queries_batch3_match_oracles(spark, tmp_path_factory,
                 str(d / f"{extra}.parquet"))
         results = run_check(spark, str(d), only=EVENT_QUERIES_3)
         assert len(results) == len(EVENT_QUERIES_3)
+        bad = {n: p for n, p in results.items() if p}
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# second documents batch: fingerprinting / LSH pair / tokenizer /
+# sampling / curation / multimodal queries
+DOC_QUERIES_2 = [
+    "doc_fingerprints", "fingerprint_pairs", "minhash_lsh_pairs",
+    "simhash_near_pairs", "dedup_components", "token_surprisal",
+    "bpe_pair_counts", "minhash_accuracy", "top_docs_per_source",
+    "source_balanced_sample", "split_summary", "contamination",
+    "curate_corpus", "bm25_topk", "frequent_tokens",
+    "multimodal_decode", "multimodal_frames", "multimodal_resize",
+    "multimodal_audio_windows",
+]
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(docs=docs_instance())
+def test_doc_queries_batch2_match_oracles(spark, tmp_path_factory, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import Table
+
+    doc_schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ])
+    d = tmp_path_factory.mktemp("microdocs2")
+    try:
+        pq.write_table(Table.from_pandas(docs, schema=doc_schema,
+                                         preserve_index=False),
+                       str(d / "documents.parquet"))
+        for extra in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "embeddings"):
+            pq.write_table(
+                pq.read_table(f"{SF0001}/{extra}.parquet").slice(0, 0),
+                str(d / f"{extra}.parquet"))
+        results = run_check(spark, str(d), only=DOC_QUERIES_2)
+        assert len(results) == len(DOC_QUERIES_2)
+        bad = {n: p for n, p in results.items() if p}
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# fourth events batch: temporal joins, graph, quality, skew, sketch
+EVENT_QUERIES_4 = [
+    "quality_report", "asof_features", "interval_features",
+    "training_set", "item_pagerank", "item_triangles",
+    "salted_user_agg", "cardinality_sketch", "stratified_sample",
+    "weighted_sample", "user_cohort_setops", "volume_anomaly",
+]
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(events=events_instance())
+def test_event_queries_batch4_match_oracles(spark, tmp_path_factory,
+                                            events):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import Table
+
+    ev_schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    d = tmp_path_factory.mktemp("microevents4")
+    try:
+        pq.write_table(Table.from_pandas(events, schema=ev_schema,
+                                         preserve_index=False),
+                       str(d / "events.parquet"))
+        for extra in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "documents", "embeddings"):
+            pq.write_table(
+                pq.read_table(f"{SF0001}/{extra}.parquet").slice(0, 0),
+                str(d / f"{extra}.parquet"))
+        results = run_check(spark, str(d), only=EVENT_QUERIES_4)
+        assert len(results) == len(EVENT_QUERIES_4)
+        bad = {n: p for n, p in results.items() if p}
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(docs=docs_instance(), emb=embeddings_instance())
+def test_hybrid_search_matches_oracle_on_random_inputs(
+        spark, tmp_path_factory, docs, emb):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import Table
+
+    d = tmp_path_factory.mktemp("microhybrid")
+    try:
+        pq.write_table(Table.from_pandas(docs, schema=pa.schema([
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_chars", pa.int64())]), preserve_index=False),
+            str(d / "documents.parquet"))
+        pq.write_table(Table.from_pandas(emb, schema=pa.schema([
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32())]), preserve_index=False),
+            str(d / "embeddings.parquet"))
+        for extra in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events"):
+            pq.write_table(
+                pq.read_table(f"{SF0001}/{extra}.parquet").slice(0, 0),
+                str(d / f"{extra}.parquet"))
+        results = run_check(spark, str(d), only=["hybrid_search"])
         bad = {n: p for n, p in results.items() if p}
         assert not bad, bad
     finally:
