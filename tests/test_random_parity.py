@@ -281,6 +281,10 @@ _TOKENS = [
     "spark", "hash", "join", "vector", "the", "scan", "merge",
     "Batch", "STREAM", "a,b", "x;y", "...", "!!", "123", "3.14",
     "bob@example.com", "+1-555-123-4567", "(555)", "555-0199",
+    # unicode probes: lower() + the [^a-z0-9] normalize must agree
+    # across engines (accents and CJK collapse to separators; the
+    # ASCII residue must be identical)
+    "café", "NAÏVE", "日本語", "Σpark",
 ]
 _LINES = [
     "the quick brown fox", "shared boilerplate line", "",
