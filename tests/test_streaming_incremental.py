@@ -479,3 +479,29 @@ def test_streaming_attribution_stream_stream_join(spark, tmp_path):
     assert (102, None) in got                        # clickless purchase
     assert (101, None) in got                        # only stale click
     assert (101, 202) not in got
+
+
+def test_debug_sink_console_drains_and_stops(spark, tmp_path):
+    """Reference S3 (bronze_load_raw_data.py:79-82): the console debug
+    sink runs next to the durable writer, drains the source, and stops.
+    Console rows land on the JVM's stdout (not capturable from Python),
+    so the honest assertions are the observable contract: the query
+    processes every input row (progress accounting), terminates on
+    availableNow, and raises nothing."""
+    from w_userflow_featurestore_spark.streaming import debug_sink
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [
+        _batch(1, "2024-01-01 10:00:00", 1),
+        _batch(2, "2024-01-01 11:00:00", 2),
+        _batch(3, "2024-01-02 09:00:00", 1),
+    ])
+    q = debug_sink(spark.readStream.schema(EVENTS_DDL).parquet(src),
+                   num_rows=2, truncate=True)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    drained = sum(p["numInputRows"] for p in q.recentProgress)
+    assert drained == 3
+    # sink identity is visible in the progress log, proving the console
+    # writer (not a silent noop) ran
+    assert any("Console" in str(p["sink"]["description"])
+               for p in q.recentProgress)

@@ -1,5 +1,6 @@
 from w_userflow_featurestore_spark.streaming.ingest import (
     bronze_ingest,
+    debug_sink,
     parse_kafka_events,
     parse_with_dead_letter,
     read_event_stream,
@@ -17,7 +18,8 @@ from w_userflow_featurestore_spark.streaming.stateful import (
     stateful_sessionize,
 )
 
-__all__ = ["bronze_ingest", "parse_kafka_events", "parse_with_dead_letter", "read_event_stream",
+__all__ = ["bronze_ingest", "debug_sink",
+           "parse_kafka_events", "parse_with_dead_letter", "read_event_stream",
            "stream_upsert", "streaming_dedup", "streaming_drift_monitor",
            "streaming_attribution", "streaming_scd2", "streaming_sessionize",
            "streaming_window_counts",

@@ -115,6 +115,33 @@ def bronze_ingest(events: DataFrame, path: str, checkpoint: str,
     return writer.start()
 
 
+def debug_sink(events: DataFrame, *, num_rows: int = 20,
+               truncate: bool = False, available_now: bool = True,
+               query_name: str = "debug_console"):
+    """Console debug sink (reference S3): the dev-only side stream the
+    reference attaches next to its bronze writer —
+    ``writeStream.format("console"), truncate=false``
+    (bronze_load_raw_data.py:79-82). Rows print to driver stdout; no
+    checkpoint, no state — NEVER the durable path (that is
+    :func:`bronze_ingest`). Kept inspectable rather than dropped so the
+    §2 surface is complete; defaults drain-and-stop
+    (``availableNow``) so a test or an operator poking at a live
+    pipeline gets one bounded dump instead of a runaway printer.
+
+    Reference quirk NOT reproduced: the reference awaits the console
+    query BEFORE its Iceberg query (``:92-93``), making line 93
+    unreachable — callers here get the handle back and choose what to
+    await."""
+    writer = (events.writeStream.format("console")
+              .outputMode("append")
+              .queryName(query_name)
+              .option("numRows", str(num_rows))
+              .option("truncate", str(truncate).lower()))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_sessionize(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS,
                          watermark: str = "10 minutes",
                          ts_col: str = "ts",
