@@ -607,6 +607,15 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_occurrences=2)
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (ExactSubstr k-gram approximation): maximal
+    spans of 6-token grams occurring 2+ times corpus-wide. k=6 because
+    the fixture docs are short template sentences — real corpora use
+    k~50 tokens (Lee et al. 2022 use 50 BPE tokens)."""
+    return TX.duplicate_spans(read_table(spark, sf_dir, "documents"),
+                              k=6, min_count=2)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: 8 deterministic coarse centroids, 2-cell
     probe, exact-cosine re-rank."""
@@ -1529,6 +1538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_customer_balance": q_idle_customer_balance,
     "top_revenue_supplier": q_top_revenue_supplier,
     "bulk_part_suppliers": q_bulk_part_suppliers,
+    "duplicate_spans": q_duplicate_spans,
     # --- round-3 certificates (rotate through the window) ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2811,6 +2821,39 @@ FROM assign
 
 # C4 boilerplate-line rule: trimmed-line occurrence count over the
 # corpus via the shared 60-bit hash; survivors rejoin in position order
+# duplicate_spans: positional 6-gram postings -> corpus-hot grams ->
+# hit positions -> gaps-and-islands span merge. Same normalize/split and
+# 60-bit hash as the Spark side; window framing (default RANGE vs rows)
+# is equivalent here because pos is unique per doc.
+ORACLES["duplicate_spans"] = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+           FROM documents),
+posting AS (
+  SELECT doc_id, i AS pos,
+         {_h60("array_to_string(ws[i:i+5], ' ')")} AS gh
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 4)) AS i
+        FROM w WHERE len(ws) >= 6)
+),
+hot AS (SELECT gh FROM posting GROUP BY gh HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM posting JOIN hot USING (gh)),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > 6
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits),
+grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 5 AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + 6 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, island
+"""
+
 ORACLES["line_dedup"] = f"""
 WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr
             FROM documents),

@@ -284,6 +284,38 @@ def test_line_dedup_removes_corpus_hot_lines(spark):
     assert out2 == {1: "twice seen\nalpha", 2: "twice seen\nbeta"}
 
 
+def test_duplicate_spans_finds_planted_substring_dups(spark):
+    """ExactSubstr-style span semantics: cross-doc shared runs, within-
+    doc self-repetition, island merging across overlapping/adjacent
+    grams, and separated spans staying separate."""
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd eee fff ggg hhh"),
+         (2, "xxx yyy aaa bbb ccc ddd eee zzz"),   # shares a 5-token run
+         (3, "p q r s t p q r s t"),               # self-repetition
+         (4, "one two three four five"),           # fully unique
+         (5, "m1 m2 m3 m4 g1 g2 g3 g4 g5 n1 n2 n3 n4"),
+         (6, "m1 m2 m3 m4 h1 h2 h3 h4 h5 n1 n2 n3 n4")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"],
+            r["span_tokens"], r["n_grams"])
+           for r in TX.duplicate_spans(docs, k=4).collect()}
+    assert got == {
+        # docs 1/2 share "aaa bbb ccc ddd eee": two overlapping 4-grams
+        # merge into one 5-token span on each side
+        (1, 1, 5, 5, 2),
+        (2, 3, 7, 5, 2),
+        # doc 3 repeats "p q r s t": hits at 1,2,6,7; the 2->6 gap is
+        # exactly k so coverage is contiguous and all merge
+        (3, 1, 10, 10, 4),
+        # docs 5/6 share two runs separated by >k unique tokens: two
+        # distinct spans each, never bridged
+        (5, 1, 4, 4, 1), (5, 10, 13, 4, 1),
+        (6, 1, 4, 4, 1), (6, 10, 13, 4, 1),
+    }
+    # doc 4 has no duplicated gram and emits nothing
+    assert not any(d == 4 for d, *_ in got)
+
+
 def test_semantic_dedup_drops_in_cell_neighbors_only(spark):
     # 8 orthogonal-ish base vectors + one near-copy of vec 0: only the
     # near-copy (higher id) must be dropped, and cells must partition

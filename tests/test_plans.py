@@ -163,6 +163,16 @@ def test_new_curation_queries_plan_pins(spark):
     assert_plan(_q(spark, "volume_anomaly"), max_shuffles=2)
 
 
+def test_duplicate_spans_plan_pin(spark):
+    # positional-gram substring dedup: postings never pair documents —
+    # fan-out + gram hash-agg + hot-set join + one doc-keyed window
+    # barrier. Zero sort-merge work at test scale (hot set broadcasts);
+    # at corpus scale the hot join degrades gracefully to a gh-keyed
+    # hash join, still linear in tokens.
+    assert_plan(_q(spark, "duplicate_spans"), max_shuffles=4,
+                min_broadcast_joins=1, max_sort_merge_joins=0)
+
+
 def test_ann_recall_gate_plan_pin(spark):
     # three full ANN pipelines + two membership joins; the membership
     # joins themselves must not add sort-merge work beyond the two the

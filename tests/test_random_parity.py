@@ -273,6 +273,7 @@ DOC_QUERIES = [
     "simhash", "text_profile", "corpus_language_stats",
     "repetition_profile", "line_dedup", "doc_chunks", "vocab_coverage",
     "frequent_tokens", "pack_sequences", "dataset_split", "pii_scrub",
+    "duplicate_spans",
 ]
 
 # token pool stressing normalization: case, punctuation runs, digits,

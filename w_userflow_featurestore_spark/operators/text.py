@@ -484,6 +484,79 @@ def line_dedup(docs: DataFrame, max_occurrences: int = 2,
                         .cast("long").alias("n_lines_dropped")))
 
 
+def duplicate_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Substring-level duplicate detection — the positional-k-gram
+    approximation of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": any
+    token span occurring verbatim elsewhere in the corpus is training
+    redundancy, even when the DOCUMENTS containing it are unique).
+    This is the granularity between :func:`exact_dedup` (whole-doc)
+    and :func:`line_dedup` (corpus-hot lines): a duplicated QUOTE or
+    pasted paragraph inside an otherwise-unique document.
+
+    A token position ``p`` (1-based over the normalized words) is
+    duplicated iff the k-gram starting at ``p`` occurs ``min_count``+
+    times across the corpus (within-doc repeats count, matching
+    ExactSubstr's self-repetition semantics). Overlapping/adjacent
+    duplicated grams merge into maximal spans (hits ``p1 < p2`` merge
+    iff ``p2 <= p1 + k``). Returns one row per span:
+    (doc_id, span_start, span_end, span_tokens, n_grams), token
+    indices 1-based inclusive.
+
+    Scale shape — contrast with the pairwise family: postings NEVER
+    pair documents, so there is no bucket-occupancy blowup to cap.
+    One hash aggregate over the 60-bit gram hash finds corpus-hot
+    grams (map-side combine absorbs boilerplate heavy hitters), one
+    equi-join marks hit positions (id+pos payloads only; AQE skew
+    split fans a mega-hot gram), and one per-doc window merges islands
+    (state bounded by a single document's hits). Linear in corpus
+    tokens end to end — this is why the k-gram approximation, not the
+    suffix array, is the 100 TB shape.
+    """
+    if k < 2:
+        raise ValueError("k-gram spans need k >= 2")
+    base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    grams = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), (n - k + 1).cast("int")),
+                    lambda i: text_hash60(
+                        F.concat_ws(" ", F.slice(ws, i, k)))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    posting = (base.select(F.col(id_col),
+                           F.posexplode(grams).alias("p0", "gh"))
+                   .select(F.col(id_col),
+                           (F.col("p0") + 1).alias("pos"), "gh"))
+    hot = (posting.groupBy("gh")
+                  .agg(F.count(F.lit(1)).alias("_occ"))
+                  .where(F.col("_occ") >= min_count)
+                  .select("gh"))
+    hits = posting.join(hot, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.lag("pos").over(w).isNull()
+                 | ((F.col("pos") - F.lag("pos").over(w)) > k), 1) \
+           .otherwise(0)
+    grp = (hits.withColumn("_brk", brk)
+               .withColumn("_island",
+                           F.sum("_brk").over(
+                               w.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow))))
+    return (grp.groupBy(id_col, "_island")
+               .agg(F.min("pos").alias("_s"),
+                    F.max("pos").alias("_e"),
+                    F.count(F.lit(1)).alias("n_grams"))
+               .select(F.col(id_col),
+                       F.col("_s").cast("long").alias("span_start"),
+                       (F.col("_e") + k - 1).cast("long")
+                        .alias("span_end"),
+                       (F.col("_e") - F.col("_s") + k).cast("long")
+                        .alias("span_tokens"),
+                       F.col("n_grams").cast("long")))
+
+
 def token_surprisal(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per-document unigram surprisal under the corpus's own language
