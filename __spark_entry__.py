@@ -599,6 +599,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold=0.35, n_centroids=16)
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster-balanced sampling: 8 coarse cells, 5
+    hash-ranked representatives per cell, full occupancy reported."""
+    return SIM.cluster_balanced_sample(read_table(spark, sf_dir,
+                                                  "embeddings"),
+                                       per_cluster=5, n_centroids=8)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-level boilerplate removal: any trimmed line
     occurring more than twice across the corpus is removed from every
@@ -1539,6 +1547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_supplier": q_top_revenue_supplier,
     "bulk_part_suppliers": q_bulk_part_suppliers,
     "duplicate_spans": q_duplicate_spans,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     # --- round-3 certificates (rotate through the window) ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2817,6 +2826,43 @@ victims AS (
 SELECT vec_id, cell,
        vec_id NOT IN (SELECT b_id FROM victims) AS is_kept
 FROM assign
+"""
+
+# cluster_balanced_sample: same deterministic centroid fit + nearest-
+# cell assignment as the IVF/semantic oracles (hash-least ids as
+# centroids, l2 tie-break on cell), then hash-ranked top-5 per cell
+ORACLES["cluster_balanced_sample"] = f"""
+WITH c AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (
+           ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1
+         AS cell, qv AS cv
+  FROM c
+  QUALIFY row_number() OVER (
+           ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id)
+          <= 8
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_l2_sql('c.qv', 'cent.cv')}, cent.cell)
+           AS rn
+    FROM c CROSS JOIN cent)
+  WHERE rn = 1
+),
+rk AS (
+  SELECT vec_id, cell,
+         row_number() OVER (
+           PARTITION BY cell
+           ORDER BY {_h60("'cbs:' || CAST(vec_id AS VARCHAR)")}, vec_id)
+         AS rn,
+         count(*) OVER (PARTITION BY cell) AS n
+  FROM assign
+)
+SELECT vec_id, cell, CAST(n AS BIGINT) AS cluster_size,
+       rn <= 5 AS sampled
+FROM rk
 """
 
 # C4 boilerplate-line rule: trimmed-line occurrence count over the

@@ -336,6 +336,33 @@ def test_semantic_dedup_drops_in_cell_neighbors_only(spark):
     assert sum(1 for r in out.values() if not r["is_kept"]) == 1
 
 
+def test_cluster_balanced_sample_caps_every_cell(spark):
+    # 30 random vectors, 4 cells, 2 per cell: every vector reported
+    # once, occupancy sums to the corpus, each cell samples exactly
+    # min(2, cluster_size), and the choice is deterministic
+    import random
+    rnd = random.Random(11)
+    rows_ = [(i, [float(rnd.uniform(-1, 1)) for _ in range(64)])
+             for i in range(30)]
+    emb = spark.createDataFrame(rows_, "vec_id long, embedding array<float>")
+    out = SIM.cluster_balanced_sample(emb, per_cluster=2,
+                                      n_centroids=4).collect()
+    assert len(out) == 30
+    assert sum({r["cell"]: r["cluster_size"]
+                for r in out}.values()) == 30
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        n_sampled = sum(1 for r in members if r["sampled"])
+        assert n_sampled == min(2, len(members)), (cell, n_sampled)
+    # deterministic: identical sample set on a re-run
+    again = SIM.cluster_balanced_sample(emb, per_cluster=2,
+                                        n_centroids=4).collect()
+    assert ({r["vec_id"] for r in out if r["sampled"]}
+            == {r["vec_id"] for r in again if r["sampled"]})
+
+
 def test_token_surprisal_integer_bits(spark):
     # corpus: "a" x 8 occurrences, "rare" x 1, N=9 ->
     # bits(a) = floor(log2(9 div 8)) = 0, bits(rare) = floor(log2(9)) = 3

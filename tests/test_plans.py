@@ -163,6 +163,14 @@ def test_new_curation_queries_plan_pins(spark):
     assert_plan(_q(spark, "volume_anomaly"), max_shuffles=2)
 
 
+def test_cluster_balanced_sample_plan_pin(spark):
+    # centroid model broadcast + min_by assignment agg + ONE cell-keyed
+    # exchange shared by the rank window and the occupancy count — no
+    # pairwise work anywhere
+    assert_plan(_q(spark, "cluster_balanced_sample"), max_shuffles=3,
+                min_broadcast_joins=1, max_sort_merge_joins=0)
+
+
 def test_duplicate_spans_plan_pin(spark):
     # positional-gram substring dedup: postings never pair documents —
     # fan-out + gram hash-agg + hot-set join + one doc-keyed window

@@ -410,7 +410,7 @@ def test_event_queries_batch2_match_oracles(spark, tmp_path_factory,
 ANN_QUERIES = [
     "ann_cosine_topk", "ann_lsh_bucket", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_near_pairs", "embedding_dedup", "semantic_dedup",
-    "ann_recall_gate",
+    "ann_recall_gate", "cluster_balanced_sample",
 ]
 
 

@@ -437,6 +437,57 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
                            .alias("is_kept")))
 
 
+def cluster_balanced_sample(corpus: DataFrame, per_cluster: int = 5,
+                            n_centroids: int = 8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            dims: int = 64,
+                            salt: str = "cbs") -> DataFrame:
+    """Embedding-space-balanced sampling: assign every vector to its
+    nearest coarse-quantizer cell, then keep a deterministic
+    hash-ranked ``per_cluster`` representatives per cell. The
+    cluster-coverage companion to the metadata-driven
+    ``source_balanced_sample``: a corpus dominated by one semantic
+    mode (boilerplate product pages, one language) still yields a
+    sample that covers every occupied region of embedding space —
+    the cluster-sampling step of SemDeDup-style curation and of
+    diversity-stratified eval-set construction.
+
+    Rank within a cell is the 60-bit md5 of ``salt:id`` (ties on id):
+    pseudo-random but engine-portable and stable as the corpus grows —
+    the same determinism contract as ``stratified_sample``. Returns
+    one row per corpus vector: (``id_col``, cell, cluster_size,
+    sampled) so callers can inspect occupancy, not just the survivors.
+
+    Scale: centroid model is an O(n_centroids x dims) broadcast,
+    assignment one map-side broadcast join + min_by partial agg, then
+    ONE cell-keyed exchange shared by the rank window and the
+    occupancy count. No pairwise work at all — cheaper than any dedup
+    in this family; raise ``n_centroids`` with the corpus exactly as
+    ivf_topk does.
+    """
+    from w_userflow_featurestore_spark.operators.dedup import text_hash60
+    cents = ivf_fit_centroids(corpus, n_centroids, id_col, vec_col)
+    cdf = _centroids_df(corpus.sparkSession, cents)
+    n = _quantized(corpus, id_col, vec_col, "_sid", "_svec", dims)
+    assign = (n.select("_sid", "_svec")
+               .crossJoin(F.broadcast(cdf))
+               .select("_sid", "cell",
+                       l2_q(F.col("_svec"), F.col("cv")).alias("d"))
+               .groupBy("_sid")
+               .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
+    h = text_hash60(F.concat(F.lit(f"{salt}:"),
+                             F.col("_sid").cast("string")))
+    wrk = Window.partitionBy("cell").orderBy("_h", "_sid")
+    wall = Window.partitionBy("cell")
+    return (assign.withColumn("_h", h)
+                  .withColumn("_rk", F.row_number().over(wrk))
+                  .select(F.col("_sid").alias(id_col), "cell",
+                          F.count(F.lit(1)).over(wall).cast("long")
+                           .alias("cluster_size"),
+                          (F.col("_rk") <= per_cluster).alias("sampled")))
+
+
 # --------------------------------------------------------- persisted IVF
 
 def ivf_index_build(corpus: DataFrame, table_path: str,
