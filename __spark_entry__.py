@@ -423,6 +423,70 @@ def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape: revenue locked in small-quantity orders of one
+    brand — a correlated scalar subquery (qty < 0.2 x the part's own
+    avg qty) decorrelated into one per-part aggregate joined back.
+    The brand filter broadcast-semi-prunes the fact FIRST, so the
+    per-part stats aggregate runs over the pruned fact, never the full
+    table. The 0.2x-avg predicate cross-multiplies to pure integers:
+    qty < 0.2 * (sum/cnt)  <=>  5 * qty_c * cnt < sum_c — no division,
+    no float, engine-exact at any scale."""
+    from w_userflow_featurestore_spark.functions import scaled_long
+    part = (read_table(spark, sf_dir, "part",
+                       columns=["p_partkey", "p_brand"])
+            .where(F.col("p_brand") == "Brand#13")
+            .select("p_partkey"))
+    li = read_table(spark, sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice"])
+    fact = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey,
+                    "left_semi")
+              .select("l_partkey",
+                      scaled_long(F.col("l_quantity"), 2).alias("qty_c"),
+                      scaled_long(F.col("l_extendedprice"), 2)
+                       .alias("price_c")))
+    stats = (fact.groupBy("l_partkey")
+                 .agg(F.sum("qty_c").alias("sum_q"),
+                      F.count(F.lit(1)).alias("cnt")))
+    return (fact.join(F.broadcast(stats), "l_partkey")
+                .where(5 * F.col("qty_c") * F.col("cnt")
+                       < F.col("sum_q"))
+                .agg(fround(F.sum("price_c") / 700.0, 2)
+                      .alias("avg_yearly"),
+                     F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape: discounted revenue under an OR of three
+    (brand, size-range, quantity-range) brackets. The partkey equi-join
+    stays an equi-join with the OR disjunction as a post-join residual
+    (never a nested-loop); the common p_size <= 40 hull is ALSO applied
+    part-side pre-join so the broadcast build prunes before shipping.
+    Revenue in exact 4-decimal scaled integers."""
+    from w_userflow_featurestore_spark.functions import scaled_long
+    part = (read_table(spark, sf_dir, "part",
+                       columns=["p_partkey", "p_brand", "p_size"])
+            .where(F.col("p_size").between(1, 40)))
+    li = read_table(spark, sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+         & qty.between(1, 15))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 25)
+           & qty.between(10, 30))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(20, 40)
+           & qty.between(25, 50)))
+    disc = scaled_long(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")), 4)
+    return (j.where(bracket)
+             .agg(fround(F.sum(disc) / 1e4, 2).alias("revenue"),
+                  F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality gate for MinHash-LSH: estimated vs EXACT
     Jaccard per candidate pair in integer basis points (operator
@@ -1548,6 +1612,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bulk_part_suppliers": q_bulk_part_suppliers,
     "duplicate_spans": q_duplicate_spans,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "bracket_revenue": q_bracket_revenue,
     # --- round-3 certificates (rotate through the window) ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2160,6 +2226,37 @@ WHERE EXISTS (
   WHERE l.l_suppkey = s.s_suppkey AND p.p_name LIKE '%widget%'
   GROUP BY l.l_partkey
   HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 5000)
+"""
+
+# Q17-shape: the correlated 0.2*avg predicate in cross-multiplied
+# integer form (5 * qty_c * cnt < sum_c) on BOTH sides
+ORACLES["small_quantity_revenue"] = """
+WITH f AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+),
+s AS (SELECT l_partkey, sum(qty_c) AS sum_q, count(*) AS cnt
+      FROM f GROUP BY 1)
+SELECT round(sum(price_c) / 700.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM f JOIN s USING (l_partkey)
+WHERE 5 * qty_c * cnt < sum_q
+"""
+
+ORACLES["bracket_revenue"] = """
+SELECT round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0
+                            + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 40
+       AND l_quantity BETWEEN 25 AND 50)
 """
 
 

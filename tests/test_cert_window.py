@@ -34,7 +34,8 @@ ROUND_WINDOW_HEAD = [
     "promo_revenue", "volume_shipping", "minhash_accuracy",
     "large_volume_orders", "sole_return_supplier", "idle_customer_balance",
     "top_revenue_supplier", "bulk_part_suppliers", "duplicate_spans",
-    "cluster_balanced_sample",
+    "cluster_balanced_sample", "small_quantity_revenue",
+    "bracket_revenue",
 ]
 
 

@@ -163,6 +163,21 @@ def test_new_curation_queries_plan_pins(spark):
     assert_plan(_q(spark, "volume_anomaly"), max_shuffles=2)
 
 
+def test_q17_q19_shape_plan_pins(spark):
+    # small_quantity_revenue: brand semi-prune broadcasts, per-part
+    # stats rejoin broadcasts (few parts per brand) — the decorrelated
+    # scalar subquery never re-scans the fact
+    assert_plan(_q(spark, "small_quantity_revenue"), max_shuffles=3,
+                min_broadcast_joins=2, max_sort_merge_joins=0)
+    # bracket_revenue: ONE partkey equi-join with the OR disjunction as
+    # residual — no nested-loop/cartesian fallback
+    df = _q(spark, "bracket_revenue")
+    assert_plan(df, max_shuffles=1, min_broadcast_joins=1,
+                max_sort_merge_joins=0)
+    assert "CartesianProduct" not in physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in physical_plan(df)
+
+
 def test_cluster_balanced_sample_plan_pin(spark):
     # centroid model broadcast + min_by assignment agg + ONE cell-keyed
     # exchange shared by the rank window and the occupancy count — no

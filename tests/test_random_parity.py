@@ -31,6 +31,7 @@ REL_QUERIES = [
     "bulk_part_suppliers", "above_avg_orders", "customers_no_orders",
     "big_spender_customers", "shipping_priority",
     "order_priority_counts", "salted_join",
+    "small_quantity_revenue", "bracket_revenue",
 ]
 
 BASE_DAY = dt.datetime(1994, 1, 1)
@@ -99,7 +100,11 @@ def micro_instance(draw):
         "p_name": [draw(st.sampled_from(
             ["red widget", "blue bolt", "small gizmo", "hot widget"]))
             for _ in range(1, n_part + 1)],
-        "p_brand": ["B1"] * n_part,
+        # real-fixture brands appear so the Q17/Q19-shape brand filters
+        # actually select rows on some instances
+        "p_brand": [draw(st.sampled_from(
+            ["B1", "Brand#13", "Brand#22", "Brand#25"]))
+            for _ in range(n_part)],
         "p_type": [draw(st.sampled_from(["PROMO", "STANDARD"]))
                    for _ in range(n_part)],
         "p_size": pd.array([draw(st.integers(1, 50))
