@@ -529,7 +529,7 @@ DOC_QUERIES_2 = [
     "source_balanced_sample", "split_summary", "contamination",
     "curate_corpus", "bm25_topk", "frequent_tokens",
     "multimodal_decode", "multimodal_frames", "multimodal_resize",
-    "multimodal_audio_windows",
+    "multimodal_audio_windows", "incremental_curate",
 ]
 
 
