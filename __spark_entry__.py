@@ -245,28 +245,40 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7-style cross-nation shipping volume: the deep join tree
-    (lineitem x supplier x orders x customer + nation x2) with BOTH
-    nation dims broadcast and the nation-pair predicate applied after —
-    revenue by (supplier nation, customer nation, ship year)."""
+    """TPC-H Q7-style cross-nation shipping volume: revenue by
+    (supplier nation, customer nation, ship year) for one nation pair.
+
+    Scale shape (round-6 rewrite): BOTH dims are semi-pruned to the two
+    relevant nations BEFORE touching the fact — the nation filter folds
+    into the broadcast supplier build, so lineitem shrinks ~2/25
+    *before* the orders shuffle, and customer shrinks ~2/25 before its
+    shuffle join. Only the OR-pair *residual* (which of the two cross
+    pairs) is evaluated post-join; the membership part of the predicate
+    is fully pushed. At 100 TB the avoided volume through the two
+    fact-side exchanges is the point."""
     li = read_table(spark, sf_dir, "lineitem")
-    sup = read_table(spark, sf_dir, "supplier")
     orders = read_table(spark, sf_dir, "orders")
-    cust = read_table(spark, sf_dir, "customer")
-    nation = read_table(spark, sf_dir, "nation")
-    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
-                       F.col("n_name").alias("supp_nation"))
-    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
-                       F.col("n_name").alias("cust_nation"))
+    nation = (read_table(spark, sf_dir, "nation")
+              .where(F.col("n_name").isin("NATION_1", "NATION_2")))
+    # fold the 2-nation filter into each dim (nation is tiny: the
+    # pruned-dim joins collapse into the dims' own broadcast builds)
+    sup = (read_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(nation),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (read_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    # residual: exclude the two same-nation combinations that survive
+    # the membership prune
     pair = (((F.col("supp_nation") == "NATION_1")
              & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2")
                & (F.col("cust_nation") == "NATION_1")))
     return (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
               .join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(cust, orders.o_custkey == cust.c_custkey)
-              .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-              .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+              .join(cust, F.col("o_custkey") == cust.c_custkey)
               .where(pair)
               .groupBy("supp_nation", "cust_nation",
                        F.year("l_shipdate").cast("long").alias("ship_year"))
@@ -449,7 +461,13 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (fact.groupBy("l_partkey")
                  .agg(F.sum("qty_c").alias("sum_q"),
                       F.count(F.lit(1)).alias("cnt")))
-    return (fact.join(F.broadcast(stats), "l_partkey")
+    # No broadcast hint on the rejoin: `stats` is one row per
+    # brand-filtered part — dimension-proportional, NOT bounded. At
+    # 100-TB TPC-H proportions that's millions of rows an explicit hint
+    # would force past the broadcast threshold. The join key is the
+    # groupBy key, so the shuffle exchange is reused (or AQE picks a
+    # broadcast at runtime when the brand slice really is small).
+    return (fact.join(stats, "l_partkey")
                 .where(5 * F.col("qty_c") * F.col("cnt")
                        < F.col("sum_q"))
                 .agg(fround(F.sum("price_c") / 700.0, 2)

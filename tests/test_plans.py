@@ -13,6 +13,7 @@ import __spark_entry__ as entrymod
 from tests.conftest import SF0001
 from w_userflow_featurestore_spark.plans import (
     assert_plan,
+    broadcast_hint_count,
     broadcast_join_count,
     physical_plan,
     pushed_filters,
@@ -164,11 +165,16 @@ def test_new_curation_queries_plan_pins(spark):
 
 
 def test_q17_q19_shape_plan_pins(spark):
-    # small_quantity_revenue: brand semi-prune broadcasts, per-part
-    # stats rejoin broadcasts (few parts per brand) — the decorrelated
-    # scalar subquery never re-scans the fact
-    assert_plan(_q(spark, "small_quantity_revenue"), max_shuffles=3,
-                min_broadcast_joins=2, max_sort_merge_joins=0)
+    # small_quantity_revenue: brand semi-prune broadcasts; the per-part
+    # stats rejoin carries NO forced broadcast — stats is one row per
+    # brand-filtered part (dim-proportional, unbounded), so the only
+    # explicit hint in the whole query is the bounded brand semi-prune
+    # (it appears twice in the analyzed plan because the pruned fact is
+    # consumed by both the stats agg and the rejoin probe side).
+    df17 = _q(spark, "small_quantity_revenue")
+    assert_plan(df17, max_shuffles=3, min_broadcast_joins=1,
+                max_sort_merge_joins=1)
+    assert broadcast_hint_count(df17) <= 2
     # bracket_revenue: ONE partkey equi-join with the OR disjunction as
     # residual — no nested-loop/cartesian fallback
     df = _q(spark, "bracket_revenue")
@@ -345,10 +351,15 @@ def test_promo_revenue_plan_pin(spark):
 
 
 def test_volume_shipping_plan_pin(spark):
-    # Q7 shape: supplier + both nation dims broadcast; the fact-side
-    # chain (lineitem x orders x customer) is the only shuffle work
+    # Q7 shape (round-6 rewrite): the 2-nation membership filter is
+    # folded into BOTH dims before any fact join — the nation scans
+    # carry a pushed In(n_name, …) filter, so lineitem shrinks ~2/25
+    # before the orders shuffle and customer shrinks ~2/25 before its
+    # join; only the cross-pair residual evaluates post-join.
     df = _q(spark, "volume_shipping")
     assert_plan(df, max_shuffles=4, min_broadcast_joins=3)
+    nation_scans = [p for p in pushed_filters(df) if "n_name" in p]
+    assert len(nation_scans) >= 2, pushed_filters(df)
 
 
 def test_minhash_accuracy_plan_pin(spark):

@@ -29,6 +29,7 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "codegen_stage_count",
+    "broadcast_hint_count",
     "assert_plan",
 ]
 
@@ -49,6 +50,19 @@ def physical_plan(df: DataFrame) -> str:
         return df._jdf.queryExecution().executedPlan().toString()
     finally:
         conf.set(key, prev) if prev is not None else conf.unset(key)
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of EXPLICIT broadcast hints (``F.broadcast``/``/*+ BROADCAST */``)
+    in the analyzed logical plan.
+
+    Distinguishes a hint the author FORCED from a broadcast the planner
+    or AQE CHOSE: a hint overrides ``autoBroadcastJoinThreshold``, so a
+    hint on an unbounded (dim- or aggregate-proportional) side is a
+    scale bug even when the physical plan looks fine at test SF.
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", plan))
 
 
 def shuffle_count(df: DataFrame) -> int:
