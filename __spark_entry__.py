@@ -1243,6 +1243,24 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_curate(docs.where(F.col("doc_id") % 2 == 1), ledger)
 
 
+def q_incremental_duplicate_spans(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Daily-update substring dedup: odd-id docs arrive as the new
+    batch and are span-deduped against the even-id corpus represented
+    ONLY by its persisted per-gram occurrence ledger (gram_ledger) —
+    corpus text is never rescanned. Same k=6/min_count=2 as
+    duplicate_spans; by construction the result equals the full-corpus
+    run restricted to the batch (operators/text.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    # the ledger IS a persisted table in production; derived inline
+    # here, so materialize it once for its single probe consumer
+    # (same rationale as q_incremental_curate's signature ledger)
+    ledger = TX.gram_ledger(docs.where(F.col("doc_id") % 2 == 0), k=6) \
+        .localCheckpoint(eager=True)
+    return TX.incremental_duplicate_spans(
+        docs.where(F.col("doc_id") % 2 == 1), ledger, k=6, min_count=2)
+
+
 def q_time_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user recency-weighted value sum: integer right-shift decay
     (half-life 1 day, anchored at the corpus max event date) — exact
@@ -1629,6 +1647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_supplier": q_top_revenue_supplier,
     "bulk_part_suppliers": q_bulk_part_suppliers,
     "duplicate_spans": q_duplicate_spans,
+    "incremental_duplicate_spans": q_incremental_duplicate_spans,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "small_quantity_revenue": q_small_quantity_revenue,
     "bracket_revenue": q_bracket_revenue,
@@ -3013,6 +3032,15 @@ SELECT doc_id,
        CAST(max(pos) - min(pos) + 6 AS BIGINT) AS span_tokens,
        CAST(count(*) AS BIGINT) AS n_grams
 FROM grp GROUP BY doc_id, island
+"""
+
+# incremental substring dedup: the ledger path is DEFINED to equal the
+# full-corpus run restricted to the batch (gram counts are additive
+# across corpus + batch), so the oracle is literally the batch slice of
+# the duplicate_spans oracle — any mismatch localizes to the ledger
+# probe / hot-set union glue in operators/text.py
+ORACLES["incremental_duplicate_spans"] = f"""
+SELECT * FROM ({ORACLES['duplicate_spans']}) WHERE doc_id % 2 = 1
 """
 
 ORACLES["line_dedup"] = f"""

@@ -316,6 +316,52 @@ def test_duplicate_spans_finds_planted_substring_dups(spark):
     assert not any(d == 4 for d, *_ in got)
 
 
+def test_incremental_duplicate_spans_probes_ledger_not_corpus(spark):
+    """Ledger semantics: a batch span exists because the CORPUS holds
+    the other occurrence (cross-batch dup), a batch-internal repeat is
+    hot without any ledger row, and a gram unique across both sides
+    emits nothing. Result must equal the full-corpus run restricted to
+    the batch."""
+    corpus = spark.createDataFrame(
+        [(0, "aaa bbb ccc ddd eee fff"),
+         (2, "solo corpus words only here")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "xxx aaa bbb ccc ddd yyy"),   # dup only via corpus doc 0
+         (3, "p q r s p q r s"),           # batch-internal repeat
+         (5, "totally unique batch text")],
+        "doc_id long, text string")
+    ledger = TX.gram_ledger(corpus, k=4)
+    got = {(r["doc_id"], r["span_start"], r["span_end"],
+            r["span_tokens"], r["n_grams"])
+           for r in TX.incremental_duplicate_spans(
+               batch, ledger, k=4).collect()}
+    assert got == {(1, 2, 5, 4, 1),        # "aaa bbb ccc ddd"
+                   (3, 1, 8, 8, 2)}        # self-repeat, islands merge
+    full = {(r["doc_id"], r["span_start"], r["span_end"],
+             r["span_tokens"], r["n_grams"])
+            for r in TX.duplicate_spans(
+                corpus.unionByName(batch), k=4).collect()
+            if r["doc_id"] % 2 == 1}
+    assert got == full
+
+
+def test_merge_gram_ledger_is_additive(spark):
+    """Ledger update = union + re-sum: merging the corpus ledger with a
+    batch ledger must equal the ledger built from the combined corpus."""
+    a = spark.createDataFrame([(0, "aaa bbb ccc ddd")],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(1, "aaa bbb ccc ddd eee")],
+                              "doc_id long, text string")
+    merged = {(r["gh"], r["occ"])
+              for r in TX.merge_gram_ledger(
+                  TX.gram_ledger(a, k=3), TX.gram_ledger(b, k=3)
+              ).collect()}
+    want = {(r["gh"], r["occ"])
+            for r in TX.gram_ledger(a.unionByName(b), k=3).collect()}
+    assert merged == want and any(occ == 2 for _, occ in merged)
+
+
 def test_semantic_dedup_drops_in_cell_neighbors_only(spark):
     # 8 orthogonal-ish base vectors + one near-copy of vec 0: only the
     # near-copy (higher id) must be dropped, and cells must partition

@@ -376,6 +376,19 @@ def test_minhash_accuracy_plan_pin(spark):
     assert "documents.parquet" not in plan
 
 
+def test_incremental_duplicate_spans_plan_pin(spark):
+    # Ledger-probe shape: corpus text is represented ONLY by the
+    # materialized gram ledger and the batch postings are lineage-cut,
+    # so the final plan is rooted at ExistingRDDs with ZERO residual
+    # document scans; bounded shuffle budget, cartesian-free.
+    df = _q(spark, "incremental_duplicate_spans")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert "documents.parquet" not in plan
+    assert_plan(df, max_shuffles=3, max_sort_merge_joins=0)
+
+
 def test_large_volume_orders_plan_pin(spark):
     # Q18 shape: lineitem aggregates ONCE (one shuffle barrier); the
     # HAVING-surviving key set joins back by broadcast, never by

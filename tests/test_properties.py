@@ -12,7 +12,7 @@ from __future__ import annotations
 import datetime as dt
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -655,4 +655,100 @@ def test_winnow_fingerprints_matches_independent_model(spark, texts):
     for r in out:
         got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     want = {i: model(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+# -------------------------------------------------------- duplicate_spans
+
+# Small vocabulary so corpus-hot k-grams (including WITHIN-doc repeats)
+# arise naturally; the explicit examples pin the two merge boundaries:
+# p2 == p1 + k merges (adjacent islands touch), p2 == p1 + k + 1 splits.
+span_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=0, max_size=24),
+    min_size=1, max_size=5)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists=span_corpus_strategy)
+@example(token_lists=[["aa", "bb", "cc"] * 2])          # within-doc repeat
+@example(token_lists=[                                   # merge boundary:
+    ["aa", "bb", "cc", "dd", "aa", "bb", "cc", "dd"],    # hit gap == k
+    ["aa", "bb", "cc"], ["bb", "cc", "dd"],
+    ["aa", "bb", "cc"], ["bb", "cc", "dd"]])
+@example(token_lists=[["aa"], [], ["aa", "bb"]])         # all docs < k
+def test_duplicate_spans_matches_independent_model(spark, token_lists):
+    """Pure-Python positional k-gram ExactSubstr recomputed from scratch
+    (gram-string counting — no shared hashing code with the Spark
+    path): corpus-hot grams -> hit positions -> gaps-and-islands merge
+    with the p2 <= p1 + k rule. Exact span-set equality, including
+    n_grams per island and 1-based inclusive token indices."""
+    from w_userflow_featurestore_spark.operators.text import (
+        duplicate_spans,
+    )
+    K, MIN = 3, 2
+
+    def model(texts):
+        toks = {}
+        for d, t in texts.items():
+            norm = __import__("re").sub(r"[^a-z0-9]+", " ",
+                                        t.lower()).strip()
+            toks[d] = norm.split(" ")  # "" -> [""] mirrors Spark split
+        counts: dict = {}
+        grams: dict = {}
+        for d, ws in toks.items():
+            gs = [" ".join(ws[i:i + K])
+                  for i in range(len(ws) - K + 1)] if len(ws) >= K else []
+            grams[d] = gs
+            for g in gs:
+                counts[g] = counts.get(g, 0) + 1
+        spans = set()
+        for d, gs in grams.items():
+            hits = [i + 1 for i, g in enumerate(gs) if counts[g] >= MIN]
+            if not hits:
+                continue
+            island = [hits[0]]
+            for p in hits[1:]:
+                if p - island[-1] > K:
+                    spans.add((d, island[0], island[-1] + K - 1,
+                               island[-1] - island[0] + K, len(island)))
+                    island = [p]
+                else:
+                    island.append(p)
+            spans.add((d, island[0], island[-1] + K - 1,
+                       island[-1] - island[0] + K, len(island)))
+        return spans
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(token_lists)}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"],
+            r["span_tokens"], r["n_grams"])
+           for r in duplicate_spans(df, k=K, min_count=MIN).collect()}
+    assert got == model(texts)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists=span_corpus_strategy)
+def test_incremental_duplicate_spans_equals_full_run_on_batch(
+        spark, token_lists):
+    """The ledger path is DEFINED as duplicate_spans(corpus UNION
+    batch) restricted to the batch — gram counts are additive, so the
+    incremental probe must reproduce the full-corpus result exactly on
+    arbitrary even/odd splits (including empty corpus or empty batch)."""
+    from w_userflow_featurestore_spark.operators.text import (
+        duplicate_spans, gram_ledger, incremental_duplicate_spans,
+    )
+    K, MIN = 3, 2
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(token_lists)],
+        "doc_id long, text string")
+    corpus = df.where(F.col("doc_id") % 2 == 0)
+    batch = df.where(F.col("doc_id") % 2 == 1)
+    got = {tuple(r) for r in incremental_duplicate_spans(
+        batch, gram_ledger(corpus, k=K), k=K, min_count=MIN).collect()}
+    want = {tuple(r) for r in duplicate_spans(df, k=K, min_count=MIN)
+            .where(F.col("doc_id") % 2 == 1).collect()}
     assert got == want

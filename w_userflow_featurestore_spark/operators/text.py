@@ -515,6 +515,20 @@ def duplicate_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
     tokens end to end — this is why the k-gram approximation, not the
     suffix array, is the 100 TB shape.
     """
+    posting = _gram_postings(docs, k, text_col, id_col)
+    hot = (posting.groupBy("gh")
+                  .agg(F.count(F.lit(1)).alias("_occ"))
+                  .where(F.col("_occ") >= min_count)
+                  .select("gh"))
+    hits = posting.join(hot, "gh").select(id_col, "pos")
+    return _merge_islands(hits, k, id_col)
+
+
+def _gram_postings(docs: DataFrame, k: int, text_col: str,
+                   id_col: str) -> DataFrame:
+    """(id, pos, gh): one 60-bit hash per positional word k-gram,
+    1-based positions. Shared by batch and incremental substring dedup
+    so their notion of 'the k-gram at position p' is one code path."""
     if k < 2:
         raise ValueError("k-gram spans need k >= 2")
     base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
@@ -526,15 +540,16 @@ def duplicate_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
                     lambda i: text_hash60(
                         F.concat_ws(" ", F.slice(ws, i, k)))),
     ).otherwise(F.array().cast("array<bigint>"))
-    posting = (base.select(F.col(id_col),
-                           F.posexplode(grams).alias("p0", "gh"))
-                   .select(F.col(id_col),
-                           (F.col("p0") + 1).alias("pos"), "gh"))
-    hot = (posting.groupBy("gh")
-                  .agg(F.count(F.lit(1)).alias("_occ"))
-                  .where(F.col("_occ") >= min_count)
-                  .select("gh"))
-    hits = posting.join(hot, "gh").select(id_col, "pos")
+    return (base.select(F.col(id_col),
+                        F.posexplode(grams).alias("p0", "gh"))
+                .select(F.col(id_col),
+                        (F.col("p0") + 1).alias("pos"), "gh"))
+
+
+def _merge_islands(hits: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of duplicated gram positions into maximal
+    spans (hits p1 < p2 merge iff p2 <= p1 + k); state bounded by one
+    document's hits."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.lag("pos").over(w).isNull()
                  | ((F.col("pos") - F.lag("pos").over(w)) > k), 1) \
@@ -555,6 +570,81 @@ def duplicate_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
                        (F.col("_e") - F.col("_s") + k).cast("long")
                         .alias("span_tokens"),
                        F.col("n_grams").cast("long")))
+
+
+def gram_ledger(docs: DataFrame, k: int = 8, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """The persistable substring-dedup state for an ingested corpus:
+    one row per DISTINCT k-gram hash with its corpus occurrence count
+    (gh, occ) — the hot-gram twin of :func:`~w_userflow_featurestore_spark.operators.curate.signature_index`'s
+    minhash ledger (reference discipline: ancestry-gated incremental
+    loads, ``airflow/dags/silver_dag.py:65-88``).
+
+    This is the ONLY state :func:`incremental_duplicate_spans` needs:
+    ~16 bytes per distinct gram, linear in corpus tokens, keyed by a
+    single BIGINT — in production a table bucketed by ``gh`` so the
+    batch probe is a bucket-local join, and mergeable under ingestion
+    by summing ``occ`` (counts are additive; see
+    :func:`merge_gram_ledger`). The corpus TEXT is never rescanned.
+    """
+    return (_gram_postings(docs, k, text_col, id_col)
+            .groupBy("gh")
+            .agg(F.count(F.lit(1)).cast("long").alias("occ")))
+
+
+def merge_gram_ledger(ledger: DataFrame, batch: DataFrame) -> DataFrame:
+    """Ledger after ingesting a batch: occurrence counts are additive,
+    so the update is a union + re-aggregate on the gram hash — no
+    corpus rescan, and in production a partition-local combine when
+    both sides are bucketed by ``gh``."""
+    return (ledger.unionByName(batch)
+                  .groupBy("gh")
+                  .agg(F.sum("occ").cast("long").alias("occ")))
+
+
+def incremental_duplicate_spans(new_docs: DataFrame, ledger: DataFrame,
+                                k: int = 8, min_count: int = 2,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Substring-level duplicate spans for a NEW batch against an
+    already-ingested corpus represented ONLY by its :func:`gram_ledger`
+    — the daily-update form of :func:`duplicate_spans`, matching the
+    incremental-curation ledger discipline (``operators/curate.py``).
+
+    A batch position ``p`` is duplicated iff its k-gram's occurrence
+    count across corpus + batch reaches ``min_count`` — i.e. the result
+    is EXACTLY ``duplicate_spans(corpus UNION batch)`` restricted to
+    batch documents (the equivalence is property-tested), computed
+    without touching corpus text.
+
+    Scale shape: batch postings and their gram counts are
+    batch-proportional; the corpus probe is an INNER equi-join of the
+    ledger against the batch's distinct gram counts — Catalyst
+    broadcasts the (small) batch side, so ledger work is a scan +
+    bucket-local probe, never a corpus-sized shuffle. Grams hot within
+    the batch alone skip the ledger entirely; the two hot sets are
+    disjoint by construction (no distinct needed). Island merge is
+    per-batch-doc windowing, identical to the batch path.
+    """
+    # Lineage cut: the batch postings feed THREE branches (batch gram
+    # counts, the ledger probe's counts, the hit-position rejoin);
+    # without it each branch re-shingles the batch text from source.
+    # The frame is (id, pos, gh) — ~24 bytes per BATCH token, never
+    # corpus-proportional — the same bounded materialization
+    # incremental_curate gives its batch signatures.
+    posting = _gram_postings(new_docs, k, text_col, id_col) \
+        .localCheckpoint(eager=True)
+    bcounts = posting.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_bocc"))
+    hot_batch = bcounts.where(F.col("_bocc") >= min_count).select("gh")
+    hot_corpus = (ledger.join(bcounts, "gh")
+                        .where((F.col("_bocc") < min_count)
+                               & (F.col("occ") + F.col("_bocc")
+                                  >= min_count))
+                        .select("gh"))
+    hits = (posting.join(hot_batch.unionByName(hot_corpus), "gh")
+                   .select(id_col, "pos"))
+    return _merge_islands(hits, k, id_col)
 
 
 def token_surprisal(docs: DataFrame, text_col: str = "text",
