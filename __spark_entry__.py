@@ -505,6 +505,144 @@ def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count(F.lit(1)).cast("long").alias("n_lines")))
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape: one supplier nation's share of a region's market
+    for one part type, by order year. The region->nation membership is
+    folded into the CUSTOMER dim pre-join (the volume_shipping lesson:
+    the market filter prunes the fact before its shuffles), the part
+    type filter semi-prunes lineitem via the broadcast part build, and
+    the share is a conditional sum over ONE aggregation — numerator
+    flagged by supplier nation, never a second fact pass. Share emitted
+    as exact integer basis points of exact cent sums."""
+    from w_userflow_featurestore_spark.functions import scaled_long
+    nation = read_table(spark, sf_dir, "nation")
+    region = (read_table(spark, sf_dir, "region")
+              .where(F.col("r_name") == "ASIA"))
+    # market = customers whose nation sits in the region (~1/5 of
+    # customers); folding region->nation->customer keeps the orders and
+    # customer shuffles 1/5 size at any scale
+    mkt_nations = (nation.join(F.broadcast(region),
+                               F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select(F.col("n_nationkey").alias("_mk")))
+    cust = (read_table(spark, sf_dir, "customer",
+                       columns=["c_custkey", "c_nationkey"])
+            .join(F.broadcast(mkt_nations),
+                  F.col("c_nationkey") == F.col("_mk"), "left_semi")
+            .select("c_custkey"))
+    part = (read_table(spark, sf_dir, "part",
+                       columns=["p_partkey", "p_type"])
+            .where(F.col("p_type") == "PROMO")
+            .select("p_partkey"))
+    sup = (read_table(spark, sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+           .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    orders = read_table(spark, sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                        ts_filter=("o_orderdate", "1995-01-01 00:00:00",
+                                   "1996-12-31 23:59:59"))
+    li = read_table(spark, sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    disc = scaled_long(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")), 4)
+    agg = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey,
+                   "left_semi")
+             .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+             .join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(cust, F.col("o_custkey") == cust.c_custkey,
+                   "left_semi")
+             .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+             .agg(F.sum(F.when(F.col("supp_nation") == "NATION_2", disc)
+                        .otherwise(F.lit(0))).alias("_nat_c"),
+                  F.sum(disc).alias("_tot_c")))
+    return agg.select(
+        "o_year",
+        fround(F.col("_nat_c") / 1e4, 2).alias("nation_revenue"),
+        fround(F.col("_tot_c") / 1e4, 2).alias("market_revenue"),
+        F.expr("(_nat_c * 10000) div _tot_c").cast("long")
+         .alias("mkt_share_bp"))
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shape profit rollup by supplier nation x order year for
+    a part-name family. The testdata has no partsupp, so cost =
+    p_retailprice * l_quantity (same join/arithmetic shape as
+    ps_supplycost; documented oracle-side too). Both terms are exact
+    4-decimal scaled integers, so profit is an exact integer sum; the
+    name filter semi-prunes the fact through the broadcast part build
+    BEFORE the orders shuffle."""
+    from w_userflow_featurestore_spark.functions import scaled_long
+    part = (read_table(spark, sf_dir, "part",
+                       columns=["p_partkey", "p_name", "p_retailprice"])
+            .where(F.col("p_name").like("%widget%"))
+            .select("p_partkey", "p_retailprice"))
+    nation = read_table(spark, sf_dir, "nation")
+    sup = (read_table(spark, sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+           .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("nation")))
+    orders = read_table(spark, sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"])
+    li = read_table(spark, sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_quantity", "l_extendedprice",
+                             "l_discount"])
+    profit_c = (scaled_long(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")), 4)
+                - scaled_long(F.col("p_retailprice")
+                              * F.col("l_quantity"), 4))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy("nation",
+                       F.year("o_orderdate").cast("long").alias("o_year"))
+              .agg(fround(F.sum(profit_c) / 1e4, 2).alias("profit"),
+                   F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shape: top-20 customers by revenue lost to returns in
+    one quarter. The quarter filter pushes to the orders scan, the
+    returnflag filter to the lineitem scan; one custkey aggregation,
+    then the top-20 rides TakeOrderedAndProject (per-partition limit +
+    merge, never a global sort) with c_custkey as the deterministic
+    tie-break."""
+    from w_userflow_featurestore_spark.functions import scaled_long
+    orders = read_table(spark, sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                        ts_filter=("o_orderdate", "1995-10-01 00:00:00",
+                                   "1995-12-31 23:59:59"))
+    li = (read_table(spark, sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice",
+                              "l_discount", "l_returnflag"])
+          .where(F.col("l_returnflag") == "R"))
+    cust = read_table(spark, sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_acctbal",
+                               "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation")
+    disc = scaled_long(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")), 4)
+    top = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_custkey")
+             .agg(fround(F.sum(disc) / 1e4, 2).alias("revenue"),
+                  F.count(F.lit(1)).cast("long").alias("n_return_lines"))
+             .orderBy(F.desc_nulls_last("revenue"), F.asc("o_custkey"))
+             .limit(20))
+    # top-20 resolves BEFORE the dim joins: 20 rows broadcast onto
+    # customer instead of shuffling the full customer table
+    return (cust.join(F.broadcast(top),
+                      cust.c_custkey == top.o_custkey)
+                .join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+                .select(F.col("c_custkey"), F.col("c_name"),
+                        F.col("n_name").alias("nation"),
+                        fround(F.col("c_acctbal"), 2).alias("acctbal"),
+                        "revenue", "n_return_lines"))
+
+
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality gate for MinHash-LSH: estimated vs EXACT
     Jaccard per candidate pair in integer basis points (operator
@@ -1651,6 +1789,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "small_quantity_revenue": q_small_quantity_revenue,
     "bracket_revenue": q_bracket_revenue,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "returned_item_customers": q_returned_item_customers,
     # --- round-3 certificates (rotate through the window) ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2294,6 +2435,73 @@ WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 40
        AND l_quantity BETWEEN 25 AND 50)
+"""
+
+ORACLES["market_share"] = """
+WITH f AS (
+  SELECT year(o_orderdate) AS y,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+              AS BIGINT) AS c,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+)
+SELECT CAST(y AS BIGINT) AS o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_2' THEN c ELSE 0 END)
+             / 10000.0, 2) AS nation_revenue,
+       round(sum(c) / 10000.0, 2) AS market_revenue,
+       CAST((sum(CASE WHEN supp_nation = 'NATION_2' THEN c ELSE 0 END)
+             * 10000) // sum(c) AS BIGINT) AS mkt_share_bp
+FROM f GROUP BY y
+"""
+
+# cost proxy: p_retailprice * l_quantity stands in for the absent
+# partsupp.ps_supplycost — same join/arithmetic shape as TPC-H Q9
+ORACLES["product_profit"] = """
+SELECT sn.n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0
+                            + 0.5) AS BIGINT)
+                 - CAST(floor(p_retailprice * l_quantity * 10000.0 + 0.5)
+                        AS BIGINT)) / 10000.0, 2) AS profit,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY sn.n_name, year(o_orderdate)
+"""
+
+ORACLES["returned_item_customers"] = """
+WITH agg AS (
+  SELECT o_custkey,
+         round(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 10000.0 + 0.5) AS BIGINT)) / 10000.0, 2)
+           AS revenue,
+         CAST(count(*) AS BIGINT) AS n_return_lines
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'
+  GROUP BY o_custkey
+),
+top AS (SELECT * FROM agg
+        ORDER BY revenue DESC NULLS LAST, o_custkey LIMIT 20)
+SELECT c_custkey, c_name, n_name AS nation,
+       round(c_acctbal, 2) AS acctbal, revenue, n_return_lines
+FROM top
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
 """
 
 

@@ -376,6 +376,33 @@ def test_minhash_accuracy_plan_pin(spark):
     assert "documents.parquet" not in plan
 
 
+def test_q8_q9_q10_shape_plan_pins(spark):
+    # market_share (Q8): region->nation folded into the customer dim
+    # and part-type semi-prune both push to scans; ONE fact aggregation
+    # computes numerator + denominator as conditional sums
+    df8 = _q(spark, "market_share")
+    assert_plan(df8, max_shuffles=2, min_broadcast_joins=3,
+                max_sort_merge_joins=0)
+    assert any("r_name" in p for p in pushed_filters(df8))
+    assert any("p_type" in p for p in pushed_filters(df8))
+    assert any("o_orderdate" in p for p in pushed_filters(df8))
+    # product_profit (Q9 shape): name filter pushed to the part scan,
+    # part + supplier broadcast, one agg barrier
+    df9 = _q(spark, "product_profit")
+    assert_plan(df9, max_shuffles=2, min_broadcast_joins=2,
+                max_sort_merge_joins=0)
+    assert any("p_name" in p for p in pushed_filters(df9))
+    # returned_item_customers (Q10): returnflag + quarter filters push
+    # to the scans; top-20 resolves via TakeOrderedAndProject BEFORE
+    # the customer dim join, so the 20-row side broadcasts
+    df10 = _q(spark, "returned_item_customers")
+    assert_plan(df10, max_shuffles=2, min_broadcast_joins=2,
+                max_sort_merge_joins=0)
+    assert "TakeOrderedAndProject" in physical_plan(df10)
+    assert any("l_returnflag" in p for p in pushed_filters(df10))
+    assert any("o_orderdate" in p for p in pushed_filters(df10))
+
+
 def test_incremental_duplicate_spans_plan_pin(spark):
     # Ledger-probe shape: corpus text is represented ONLY by the
     # materialized gram ledger and the batch postings are lineage-cut,

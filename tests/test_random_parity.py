@@ -32,6 +32,7 @@ REL_QUERIES = [
     "big_spender_customers", "shipping_priority",
     "order_priority_counts", "salted_join",
     "small_quantity_revenue", "bracket_revenue",
+    "market_share", "product_profit", "returned_item_customers",
 ]
 
 BASE_DAY = dt.datetime(1994, 1, 1)
@@ -42,6 +43,8 @@ _BOUNDARY_DAYS = [
     (dt.datetime(1996, 3, 31) - BASE_DAY).days,   # top_revenue hi
     (dt.datetime(1996, 12, 31) - BASE_DAY).days,  # promo hi
     (dt.datetime(2000, 1, 1) - BASE_DAY).days,    # idle_customer cutoff
+    (dt.datetime(1995, 10, 1) - BASE_DAY).days,   # returned_item lo
+    (dt.datetime(1995, 12, 31) - BASE_DAY).days,  # returned_item hi
 ]
 
 day_strategy = st.one_of(
