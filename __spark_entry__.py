@@ -1759,40 +1759,111 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salting, multimodal, top-k/percentile entry queries) lead the tail —
 # FIRST in line for round 6.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-2 certificates (oldest) — certify these first ---
+    # --- round-6 window (first 50 = this round's driver certificates).
+    # Head: the 21 queries that held only round-3 certificates ---
+    "funnel_daily": q_funnel_daily,
+    "event_transitions": q_event_transitions,
+    "incremental_curate": q_incremental_curate,
+    "behavior_diversity": q_behavior_diversity,
+    "contamination": q_contamination,
+    "shipping_priority": q_shipping_priority,
+    "user_cohort_setops": q_user_cohort_setops,
+    "capped_user_events": q_capped_user_events,
+    "churn_labels": q_churn_labels,
+    "time_decay_features": q_time_decay_features,
+    "weighted_sample": q_weighted_sample,
+    "stratified_sample": q_stratified_sample,
+    "dataset_split": q_dataset_split,
+    "customers_no_orders": q_customers_no_orders,
+    "big_spender_customers": q_big_spender_customers,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "salted_user_agg": q_salted_user_agg,
+    "salted_join": q_salted_join,
+    "top_docs_per_source": q_top_docs_per_source,
+    "duration_percentiles": q_duration_percentiles,
+    # --- implementation changed this round (re-certify): nation-pair
+    # pre-prune; broadcast-hint drop; postings/island refactor ---
+    "volume_shipping": q_volume_shipping,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "duplicate_spans": q_duplicate_spans,
+    # --- new this round ---
+    "incremental_duplicate_spans": q_incremental_duplicate_spans,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "returned_item_customers": q_returned_item_customers,
+    # --- oldest round-4 certificate holders (fill to 50) ---
+    "user_daily": q_user_daily,
+    "item_daily": q_item_daily,
+    "entry_type_daily": q_entry_type_daily,
+    "binge_ratio": q_binge_ratio,
+    "retention_yesterday": q_retention_yesterday,
+    "retention_today": q_retention_today,
+    "dim_gap_features": q_dim_gap_features,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_components": q_dedup_components,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash": q_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "text_profile": q_text_profile,
+    "corpus_language_stats": q_corpus_language_stats,
+    "repetition_profile": q_repetition_profile,
+    "pii_scrub": q_pii_scrub,
+    "fingerprint_pairs": q_fingerprint_pairs,
+    "cardinality_sketch": q_cardinality_sketch,
+    "semantic_dedup": q_semantic_dedup,
+    "line_dedup": q_line_dedup,
+    # --- certificate tail. Round-4 holders first — they lead the
+    # round-7 window (steady-state 3-round cycle at 120 queries) ---
+    "token_surprisal": q_token_surprisal,
+    "item_pagerank": q_item_pagerank,
+    "distribution_drift": q_distribution_drift,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "quantile_sketch": q_quantile_sketch,
+    "scd2_history": q_scd2_history,
+    "feature_backfill": q_feature_backfill,
+    "negative_samples": q_negative_samples,
+    "key_skew_profile": q_key_skew_profile,
+    "frequency_sketch": q_frequency_sketch,
+    "rolling_active_users": q_rolling_active_users,
+    "quality_report": q_quality_report,
+    "user_value_ranks": q_user_value_ranks,
+    "cohort_retention": q_cohort_retention,
+    "hll_union_rollup": q_hll_union_rollup,
+    "item_triangles": q_item_triangles,
+    "attribution": q_attribution,
+    "winsorize": q_winsorize,
+    "target_encode": q_target_encode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
+    "order_priority_counts": q_order_priority_counts,
+    "forecast_baseline": q_forecast_baseline,
+    # --- round-5 certificates (freshest tail) ---
     "dedup_latest": q_dedup_latest,
     "above_avg_orders": q_above_avg_orders,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "pack_sequences": q_pack_sequences,
     "frequent_tokens": q_frequent_tokens,
-    # --- changed in round 5 (re-certify) ---
     "ab_test": q_ab_test,
     "behavior_trigrams": q_behavior_trigrams,
-    "curate_corpus": q_curate_corpus,   # curate.py shingle-once rewrite
-    "sessions": q_sessions,             # sessionize.py gap guard
-    "event_type_pivot": q_event_type_pivot,  # n_total = true row count
-    "top_item_per_day": q_top_item_per_day,  # NULLS LAST tie-break
-    "item_continuation": q_item_continuation,  # NULLS LAST lead order
-    "cohort_vs_global": q_cohort_vs_global,  # oracle exact-cents re-agg
-    # --- NEW in round 5 ---
+    "curate_corpus": q_curate_corpus,
+    "sessions": q_sessions,
+    "event_type_pivot": q_event_type_pivot,
+    "top_item_per_day": q_top_item_per_day,
+    "item_continuation": q_item_continuation,
+    "cohort_vs_global": q_cohort_vs_global,
     "promo_revenue": q_promo_revenue,
-    "volume_shipping": q_volume_shipping,
     "minhash_accuracy": q_minhash_accuracy,
     "large_volume_orders": q_large_volume_orders,
     "sole_return_supplier": q_sole_return_supplier,
     "idle_customer_balance": q_idle_customer_balance,
     "top_revenue_supplier": q_top_revenue_supplier,
     "bulk_part_suppliers": q_bulk_part_suppliers,
-    "duplicate_spans": q_duplicate_spans,
-    "incremental_duplicate_spans": q_incremental_duplicate_spans,
     "cluster_balanced_sample": q_cluster_balanced_sample,
-    "small_quantity_revenue": q_small_quantity_revenue,
     "bracket_revenue": q_bracket_revenue,
-    "market_share": q_market_share,
-    "product_profit": q_product_profit,
-    "returned_item_customers": q_returned_item_customers,
-    # --- round-3 certificates (rotate through the window) ---
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
@@ -1817,90 +1888,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_set": q_training_set,
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
-    "funnel_daily": q_funnel_daily,
-    "event_transitions": q_event_transitions,
-    "incremental_curate": q_incremental_curate,
-    "behavior_diversity": q_behavior_diversity,
-    "contamination": q_contamination,
-    "shipping_priority": q_shipping_priority,
-    "user_cohort_setops": q_user_cohort_setops,
-    # --- certificate tail ---
-    # displaced by the round-5 window swap (modules untouched this
-    # round; r03 certificates + sf0.001 parity pytest carry them) —
-    # FIRST for round 6:
-    "capped_user_events": q_capped_user_events,
-    "churn_labels": q_churn_labels,
-    "time_decay_features": q_time_decay_features,
-    "weighted_sample": q_weighted_sample,
-    "stratified_sample": q_stratified_sample,
-    "dataset_split": q_dataset_split,
-    # round-3 holders that didn't fit the window (stable untouched
-    # modules, each pytest- and sf0.001-parity-covered) — next in the
-    # round-6 rotation after the three above:
-    "customers_no_orders": q_customers_no_orders,
-    "big_spender_customers": q_big_spender_customers,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "salted_user_agg": q_salted_user_agg,
-    "salted_join": q_salted_join,
-    "top_docs_per_source": q_top_docs_per_source,
-    "duration_percentiles": q_duration_percentiles,
-    # round-4 certificates (freshest). Note: the round-5 NULL/tie
-    # semantics fixes (entry_event_type in sessionize.py; top-item
-    # NULLS LAST tie-break in metrics.py; ab_test NULL-safe conversion
-    # flag) are BIT-IDENTICAL on all fixture scales — the fixtures
-    # contain zero NULL cells and zero duplicate (user, ts) pairs
-    # (verified sf0.001/0.01/0.1) and the whole family re-passed
-    # sf0.01 oracle parity post-change — so these certificates stand;
-    # the behavior changes are observable only on the randomized-parity
-    # harness's generated streams. The changed queries themselves
-    # (sessions, event_type_pivot, top_item_per_day, ab_test) are all
-    # inside the round-5 window.
-    "user_daily": q_user_daily,
-    "item_daily": q_item_daily,
-    "entry_type_daily": q_entry_type_daily,
-    "binge_ratio": q_binge_ratio,
-    "retention_yesterday": q_retention_yesterday,
-    "retention_today": q_retention_today,
-    "dim_gap_features": q_dim_gap_features,
-    "exact_dedup": q_exact_dedup,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "dedup_components": q_dedup_components,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash": q_simhash,
-    "simhash_near_pairs": q_simhash_near_pairs,
-    "text_profile": q_text_profile,
-    "corpus_language_stats": q_corpus_language_stats,
-    "repetition_profile": q_repetition_profile,
-    "pii_scrub": q_pii_scrub,
-    "fingerprint_pairs": q_fingerprint_pairs,
-    "cardinality_sketch": q_cardinality_sketch,
-    "semantic_dedup": q_semantic_dedup,
-    "line_dedup": q_line_dedup,
-    "token_surprisal": q_token_surprisal,
-    "item_pagerank": q_item_pagerank,
-    "distribution_drift": q_distribution_drift,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "quantile_sketch": q_quantile_sketch,
-    "scd2_history": q_scd2_history,
-    "feature_backfill": q_feature_backfill,
-    "negative_samples": q_negative_samples,
-    "key_skew_profile": q_key_skew_profile,
-    "frequency_sketch": q_frequency_sketch,
-    "rolling_active_users": q_rolling_active_users,
-    "quality_report": q_quality_report,
-    "user_value_ranks": q_user_value_ranks,
-    "cohort_retention": q_cohort_retention,
-    "hll_union_rollup": q_hll_union_rollup,
-    "item_triangles": q_item_triangles,
-    "attribution": q_attribution,
-    "winsorize": q_winsorize,
-    "target_encode": q_target_encode,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_audio_windows": q_multimodal_audio_windows,
-    "order_priority_counts": q_order_priority_counts,
-    "forecast_baseline": q_forecast_baseline,
 }
 
 

@@ -18,30 +18,46 @@ import __spark_entry__ as entrymod
 
 WINDOW = 50
 
-# Round-5 window head: the queries that MUST be certified this round —
-# least-recently-certified first, then oracle-changed, then new.
+# Round-6 window head: the queries that MUST be certified this round —
+# least-recently-certified first, then implementation-changed, then new.
 ROUND_WINDOW_HEAD = [
-    # displaced round-2 certificate holders
-    "dedup_latest", "above_avg_orders", "pricing_summary",
-    "revenue_by_nation", "pack_sequences", "frequent_tokens",
-    # implementation or oracle changed this round (curate.py
-    # shingle-once rewrite; sessionize.py gap guard; pivot n_total =
-    # true row count; top-item NULLS LAST tie-break)
-    "ab_test", "behavior_trigrams", "curate_corpus", "sessions",
-    "event_type_pivot", "top_item_per_day", "item_continuation",
-    "cohort_vs_global",
+    # the 21 queries that held only round-3 certificates (round-5
+    # verdict item #1: every query must hold a round-4-6 certificate)
+    "funnel_daily", "event_transitions", "incremental_curate",
+    "behavior_diversity", "contamination", "shipping_priority",
+    "user_cohort_setops", "capped_user_events", "churn_labels",
+    "time_decay_features", "weighted_sample", "stratified_sample",
+    "dataset_split", "customers_no_orders", "big_spender_customers",
+    "multimodal_decode", "multimodal_frames", "salted_user_agg",
+    "salted_join", "top_docs_per_source", "duration_percentiles",
+    # implementation changed this round (re-certify): volume_shipping's
+    # nation-pair pre-prune, small_quantity_revenue's broadcast-hint
+    # drop, duplicate_spans' shared postings/island-merge refactor
+    "volume_shipping", "small_quantity_revenue", "duplicate_spans",
     # new this round
-    "promo_revenue", "volume_shipping", "minhash_accuracy",
-    "large_volume_orders", "sole_return_supplier", "idle_customer_balance",
-    "top_revenue_supplier", "bulk_part_suppliers", "duplicate_spans",
-    "cluster_balanced_sample", "small_quantity_revenue",
-    "bracket_revenue",
+    "incremental_duplicate_spans", "market_share", "product_profit",
+    "returned_item_customers",
+]
+
+
+# oldest round-4 certificate holders filling the remaining 22 slots;
+# the 23 round-4 holders left in the tail (token_surprisal ..
+# forecast_baseline) lead the round-7 window
+ROUND_WINDOW_FILL = [
+    "user_daily", "item_daily", "entry_type_daily", "binge_ratio",
+    "retention_yesterday", "retention_today", "dim_gap_features",
+    "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+    "dedup_components", "ngram_jaccard_pairs", "simhash",
+    "simhash_near_pairs", "text_profile", "corpus_language_stats",
+    "repetition_profile", "pii_scrub", "fingerprint_pairs",
+    "cardinality_sketch", "semantic_dedup", "line_dedup",
 ]
 
 
 def test_window_head_holds_the_must_certify_queries():
     names = list(entrymod.QUERIES)
     assert names[:len(ROUND_WINDOW_HEAD)] == ROUND_WINDOW_HEAD
+    assert names[len(ROUND_WINDOW_HEAD):WINDOW] == ROUND_WINDOW_FILL
     assert len(names) >= WINDOW
 
 
