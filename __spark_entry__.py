@@ -923,6 +923,27 @@ def q_source_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents")).select("doc_id", "source")
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: shard + within-shard
+    position from a salted content hash — the global permutation a
+    training run reads, with no global sort anywhere
+    (operators/sampling.py corpus_shuffle). 16 shards here so every
+    shard holds rows at sf0.001."""
+    return SMP.corpus_shuffle(read_table(spark, sf_dir, "documents"),
+                              n_shards=16)
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture fill: greedy hash-ordered fill of a 300-token
+    budget per source (src1 pinned to 900) — every doc returned with
+    its n_tokens / cum_before / kept decision so the selection
+    boundary itself is oracled (operators/sampling.py
+    token_budget_mix)."""
+    return SMP.token_budget_mix(read_table(spark, sf_dir, "documents"),
+                                budget_tokens=300,
+                                overrides={"src1": 900})
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted equi-join of orders to customer. Oracle =
     the plain unsalted JOIN, so row-identical equivalence is enforced
@@ -1792,6 +1813,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share": q_market_share,
     "product_profit": q_product_profit,
     "returned_item_customers": q_returned_item_customers,
+    "corpus_shuffle": q_corpus_shuffle,
+    "token_budget_mix": q_token_budget_mix,
     # --- oldest round-4 certificate holders (fill to 50) ---
     "user_daily": q_user_daily,
     "item_daily": q_item_daily,
@@ -1813,10 +1836,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "fingerprint_pairs": q_fingerprint_pairs,
     "cardinality_sketch": q_cardinality_sketch,
+    # --- certificate tail. Round-4 holders first — they lead the
+    # round-7 window (steady-state 3-round cycle at 122 queries) ---
     "semantic_dedup": q_semantic_dedup,
     "line_dedup": q_line_dedup,
-    # --- certificate tail. Round-4 holders first — they lead the
-    # round-7 window (steady-state 3-round cycle at 120 queries) ---
     "token_surprisal": q_token_surprisal,
     "item_pagerank": q_item_pagerank,
     "distribution_drift": q_distribution_drift,
@@ -2857,6 +2880,37 @@ rates AS (
 SELECT doc_id, source
 FROM documents JOIN rates USING (source)
 WHERE {_h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_bp
+"""
+
+ORACLES["corpus_shuffle"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_h60("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents)
+SELECT doc_id, CAST(hh % 16 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % 16
+                               ORDER BY hh, doc_id) AS BIGINT)
+         AS shard_pos
+FROM h
+"""
+
+ORACLES["token_budget_mix"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens,
+         {_h60("'mixfill:' || CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY hh, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM t)
+SELECT doc_id, source, n_tokens, cum_before,
+       cum_before < (CASE WHEN source = 'src1' THEN 900 ELSE 300 END)
+         AS kept
+FROM c
 """
 
 ORACLES["vocab_coverage"] = f"""

@@ -203,3 +203,78 @@ def test_path_ngrams_null_step_disqualifies_gram(spark):
              for r in path_ngrams(ev, n=3, k=10).collect()}
     # only the fully-non-null window survives
     assert paths == {"b>c>d": 1}
+
+
+def test_corpus_shuffle_is_a_deterministic_permutation(spark):
+    from w_userflow_featurestore_spark.operators.sampling import (
+        corpus_shuffle,
+    )
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(40)],
+                                 "doc_id long, text string")
+    out = corpus_shuffle(docs, n_shards=4).collect()
+    # permutation: every doc exactly once, shards in range, positions
+    # dense 1..n within each shard
+    assert sorted(r["doc_id"] for r in out) == list(range(40))
+    per_shard: dict = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        per_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic across runs; a different seed reorders
+    again = corpus_shuffle(docs, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = corpus_shuffle(docs, n_shards=4, seed="epoch2").collect()
+    assert {(r["doc_id"], r["shard"], r["shard_pos"]) for r in out} \
+        != {(r["doc_id"], r["shard"], r["shard_pos"]) for r in other}
+
+
+def test_token_budget_mix_fills_greedily_to_budget(spark):
+    from w_userflow_featurestore_spark.operators.sampling import (
+        token_budget_mix,
+    )
+    rows_in = [(i, "w " * 10, "a") for i in range(10)] \
+        + [(100 + i, "w " * 10, "b") for i in range(2)]
+    docs = spark.createDataFrame(rows_in,
+                                 "doc_id long, text string, source string")
+    out = token_budget_mix(docs, budget_tokens=35,
+                           overrides={"b": 1000}).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # source a: 10 docs x 10 tokens, budget 35 -> exactly 4 kept (the
+    # 4th starts at cum 30 < 35; the 5th at 40 >= 35)
+    a = sorted(by_src["a"], key=lambda r: r["cum_before"])
+    assert [r["kept"] for r in a] == [True] * 4 + [False] * 6
+    assert [r["cum_before"] for r in a] == [i * 10 for i in range(10)]
+    # kept set is a PREFIX of the hash order: no kept doc after a drop
+    # override source keeps everything under its own budget
+    assert all(r["kept"] for r in by_src["b"])
+    # every nonempty source contributes at least one doc
+    assert a[0]["kept"]
+
+
+def test_token_budget_mix_is_stable_under_corpus_growth(spark):
+    """Appending docs never flips an existing doc's hash position
+    relative to another existing doc — kept can only change where the
+    budget boundary moves; with a budget covering everything, the
+    decision for old docs is unchanged."""
+    from w_userflow_featurestore_spark.operators.sampling import (
+        token_budget_mix,
+    )
+    base = [(i, "t " * 5, "s") for i in range(6)]
+    small = spark.createDataFrame(base,
+                                  "doc_id long, text string, source string")
+    grown = spark.createDataFrame(
+        base + [(50 + i, "t " * 5, "s") for i in range(3)],
+        "doc_id long, text string, source string")
+    got_small = {r["doc_id"]: r["cum_before"]
+                 for r in token_budget_mix(small, 10 ** 6).collect()}
+    got_grown = {r["doc_id"]: r["cum_before"]
+                 for r in token_budget_mix(grown, 10 ** 6).collect()}
+    # relative order of the original docs is preserved: cum_before
+    # among originals is monotone in the same order
+    orig_order_small = sorted(got_small, key=got_small.get)
+    orig_order_grown = sorted((d for d in got_grown if d < 50),
+                              key=got_grown.get)
+    assert orig_order_small == orig_order_grown

@@ -403,6 +403,21 @@ def test_q8_q9_q10_shape_plan_pins(spark):
     assert any("o_orderdate" in p for p in pushed_filters(df10))
 
 
+def test_shuffle_and_mix_plan_pins(spark):
+    # corpus_shuffle: the whole permutation costs ONE shard-keyed
+    # exchange (n_shards independent in-shard sorts) — a global
+    # ORDER BY rand() one-reducer sort must never appear
+    df = _q(spark, "corpus_shuffle")
+    assert_plan(df, max_shuffles=1)
+    assert "rangepartitioning" not in physical_plan(df).lower()
+    # token_budget_mix: token counts fuse into the scan; ONE
+    # source-keyed window exchange computes the prefix sums; budgets
+    # are a literal CASE (no join anywhere)
+    df2 = _q(spark, "token_budget_mix")
+    assert_plan(df2, max_shuffles=1)
+    assert "Join" not in physical_plan(df2)
+
+
 def test_incremental_duplicate_spans_plan_pin(spark):
     # Ledger-probe shape: corpus text is represented ONLY by the
     # materialized gram ledger and the batch postings are lineage-cut,

@@ -281,7 +281,7 @@ DOC_QUERIES = [
     "simhash", "text_profile", "corpus_language_stats",
     "repetition_profile", "line_dedup", "doc_chunks", "vocab_coverage",
     "frequent_tokens", "pack_sequences", "dataset_split", "pii_scrub",
-    "duplicate_spans",
+    "duplicate_spans", "incremental_duplicate_spans",
 ]
 
 # token pool stressing normalization: case, punctuation runs, digits,
@@ -533,6 +533,7 @@ DOC_QUERIES_2 = [
     "curate_corpus", "bm25_topk", "frequent_tokens",
     "multimodal_decode", "multimodal_frames", "multimodal_resize",
     "multimodal_audio_windows", "incremental_curate",
+    "corpus_shuffle", "token_budget_mix",
 ]
 
 

@@ -155,6 +155,87 @@ def source_balanced_sample(df: DataFrame, source_col: str = "source",
               .drop("_keep_bp"))
 
 
+def corpus_shuffle(df: DataFrame, n_shards: int = 256,
+                   id_col: str = "doc_id",
+                   seed: str = "shuffle") -> DataFrame:
+    """Deterministic training-order shuffle: assign every document a
+    shard and a position within it, both derived from a salted content
+    hash — the global random permutation a training run reads, without
+    a global sort.
+
+    A single ORDER BY rand() is a one-reducer scale cliff; the sharded
+    form is how large corpora are actually shuffled for training
+    (shard files + within-shard order): ``shard = h % n_shards`` routes
+    rows in-scan, and ``shard_pos`` is a row_number over (h, id) INSIDE
+    each shard — n_shards independent sorts of ~N/n_shards rows, one
+    hash-partition exchange total. Reading shards in index order yields
+    a deterministic pseudo-random permutation of the corpus; reruns,
+    retries, and engine choice all reproduce it (hash is md5-based, no
+    RNG state). Changing ``seed`` gives an independent epoch order.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = text_hash60(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (df.select(F.col(id_col), h.alias("_h"))
+              .withColumn("shard", (F.col("_h") % n_shards).cast("long"))
+              .withColumn("shard_pos",
+                          F.row_number().over(w).cast("long"))
+              .select(id_col, "shard", "shard_pos"))
+
+
+def token_budget_mix(docs: DataFrame, budget_tokens: int,
+                     overrides: dict[str, int] | None = None,
+                     source_col: str = "source",
+                     id_col: str = "doc_id", text_col: str = "text",
+                     seed: str = "mixfill") -> DataFrame:
+    """Greedy per-source fill toward a TOKEN budget — the data-mixture
+    step stated in the units that matter for training (tokens, not
+    docs; cf. source_balanced_sample's doc-count thinning).
+
+    Docs are ordered inside each source by a salted content hash (a
+    deterministic pseudo-random order, stable under reruns and corpus
+    growth-by-append at the tail) and kept while the cumulative token
+    count BEFORE the doc is under the source's budget — so every
+    source with any data contributes at least one doc, and the
+    realized total overshoots each budget by at most one document.
+    ``overrides`` pins per-source budgets; everything else gets
+    ``budget_tokens``.
+
+    Returns every input doc with its decision — (doc_id, source,
+    n_tokens, cum_before, kept) — so the selection boundary is
+    auditable (and oracle-testable) rather than implicit.
+
+    Scale shape: token counts fuse into the scan; ONE source-keyed
+    window exchange computes the exclusive prefix sum; budgets are a
+    literal CASE, never a join. A pathologically hot source serializes
+    its own prefix sum only — at that point pre-aggregate per
+    (source, hash-range) and two-pass the prefix, same exchange count.
+    """
+    ov = dict(overrides or {})
+    budget = F.lit(int(budget_tokens)).cast("long")
+    for s, b in sorted(ov.items()):
+        budget = F.when(F.col(source_col) == s,
+                        F.lit(int(b)).cast("long")).otherwise(budget)
+    from w_userflow_featurestore_spark.operators.text import (
+        token_count_ws,
+    )
+    h = text_hash60(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy(source_col).orderBy("_h", id_col)
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)).cast("long")
+    return (docs.select(F.col(id_col), F.col(source_col),
+                        token_count_ws(F.col(text_col)).cast("long")
+                         .alias("n_tokens"),
+                        h.alias("_h"))
+                .withColumn("cum_before", cum_before)
+                .withColumn("kept", F.col("cum_before") < budget)
+                .select(id_col, source_col, "n_tokens", "cum_before",
+                        "kept"))
+
+
 def negative_samples(positives: DataFrame, user_col: str = "user_id",
                      item_col: str = "item_k", k: int = 4,
                      salt: str = "neg") -> DataFrame:
