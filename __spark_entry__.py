@@ -1121,6 +1121,18 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents", columns=["doc_id", "lang"]))
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: assignment is by NEAR-DUP
+    CLUSTER (MinHash-LSH pair graph -> connected components -> hash
+    the component's smallest id), so near-duplicates can never
+    straddle the train/test boundary; docs outside any pair get
+    exactly the dataset_split assignment
+    (operators/sampling.py leakage_safe_split)."""
+    docs = read_table(spark, sf_dir, "documents", columns=["doc_id"])
+    return SMP.leakage_safe_split(docs,
+                                  q_minhash_lsh_pairs(spark, sf_dir))
+
+
 def q_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split balance check stratified by language."""
     return SMP.split_summary(
@@ -1815,6 +1827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_item_customers": q_returned_item_customers,
     "corpus_shuffle": q_corpus_shuffle,
     "token_budget_mix": q_token_budget_mix,
+    "leakage_safe_split": q_leakage_safe_split,
     # --- oldest round-4 certificate holders (fill to 50) ---
     "user_daily": q_user_daily,
     "item_daily": q_item_daily,
@@ -1835,9 +1848,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_profile": q_repetition_profile,
     "pii_scrub": q_pii_scrub,
     "fingerprint_pairs": q_fingerprint_pairs,
-    "cardinality_sketch": q_cardinality_sketch,
     # --- certificate tail. Round-4 holders first — they lead the
-    # round-7 window (steady-state 3-round cycle at 122 queries) ---
+    # round-7 window (steady-state 3-round cycle at 123 queries) ---
+    "cardinality_sketch": q_cardinality_sketch,
     "semantic_dedup": q_semantic_dedup,
     "line_dedup": q_line_dedup,
     "token_surprisal": q_token_surprisal,
@@ -3487,6 +3500,36 @@ reach(n, m) AS (
 SELECT n AS doc_id, min(m) AS component,
        CAST(CASE WHEN n = min(m) THEN 1 ELSE 0 END AS INT) AS keep
 FROM reach GROUP BY n
+"""
+
+# composed oracle: the dedup_components recursive CTE supplies the
+# cluster labels; the dataset_split bucket rule is applied to the GROUP
+# key — any mismatch localizes to the label-join glue in sampling.py
+ORACLES["leakage_safe_split"] = f"""
+WITH RECURSIVE lsh_pairs AS ({ORACLES['minhash_lsh_pairs']}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+g AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_key
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+SELECT doc_id, group_key, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, group_key,
+         {_h60("'split:' || CAST(group_key AS VARCHAR)")} % 1000
+           AS bucket
+  FROM g)
 """
 
 ORACLES["training_set"] = """

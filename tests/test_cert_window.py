@@ -37,11 +37,12 @@ ROUND_WINDOW_HEAD = [
     # new this round
     "incremental_duplicate_spans", "market_share", "product_profit",
     "returned_item_customers", "corpus_shuffle", "token_budget_mix",
+    "leakage_safe_split",
 ]
 
 
-# oldest round-4 certificate holders filling the remaining 20 slots;
-# the 25 round-4 holders left in the tail (semantic_dedup ..
+# oldest round-4 certificate holders filling the remaining 19 slots;
+# the 26 round-4 holders left in the tail (cardinality_sketch ..
 # forecast_baseline) lead the round-7 window
 ROUND_WINDOW_FILL = [
     "user_daily", "item_daily", "entry_type_daily", "binge_ratio",
@@ -50,7 +51,6 @@ ROUND_WINDOW_FILL = [
     "dedup_components", "ngram_jaccard_pairs", "simhash",
     "simhash_near_pairs", "text_profile", "corpus_language_stats",
     "repetition_profile", "pii_scrub", "fingerprint_pairs",
-    "cardinality_sketch",
 ]
 
 

@@ -278,3 +278,30 @@ def test_token_budget_mix_is_stable_under_corpus_growth(spark):
     orig_order_grown = sorted((d for d in got_grown if d < 50),
                               key=got_grown.get)
     assert orig_order_small == orig_order_grown
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from w_userflow_featurestore_spark.operators.sampling import (
+        dataset_split, leakage_safe_split,
+    )
+    docs = spark.createDataFrame([(i,) for i in range(30)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 25)],
+        "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in
+           leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 30
+    # every pair's endpoints land in the same split, via the same
+    # group key (the component's smallest member)
+    for a, b in [(1, 2), (2, 3), (1, 3), (10, 11), (20, 25)]:
+        assert out[a]["split"] == out[b]["split"]
+        assert out[a]["group_key"] == out[b]["group_key"]
+    assert out[1]["group_key"] == 1 and out[20]["group_key"] == 20
+    # docs outside any pair get EXACTLY the dataset_split assignment
+    # (same salt, group key = own id)
+    base = {r["doc_id"]: r["split"]
+            for r in dataset_split(docs).collect()}
+    for d, r in out.items():
+        if d not in {1, 2, 3, 10, 11, 20, 25}:
+            assert r["split"] == base[d] and r["group_key"] == d

@@ -533,7 +533,7 @@ DOC_QUERIES_2 = [
     "curate_corpus", "bm25_topk", "frequent_tokens",
     "multimodal_decode", "multimodal_frames", "multimodal_resize",
     "multimodal_audio_windows", "incremental_curate",
-    "corpus_shuffle", "token_budget_mix",
+    "corpus_shuffle", "token_budget_mix", "leakage_safe_split",
 ]
 
 

@@ -155,6 +155,52 @@ def source_balanced_sample(df: DataFrame, source_col: str = "source",
               .drop("_keep_bp"))
 
 
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id", pair_a: str = "doc_a",
+                       pair_b: str = "doc_b", train: int = 800,
+                       val: int = 100, n_buckets: int = N_BUCKETS,
+                       salt: str = "split") -> DataFrame:
+    """Dedup-aware train/val/test assignment: the unit of splitting is
+    the NEAR-DUP CLUSTER, not the document, so two near-duplicates can
+    never straddle the train/test boundary (the eval-contamination
+    path a doc-hash split leaves open — Lee et al. 2022 §6.2 measure
+    exactly this train/test overlap).
+
+    ``pairs`` is any near-dup pair set (LSH candidates, embedding
+    pairs, ...). Each doc's group key = its connected component's
+    smallest member id (singletons: the doc's own id), and the
+    :func:`dataset_split` hash-bucket rule is applied to the GROUP
+    key — so for the ~99% of docs outside any pair the assignment is
+    IDENTICAL to dataset_split with the same salt, and membership
+    stays stable as the corpus grows.
+
+    Returns (id, group_key, bucket, split) for every input doc.
+
+    Scale shape: component labels are pair-graph-proportional (near-dup
+    docs only), so the label join touches a small fraction of the
+    corpus; the split itself stays a projection (hash mod), no sort,
+    no global state.
+    """
+    from w_userflow_featurestore_spark.operators.dedup import (
+        connected_components,
+    )
+    comp = (connected_components(pairs, pair_a, pair_b)
+            .select(F.col("doc_id").alias(id_col), "component"))
+    b = hash_bucket(F.col("group_key"), n_buckets, salt)
+    return (docs.select(id_col)
+                .join(comp, id_col, "left")
+                .withColumn("group_key",
+                            F.coalesce("component", F.col(id_col))
+                             .cast("long"))
+                .withColumn("bucket", b)
+                .withColumn(
+                    "split",
+                    F.when(F.col("bucket") < train, "train")
+                     .when(F.col("bucket") < train + val, "val")
+                     .otherwise("test"))
+                .select(id_col, "group_key", "bucket", "split"))
+
+
 def corpus_shuffle(df: DataFrame, n_shards: int = 256,
                    id_col: str = "doc_id",
                    seed: str = "shuffle") -> DataFrame:
