@@ -643,6 +643,48 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "revenue", "n_return_lines"))
 
 
+def q_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape: potential revenue from lineitems in one ship
+    year, a discount band, and a quantity cap — the pure
+    scan-pushdown query: every predicate reaches the parquet scan
+    (pinned), zero joins, one aggregation. The discount band compares
+    in exact integer basis points (floor(d*10000+0.5)) — a raw double
+    BETWEEN on a 2-decimal column is the classic ulp trap."""
+    from w_userflow_featurestore_spark.functions import scaled_long
+    li = read_table(spark, sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_quantity", "l_discount",
+                             "l_extendedprice"],
+                    ts_filter=("l_shipdate", "1995-01-01 00:00:00",
+                               "1995-12-31 23:59:59"))
+    disc_bp = scaled_long(F.col("l_discount"), 4)
+    return (li.where(disc_bp.between(500, 700)
+                     & (F.col("l_quantity") < 24))
+              .agg(fround(F.sum(scaled_long(
+                       F.col("l_extendedprice") * F.col("l_discount"),
+                       4)) / 1e4, 2).alias("revenue"),
+                   F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape: the distribution of orders-per-customer
+    INCLUDING zero-order customers (the left-outer + double-aggregate
+    shape; customers_no_orders only finds the zeros). First aggregate
+    orders by custkey (fact-sized shuffle), then count customers per
+    order-count over the customer-left-join (second aggregate is
+    order-count-cardinality sized — tiny)."""
+    orders = read_table(spark, sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    cust = read_table(spark, sf_dir, "customer", columns=["c_custkey"])
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n"))
+    return (cust.join(per_cust,
+                      cust.c_custkey == per_cust.o_custkey, "left")
+                .select(F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+                         .alias("n_orders"))
+                .groupBy("n_orders")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_customers")))
+
+
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality gate for MinHash-LSH: estimated vs EXACT
     Jaccard per candidate pair in integer basis points (operator
@@ -1828,6 +1870,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shuffle": q_corpus_shuffle,
     "token_budget_mix": q_token_budget_mix,
     "leakage_safe_split": q_leakage_safe_split,
+    "discount_band_revenue": q_discount_band_revenue,
+    "order_count_distribution": q_order_count_distribution,
     # --- oldest round-4 certificate holders (fill to 50) ---
     "user_daily": q_user_daily,
     "item_daily": q_item_daily,
@@ -1846,10 +1890,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "corpus_language_stats": q_corpus_language_stats,
     "repetition_profile": q_repetition_profile,
+    # --- certificate tail. Round-4 holders first — they lead the
+    # round-7 window (steady-state 3-round cycle at 125 queries) ---
     "pii_scrub": q_pii_scrub,
     "fingerprint_pairs": q_fingerprint_pairs,
-    # --- certificate tail. Round-4 holders first — they lead the
-    # round-7 window (steady-state 3-round cycle at 123 queries) ---
     "cardinality_sketch": q_cardinality_sketch,
     "semantic_dedup": q_semantic_dedup,
     "line_dedup": q_line_dedup,
@@ -2458,6 +2502,26 @@ WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 40
        AND l_quantity BETWEEN 25 AND 50)
+"""
+
+ORACLES["discount_band_revenue"] = """
+SELECT round(sum(CAST(floor(l_extendedprice * l_discount * 10000.0
+                            + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <= TIMESTAMP '1995-12-31 23:59:59'
+  AND CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) BETWEEN 500 AND 700
+  AND l_quantity < 24
+"""
+
+ORACLES["order_count_distribution"] = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY coalesce(n, 0)
 """
 
 ORACLES["market_share"] = """

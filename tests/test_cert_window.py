@@ -37,12 +37,13 @@ ROUND_WINDOW_HEAD = [
     # new this round
     "incremental_duplicate_spans", "market_share", "product_profit",
     "returned_item_customers", "corpus_shuffle", "token_budget_mix",
-    "leakage_safe_split",
+    "leakage_safe_split", "discount_band_revenue",
+    "order_count_distribution",
 ]
 
 
-# oldest round-4 certificate holders filling the remaining 19 slots;
-# the 26 round-4 holders left in the tail (cardinality_sketch ..
+# oldest round-4 certificate holders filling the remaining 17 slots;
+# the 28 round-4 holders left in the tail (pii_scrub ..
 # forecast_baseline) lead the round-7 window
 ROUND_WINDOW_FILL = [
     "user_daily", "item_daily", "entry_type_daily", "binge_ratio",
@@ -50,7 +51,7 @@ ROUND_WINDOW_FILL = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "dedup_components", "ngram_jaccard_pairs", "simhash",
     "simhash_near_pairs", "text_profile", "corpus_language_stats",
-    "repetition_profile", "pii_scrub", "fingerprint_pairs",
+    "repetition_profile",
 ]
 
 

@@ -418,6 +418,23 @@ def test_shuffle_and_mix_plan_pins(spark):
     assert "Join" not in physical_plan(df2)
 
 
+def test_q6_q13_shape_plan_pins(spark):
+    # discount_band_revenue (Q6): the pure-pushdown query — date
+    # bounds and the quantity cap reach the parquet scan, no join
+    # anywhere, one aggregation barrier
+    df6 = _q(spark, "discount_band_revenue")
+    assert_plan(df6, max_shuffles=1)
+    assert "Join" not in physical_plan(df6)
+    assert any("l_shipdate" in p for p in pushed_filters(df6))
+    assert any("l_quantity" in p for p in pushed_filters(df6))
+    # order_count_distribution (Q13): per-customer aggregate, customer
+    # left join, then the tiny second aggregate — bounded shuffles,
+    # never a cartesian
+    df13 = _q(spark, "order_count_distribution")
+    assert_plan(df13, max_shuffles=3)
+    assert "CartesianProduct" not in physical_plan(df13)
+
+
 def test_incremental_duplicate_spans_plan_pin(spark):
     # Ledger-probe shape: corpus text is represented ONLY by the
     # materialized gram ledger and the batch postings are lineage-cut,

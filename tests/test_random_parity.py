@@ -33,6 +33,7 @@ REL_QUERIES = [
     "order_priority_counts", "salted_join",
     "small_quantity_revenue", "bracket_revenue",
     "market_share", "product_profit", "returned_item_customers",
+    "discount_band_revenue", "order_count_distribution",
 ]
 
 BASE_DAY = dt.datetime(1994, 1, 1)
