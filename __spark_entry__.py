@@ -629,7 +629,8 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("o_custkey")
              .agg(fround(F.sum(disc) / 1e4, 2).alias("revenue"),
                   F.count(F.lit(1)).cast("long").alias("n_return_lines"))
-             .orderBy(F.desc_nulls_last("revenue"), F.asc("o_custkey"))
+             .orderBy(F.desc_nulls_last("revenue"),
+                      F.asc_nulls_last("o_custkey"))
              .limit(20))
     # top-20 resolves BEFORE the dim joins: 20 rows broadcast onto
     # customer instead of shuffling the full customer table
@@ -673,7 +674,7 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-count over the customer-left-join (second aggregate is
     order-count-cardinality sized — tiny)."""
     orders = read_table(spark, sf_dir, "orders",
-                        columns=["o_orderkey", "o_custkey"])
+                        columns=["o_custkey"])
     cust = read_table(spark, sf_dir, "customer", columns=["c_custkey"])
     per_cust = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("_n"))
@@ -2583,7 +2584,7 @@ WITH agg AS (
   GROUP BY o_custkey
 ),
 top AS (SELECT * FROM agg
-        ORDER BY revenue DESC NULLS LAST, o_custkey LIMIT 20)
+        ORDER BY revenue DESC NULLS LAST, o_custkey NULLS LAST LIMIT 20)
 SELECT c_custkey, c_name, n_name AS nation,
        round(c_acctbal, 2) AS acctbal, revenue, n_return_lines
 FROM top
