@@ -305,3 +305,36 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     for d, r in out.items():
         if d not in {1, 2, 3, 10, 11, 20, 25}:
             assert r["split"] == base[d] and r["group_key"] == d
+
+
+def test_leakage_safe_split_string_doc_ids(spark):
+    """Round-6 advice regression: a cast('long') on the group key turned
+    every non-numeric string id into NULL -> hash_bucket(NULL) = NULL ->
+    every doc fell through to split='test' with zero errors raised.
+    String ids must split like dataset_split (non-pair docs) and keep
+    clusters together, with a non-degenerate split distribution."""
+    from w_userflow_featurestore_spark.operators.sampling import (
+        dataset_split, leakage_safe_split,
+    )
+    docs = spark.createDataFrame([(f"doc-{i:03d}",) for i in range(40)],
+                                 "doc_id string")
+    pairs = spark.createDataFrame(
+        [("doc-001", "doc-002"), ("doc-002", "doc-003"),
+         ("doc-010", "doc-011")],
+        "doc_a string, doc_b string")
+    out = {r["doc_id"]: r for r in
+           leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 40
+    for a, b in [("doc-001", "doc-002"), ("doc-001", "doc-003"),
+                 ("doc-010", "doc-011")]:
+        assert out[a]["split"] == out[b]["split"]
+        assert out[a]["group_key"] == out[b]["group_key"] == min(a, b)
+    base = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    clustered = {"doc-001", "doc-002", "doc-003", "doc-010", "doc-011"}
+    for d, r in out.items():
+        if d not in clustered:
+            assert r["split"] == base[d] and r["group_key"] == d
+    # the failure mode was "everything lands in test": assert train
+    # actually gets its ~80% share
+    splits = [r["split"] for r in out.values()]
+    assert splits.count("train") >= 20

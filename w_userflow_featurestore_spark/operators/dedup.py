@@ -38,14 +38,18 @@ from w_userflow_featurestore_spark.sources import fan_out
 # ---------------------------------------------------------------------------
 
 
-def text_hash60(col: Column, seed: int | None = None) -> Column:
+def text_hash60(col: Column, seed: int | str | None = None) -> Column:
     """Deterministic 60-bit non-negative integer hash of a string.
 
     First 15 hex chars of md5 parsed as an integer — both engines compute
     md5 identically, and 15 hex digits (60 bits) always fit a signed
     BIGINT. DuckDB twin: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT).
     Seeded variants prefix the payload, giving k independent hash
-    families for minwise hashing.
+    families for minwise hashing. The seed's STRING FORM is part of the
+    cross-engine hash contract (the prefix is built with an f-string and
+    mirrored literally in every DuckDB oracle), so int and str seeds are
+    both first-class: hash(seed=1) == hash(seed="1"), and a named seed
+    like "shuffle" is just another family.
     """
     payload = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")

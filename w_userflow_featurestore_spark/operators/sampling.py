@@ -187,11 +187,15 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     comp = (connected_components(pairs, pair_a, pair_b)
             .select(F.col("doc_id").alias(id_col), "component"))
     b = hash_bucket(F.col("group_key"), n_buckets, salt)
+    # no cast on the group key: connected_components preserves the id
+    # type (component = min member id), so coalesce is already
+    # homogeneous — a cast("long") here turned every non-numeric string
+    # id into NULL and silently dumped the whole corpus into 'test'
+    # (hash_bucket(NULL) = NULL fails every threshold)
     return (docs.select(id_col)
                 .join(comp, id_col, "left")
                 .withColumn("group_key",
-                            F.coalesce("component", F.col(id_col))
-                             .cast("long"))
+                            F.coalesce("component", F.col(id_col)))
                 .withColumn("bucket", b)
                 .withColumn(
                     "split",

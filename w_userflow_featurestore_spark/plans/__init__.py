@@ -13,6 +13,10 @@ All helpers inspect `queryExecution().executedPlan()` — the plan AFTER
 optimization but BEFORE adaptive re-planning kicks in at runtime, i.e.
 the statically provable shape. AQE can only improve on it (coalesce
 partitions, convert to broadcast at runtime), never add shuffles.
+The one exception is `broadcast_hint_count`, which reads the ANALYZED
+logical plan instead: explicit broadcast hints are resolved away during
+planning (the physical plan shows only the resulting join strategy), so
+the hint — the thing that audit checks for — is visible only upstream.
 """
 
 from __future__ import annotations
