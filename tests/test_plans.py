@@ -410,12 +410,26 @@ def test_shuffle_and_mix_plan_pins(spark):
     df = _q(spark, "corpus_shuffle")
     assert_plan(df, max_shuffles=1)
     assert "rangepartitioning" not in physical_plan(df).lower()
-    # token_budget_mix: token counts fuse into the scan; ONE
-    # source-keyed window exchange computes the prefix sums; budgets
-    # are a literal CASE (no join anywhere)
+    # token_budget_mix: bucketed two-pass prefix sum. The BIG window
+    # must partition by (source, _b) — never by source alone, which
+    # serializes each multi-TB source into one sorting task (round-6
+    # verdict, What's wrong #2). The only joins are the broadcast of
+    # the tiny per-bucket offset frame; the extra exchanges are both
+    # S*B-row side frames, not the corpus.
+    import re as _re
     df2 = _q(spark, "token_budget_mix")
-    assert_plan(df2, max_shuffles=1)
-    assert "Join" not in physical_plan(df2)
+    assert_plan(df2, max_shuffles=3, min_broadcast_joins=1,
+                max_sort_merge_joins=0)
+    plan2 = physical_plan(df2)
+    # pass-1 window partitions by (source, _b): partition columns come
+    # before the first ASC sort spec in windowspecdefinition
+    assert _re.search(
+        r"windowspecdefinition\(source#\d+, _b#\d+L?, _h#\d+L? ASC",
+        plan2), plan2
+    # the one-task-per-source shape must be gone: no window partitioned
+    # by source alone over the (_h, id) order
+    assert not _re.search(
+        r"windowspecdefinition\(source#\d+, _h#\d+L? ASC", plan2), plan2
 
 
 def test_q6_q13_shape_plan_pins(spark):
