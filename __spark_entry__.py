@@ -1182,6 +1182,35 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   q_minhash_lsh_pairs(spark, sf_dir))
 
 
+def q_incremental_leakage_split(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Split stability under corpus growth: odd-id docs arrive as the
+    new batch; the even-id corpus is represented ONLY by its persisted
+    component ledger (doc_id -> group_key), and the batch brings the
+    pairs an LSH probe would yield (pairs touching >= 1 batch doc).
+    Result = the full leakage_safe_split of the grown corpus (exact,
+    by star-collapse — operators/sampling.py), plus a ``migrated``
+    flag on every corpus doc whose group key changed — the audit
+    signal that a doc's train/test assignment moved between runs.
+    The oracle recomputes BOTH component sets from scratch (full and
+    corpus-only recursive CTEs), so the driver row certifies the
+    star-collapse equivalence itself, not just the glue."""
+    docs = read_table(spark, sf_dir, "documents", columns=["doc_id"])
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    even = F.col("doc_id") % 2 == 0
+    corpus_pairs = pairs.where((F.col("doc_a") % 2 == 0)
+                               & (F.col("doc_b") % 2 == 0))
+    batch_pairs = pairs.where((F.col("doc_a") % 2 == 1)
+                              | (F.col("doc_b") % 2 == 1))
+    # the ledger IS a persisted table in production; derived inline
+    # here, so materialize it once (same rationale as
+    # q_incremental_duplicate_spans' gram ledger)
+    ledger = SMP.component_ledger(docs.where(even), corpus_pairs) \
+        .localCheckpoint(eager=True)
+    return SMP.incremental_leakage_split(ledger, docs.where(~even),
+                                         batch_pairs)
+
+
 def q_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split balance check stratified by language."""
     return SMP.split_summary(
@@ -1861,64 +1890,10 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salting, multimodal, top-k/percentile entry queries) lead the tail —
 # FIRST in line for round 6.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-6 window (first 50 = this round's driver certificates).
-    # Head: the 21 queries that held only round-3 certificates ---
-    "funnel_daily": q_funnel_daily,
-    "event_transitions": q_event_transitions,
-    "incremental_curate": q_incremental_curate,
-    "behavior_diversity": q_behavior_diversity,
-    "contamination": q_contamination,
-    "shipping_priority": q_shipping_priority,
-    "user_cohort_setops": q_user_cohort_setops,
-    "capped_user_events": q_capped_user_events,
-    "churn_labels": q_churn_labels,
-    "time_decay_features": q_time_decay_features,
-    "weighted_sample": q_weighted_sample,
-    "stratified_sample": q_stratified_sample,
-    "dataset_split": q_dataset_split,
-    "customers_no_orders": q_customers_no_orders,
-    "big_spender_customers": q_big_spender_customers,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "salted_user_agg": q_salted_user_agg,
-    "salted_join": q_salted_join,
-    "top_docs_per_source": q_top_docs_per_source,
-    "duration_percentiles": q_duration_percentiles,
-    # --- implementation changed this round (re-certify): nation-pair
-    # pre-prune; broadcast-hint drop; postings/island refactor ---
-    "volume_shipping": q_volume_shipping,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "duplicate_spans": q_duplicate_spans,
-    # --- new this round ---
-    "incremental_duplicate_spans": q_incremental_duplicate_spans,
-    "market_share": q_market_share,
-    "product_profit": q_product_profit,
-    "returned_item_customers": q_returned_item_customers,
-    "corpus_shuffle": q_corpus_shuffle,
-    "token_budget_mix": q_token_budget_mix,
-    "leakage_safe_split": q_leakage_safe_split,
-    "discount_band_revenue": q_discount_band_revenue,
-    "order_count_distribution": q_order_count_distribution,
-    # --- oldest round-4 certificate holders (fill to 50) ---
-    "user_daily": q_user_daily,
-    "item_daily": q_item_daily,
-    "entry_type_daily": q_entry_type_daily,
-    "binge_ratio": q_binge_ratio,
-    "retention_yesterday": q_retention_yesterday,
-    "retention_today": q_retention_today,
-    "dim_gap_features": q_dim_gap_features,
-    "exact_dedup": q_exact_dedup,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "dedup_components": q_dedup_components,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash": q_simhash,
-    "simhash_near_pairs": q_simhash_near_pairs,
-    "text_profile": q_text_profile,
-    "corpus_language_stats": q_corpus_language_stats,
-    "repetition_profile": q_repetition_profile,
-    # --- certificate tail. Round-4 holders first — they lead the
-    # round-7 window (steady-state 3-round cycle at 125 queries) ---
+    # --- round-7 window (first 50 = this round's driver certificates).
+    # Head: the 28 queries that hold only round-4 certificates —
+    # re-certifying them keeps every certificate r5-r7 (the 3-round
+    # steady-state cycle) ---
     "pii_scrub": q_pii_scrub,
     "fingerprint_pairs": q_fingerprint_pairs,
     "cardinality_sketch": q_cardinality_sketch,
@@ -1947,7 +1922,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_windows": q_multimodal_audio_windows,
     "order_priority_counts": q_order_priority_counts,
     "forecast_baseline": q_forecast_baseline,
-    # --- round-5 certificates (freshest tail) ---
+    # --- implementation/module changed this round (re-certify):
+    # operators/sampling.py changed (token_budget_mix's bucketed
+    # two-pass prefix sum; leakage_safe_split's group-key cast drop +
+    # component_ledger refactor), so EVERY sampling.py-backed query
+    # re-certifies per the module rule, plus the three queries whose
+    # entry definitions changed (market_share decimal widening, the
+    # two de-vacuated predicates) ---
+    "token_budget_mix": q_token_budget_mix,
+    "leakage_safe_split": q_leakage_safe_split,
+    "corpus_shuffle": q_corpus_shuffle,
+    "dataset_split": q_dataset_split,
+    "split_summary": q_split_summary,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
+    "capped_user_events": q_capped_user_events,
+    "source_balanced_sample": q_source_balanced_sample,
+    "market_share": q_market_share,
+    "user_cohort_setops": q_user_cohort_setops,
+    "customers_no_orders": q_customers_no_orders,
+    # --- new this round ---
+    "incremental_leakage_split": q_incremental_leakage_split,
+    # --- oldest round-5 certificate holders (fill to 50) ---
     "dedup_latest": q_dedup_latest,
     "above_avg_orders": q_above_avg_orders,
     "pricing_summary": q_pricing_summary,
@@ -1957,6 +1953,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_test": q_ab_test,
     "behavior_trigrams": q_behavior_trigrams,
     "curate_corpus": q_curate_corpus,
+    # --- certificate tail. Remaining round-5 holders first — they
+    # lead the round-8 window ---
     "sessions": q_sessions,
     "event_type_pivot": q_event_type_pivot,
     "top_item_per_day": q_top_item_per_day,
@@ -1979,12 +1977,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_gate": q_ann_recall_gate,
     "vocab_coverage": q_vocab_coverage,
     "volume_anomaly": q_volume_anomaly,
-    "source_balanced_sample": q_source_balanced_sample,
     "embedding_near_pairs": q_embedding_near_pairs,
     "embedding_dedup": q_embedding_dedup,
     "asof_features": q_asof_features,
     "interval_features": q_interval_features,
-    "split_summary": q_split_summary,
     "event_rollup": q_event_rollup,
     "event_cube": q_event_cube,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1995,6 +1991,47 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_set": q_training_set,
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
+    # --- round-6 certificates (freshest tail) ---
+    "funnel_daily": q_funnel_daily,
+    "event_transitions": q_event_transitions,
+    "incremental_curate": q_incremental_curate,
+    "behavior_diversity": q_behavior_diversity,
+    "contamination": q_contamination,
+    "shipping_priority": q_shipping_priority,
+    "churn_labels": q_churn_labels,
+    "time_decay_features": q_time_decay_features,
+    "big_spender_customers": q_big_spender_customers,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "salted_user_agg": q_salted_user_agg,
+    "salted_join": q_salted_join,
+    "top_docs_per_source": q_top_docs_per_source,
+    "duration_percentiles": q_duration_percentiles,
+    "volume_shipping": q_volume_shipping,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "duplicate_spans": q_duplicate_spans,
+    "incremental_duplicate_spans": q_incremental_duplicate_spans,
+    "product_profit": q_product_profit,
+    "returned_item_customers": q_returned_item_customers,
+    "discount_band_revenue": q_discount_band_revenue,
+    "order_count_distribution": q_order_count_distribution,
+    "user_daily": q_user_daily,
+    "item_daily": q_item_daily,
+    "entry_type_daily": q_entry_type_daily,
+    "binge_ratio": q_binge_ratio,
+    "retention_yesterday": q_retention_yesterday,
+    "retention_today": q_retention_today,
+    "dim_gap_features": q_dim_gap_features,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_components": q_dedup_components,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash": q_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "text_profile": q_text_profile,
+    "corpus_language_stats": q_corpus_language_stats,
+    "repetition_profile": q_repetition_profile,
 }
 
 
@@ -3619,6 +3656,56 @@ SELECT doc_id, group_key, bucket,
             WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
 FROM (
   SELECT doc_id, group_key,
+         {_h60("'split:' || CAST(group_key AS VARCHAR)")} % 1000
+           AS bucket
+  FROM g)
+"""
+
+# Independent check of the star-collapse equivalence: the Spark side
+# extends a corpus component LEDGER with batch pairs; this oracle
+# recomputes components twice from scratch — over ALL pairs (the new
+# group keys) and over corpus-only pairs (the previous group keys the
+# migrated flag compares against).
+ORACLES["incremental_leakage_split"] = f"""
+WITH RECURSIVE lsh_pairs AS ({ORACLES['minhash_lsh_pairs']}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+cedges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+  WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs
+  WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+),
+creach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM cedges)
+  UNION
+  SELECT r.n, e.d FROM creach r JOIN cedges e ON e.s = r.m
+),
+ccomp AS (SELECT n AS doc_id, min(m) AS component FROM creach GROUP BY n),
+g AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_key,
+         CAST(coalesce(cc.component, d.doc_id) AS BIGINT) AS prev_gk,
+         d.doc_id % 2 = 0 AS in_ledger
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  LEFT JOIN ccomp cc ON d.doc_id = cc.doc_id)
+SELECT doc_id, group_key, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+       in_ledger AND prev_gk <> group_key AS migrated
+FROM (
+  SELECT doc_id, group_key, in_ledger, prev_gk,
          {_h60("'split:' || CAST(group_key AS VARCHAR)")} % 1000
            AS bucket
   FROM g)

@@ -18,40 +18,45 @@ import __spark_entry__ as entrymod
 
 WINDOW = 50
 
-# Round-6 window head: the queries that MUST be certified this round —
+# Round-7 window head: the queries that MUST be certified this round —
 # least-recently-certified first, then implementation-changed, then new.
 ROUND_WINDOW_HEAD = [
-    # the 21 queries that held only round-3 certificates (round-5
-    # verdict item #1: every query must hold a round-4-6 certificate)
-    "funnel_daily", "event_transitions", "incremental_curate",
-    "behavior_diversity", "contamination", "shipping_priority",
-    "user_cohort_setops", "capped_user_events", "churn_labels",
-    "time_decay_features", "weighted_sample", "stratified_sample",
-    "dataset_split", "customers_no_orders", "big_spender_customers",
-    "multimodal_decode", "multimodal_frames", "salted_user_agg",
-    "salted_join", "top_docs_per_source", "duration_percentiles",
-    # implementation changed this round (re-certify): volume_shipping's
-    # nation-pair pre-prune, small_quantity_revenue's broadcast-hint
-    # drop, duplicate_spans' shared postings/island-merge refactor
-    "volume_shipping", "small_quantity_revenue", "duplicate_spans",
+    # the 28 queries that held only round-4 certificates (round-6
+    # verdict item #2: after round 7 every certificate is r5-r7)
+    "pii_scrub", "fingerprint_pairs", "cardinality_sketch",
+    "semantic_dedup", "line_dedup", "token_surprisal", "item_pagerank",
+    "distribution_drift", "bpe_pair_counts", "quantile_sketch",
+    "scd2_history", "feature_backfill", "negative_samples",
+    "key_skew_profile", "frequency_sketch", "rolling_active_users",
+    "quality_report", "user_value_ranks", "cohort_retention",
+    "hll_union_rollup", "item_triangles", "attribution", "winsorize",
+    "target_encode", "multimodal_resize", "multimodal_audio_windows",
+    "order_priority_counts", "forecast_baseline",
+    # implementation/module changed this round (re-certify):
+    # operators/sampling.py changed (token_budget_mix bucketed prefix
+    # sum, leakage_safe_split cast drop + component_ledger refactor),
+    # so every sampling.py-backed query re-certifies per the module
+    # rule; market_share (decimal widening), user_cohort_setops and
+    # customers_no_orders (de-vacuated predicates) changed in the
+    # entry file. Behavior-neutral docstring/annotation edits
+    # (plans/__init__.py docstring, dedup.text_hash60 annotation) do
+    # NOT spend slots — no code path changed.
+    "token_budget_mix", "leakage_safe_split", "corpus_shuffle",
+    "dataset_split", "split_summary", "stratified_sample",
+    "weighted_sample", "capped_user_events", "source_balanced_sample",
+    "market_share", "user_cohort_setops", "customers_no_orders",
     # new this round
-    "incremental_duplicate_spans", "market_share", "product_profit",
-    "returned_item_customers", "corpus_shuffle", "token_budget_mix",
-    "leakage_safe_split", "discount_band_revenue",
-    "order_count_distribution",
+    "incremental_leakage_split",
 ]
 
 
-# oldest round-4 certificate holders filling the remaining 17 slots;
-# the 28 round-4 holders left in the tail (pii_scrub ..
-# forecast_baseline) lead the round-7 window
+# oldest round-5 certificate holders filling the remaining 9 slots;
+# the round-5 holders left in the tail (sessions .. hybrid_search)
+# lead the round-8 window
 ROUND_WINDOW_FILL = [
-    "user_daily", "item_daily", "entry_type_daily", "binge_ratio",
-    "retention_yesterday", "retention_today", "dim_gap_features",
-    "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-    "dedup_components", "ngram_jaccard_pairs", "simhash",
-    "simhash_near_pairs", "text_profile", "corpus_language_stats",
-    "repetition_profile",
+    "dedup_latest", "above_avg_orders", "pricing_summary",
+    "revenue_by_nation", "pack_sequences", "frequent_tokens",
+    "ab_test", "behavior_trigrams", "curate_corpus",
 ]
 
 

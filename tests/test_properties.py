@@ -752,3 +752,56 @@ def test_incremental_duplicate_spans_equals_full_run_on_batch(
     want = {tuple(r) for r in duplicate_spans(df, k=K, min_count=MIN)
             .where(F.col("doc_id") % 2 == 1).collect()}
     assert got == want
+
+
+# ----------------------------------------------- incremental_leakage_split
+
+# Random pair graphs over a small id space so batch pairs routinely
+# MERGE previously separate corpus components (the migration case) and
+# chains cross the even/odd boundary repeatedly.
+pair_graph_strategy = st.tuples(
+    st.integers(4, 24),                                  # n docs
+    st.lists(st.tuples(st.integers(0, 23), st.integers(0, 23)),
+             min_size=0, max_size=20))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(graph=pair_graph_strategy)
+@example(graph=(6, [(0, 2), (1, 3), (2, 1)]))    # batch pair merges two
+                                                 # corpus components
+@example(graph=(4, []))                          # no pairs at all
+def test_incremental_leakage_split_equals_full_run(spark, graph):
+    """Star-collapse exactness: extending the corpus component LEDGER
+    with batch-touching pairs must reproduce leakage_safe_split of the
+    grown corpus with the FULL pair set — identical (group_key, bucket,
+    split) for every doc — and the migrated flag must fire exactly on
+    ledger docs whose corpus-only group key differs from the full one."""
+    from w_userflow_featurestore_spark.operators.sampling import (
+        component_ledger, incremental_leakage_split, leakage_safe_split,
+    )
+    n, raw_pairs = graph
+    pairs_py = sorted({(min(a, b), max(a, b)) for a, b in raw_pairs
+                       if a != b and a < n and b < n})
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(pairs_py or [(None, None)],
+                                  "doc_a long, doc_b long") \
+        .where(F.col("doc_a").isNotNull())
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus_pairs = pairs.where((F.col("doc_a") % 2 == 0)
+                               & (F.col("doc_b") % 2 == 0))
+    batch_pairs = pairs.where((F.col("doc_a") % 2 == 1)
+                              | (F.col("doc_b") % 2 == 1))
+    ledger = component_ledger(corpus, corpus_pairs)
+    prev = {r["doc_id"]: r["group_key"] for r in ledger.collect()}
+    got = {r["doc_id"]: r for r in incremental_leakage_split(
+        ledger, batch, batch_pairs).collect()}
+    want = {r["doc_id"]: r for r in
+            leakage_safe_split(docs, pairs).collect()}
+    assert set(got) == set(want) == set(range(n))
+    for d in want:
+        assert (got[d]["group_key"], got[d]["bucket"], got[d]["split"]) \
+            == (want[d]["group_key"], want[d]["bucket"], want[d]["split"])
+        expect_migrated = d in prev and prev[d] != want[d]["group_key"]
+        assert got[d]["migrated"] == expect_migrated, (d, got[d])

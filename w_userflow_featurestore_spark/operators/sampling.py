@@ -181,12 +181,25 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     corpus; the split itself stays a projection (hash mod), no sort,
     no global state.
     """
+    ledger = component_ledger(docs, pairs, id_col, pair_a, pair_b)
+    return _split_columns(ledger, id_col, train, val, n_buckets, salt)
+
+
+def component_ledger(docs: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id", pair_a: str = "doc_a",
+                     pair_b: str = "doc_b") -> DataFrame:
+    """(doc_id, group_key) for every corpus doc — the persistable state
+    behind :func:`leakage_safe_split`, following the engine's ledger
+    discipline (``gram_ledger``/``signature_index``): ~16 bytes per doc,
+    keyed by the doc id, and sufficient to extend the split to a new
+    batch WITHOUT recomputing corpus-internal near-dup pairs (see
+    :func:`incremental_leakage_split`). group_key = the doc's connected
+    component's smallest member id; singletons map to themselves."""
     from w_userflow_featurestore_spark.operators.dedup import (
         connected_components,
     )
     comp = (connected_components(pairs, pair_a, pair_b)
             .select(F.col("doc_id").alias(id_col), "component"))
-    b = hash_bucket(F.col("group_key"), n_buckets, salt)
     # no cast on the group key: connected_components preserves the id
     # type (component = min member id), so coalesce is already
     # homogeneous — a cast("long") here turned every non-numeric string
@@ -196,13 +209,75 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
                 .join(comp, id_col, "left")
                 .withColumn("group_key",
                             F.coalesce("component", F.col(id_col)))
-                .withColumn("bucket", b)
-                .withColumn(
-                    "split",
-                    F.when(F.col("bucket") < train, "train")
-                     .when(F.col("bucket") < train + val, "val")
-                     .otherwise("test"))
-                .select(id_col, "group_key", "bucket", "split"))
+                .select(id_col, "group_key"))
+
+
+def _split_columns(keyed: DataFrame, id_col: str, train: int, val: int,
+                   n_buckets: int, salt: str) -> DataFrame:
+    """Apply the hash-bucket split rule to a (doc_id, group_key) frame —
+    the shared tail of the full and incremental leakage-safe splits."""
+    b = hash_bucket(F.col("group_key"), n_buckets, salt)
+    return (keyed.withColumn("bucket", b)
+                 .withColumn(
+                     "split",
+                     F.when(F.col("bucket") < train, "train")
+                      .when(F.col("bucket") < train + val, "val")
+                      .otherwise("test"))
+                 .select(id_col, "group_key", "bucket", "split"))
+
+
+def incremental_leakage_split(ledger: DataFrame, batch_docs: DataFrame,
+                              batch_pairs: DataFrame,
+                              id_col: str = "doc_id",
+                              pair_a: str = "doc_a", pair_b: str = "doc_b",
+                              train: int = 800, val: int = 100,
+                              n_buckets: int = N_BUCKETS,
+                              salt: str = "split") -> DataFrame:
+    """Leakage-safe split of corpus ∪ batch from the corpus's persisted
+    :func:`component_ledger` — corpus-internal near-dup pairs are NEVER
+    recomputed; only ``batch_pairs`` (pairs touching the batch:
+    new-vs-new plus new-vs-corpus probes, exactly what an LSH index
+    probe of the batch yields) are consumed.
+
+    Exactness by star-collapse: every ledger component is replaced by a
+    star of edges (member -> group_key). The star preserves both the
+    component's connectivity and its minimum (the group key IS the min
+    member), so connected components over star ∪ batch_pairs equal
+    components over old_pairs ∪ batch_pairs — the result is
+    bit-identical to :func:`leakage_safe_split` on the grown corpus
+    with the full pair set (property-tested).
+
+    Returns (doc_id, group_key, bucket, split, migrated) for every doc
+    in ledger ∪ batch. ``migrated`` is the split-stability audit
+    signal: true iff the doc held a DIFFERENT group key in the ledger —
+    i.e. a batch doc (or a batch-discovered pair) merged two previously
+    separate clusters, which is precisely when a doc's train/test
+    assignment can silently move between runs and eval contamination
+    can enter retroactively. Batch docs are never flagged (no prior
+    assignment to migrate from).
+
+    Scale shape: star edges are ledger-row-bounded and batch pairs are
+    probe-bounded, so the component recompute touches the pair graph,
+    never corpus text; the split stays a pure hash projection.
+    """
+    old_edges = (ledger.where(F.col(id_col) != F.col("group_key"))
+                       .select(F.col(id_col).alias(pair_a),
+                               F.col("group_key").alias(pair_b)))
+    keyed = component_ledger(
+        ledger.select(id_col).unionByName(batch_docs.select(id_col)),
+        old_edges.unionByName(
+            batch_pairs.select(F.col(pair_a), F.col(pair_b))),
+        id_col, pair_a, pair_b)
+    out = _split_columns(keyed, id_col, train, val, n_buckets, salt)
+    prev = ledger.select(F.col(id_col),
+                         F.col("group_key").alias("_prev_gk"))
+    return (out.join(prev, id_col, "left")
+               .withColumn("migrated",
+                           F.coalesce(F.col("_prev_gk")
+                                      != F.col("group_key"),
+                                      F.lit(False)))
+               .select(id_col, "group_key", "bucket", "split",
+                       "migrated"))
 
 
 def corpus_shuffle(df: DataFrame, n_shards: int = 256,
