@@ -1,0 +1,106 @@
+"""Noise-aware round-over-round bench comparison.
+
+Round-to-round TOTALS on this sandbox are not signal: three runs of
+near-identical code spanned 97-125 s (round-6 verdict, Performance) —
+the machine's ambient load moves every query uniformly by more than a
+typical real regression. What IS signal is a single query whose timing
+moves far outside that band while its neighbours hold still. This tool
+encodes that judgement as an explicit threshold:
+
+    flagged  <=>  cur/base > NOISE_RATIO  AND  cur-base > ABS_FLOOR_SEC
+
+NOISE_RATIO = 1.5 is the measured envelope (the uniform ambient drift
+observed between rounds 5 and 6 was ~1.10x, and min-of-N already strips
+most of it); ABS_FLOOR_SEC keeps 20 ms -> 40 ms jitter on sub-100 ms
+queries from counting as a 2x "regression".
+
+Usage:
+    python bench_compare.py [BASE_DETAIL] [CUR_DETAIL] [--json=OUT]
+
+Defaults compare the freshest run (BENCH_DETAIL.json, overwritten by
+every bench.py invocation) against the committed prior-round snapshot
+(BENCH_DETAIL_r06.json — snapshot the current detail to
+BENCH_DETAIL_r{N}.json when a round ends, so the next round has a
+stable base). Exit code 1 iff any query is flagged, so the comparison
+can gate a round the way the oracle gate does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+NOISE_RATIO = 1.5
+ABS_FLOOR_SEC = 0.25
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_BASE = os.path.join(_HERE, "BENCH_DETAIL_r06.json")
+DEFAULT_CUR = os.path.join(_HERE, "BENCH_DETAIL.json")
+
+
+def _timings(detail: dict) -> dict[str, float]:
+    """Numeric per-query timings; error entries ({'err': ...}) excluded."""
+    return {n: v for n, v in detail.get("queries", {}).items()
+            if not isinstance(v, dict)}
+
+
+def compare(base: dict, cur: dict,
+            noise_ratio: float = NOISE_RATIO,
+            abs_floor_sec: float = ABS_FLOOR_SEC) -> dict:
+    """Pure comparison of two bench detail dicts -> artifact dict."""
+    bt, ct = _timings(base), _timings(cur)
+    both = sorted(set(bt) & set(ct))
+    flagged, improved = {}, {}
+    for n in both:
+        b, c = bt[n], ct[n]
+        ratio = round(c / b, 3) if b > 0 else float("inf")
+        entry = {"base": b, "cur": c, "ratio": ratio}
+        if ratio > noise_ratio and (c - b) > abs_floor_sec:
+            flagged[n] = entry
+        elif ratio < 1 / noise_ratio and (b - c) > abs_floor_sec:
+            improved[n] = entry
+    return {
+        "noise_ratio": noise_ratio,
+        "abs_floor_sec": abs_floor_sec,
+        "base_total_sec": round(sum(bt[n] for n in both), 3),
+        "cur_total_sec": round(sum(ct[n] for n in both), 3),
+        "n_compared": len(both),
+        "flagged": flagged,            # regressions OUTSIDE the noise band
+        "improved": improved,          # informational, same band applied
+        "new_queries": sorted(set(ct) - set(bt)),
+        "removed_queries": sorted(set(bt) - set(ct)),
+        "errors_base": sorted(n for n, v in base.get("queries", {}).items()
+                              if isinstance(v, dict)),
+        "errors_cur": sorted(n for n, v in cur.get("queries", {}).items()
+                             if isinstance(v, dict)),
+    }
+
+
+def main(argv: list[str]) -> int:
+    json_path = None
+    paths = []
+    for a in argv:
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+        else:
+            paths.append(a)
+    base_path = paths[0] if len(paths) > 0 else DEFAULT_BASE
+    cur_path = paths[1] if len(paths) > 1 else DEFAULT_CUR
+    with open(base_path) as fh:
+        base = json.load(fh)
+    with open(cur_path) as fh:
+        cur = json.load(fh)
+    out = compare(base, cur)
+    out["base_file"] = os.path.basename(base_path)
+    out["cur_file"] = os.path.basename(cur_path)
+    rendered = json.dumps(out, indent=1, sort_keys=True)
+    print(rendered)
+    if json_path:
+        with open(json_path, "w") as fh:
+            fh.write(rendered + "\n")
+    return 1 if out["flagged"] or out["errors_cur"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -150,8 +150,25 @@ if __name__ == "__main__":
         print(f"{status:4s} {name}" + ("" if not problems else f"  -> {problems}"))
     if json_path:
         import json as _json
+
+        # A committed selfcheck artifact claims "every query at HEAD was
+        # checked" — round 6's was recorded three queries before the
+        # round's last commit and the claim was silently false (round-6
+        # verdict, What's wrong #0). Refuse to write a partial record:
+        # the artifact must cover exactly queries() AT THE TIME OF
+        # WRITING, so record it after the last query lands.
+        import __spark_entry__ as entrymod
+        expected = set(entrymod.queries())
+        if set(res) != expected:
+            missing = sorted(expected - set(res))[:5]
+            extra = sorted(set(res) - expected)[:5]
+            raise SystemExit(
+                f"selfcheck artifact refused: covers {len(res)} of "
+                f"{len(expected)} queries at HEAD (missing e.g. "
+                f"{missing}, stale e.g. {extra}) — run without query "
+                f"filters after the round's final query lands")
         with open(json_path, "w") as fh:
-            _json.dump({"sf_dir": sf_dir,
+            _json.dump({"sf_dir": sf_dir, "n_queries": len(res),
                         "results": {n: {"pass": not p, "problems": p}
                                     for n, p in res.items()}}, fh, indent=1)
     sys.exit(1 if failed else 0)

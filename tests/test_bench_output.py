@@ -79,3 +79,38 @@ def test_summary_line_fits_even_with_pathological_budget_pressure():
     line = bench.summary_line(_fake_out(500, n_errors=10))
     assert len(line) <= bench._LINE_BUDGET
     json.loads(line)
+
+
+spec_cmp = importlib.util.spec_from_file_location(
+    "bench_compare", "/root/repo/bench_compare.py")
+bench_compare = importlib.util.module_from_spec(spec_cmp)
+sys.modules.setdefault("bench_compare", bench_compare)
+spec_cmp.loader.exec_module(bench_compare)
+
+
+def test_bench_compare_flags_only_outside_noise_band():
+    base = {"queries": {
+        "steady": 2.0,          # 1.2x drift: ambient noise, not signal
+        "regressed": 1.0,       # 2x and +1s: real
+        "tiny": 0.02,           # 2x but +0.02s: under the floor
+        "faster": 3.0,          # 2x improvement, informational
+        "gone": 1.0,
+    }}
+    cur = {"queries": {
+        "steady": 2.4,
+        "regressed": 2.0,
+        "tiny": 0.04,
+        "faster": 1.4,
+        "fresh": 0.5,
+        "broken": {"err": "boom"},
+    }}
+    out = bench_compare.compare(base, cur)
+    assert set(out["flagged"]) == {"regressed"}
+    assert out["flagged"]["regressed"]["ratio"] == 2.0
+    assert set(out["improved"]) == {"faster"}
+    assert out["new_queries"] == ["fresh"]
+    assert out["removed_queries"] == ["gone"]
+    assert out["errors_cur"] == ["broken"]
+    assert out["n_compared"] == 4
+    # the explicit threshold is part of the artifact contract
+    assert out["noise_ratio"] == 1.5 and out["abs_floor_sec"] == 0.25
