@@ -1056,23 +1056,36 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path where an exact percentile's global sort is the
     bottleneck) gated against exact, the cardinality_sketch treatment:
     the sketch value is engine- and merge-order-specific, so the
-    output carries exact_p50_ms plus rank_err_ok — whether the sketch
-    median landed inside the exact [p40, p60] band, far looser than
-    GK's 1/accuracy rank guarantee so any merge order passes while a
-    degraded sketch flips the value hash red."""
+    output carries exact_p50_ms plus rank_err_ok — the TRUE GK
+    rank-error criterion: the sketch median (always an actual data
+    value) must have a tie-aware rank interval [n_lt, n_le]
+    overlapping [0.4n, 0.6n], checked in exact integer arithmetic.
+    A 0.1 rank band is far looser than GK's 1/accuracy guarantee, so
+    any merge order passes while a degraded sketch flips the value
+    hash red. (The round-6 form compared the sketch value against the
+    INTERPOLATED exact [p40, p60] value band — for a 2-element group
+    that band excludes every actual data value, so a perfectly healthy
+    sketch failed; found by the randomized-parity harness, round 7.)"""
     s = _sessions(spark, sf_dir)
-    return (s.groupBy("datetime")
-             .agg(F.count(F.lit(1)).alias("n_sessions"),
-                  fround(F.expr("percentile(duration_ms, 0.5)"), 2)
-                   .alias("exact_p50_ms"),
-                  F.expr("approx_percentile(duration_ms, 0.5, 1000)")
-                   .alias("_a50"),
-                  F.expr("percentile(duration_ms, 0.40)").alias("_lo"),
-                  F.expr("percentile(duration_ms, 0.60)").alias("_hi"))
-             .select("datetime", "n_sessions", "exact_p50_ms",
-                     ((F.col("_a50") >= F.col("_lo"))
-                      & (F.col("_a50") <= F.col("_hi")))
-                     .alias("rank_err_ok")))
+    agg = (s.groupBy("datetime")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 fround(F.expr("percentile(duration_ms, 0.5)"), 2)
+                  .alias("exact_p50_ms"),
+                 F.expr("approx_percentile(duration_ms, 0.5, 1000)")
+                  .alias("_a50")))
+    ranks = (s.select("datetime", "duration_ms")
+              .join(F.broadcast(agg.select("datetime", "_a50")),
+                    "datetime")
+              .groupBy("datetime")
+              .agg(F.sum((F.col("duration_ms") <= F.col("_a50"))
+                         .cast("long")).alias("_n_le"),
+                   F.sum((F.col("duration_ms") < F.col("_a50"))
+                         .cast("long")).alias("_n_lt")))
+    return (agg.join(F.broadcast(ranks), "datetime")
+               .select("datetime", "n_sessions", "exact_p50_ms",
+                       ((F.col("_n_le") * 10 >= F.col("n_sessions") * 4)
+                        & (F.col("_n_lt") * 10 <= F.col("n_sessions") * 6))
+                       .alias("rank_err_ok")))
 
 
 def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,6 +1181,20 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free projection, stable under reruns/growth/engines."""
     return SMP.dataset_split(
         read_table(spark, sf_dir, "documents", columns=["doc_id", "lang"]))
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (tau=2) source sampling weights and the
+    per-source token budgets they imply for a 500k-token mixture —
+    the mT5/XLM-R mixing rule whose budget_tokens column feeds
+    token_budget_mix's overrides: weights SAY the mixture, the fill
+    ENFORCES it (operators/sampling.py temperature_mix_weights).
+    n^(1/2) rides one correctly-rounded IEEE sqrt, floored to integer
+    micro-units before the exact DECIMAL divisions — engine-exact."""
+    return SMP.temperature_mix_weights(
+        read_table(spark, sf_dir, "documents",
+                   columns=["source", "text"]),
+        budget_tokens=500_000, tau=2)
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1943,6 +1970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_no_orders": q_customers_no_orders,
     # --- new this round ---
     "incremental_leakage_split": q_incremental_leakage_split,
+    "mixture_weights": q_mixture_weights,
     # --- oldest round-5 certificate holders (fill to 50) ---
     "dedup_latest": q_dedup_latest,
     "above_avg_orders": q_above_avg_orders,
@@ -1952,9 +1980,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_tokens": q_frequent_tokens,
     "ab_test": q_ab_test,
     "behavior_trigrams": q_behavior_trigrams,
-    "curate_corpus": q_curate_corpus,
     # --- certificate tail. Remaining round-5 holders first — they
     # lead the round-8 window ---
+    "curate_corpus": q_curate_corpus,
     "sessions": q_sessions,
     "event_type_pivot": q_event_type_pivot,
     "top_item_per_day": q_top_item_per_day,
@@ -3053,6 +3081,28 @@ SELECT doc_id, source, n_tokens, cum_before,
        cum_before < (CASE WHEN source = 'src1' THEN 900 ELSE 300 END)
          AS kept
 FROM c
+"""
+
+# sqrt + multiply are correctly-rounded IEEE-754 double ops, so
+# floor(sqrt(n) * 1e6) is bit-identical across engines; every division
+# happens AFTER the integer quantization, in exact HUGEINT/DECIMAL
+ORACLES["mixture_weights"] = f"""
+WITH c AS (
+  SELECT source,
+         CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS weight_micro
+  FROM c),
+t AS (SELECT sum(weight_micro) AS tot FROM w)
+SELECT source, n_tokens, weight_micro,
+       CAST((CAST(weight_micro AS HUGEINT) * 10000) // tot AS BIGINT)
+         AS share_bp,
+       CAST((CAST(weight_micro AS HUGEINT) * 500000) // tot AS BIGINT)
+         AS budget_tokens
+FROM w, t
 """
 
 ORACLES["vocab_coverage"] = f"""

@@ -46,17 +46,17 @@ ROUND_WINDOW_HEAD = [
     "weighted_sample", "capped_user_events", "source_balanced_sample",
     "market_share", "user_cohort_setops", "customers_no_orders",
     # new this round
-    "incremental_leakage_split",
+    "incremental_leakage_split", "mixture_weights",
 ]
 
 
-# oldest round-5 certificate holders filling the remaining 9 slots;
-# the round-5 holders left in the tail (sessions .. hybrid_search)
-# lead the round-8 window
+# oldest round-5 certificate holders filling the remaining 8 slots;
+# the round-5 holders left in the tail (curate_corpus ..
+# hybrid_search) lead the round-8 window
 ROUND_WINDOW_FILL = [
     "dedup_latest", "above_avg_orders", "pricing_summary",
     "revenue_by_nation", "pack_sequences", "frequent_tokens",
-    "ab_test", "behavior_trigrams", "curate_corpus",
+    "ab_test", "behavior_trigrams",
 ]
 
 

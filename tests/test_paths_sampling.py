@@ -338,3 +338,52 @@ def test_leakage_safe_split_string_doc_ids(spark):
     # actually gets its ~80% share
     splits = [r["split"] for r in out.values()]
     assert splits.count("train") >= 20
+
+
+def test_temperature_mix_weights_flatten_and_feed_the_fill(spark):
+    """tau=1 reproduces natural token proportions; tau=2 up-weights the
+    low-resource source (share strictly between its natural share and
+    uniform); budgets allocate the total and feed token_budget_mix's
+    overrides verbatim; non-power-of-two tau raises."""
+    import pytest as _pytest
+
+    from w_userflow_featurestore_spark.operators.sampling import (
+        temperature_mix_weights, token_budget_mix,
+    )
+    # big: 360 tokens, small: 40 -> natural shares 90% / 10%
+    docs = spark.createDataFrame(
+        [(i, "tok " * 9, "big") for i in range(40)]
+        + [(100 + i, "tok " * 5, "small") for i in range(8)],
+        "doc_id long, text string, source string")
+    nat = {r["source"]: r for r in
+           temperature_mix_weights(docs, 1000, tau=1).collect()}
+    assert nat["big"]["n_tokens"] == 360 and nat["small"]["n_tokens"] == 40
+    # tau=1: weight_micro == n_tokens * 1e6, shares = natural proportions
+    assert nat["big"]["weight_micro"] == 360 * 10 ** 6
+    assert nat["big"]["share_bp"] == 9000 and nat["small"]["share_bp"] == 1000
+    flat = {r["source"]: r for r in
+            temperature_mix_weights(docs, 1000, tau=2).collect()}
+    # sqrt flattening: small's share rises above natural (1000 bp) but
+    # stays below uniform (5000 bp); shares still sum to <= 10000
+    assert 1000 < flat["small"]["share_bp"] < 5000
+    assert flat["big"]["share_bp"] + flat["small"]["share_bp"] <= 10000
+    # budgets partition the total (floor rounding may leave a remainder
+    # smaller than the number of sources)
+    total = flat["big"]["budget_tokens"] + flat["small"]["budget_tokens"]
+    assert 1000 - 2 <= total <= 1000
+    # the budgets column IS token_budget_mix's overrides input
+    overrides = {r["source"]: int(r["budget_tokens"])
+                 for r in temperature_mix_weights(docs, 200, tau=2)
+                 .collect()}
+    filled = token_budget_mix(docs, 0, overrides=overrides)
+    kept = (filled.where(F.col("kept")).groupBy("source")
+            .agg(F.sum("n_tokens").alias("t")).collect())
+    got = {r["source"]: r["t"] for r in kept}
+    # every source contributes, and realized tokens overshoot each
+    # budget by at most one doc (the fill's contract)
+    for s, b in overrides.items():
+        assert got[s] > 0
+        per_doc = 9 if s == "big" else 5
+        assert got[s] <= b + per_doc
+    with _pytest.raises(ValueError):
+        temperature_mix_weights(docs, 1000, tau=3)

@@ -430,6 +430,14 @@ def test_shuffle_and_mix_plan_pins(spark):
     # by source alone over the (_h, id) order
     assert not _re.search(
         r"windowspecdefinition\(source#\d+, _h#\d+L? ASC", plan2), plan2
+    # mixture_weights: the corpus never shuffles wide rows — the only
+    # exchanges are the source-keyed count agg (S rows after map-side
+    # combine), its re-derivation on the totals branch, and the 1-row
+    # SinglePartition total that then broadcasts; divisions ride exact
+    # DECIMAL integer division after the micro-unit floor
+    df3 = _q(spark, "mixture_weights")
+    assert_plan(df3, max_shuffles=3, max_sort_merge_joins=0)
+    assert "CartesianProduct" not in physical_plan(df3)
 
 
 def test_q6_q13_shape_plan_pins(spark):

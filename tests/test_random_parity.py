@@ -535,7 +535,7 @@ DOC_QUERIES_2 = [
     "multimodal_decode", "multimodal_frames", "multimodal_resize",
     "multimodal_audio_windows", "incremental_curate",
     "corpus_shuffle", "token_budget_mix", "leakage_safe_split",
-    "incremental_leakage_split",
+    "incremental_leakage_split", "mixture_weights",
 ]
 
 

@@ -58,3 +58,35 @@ def test_hll_union_of_slices_matches_whole(spark):
                     .alias("est")).collect()[0]["est"]
     assert sliced == whole                       # identical merged state
     assert abs(sliced - 5000) <= 0.05 * 5000     # and actually accurate
+
+
+def test_quantile_rank_gate_well_defined_for_tiny_groups(spark):
+    """Round-7 randomized-parity find: the old gate compared the sketch
+    median (always an ACTUAL data value) against the INTERPOLATED exact
+    [p40, p60] value band — for a 2-element group {a, b} that band is
+    (a, b) exclusive of both endpoints, so a perfectly healthy sketch
+    failed. The tie-aware rank-interval criterion must accept the
+    sketch median for every group size >= 1."""
+    import pyspark.sql.functions as F
+
+    # replicate the gate arithmetic on a 2-value group directly
+    df = spark.createDataFrame([(1, 10.0), (1, 99.0)], "g int, v double")
+    agg = (df.groupBy("g")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.expr("approx_percentile(v, 0.5, 1000)").alias("a50")))
+    checked = (df.join(F.broadcast(agg), "g")
+                 .groupBy("g", "n")
+                 .agg(F.sum((F.col("v") <= F.col("a50")).cast("long"))
+                       .alias("n_le"),
+                      F.sum((F.col("v") < F.col("a50")).cast("long"))
+                       .alias("n_lt"))
+                 .select(((F.col("n_le") * 10 >= F.col("n") * 4)
+                          & (F.col("n_lt") * 10 <= F.col("n") * 6))
+                         .alias("ok")))
+    assert checked.collect()[0]["ok"] is True
+    # and the full query emits rank_err_ok TRUE on every fixture group
+    import __spark_entry__ as entrymod
+    out = entrymod.queries()["quantile_sketch"](
+        spark, "/root/testdata/sf0.001")
+    assert out.where(~F.col("rank_err_ok")).count() == 0
+    assert out.count() > 0

@@ -399,6 +399,62 @@ def token_budget_mix(docs: DataFrame, budget_tokens: int,
                           "kept"))
 
 
+def temperature_mix_weights(docs: DataFrame, budget_tokens: int,
+                            tau: int = 2, source_col: str = "source",
+                            text_col: str = "text") -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual /
+    multi-domain mixing rule of mT5 (Xue et al. 2021 §3.3) and XLM-R:
+    sample source s with probability ∝ n_s^(1/tau), flattening the
+    natural token distribution so low-resource sources are up-weighted
+    without letting any single crawl dominate. tau=1 reproduces natural
+    proportions; larger tau flattens toward uniform.
+
+    Exact cross-engine arithmetic: ``tau`` must be a power of two, so
+    n^(1/tau) is log2(tau) iterated IEEE-754 sqrts — sqrt and multiply
+    are correctly-rounded double ops, bit-identical in every engine
+    (never pow(x, 0.37)-style libm territory) — floored to integer
+    micro-units BEFORE any division; shares and budgets are then pure
+    integer floor divisions, widened to DECIMAL(38,0) so the *10000 /
+    *budget products cannot wrap at exabyte-scale token counts (the
+    market_share lesson).
+
+    Returns one row per source: (source, n_tokens, weight_micro,
+    share_bp, budget_tokens). The budget_tokens column is the
+    per-source allocation of the given total — exactly the
+    ``overrides`` dict :func:`token_budget_mix` consumes: weights SAY
+    the mixture, the fill ENFORCES it.
+
+    Scale shape: one source-keyed count aggregate (map-side combine
+    absorbs the corpus; S rows out) + a broadcast 1-row total. The
+    corpus itself never shuffles.
+    """
+    if tau < 1 or (tau & (tau - 1)):
+        raise ValueError("tau must be a power of two (1, 2, 4, ...)")
+    from w_userflow_featurestore_spark.operators.text import (
+        token_count_ws,
+    )
+    counts = (docs.groupBy(source_col)
+                  .agg(F.sum(token_count_ws(F.col(text_col)).cast("long"))
+                        .cast("long").alias("n_tokens")))
+    scaled = F.col("n_tokens").cast("double")
+    t = tau
+    while t > 1:
+        scaled = F.sqrt(scaled)
+        t //= 2
+    weights = counts.withColumn(
+        "weight_micro",
+        F.floor(scaled * F.lit(1_000_000.0)).cast("long"))
+    tot = weights.agg(F.sum("weight_micro").alias("_tot"))
+    return (weights.crossJoin(F.broadcast(tot))
+            .select(source_col, "n_tokens", "weight_micro",
+                    F.expr("CAST((CAST(weight_micro AS DECIMAL(38,0))"
+                           " * 10000) DIV _tot AS BIGINT)")
+                     .alias("share_bp"),
+                    F.expr(f"CAST((CAST(weight_micro AS DECIMAL(38,0))"
+                           f" * {int(budget_tokens)}) DIV _tot AS BIGINT)")
+                     .alias("budget_tokens")))
+
+
 def negative_samples(positives: DataFrame, user_col: str = "user_id",
                      item_col: str = "item_k", k: int = 4,
                      salt: str = "neg") -> DataFrame:
