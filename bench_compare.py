@@ -35,8 +35,17 @@ NOISE_RATIO = 1.5
 ABS_FLOOR_SEC = 0.25
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-DEFAULT_BASE = os.path.join(_HERE, "BENCH_DETAIL_r06.json")
 DEFAULT_CUR = os.path.join(_HERE, "BENCH_DETAIL.json")
+
+
+def _default_base() -> str:
+    """Newest committed per-round snapshot (BENCH_DETAIL_r{N}.json)."""
+    snaps = sorted(f for f in os.listdir(_HERE)
+                   if f.startswith("BENCH_DETAIL_r") and f.endswith(".json"))
+    if not snaps:
+        raise SystemExit("no BENCH_DETAIL_r*.json snapshot to compare "
+                         "against — pass the base file explicitly")
+    return os.path.join(_HERE, snaps[-1])
 
 
 def _timings(detail: dict) -> dict[str, float]:
@@ -85,7 +94,7 @@ def main(argv: list[str]) -> int:
             json_path = a.split("=", 1)[1]
         else:
             paths.append(a)
-    base_path = paths[0] if len(paths) > 0 else DEFAULT_BASE
+    base_path = paths[0] if len(paths) > 0 else _default_base()
     cur_path = paths[1] if len(paths) > 1 else DEFAULT_CUR
     with open(base_path) as fh:
         base = json.load(fh)

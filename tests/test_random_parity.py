@@ -645,3 +645,19 @@ def test_hybrid_search_matches_oracle_on_random_inputs(
         assert not bad, bad
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_query_is_randomized_parity_covered():
+    """The harness's value is the claim 'EVERY query re-runs against its
+    oracle on randomized micro-instances' — a query added to QUERIES but
+    to no batch list silently escapes the only gate that sees NULLs,
+    ties and boundary dates (the fixture gate never does). Enforce the
+    claim mechanically; hybrid_search rides its own dedicated test."""
+    import __spark_entry__ as entrymod
+    covered = (set(REL_QUERIES) | set(EVENT_QUERIES) | set(DOC_QUERIES)
+               | set(EVENT_QUERIES_2) | set(ANN_QUERIES)
+               | set(EVENT_QUERIES_3) | set(DOC_QUERIES_2)
+               | set(EVENT_QUERIES_4) | {"hybrid_search"})
+    missing = set(entrymod.QUERIES) - covered
+    assert not missing, (
+        f"queries with no randomized-parity coverage: {sorted(missing)}")
