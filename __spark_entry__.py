@@ -1223,7 +1223,10 @@ def q_incremental_leakage_split(spark: SparkSession,
     corpus-only recursive CTEs), so the driver row certifies the
     star-collapse equivalence itself, not just the glue."""
     docs = read_table(spark, sf_dir, "documents", columns=["doc_id"])
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    # pair-graph-proportional frame consumed by BOTH the ledger build
+    # and the batch probe (and each CC iteration above them) —
+    # materialize the LSH subplan once instead of twice
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
     even = F.col("doc_id") % 2 == 0
     corpus_pairs = pairs.where((F.col("doc_a") % 2 == 0)
                                & (F.col("doc_b") % 2 == 0))
