@@ -1183,6 +1183,42 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents", columns=["doc_id", "lang"]))
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish subwords per
+    whitespace word — the multilingual budget planner's metric (a
+    high-fertility language pays more subword tokens per word, so it
+    burns token budget faster; read together with mixture_weights).
+    Composes the two existing tokenizers (operators/text.py
+    token_count_ws / token_count_bpe) in ONE language-keyed aggregate;
+    fertility lands in integer basis points via DECIMAL(38,0) floor
+    division (exabyte-proof, the market_share discipline)."""
+    d = read_table(spark, sf_dir, "documents", columns=["lang", "text"])
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum(TX.token_count_ws(F.col("text")).cast("long"))
+                   .cast("long").alias("n_words"),
+                  F.sum(TX.token_count_bpe(F.col("text")).cast("long"))
+                   .cast("long").alias("n_subwords"))
+             .select("lang", "n_docs", "n_words", "n_subwords",
+                     F.expr("CAST((CAST(n_subwords AS DECIMAL(38,0))"
+                            " * 10000) DIV n_words AS BIGINT)")
+                      .alias("fertility_bp")))
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination audit: near-dup pair counts per unordered
+    (split, split) cell under the naive doc-hash split AND the
+    cluster-aware leakage-safe split — the ('cluster','test','train')
+    cell is structurally zero (pinned by unit test), while the
+    doc_hash rows measure the eval contamination a naive split leaves
+    (operators/sampling.py split_leakage_audit)."""
+    docs = read_table(spark, sf_dir, "documents", columns=["doc_id"])
+    # one pair frame feeds the cluster labeling's CC iterations AND
+    # both cell counts — materialize the LSH subplan once
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    return SMP.split_leakage_audit(docs, pairs)
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened (tau=2) source sampling weights and the
     per-source token budgets they imply for a 500k-token mixture —
@@ -1974,6 +2010,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round ---
     "incremental_leakage_split": q_incremental_leakage_split,
     "mixture_weights": q_mixture_weights,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "split_leakage_audit": q_split_leakage_audit,
     # --- oldest round-5 certificate holders (fill to 50) ---
     "dedup_latest": q_dedup_latest,
     "above_avg_orders": q_above_avg_orders,
@@ -1981,10 +2019,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "pack_sequences": q_pack_sequences,
     "frequent_tokens": q_frequent_tokens,
-    "ab_test": q_ab_test,
-    "behavior_trigrams": q_behavior_trigrams,
     # --- certificate tail. Remaining round-5 holders first — they
     # lead the round-8 window ---
+    "ab_test": q_ab_test,
+    "behavior_trigrams": q_behavior_trigrams,
     "curate_corpus": q_curate_corpus,
     "sessions": q_sessions,
     "event_type_pivot": q_event_type_pivot,
@@ -3108,6 +3146,21 @@ SELECT source, n_tokens, weight_micro,
 FROM w, t
 """
 
+ORACLES["tokenizer_fertility"] = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_words,
+       CAST(sum(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+         AS n_subwords,
+       CAST((CAST(sum(len(regexp_extract_all(lower(text),
+                          '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS HUGEINT)
+             * 10000)
+            // sum(len(string_split({_NORM}, ' '))) AS BIGINT)
+         AS fertility_bp
+FROM documents GROUP BY lang
+"""
+
 ORACLES["vocab_coverage"] = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
@@ -3762,6 +3815,57 @@ FROM (
          {_h60("'split:' || CAST(group_key AS VARCHAR)")} % 1000
            AS bucket
   FROM g)
+"""
+
+# composed oracle: both split labelings re-derived from scratch (doc
+# hash rule; component group-key rule), pair cells counted unordered
+ORACLES["split_leakage_audit"] = f"""
+WITH RECURSIVE lsh_pairs AS ({ORACLES['minhash_lsh_pairs']}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+labeled AS (
+  SELECT d.doc_id,
+         CASE WHEN nb < 800 THEN 'train'
+              WHEN nb < 900 THEN 'val' ELSE 'test' END AS naive_split,
+         CASE WHEN gb < 800 THEN 'train'
+              WHEN gb < 900 THEN 'val' ELSE 'test' END AS safe_split
+  FROM (
+    SELECT d.doc_id,
+           {_h60("'split:' || CAST(d.doc_id AS VARCHAR)")} % 1000 AS nb,
+           {_h60("'split:' || CAST(coalesce(c.component, d.doc_id) AS VARCHAR)")}
+             % 1000 AS gb
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id) d
+),
+np AS (
+  SELECT 'doc_hash' AS scheme,
+         least(a.naive_split, b.naive_split) AS split_a,
+         greatest(a.naive_split, b.naive_split) AS split_b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM lsh_pairs p
+  JOIN labeled a ON p.doc_a = a.doc_id
+  JOIN labeled b ON p.doc_b = b.doc_id
+  GROUP BY 2, 3
+),
+cp AS (
+  SELECT 'cluster' AS scheme,
+         least(a.safe_split, b.safe_split) AS split_a,
+         greatest(a.safe_split, b.safe_split) AS split_b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM lsh_pairs p
+  JOIN labeled a ON p.doc_a = a.doc_id
+  JOIN labeled b ON p.doc_b = b.doc_id
+  GROUP BY 2, 3
+)
+SELECT * FROM np UNION ALL SELECT * FROM cp
 """
 
 ORACLES["training_set"] = """

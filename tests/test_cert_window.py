@@ -47,16 +47,16 @@ ROUND_WINDOW_HEAD = [
     "market_share", "user_cohort_setops", "customers_no_orders",
     # new this round
     "incremental_leakage_split", "mixture_weights",
+    "tokenizer_fertility", "split_leakage_audit",
 ]
 
 
-# oldest round-5 certificate holders filling the remaining 8 slots;
-# the round-5 holders left in the tail (curate_corpus ..
-# hybrid_search) lead the round-8 window
+# oldest round-5 certificate holders filling the remaining 6 slots;
+# the round-5 holders left in the tail (ab_test .. hybrid_search)
+# lead the round-8 window
 ROUND_WINDOW_FILL = [
     "dedup_latest", "above_avg_orders", "pricing_summary",
     "revenue_by_nation", "pack_sequences", "frequent_tokens",
-    "ab_test", "behavior_trigrams",
 ]
 
 

@@ -387,3 +387,32 @@ def test_temperature_mix_weights_flatten_and_feed_the_fill(spark):
         assert got[s] <= b + per_doc
     with _pytest.raises(ValueError):
         temperature_mix_weights(docs, 1000, tau=3)
+
+
+def test_split_leakage_audit_cluster_scheme_has_no_cross_cells(spark):
+    """The audit PROVES the leakage-safe split's invariant instead of
+    trusting the constructor: under scheme 'cluster' every pair's
+    endpoints share a component, hence a split — zero off-diagonal
+    cells, ever. The doc_hash scheme on the same chain MUST show the
+    contamination (endpoints hashed independently), otherwise the
+    contrast the audit reports is vacuous."""
+    from w_userflow_featurestore_spark.operators.sampling import (
+        split_leakage_audit,
+    )
+    docs = spark.createDataFrame([(i,) for i in range(400)],
+                                 "doc_id long")
+    # long chains maximize independent-hash disagreement
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 399, 2)],
+        "doc_a long, doc_b long")
+    out = split_leakage_audit(docs, pairs).collect()
+    cluster = [r for r in out if r["scheme"] == "cluster"]
+    assert cluster and all(r["split_a"] == r["split_b"] for r in cluster)
+    naive_cross = sum(r["n_pairs"] for r in out
+                      if r["scheme"] == "doc_hash"
+                      and r["split_a"] != r["split_b"])
+    assert naive_cross > 0
+    # totals: every pair lands in exactly one cell per scheme
+    for scheme in ("doc_hash", "cluster"):
+        assert sum(r["n_pairs"] for r in out
+                   if r["scheme"] == scheme) == 200

@@ -280,6 +280,50 @@ def incremental_leakage_split(ledger: DataFrame, batch_docs: DataFrame,
                        "migrated"))
 
 
+def split_leakage_audit(docs: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id", pair_a: str = "doc_a",
+                        pair_b: str = "doc_b", **split_kw) -> DataFrame:
+    """Evaluation-integrity audit: count near-dup pairs by the
+    unordered (split, split) cell they land in, under BOTH the naive
+    per-document hash split and the cluster-aware leakage-safe split.
+
+    The number this MEASURES is Lee et al. 2022 §6.2's train/test
+    contamination: every ('doc_hash', 'test', 'train') pair is a
+    near-duplicate of an eval document sitting in the training set.
+    Under scheme 'cluster' that cell is structurally zero — both
+    endpoints of any pair share a connected component, hence a group
+    key, hence a split — which is exactly the invariant
+    :func:`leakage_safe_split` exists to provide, and this audit is
+    the query that PROVES it on a given corpus rather than trusting
+    the constructor.
+
+    Returns (scheme, split_a, split_b, n_pairs) with split_a <=
+    split_b lexicographically (cells are unordered). Scale shape:
+    both labelings are pair-frame-proportional joins (the splits
+    themselves are a projection / component labels); nothing
+    corpus-sized shuffles beyond what leakage_safe_split already does.
+    """
+    naive = dataset_split(docs, id_col, **split_kw) \
+        .select(id_col, "split")
+    safe = leakage_safe_split(docs, pairs, id_col, pair_a, pair_b,
+                              **split_kw).select(id_col, "split")
+    p = pairs.select(pair_a, pair_b)
+
+    def cells(split_df: DataFrame, scheme: str) -> DataFrame:
+        a = split_df.select(F.col(id_col).alias(pair_a),
+                            F.col("split").alias("_sa"))
+        b = split_df.select(F.col(id_col).alias(pair_b),
+                            F.col("split").alias("_sb"))
+        return (p.join(a, pair_a).join(b, pair_b)
+                 .select(F.lit(scheme).alias("scheme"),
+                         F.least("_sa", "_sb").alias("split_a"),
+                         F.greatest("_sa", "_sb").alias("split_b"))
+                 .groupBy("scheme", "split_a", "split_b")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+    return cells(naive, "doc_hash").unionByName(cells(safe, "cluster"))
+
+
 def corpus_shuffle(df: DataFrame, n_shards: int = 256,
                    id_col: str = "doc_id",
                    seed: str = "shuffle") -> DataFrame:
