@@ -1210,13 +1210,14 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split, split) cell under the naive doc-hash split AND the
     cluster-aware leakage-safe split — the ('cluster','test','train')
     cell is structurally zero (pinned by unit test), while the
-    doc_hash rows measure the eval contamination a naive split leaves
-    (operators/sampling.py split_leakage_audit)."""
-    docs = read_table(spark, sf_dir, "documents", columns=["doc_id"])
+    doc_hash rows measure the eval contamination a naive split leaves.
+    The corpus table never participates — every audited endpoint is in
+    the pair graph by definition, so the audit costs pair-graph work
+    at any corpus size (operators/sampling.py split_leakage_audit)."""
     # one pair frame feeds the cluster labeling's CC iterations AND
     # both cell counts — materialize the LSH subplan once
     pairs = q_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
-    return SMP.split_leakage_audit(docs, pairs)
+    return SMP.split_leakage_audit(pairs)
 
 
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

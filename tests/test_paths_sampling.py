@@ -399,13 +399,11 @@ def test_split_leakage_audit_cluster_scheme_has_no_cross_cells(spark):
     from w_userflow_featurestore_spark.operators.sampling import (
         split_leakage_audit,
     )
-    docs = spark.createDataFrame([(i,) for i in range(400)],
-                                 "doc_id long")
     # long chains maximize independent-hash disagreement
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 399, 2)],
         "doc_a long, doc_b long")
-    out = split_leakage_audit(docs, pairs).collect()
+    out = split_leakage_audit(pairs).collect()
     cluster = [r for r in out if r["scheme"] == "cluster"]
     assert cluster and all(r["split_a"] == r["split_b"] for r in cluster)
     naive_cross = sum(r["n_pairs"] for r in out

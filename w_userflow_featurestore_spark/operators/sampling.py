@@ -280,9 +280,11 @@ def incremental_leakage_split(ledger: DataFrame, batch_docs: DataFrame,
                        "migrated"))
 
 
-def split_leakage_audit(docs: DataFrame, pairs: DataFrame,
-                        id_col: str = "doc_id", pair_a: str = "doc_a",
-                        pair_b: str = "doc_b", **split_kw) -> DataFrame:
+def split_leakage_audit(pairs: DataFrame,
+                        pair_a: str = "doc_a", pair_b: str = "doc_b",
+                        train: int = 800, val: int = 100,
+                        n_buckets: int = N_BUCKETS,
+                        salt: str = "split") -> DataFrame:
     """Evaluation-integrity audit: count near-dup pairs by the
     unordered (split, split) cell they land in, under BOTH the naive
     per-document hash split and the cluster-aware leakage-safe split.
@@ -295,33 +297,50 @@ def split_leakage_audit(docs: DataFrame, pairs: DataFrame,
     key, hence a split — which is exactly the invariant
     :func:`leakage_safe_split` exists to provide, and this audit is
     the query that PROVES it on a given corpus rather than trusting
-    the constructor.
+    the constructor (both endpoints are labeled independently; the
+    diagonal is measured, never assumed).
 
     Returns (scheme, split_a, split_b, n_pairs) with split_a <=
-    split_b lexicographically (cells are unordered). Scale shape:
-    both labelings are pair-frame-proportional joins (the splits
-    themselves are a projection / component labels); nothing
-    corpus-sized shuffles beyond what leakage_safe_split already does.
+    split_b lexicographically (cells are unordered).
+
+    Scale shape — the CORPUS TABLE NEVER PARTICIPATES: every audited
+    endpoint is by definition in the pair graph, its doc_hash split is
+    a pure hash projection of its id (identical to dataset_split), and
+    its cluster split hashes its component's min member (identical to
+    leakage_safe_split's group key for in-pair docs). So the whole
+    audit costs pair-graph-proportional work — component propagation
+    plus two label joins — no matter how large the corpus is.
     """
-    naive = dataset_split(docs, id_col, **split_kw) \
-        .select(id_col, "split")
-    safe = leakage_safe_split(docs, pairs, id_col, pair_a, pair_b,
-                              **split_kw).select(id_col, "split")
+    def split_of(col: Column) -> Column:
+        b = hash_bucket(col, n_buckets, salt)
+        return (F.when(b < train, "train")
+                 .when(b < train + val, "val")
+                 .otherwise("test"))
+
+    def cells(sa: Column, sb: Column, scheme: str,
+              frame: DataFrame) -> DataFrame:
+        return (frame.select(F.lit(scheme).alias("scheme"),
+                             F.least(sa, sb).alias("split_a"),
+                             F.greatest(sa, sb).alias("split_b"))
+                     .groupBy("scheme", "split_a", "split_b")
+                     .agg(F.count(F.lit(1)).cast("long")
+                           .alias("n_pairs")))
+
     p = pairs.select(pair_a, pair_b)
-
-    def cells(split_df: DataFrame, scheme: str) -> DataFrame:
-        a = split_df.select(F.col(id_col).alias(pair_a),
-                            F.col("split").alias("_sa"))
-        b = split_df.select(F.col(id_col).alias(pair_b),
-                            F.col("split").alias("_sb"))
-        return (p.join(a, pair_a).join(b, pair_b)
-                 .select(F.lit(scheme).alias("scheme"),
-                         F.least("_sa", "_sb").alias("split_a"),
-                         F.greatest("_sa", "_sb").alias("split_b"))
-                 .groupBy("scheme", "split_a", "split_b")
-                 .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
-
-    return cells(naive, "doc_hash").unionByName(cells(safe, "cluster"))
+    naive = cells(split_of(F.col(pair_a)), split_of(F.col(pair_b)),
+                  "doc_hash", p)
+    from w_userflow_featurestore_spark.operators.dedup import (
+        connected_components,
+    )
+    comp = connected_components(pairs, pair_a, pair_b)
+    ca = comp.select(F.col("doc_id").alias(pair_a),
+                     F.col("component").alias("_ga"))
+    cb = comp.select(F.col("doc_id").alias(pair_b),
+                     F.col("component").alias("_gb"))
+    labeled = p.join(ca, pair_a).join(cb, pair_b)
+    cluster = cells(split_of(F.col("_ga")), split_of(F.col("_gb")),
+                    "cluster", labeled)
+    return naive.unionByName(cluster)
 
 
 def corpus_shuffle(df: DataFrame, n_shards: int = 256,
