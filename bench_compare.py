@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 NOISE_RATIO = 1.5
@@ -39,13 +40,21 @@ DEFAULT_CUR = os.path.join(_HERE, "BENCH_DETAIL.json")
 
 
 def _default_base() -> str:
-    """Newest committed per-round snapshot (BENCH_DETAIL_r{N}.json)."""
-    snaps = sorted(f for f in os.listdir(_HERE)
-                   if f.startswith("BENCH_DETAIL_r") and f.endswith(".json"))
+    """Newest committed per-round snapshot (BENCH_DETAIL_r{N}.json).
+
+    Newest = largest PARSED round number, not lexicographic filename —
+    "r100" sorts before "r99" as a string, and an unpadded "r9" would
+    sort after "r10", either of which silently picks a stale base.
+    """
+    snaps = []
+    for f in os.listdir(_HERE):
+        m = re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", f)
+        if m:
+            snaps.append((int(m.group(1)), f))
     if not snaps:
         raise SystemExit("no BENCH_DETAIL_r*.json snapshot to compare "
                          "against — pass the base file explicitly")
-    return os.path.join(_HERE, snaps[-1])
+    return os.path.join(_HERE, max(snaps)[1])
 
 
 def _timings(detail: dict) -> dict[str, float]:

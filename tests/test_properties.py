@@ -805,3 +805,76 @@ def test_incremental_leakage_split_equals_full_run(spark, graph):
             == (want[d]["group_key"], want[d]["bucket"], want[d]["split"])
         expect_migrated = d in prev and prev[d] != want[d]["group_key"]
         assert got[d]["migrated"] == expect_migrated, (d, got[d])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(graph=pair_graph_strategy)
+@example(graph=(6, [(0, 2), (1, 3), (2, 1)]))
+def test_merge_component_ledger_equals_rebuild(spark, graph):
+    """The persisted-state contract: merging a batch into the component
+    ledger must equal component_ledger rebuilt FROM SCRATCH on the
+    grown corpus with the full pair set — so the output of one ingest
+    is a valid input ledger for the next and state never drifts."""
+    from w_userflow_featurestore_spark.operators.sampling import (
+        component_ledger, merge_component_ledger,
+    )
+    n, raw_pairs = graph
+    pairs_py = sorted({(min(a, b), max(a, b)) for a, b in raw_pairs
+                       if a != b and a < n and b < n})
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(pairs_py or [(None, None)],
+                                  "doc_a long, doc_b long") \
+        .where(F.col("doc_a").isNotNull())
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus_pairs = pairs.where((F.col("doc_a") % 2 == 0)
+                               & (F.col("doc_b") % 2 == 0))
+    batch_pairs = pairs.where((F.col("doc_a") % 2 == 1)
+                              | (F.col("doc_b") % 2 == 1))
+    ledger = component_ledger(corpus, corpus_pairs)
+    got = {tuple(r) for r in merge_component_ledger(
+        ledger, batch, batch_pairs).collect()}
+    want = {tuple(r) for r in component_ledger(docs, pairs).collect()}
+    assert got == want
+
+
+def test_merge_component_ledger_disjointness_assert(spark):
+    """assert_disjoint=True must refuse a batch that re-ingests a
+    ledger doc (the one-row-per-doc shape downstream audits assume),
+    and must pass through untouched on a genuinely disjoint batch."""
+    import pytest
+    from w_userflow_featurestore_spark.operators.sampling import (
+        component_ledger, merge_component_ledger,
+    )
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    corpus = spark.createDataFrame([(0,), (2,)], "doc_id long")
+    ledger = component_ledger(corpus, empty_pairs)
+    good = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    assert merge_component_ledger(
+        ledger, good, empty_pairs, assert_disjoint=True).count() == 4
+    bad = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    with pytest.raises(ValueError, match="disjoint"):
+        merge_component_ledger(ledger, bad, empty_pairs,
+                               assert_disjoint=True)
+    # default trusts the caller (documented): no eager job — the
+    # overlapping doc 2 rides the union twice, so the 3-distinct-doc
+    # grown corpus emits 4 rows (the shape violation ADVICE describes)
+    out = merge_component_ledger(ledger, bad, empty_pairs)
+    assert out.count() == 4
+    assert out.select("doc_id").distinct().count() == 3
+
+
+def test_temperature_mix_weights_zero_token_corpus_raises(spark):
+    """A corpus where every source has zero countable tokens must fail
+    loudly at execution (raise_error), never emit NULL allocations the
+    int(budget_tokens) consumer would crash on later."""
+    import pandas as pd
+    import pytest
+    from w_userflow_featurestore_spark.operators.sampling import (
+        temperature_mix_weights,
+    )
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"source": ["a", "b"], "text": [None, None]}))
+    with pytest.raises(Exception, match="zero countable tokens"):
+        temperature_mix_weights(docs, 1000, tau=2).collect()

@@ -201,3 +201,57 @@ def test_open_tail_lookback_propagates_read_failures(spark, tmp_path):
         fh.write("{corrupt json")
     with _pt.raises(Exception):
         _extend_with_open_tails(spark, inc, logdir, events, "log").count()
+
+
+def test_split_ledger_persist_reload_extend_three_batches(spark, tmp_path):
+    """The leakage-split ledger's persistence loop: three batches ingest
+    through run_split_ledger_update (persist -> reload -> extend), and
+    after every commit the ledger equals component_ledger rebuilt from
+    scratch on everything ingested so far — state never drifts. The
+    _current pointer moves only after each write lands (versions 1..3),
+    so a crashed run would leave the prior version live."""
+    import json
+    import os
+    from w_userflow_featurestore_spark.operators.sampling import (
+        component_ledger,
+    )
+    from w_userflow_featurestore_spark.runner import (
+        read_split_ledger, run_split_ledger_update,
+    )
+    ledger_dir = str(tmp_path / "split_ledger")
+    os.makedirs(ledger_dir)
+    # batch i brings docs 10i..10i+9; pairs touch earlier batches so
+    # merges cross ingest boundaries (the star-collapse path)
+    batches = [
+        (range(0, 10), [(0, 3), (4, 7)]),
+        (range(10, 20), [(10, 11), (12, 3)]),     # 12 joins {0,3}'s comp
+        (range(20, 30), [(20, 4), (20, 10)]),     # merges two old comps
+    ]
+    seen_docs, seen_pairs = [], []
+    for i, (ids, prs) in enumerate(batches, start=1):
+        docs = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+        pairs = spark.createDataFrame(prs or [(None, None)],
+                                      "doc_a long, doc_b long") \
+            .where("doc_a IS NOT NULL")
+        res = run_split_ledger_update(spark, ledger_dir, docs, pairs)
+        assert res.version == i
+        assert res.mode == ("initial" if i == 1 else "incremental")
+        seen_docs.extend(ids)
+        seen_pairs.extend(prs)
+        with open(os.path.join(ledger_dir, "_current")) as fh:
+            assert json.load(fh)["version"] == i
+        got = {tuple(r) for r in read_split_ledger(spark, ledger_dir)
+               .collect()}
+        all_docs = spark.createDataFrame([(d,) for d in seen_docs],
+                                         "doc_id long")
+        all_pairs = spark.createDataFrame(seen_pairs,
+                                          "doc_a long, doc_b long")
+        want = {tuple(r)
+                for r in component_ledger(all_docs, all_pairs).collect()}
+        assert got == want
+        assert res.n_docs == len(want)
+    # doc 20's pairs merged {4,7} with {10,11}: one cross-batch
+    # component keyed 4; {0,3,12} stays its own, keyed 0
+    final = dict(got)
+    assert {final[d] for d in (0, 3, 12)} == {0}
+    assert {final[d] for d in (4, 7, 10, 11, 20)} == {4}

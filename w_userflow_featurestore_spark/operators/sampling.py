@@ -176,6 +176,13 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
 
     Returns (id, group_key, bucket, split) for every input doc.
 
+    SCHEMA NOTE: since the round-7 cast fix, ``group_key``'s type
+    FOLLOWS the id type (string ids yield string group keys; the
+    round-6 build always emitted BIGINT). The old cast('long') turned
+    every non-numeric string id into NULL and silently dumped the
+    whole corpus into 'test'; a consumer that persisted the old
+    BIGINT schema must migrate the column type alongside this fix.
+
     Scale shape: component labels are pair-graph-proportional (near-dup
     docs only), so the label join touches a small fraction of the
     corpus; the split itself stays a projection (hash mod), no sort,
@@ -226,6 +233,56 @@ def _split_columns(keyed: DataFrame, id_col: str, train: int, val: int,
                  .select(id_col, "group_key", "bucket", "split"))
 
 
+def merge_component_ledger(ledger: DataFrame, batch_docs: DataFrame,
+                           batch_pairs: DataFrame,
+                           id_col: str = "doc_id",
+                           pair_a: str = "doc_a", pair_b: str = "doc_b",
+                           assert_disjoint: bool = False) -> DataFrame:
+    """The grown corpus's :func:`component_ledger` — the persistable
+    state update after ingesting a batch, the component-graph twin of
+    ``operators/text.py::merge_gram_ledger`` (gram counts are additive;
+    component labels instead re-propagate over star ∪ batch edges).
+
+    Returns (doc_id, group_key) for every doc in ledger ∪ batch,
+    bit-identical to ``component_ledger`` rebuilt from scratch on the
+    grown corpus with the full pair set (the star-collapse argument on
+    :func:`incremental_leakage_split`; property-tested) — so the OUTPUT
+    of one ingest is the INPUT ledger of the next, and state never
+    drifts from the from-scratch truth across any number of batches.
+
+    PRECONDITION — ledger and batch doc ids must be DISJOINT. A batch
+    doc already present in the ledger yields duplicate output rows
+    (union without distinct), breaking the one-row-per-doc shape every
+    downstream audit assumes. The union is deliberately NOT distinct'd:
+    dedup here would add a corpus-sized shuffle to pay, on every
+    ingest, for a caller bug that the ingest pipeline (new docs = docs
+    not in the ledger, by construction) never exhibits. Pass
+    ``assert_disjoint=True`` to verify eagerly — one semi-join probe of
+    the ledger against the (small, broadcastable) batch id set,
+    early-exiting on the first overlap — where the batch's provenance
+    is untrusted.
+    """
+    if assert_disjoint:
+        overlap = (ledger.select(id_col)
+                   .join(F.broadcast(batch_docs.select(id_col)), id_col,
+                         "left_semi")
+                   .limit(1).count())
+        if overlap:
+            raise ValueError(
+                "merge_component_ledger: batch doc ids overlap the "
+                "ledger — the ledger-disjoint-batch precondition is "
+                "violated (re-ingesting a doc would duplicate its "
+                "ledger row); filter the batch to genuinely new docs")
+    old_edges = (ledger.where(F.col(id_col) != F.col("group_key"))
+                       .select(F.col(id_col).alias(pair_a),
+                               F.col("group_key").alias(pair_b)))
+    return component_ledger(
+        ledger.select(id_col).unionByName(batch_docs.select(id_col)),
+        old_edges.unionByName(
+            batch_pairs.select(F.col(pair_a), F.col(pair_b))),
+        id_col, pair_a, pair_b)
+
+
 def incremental_leakage_split(ledger: DataFrame, batch_docs: DataFrame,
                               batch_pairs: DataFrame,
                               id_col: str = "doc_id",
@@ -256,18 +313,18 @@ def incremental_leakage_split(ledger: DataFrame, batch_docs: DataFrame,
     can enter retroactively. Batch docs are never flagged (no prior
     assignment to migrate from).
 
+    PRECONDITION: ledger and batch doc ids disjoint — see
+    :func:`merge_component_ledger` (which computes the keyed frame and
+    owns the contract + the opt-in eager check).
+
     Scale shape: star edges are ledger-row-bounded and batch pairs are
     probe-bounded, so the component recompute touches the pair graph,
     never corpus text; the split stays a pure hash projection.
     """
-    old_edges = (ledger.where(F.col(id_col) != F.col("group_key"))
-                       .select(F.col(id_col).alias(pair_a),
-                               F.col("group_key").alias(pair_b)))
-    keyed = component_ledger(
-        ledger.select(id_col).unionByName(batch_docs.select(id_col)),
-        old_edges.unionByName(
-            batch_pairs.select(F.col(pair_a), F.col(pair_b))),
-        id_col, pair_a, pair_b)
+    # the merged ledger IS the keyed frame: persisting it makes the
+    # next ingest incremental too (see runner.run_split_ledger_update)
+    keyed = merge_component_ledger(ledger, batch_docs, batch_pairs,
+                                   id_col, pair_a, pair_b)
     out = _split_columns(keyed, id_col, train, val, n_buckets, salt)
     prev = ledger.select(F.col(id_col),
                          F.col("group_key").alias("_prev_gk"))
@@ -508,7 +565,19 @@ def temperature_mix_weights(docs: DataFrame, budget_tokens: int,
         "weight_micro",
         F.floor(scaled * F.lit(1_000_000.0)).cast("long"))
     tot = weights.agg(F.sum("weight_micro").alias("_tot"))
+    # degenerate-corpus guard: if every source has zero (or all-NULL)
+    # tokens, _tot is 0 and the DIVs below would emit NULL share/budget
+    # rows that crash the documented int(r['budget_tokens']) consumer
+    # later and further away — fail HERE, loudly, at execution time
+    # (raise_error keeps the function lazy; the branch costs nothing on
+    # healthy corpora)
+    guard = F.expr(
+        "CASE WHEN _tot IS NULL OR _tot = 0 THEN CAST(raise_error("
+        "'temperature_mix_weights: every source has zero countable "
+        "tokens - no mixture is definable') AS BIGINT) "
+        "ELSE _tot END")
     return (weights.crossJoin(F.broadcast(tot))
+            .withColumn("_tot", guard)
             .select(source_col, "n_tokens", "weight_micro",
                     F.expr("CAST((CAST(weight_micro AS DECIMAL(38,0))"
                            " * 10000) DIV _tot AS BIGINT)")

@@ -238,6 +238,87 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
                         int(obs_out.get["rows"]))
 
 
+@dataclass
+class SplitLedgerResult:
+    version: int         # committed ledger version after this run
+    mode: str            # initial | incremental
+    n_docs: int          # rows in the committed ledger
+
+
+def read_split_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    """The CURRENT committed component ledger (doc_id, group_key) — the
+    version the ``_current`` pointer names; uncommitted/crashed writes
+    are invisible by construction."""
+    import json as _json
+    import os as _os
+    with open(_os.path.join(ledger_dir, "_current")) as fh:
+        v = _json.load(fh)["version"]
+    return spark.read.parquet(_os.path.join(ledger_dir, f"v{v}"))
+
+
+def run_split_ledger_update(spark: SparkSession, ledger_dir: str,
+                            batch_docs: DataFrame, batch_pairs: DataFrame,
+                            id_col: str = "doc_id",
+                            pair_a: str = "doc_a",
+                            pair_b: str = "doc_b") -> SplitLedgerResult:
+    """Ingest a batch into the persisted leakage-split component ledger
+    — the state behind ``operators/sampling.py::
+    incremental_leakage_split``, persisted with the silver watermark
+    discipline (run_silver commits its read ledger only AFTER the table
+    write lands): the new ledger is written to a fresh versioned
+    directory, and the ``_current`` pointer moves to it atomically
+    (tmp + rename) only after the parquet write completed. A crash at
+    any earlier point leaves the previous version live and the run
+    re-entrant — replaying the batch converges on the same content
+    (merge_component_ledger is deterministic), and a half-written
+    v{N+1} directory is simply overwritten by the replay.
+
+    First run (no pointer) builds the ledger from the batch alone;
+    later runs extend via :func:`~w_userflow_featurestore_spark.operators.sampling.merge_component_ledger`,
+    so corpus-internal pairs are never recomputed. ``batch_pairs`` =
+    pairs touching >= 1 batch doc (an LSH probe of the batch), per the
+    star-collapse contract.
+
+    Scale note: each commit rewrites the full (doc_id, group_key)
+    ledger — ~16 bytes/doc, the deliberate cost of an always-consistent
+    snapshot (the gram ledger pays the same via its re-aggregate). A
+    deployment hot enough to feel that rewrite should bucket the ledger
+    by hash(doc_id) and rewrite only buckets holding changed rows — the
+    versioned-pointer seam here accommodates that without API change.
+    """
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+    from w_userflow_featurestore_spark.operators.sampling import (
+        component_ledger, merge_component_ledger,
+    )
+    pointer = _os.path.join(ledger_dir, "_current")
+    if _os.path.exists(pointer):
+        with open(pointer) as fh:
+            base = _json.load(fh)["version"]
+        prev = spark.read.parquet(_os.path.join(ledger_dir, f"v{base}"))
+        merged = merge_component_ledger(prev, batch_docs, batch_pairs,
+                                        id_col, pair_a, pair_b)
+        mode = "incremental"
+    else:
+        base = 0
+        merged = component_ledger(batch_docs, batch_pairs,
+                                  id_col, pair_a, pair_b)
+        mode = "initial"
+    # one materialization: the rows-written count rides the write and
+    # the frame is lineage-free before any directory is touched
+    obs = Observation()
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+    out = _os.path.join(ledger_dir, f"v{base + 1}")
+    merged.write.mode("overwrite").parquet(out)
+    n = int(obs.get["rows"])
+    tmp = pointer + f".{_uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"version": base + 1}, fh)
+    _os.replace(tmp, pointer)           # the commit point
+    return SplitLedgerResult(base + 1, mode, n)
+
+
 # feature jobs in dependency order; item_daily feeds top_item_per_day the
 # way the reference's episode job feeds the webtoon job
 # (gold_webtoon_daily_metrics.py:74-85, gold_daily_dag.py:146)
