@@ -505,35 +505,46 @@ def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count(F.lit(1)).cast("long").alias("n_lines")))
 
 
+MARKET_REGIONS = ("AMERICA", "ASIA", "EUROPE")
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8-shape: one supplier nation's share of a region's market
-    for one part type, by order year. The region->nation membership is
-    folded into the CUSTOMER dim pre-join (the volume_shipping lesson:
-    the market filter prunes the fact before its shuffles), the part
-    type filter semi-prunes lineitem via the broadcast part build, and
-    the share is a conditional sum over ONE aggregation — numerator
-    flagged by supplier nation, never a second fact pass. Share emitted
-    as exact integer basis points of exact cent sums; the bp numerator
-    is widened to DECIMAL(38,0) before the *10000 because a BIGINT cent
-    sum * 10000 wraps around SF~100 (yearly market revenue in cents
-    crosses 9.2e14 there) — non-ANSI Spark would wrap silently, so the
-    widening keeps the exact-integer contract at the scales the query
-    is designed for. DuckDB mirrors with HUGEINT."""
+    """TPC-H Q8-shape: one supplier nation's share of THREE regional
+    markets for one part type, by (market, order year). The
+    region->nation membership is folded into the CUSTOMER dim pre-join
+    (the volume_shipping lesson: the market filter prunes the fact
+    before its shuffles — 3/5 of customers here), the part type filter
+    semi-prunes lineitem via the broadcast part build, and the share is
+    a conditional sum over ONE aggregation — numerator flagged by
+    supplier nation, never a second fact pass or a per-market pass.
+    Three markets (round-7 verdict #6): the former single-market form
+    certified on 2 rows, a shape class where a group-collapsing GROUP
+    BY bug could still hash-match; (market, year) yields 6 rows at
+    every fixture SF, and the cross-market contrast (NATION_2 sits in
+    ASIA, so its AMERICA/EUROPE share is structurally 0 bp) is itself
+    pinned by the oracle. Share emitted as exact integer basis points
+    of exact cent sums; the bp numerator is widened to DECIMAL(38,0)
+    before the *10000 because a BIGINT cent sum * 10000 wraps around
+    SF~100 (yearly market revenue in cents crosses 9.2e14 there) —
+    non-ANSI Spark would wrap silently, so the widening keeps the
+    exact-integer contract at the scales the query is designed for.
+    DuckDB mirrors with HUGEINT."""
     from w_userflow_featurestore_spark.functions import scaled_long
     nation = read_table(spark, sf_dir, "nation")
     region = (read_table(spark, sf_dir, "region")
-              .where(F.col("r_name") == "ASIA"))
-    # market = customers whose nation sits in the region (~1/5 of
-    # customers); folding region->nation->customer keeps the orders and
-    # customer shuffles 1/5 size at any scale
+              .where(F.col("r_name").isin(*MARKET_REGIONS)))
+    # market label = the customer nation's region; a nation has exactly
+    # one region, so the inner joins relabel without fan-out and the
+    # orders/customer shuffles stay 3/5 size at any scale
     mkt_nations = (nation.join(F.broadcast(region),
                                F.col("n_regionkey") == F.col("r_regionkey"))
-                   .select(F.col("n_nationkey").alias("_mk")))
+                   .select(F.col("n_nationkey").alias("_mk"),
+                           F.col("r_name").alias("market")))
     cust = (read_table(spark, sf_dir, "customer",
                        columns=["c_custkey", "c_nationkey"])
             .join(F.broadcast(mkt_nations),
-                  F.col("c_nationkey") == F.col("_mk"), "left_semi")
-            .select("c_custkey"))
+                  F.col("c_nationkey") == F.col("_mk"))
+            .select("c_custkey", "market"))
     part = (read_table(spark, sf_dir, "part",
                        columns=["p_partkey", "p_type"])
             .where(F.col("p_type") == "PROMO")
@@ -556,14 +567,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "left_semi")
              .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
              .join(orders, li.l_orderkey == orders.o_orderkey)
-             .join(cust, F.col("o_custkey") == cust.c_custkey,
-                   "left_semi")
-             .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+             .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+             .groupBy("market",
+                      F.year("o_orderdate").cast("long").alias("o_year"))
              .agg(F.sum(F.when(F.col("supp_nation") == "NATION_2", disc)
                         .otherwise(F.lit(0))).alias("_nat_c"),
                   F.sum(disc).alias("_tot_c")))
     return agg.select(
-        "o_year",
+        "market", "o_year",
         fround(F.col("_nat_c") / 1e4, 2).alias("nation_revenue"),
         fround(F.col("_tot_c") / 1e4, 2).alias("market_revenue"),
         F.expr("CAST((CAST(_nat_c AS DECIMAL(38,0)) * 10000)"
@@ -1110,24 +1121,35 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE cardinality: per-day Datasketches HLL sketches of the
-    user set, unioned into one corpus estimate — the 100 TB rollup
-    path where per-partition sketches combine without rescanning
-    (hll_sketch_agg -> hll_union_agg; what approx_count_distinct alone
-    can't do across independently-built aggregates). Sketch bytes are
-    engine-specific, so the output is the portable gate: exact total,
-    n_days merged, and whether the UNIONED estimate lands within 5% of
-    exact — a broken merge path flips the hash red."""
+    """MERGEABLE cardinality: per-(event_type, day) Datasketches HLL
+    sketches of the user set, unioned into one per-event-type estimate
+    — the 100 TB rollup path where per-partition sketches combine
+    without rescanning (hll_sketch_agg -> hll_union_agg; what
+    approx_count_distinct alone can't do across independently-built
+    aggregates). Sketch bytes are engine-specific, so the output is
+    the portable gate per event type: exact distinct users, n_days
+    merged, and whether the UNIONED estimate lands within 5% of exact
+    — a broken merge path flips the hash red. Per-event-type, not one
+    corpus row (round-7 verdict #6): the former 1-row form's
+    certificate couldn't distinguish a group-collapsing bug from the
+    real rollup — 5 independently merged rollup chains can."""
     e = (_events(spark, sf_dir)
          .withColumn("datetime", F.to_date("ts")))
-    daily = (e.groupBy("datetime")
+    daily = (e.groupBy("event_type", "datetime")
               .agg(F.hll_sketch_agg("user_id").alias("sk")))
-    merged = daily.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
-    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
-    return (merged.crossJoin(F.broadcast(exact))
-            .select("n_days", "exact_users",
+    merged = (daily.groupBy("event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                   F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                    .alias("_est")))
+    exact = (e.groupBy(F.col("event_type").alias("_et"))
+              .agg(F.count_distinct("user_id").alias("exact_users")))
+    # null-safe join key: a NULL event_type forms a group in both
+    # aggregates (and in the one-GROUP-BY oracle), so the gate join
+    # must not drop it — <=> instead of = (the random-parity harness's
+    # NULL-flag divergence class)
+    return (merged.join(F.broadcast(exact),
+                        merged["event_type"].eqNullSafe(exact["_et"]))
+            .select("event_type", "n_days", "exact_users",
                     (F.abs(F.col("_est") - F.col("exact_users"))
                      <= 0.05 * F.col("exact_users")).alias("rel_err_ok")))
 
@@ -2660,7 +2682,7 @@ GROUP BY coalesce(n, 0)
 
 ORACLES["market_share"] = """
 WITH f AS (
-  SELECT year(o_orderdate) AS y,
+  SELECT r_name AS market, year(o_orderdate) AS y,
          CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
               AS BIGINT) AS c,
          sn.n_name AS supp_nation
@@ -2671,18 +2693,19 @@ WITH f AS (
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN nation cn ON c_nationkey = cn.n_nationkey
-  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN region ON cn.n_regionkey = r_regionkey
+             AND r_name IN ('AMERICA', 'ASIA', 'EUROPE')
   WHERE o_orderdate >= TIMESTAMP '1995-01-01'
     AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
 )
-SELECT CAST(y AS BIGINT) AS o_year,
+SELECT market, CAST(y AS BIGINT) AS o_year,
        round(sum(CASE WHEN supp_nation = 'NATION_2' THEN c ELSE 0 END)
              / 10000.0, 2) AS nation_revenue,
        round(sum(c) / 10000.0, 2) AS market_revenue,
        CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN c ELSE 0 END)
                   AS HUGEINT) * 10000)
             // CAST(sum(c) AS HUGEINT) AS BIGINT) AS mkt_share_bp
-FROM f GROUP BY y
+FROM f GROUP BY market, y
 """
 
 # cost proxy: p_retailprice * l_quantity stands in for the absent
@@ -3625,10 +3648,11 @@ FROM events GROUP BY 1, 2
 """
 
 ORACLES["hll_union_rollup"] = """
-SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
        TRUE AS rel_err_ok
-FROM events
+FROM events GROUP BY event_type
 """
 
 # multimodal fake-decode oracle: the payload is md5-derived, so the
