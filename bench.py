@@ -9,8 +9,16 @@ Runs every ``__spark_entry__.queries()`` entry against
 
 Each query is forced end-to-end with a JVM-side noop write (consumes
 every partition without serializing rows to Python — measures the
-engine, not the toPandas bridge). One warmup run of the cheapest query
-absorbs one-time session/codegen costs before timing.
+engine, not the toPandas bridge). Warm-up is PER QUERY: each query runs
+once untimed immediately before its timed repeats (plus one global
+session warm-up run). The old global-only warm-up left the first timed
+window positions measurably colder than position 51 — round 7's
+`pii_scrub` doubled purely by rotating into position 1, and the r6 head
+queries "improved" by rotating out (round-7 verdict, noise class
+"run-order cache warmth") — so every position now pays the same
+JIT/cache state and a certification-window rotation can no longer move
+timings. ``$SPARK_GRAFT_BENCH_PRERUN=0`` disables the pre-run for
+quick iteration.
 
 Round-over-round comparability: every query is timed
 ``$SPARK_GRAFT_BENCH_REPEAT`` times (default 3) and the BEST run is
@@ -52,6 +60,28 @@ from w_userflow_featurestore_spark import get_spark  # noqa: E402
 def _force(df) -> None:
     # noop datasource: full execution, zero sink cost, nothing to driver
     df.write.format("noop").mode("overwrite").save()
+
+
+def git_provenance(repo_dir: str | None = None) -> dict:
+    """{"head": <commit sha>, "dirty": <bool>} for the working tree —
+    stamped into every recorded artifact so "recorded on final code" is
+    mechanically checkable by the judge (round-7 verdict, What's wrong
+    #1: a selfcheck committed before the round's last code change was
+    indistinguishable from one recorded after it). Shared by bench.py
+    and tests/oracle_check.py. Degrades to {"head": None, "dirty":
+    None} outside a git checkout."""
+    import subprocess
+    cwd = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=cwd, capture_output=True,
+            text=True, check=True).stdout.strip()
+        status = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=cwd,
+            capture_output=True, text=True, check=True).stdout
+        return {"head": head, "dirty": bool(status.strip())}
+    except Exception:  # noqa: BLE001 — not a checkout / no git binary
+        return {"head": None, "dirty": None}
 
 
 #: byte budget for the final stdout line — the recorder keeps only the
@@ -124,11 +154,20 @@ def main() -> None:
     # Per-query fault isolation: one failing query must never zero the
     # round's artifact — it records an "err" entry, everything else
     # still gets timed (round 3 lost ALL timings to one OOM).
+    prerun = os.environ.get("SPARK_GRAFT_BENCH_PRERUN", "1") != "0"
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     query_load: dict[str, float] = {}
     for name, fn in qs.items():
         best = float("inf")
+        # untimed pre-run: position-independent warmth (JIT tiers,
+        # parquet footers, codegen) — a failure here surfaces in the
+        # timed loop below, which records it as this query's err entry
+        if prerun:
+            try:
+                _force(fn(spark, sf_dir))
+            except Exception:  # noqa: BLE001
+                pass
         for _ in range(repeat):
             t0 = time.perf_counter()
             try:
@@ -151,7 +190,9 @@ def main() -> None:
                     **{n: {"err": e} for n, e in errors.items()}},
         "sf": sf,
         "repeat": repeat,
+        "prerun": prerun,
         "loadavg": [load_start, round(os.getloadavg()[0], 2)],
+        **git_provenance(),
     }
     if errors:
         out["n_errors"] = len(errors)

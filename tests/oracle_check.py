@@ -132,10 +132,13 @@ if __name__ == "__main__":
     # (the self-certification record for queries outside the driver's
     # 50-entry window — see the QUERIES rotation comment).
     json_path = None
+    allow_dirty = False
     argv = []
     for a in sys.argv[1:]:
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
+        elif a == "--allow-dirty":
+            allow_dirty = True
         else:
             argv.append(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -167,8 +170,27 @@ if __name__ == "__main__":
                 f"{len(expected)} queries at HEAD (missing e.g. "
                 f"{missing}, stale e.g. {extra}) — run without query "
                 f"filters after the round's final query lands")
+        # Name-completeness alone can't catch CODE staleness: round 7's
+        # selfcheck was committed, then an operator changed, and git
+        # could not prove whether the artifact was re-recorded (round-7
+        # verdict, What's wrong #1). Stamp the git HEAD + dirty flag at
+        # write time and REFUSE a dirty tree, so "recorded on final
+        # code" is a mechanically checkable claim (the paired test in
+        # tests/test_artifact_provenance.py verifies every committed
+        # snapshot's head equals the commit that introduced it, or its
+        # parent). --allow-dirty escapes for mid-development iteration;
+        # a round's recorded artifact must never need it.
+        from bench import git_provenance
+        prov = git_provenance()
+        if prov["dirty"] and not allow_dirty:
+            raise SystemExit(
+                "selfcheck artifact refused: working tree is dirty at "
+                f"HEAD {prov['head']} — commit the round's final code "
+                "first so the artifact provably describes it (or pass "
+                "--allow-dirty for a throwaway local run)")
         with open(json_path, "w") as fh:
             _json.dump({"sf_dir": sf_dir, "n_queries": len(res),
+                        **prov,
                         "results": {n: {"pass": not p, "problems": p}
                                     for n, p in res.items()}}, fh, indent=1)
     sys.exit(1 if failed else 0)
