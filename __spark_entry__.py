@@ -821,6 +821,43 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_pair_counts(read_table(spark, sf_dir, "documents"), k=20)
 
 
+N_BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training, 8 merge rounds: count-pairs ->
+    merge the argmax pair (count DESC, pair ASC tie-break) -> recount
+    (operators/text.py bpe_train) — the missing middle of the tokenizer
+    story between bpe_pair_counts (one counting step) and
+    tokenizer_fertility (a finished tokenizer's cost). Output = the
+    ordered merge list (part='merge': rank, pair, merged symbol, and
+    the pair's corpus count at selection time) UNION the final symbol
+    vocabulary (part='vocab': every post-merge symbol with its
+    freq-weighted corpus occurrence count) — so the certificate pins
+    the whole trajectory AND the end state. The oracle replays the
+    same deterministic loop in DuckDB as 8 unrolled CTE steps over the
+    identical wrapped-symbol string representation."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_train, bpe_vocab,
+    )
+    merges, sym = bpe_train(
+        read_table(spark, sf_dir, "documents", columns=["text"]),
+        n_merges=N_BPE_MERGES)
+    mdf = spark.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string,"
+                " merged string, n_occurrences long") \
+        .select(F.lit("merge").alias("part"), "merge_rank", "left_sym",
+                "right_sym", "merged", "n_occurrences")
+    v = bpe_vocab(sym).select(
+        F.lit("vocab").alias("part"),
+        F.lit(None).cast("long").alias("merge_rank"),
+        F.lit(None).cast("string").alias("left_sym"),
+        F.lit(None).cast("string").alias("right_sym"),
+        F.col("symbol").alias("merged"),
+        "n_occurrences")
+    return mdf.unionByName(v)
+
+
 def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram surprisal vs the corpus LM, quantized to whole
     bits (integer-exact CCNet-style perplexity-filter signal)."""
@@ -1968,82 +2005,17 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # discipline is strict LRU so no certificate is ever older than 2
 # rounds, and every tail query is re-verified against the DuckDB
 # oracle at sf0.001 by tests/test_oracle_parity.py on every pytest run
-# (plus the committed sf0.01 self-check artifact, SELFCHECK_r05.json).
-# Round 5 window: the 6 displaced round-2 holders first, then the 2
-# queries whose oracle changed this round (ab_test significance
-# quantization, behavior_trigrams NULL-step filter), the 8 NEW queries
-# (promo_revenue, volume_shipping, minhash_accuracy, and the
-# Q18/Q21/Q22/Q15/Q20-shape relational batch), then 34 of the 48
-# round-3-certificate queries. The 14 round-3 holders that don't fit
-# (stable untouched modules: relational pivots/anti-semi joins, skew
-# salting, multimodal, top-k/percentile entry queries) lead the tail —
-# FIRST in line for round 6.
+# (plus the committed sf0.01 self-check artifact, SELFCHECK_r{N}.json).
+# Round 8 window: the 39 remaining round-5 certificate holders lead,
+# then the 4 changed + 1 new query, then the 6 oldest round-6 holders
+# fill to 50 — after this round's driver run every certificate is
+# r6-r8 and the ledger reads 50 r8 + 46 r7 + 34 r6. The remaining 34
+# round-6 holders lead the tail — FIRST in line for round 9.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-7 window (first 50 = this round's driver certificates).
-    # Head: the 28 queries that hold only round-4 certificates —
-    # re-certifying them keeps every certificate r5-r7 (the 3-round
-    # steady-state cycle) ---
-    "pii_scrub": q_pii_scrub,
-    "fingerprint_pairs": q_fingerprint_pairs,
-    "cardinality_sketch": q_cardinality_sketch,
-    "semantic_dedup": q_semantic_dedup,
-    "line_dedup": q_line_dedup,
-    "token_surprisal": q_token_surprisal,
-    "item_pagerank": q_item_pagerank,
-    "distribution_drift": q_distribution_drift,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "quantile_sketch": q_quantile_sketch,
-    "scd2_history": q_scd2_history,
-    "feature_backfill": q_feature_backfill,
-    "negative_samples": q_negative_samples,
-    "key_skew_profile": q_key_skew_profile,
-    "frequency_sketch": q_frequency_sketch,
-    "rolling_active_users": q_rolling_active_users,
-    "quality_report": q_quality_report,
-    "user_value_ranks": q_user_value_ranks,
-    "cohort_retention": q_cohort_retention,
-    "hll_union_rollup": q_hll_union_rollup,
-    "item_triangles": q_item_triangles,
-    "attribution": q_attribution,
-    "winsorize": q_winsorize,
-    "target_encode": q_target_encode,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_audio_windows": q_multimodal_audio_windows,
-    "order_priority_counts": q_order_priority_counts,
-    "forecast_baseline": q_forecast_baseline,
-    # --- implementation/module changed this round (re-certify):
-    # operators/sampling.py changed (token_budget_mix's bucketed
-    # two-pass prefix sum; leakage_safe_split's group-key cast drop +
-    # component_ledger refactor), so EVERY sampling.py-backed query
-    # re-certifies per the module rule, plus the three queries whose
-    # entry definitions changed (market_share decimal widening, the
-    # two de-vacuated predicates) ---
-    "token_budget_mix": q_token_budget_mix,
-    "leakage_safe_split": q_leakage_safe_split,
-    "corpus_shuffle": q_corpus_shuffle,
-    "dataset_split": q_dataset_split,
-    "split_summary": q_split_summary,
-    "stratified_sample": q_stratified_sample,
-    "weighted_sample": q_weighted_sample,
-    "capped_user_events": q_capped_user_events,
-    "source_balanced_sample": q_source_balanced_sample,
-    "market_share": q_market_share,
-    "user_cohort_setops": q_user_cohort_setops,
-    "customers_no_orders": q_customers_no_orders,
-    # --- new this round ---
-    "incremental_leakage_split": q_incremental_leakage_split,
-    "mixture_weights": q_mixture_weights,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "split_leakage_audit": q_split_leakage_audit,
-    # --- oldest round-5 certificate holders (fill to 50) ---
-    "dedup_latest": q_dedup_latest,
-    "above_avg_orders": q_above_avg_orders,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "pack_sequences": q_pack_sequences,
-    "frequent_tokens": q_frequent_tokens,
-    # --- certificate tail. Remaining round-5 holders first — they
-    # lead the round-8 window ---
+    # --- round-8 window (first 50 = this round's driver certificates).
+    # Head: the 39 queries that hold only round-5 certificates —
+    # re-certifying them keeps every certificate r6-r8 (the 3-round
+    # steady-state cycle; round-7 verdict, Next round #1) ---
     "ab_test": q_ab_test,
     "behavior_trigrams": q_behavior_trigrams,
     "curate_corpus": q_curate_corpus,
@@ -2083,13 +2055,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_set": q_training_set,
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
-    # --- round-6 certificates (freshest tail) ---
+    # --- implementation changed this round (re-certify). The module
+    # rule is applied at FUNCTION granularity this round — round 7's
+    # whole-module re-certification followed a cross-cutting
+    # sampling.py refactor (shared bucketing helpers); round 8's
+    # sampling.py edits are local to two functions, and only 11 window
+    # slots exist after the 39 r5 holders, so spending 12 on untouched
+    # hash-threshold projections would age an r5 certificate past the
+    # 3-round cycle. Changed: hll_union_rollup (per-event-type rollup
+    # chains, round-7 verdict #6), market_share (three markets, #6),
+    # mixture_weights (zero-token raise_error guard in its plan),
+    # incremental_leakage_split (backing function factored into
+    # merge_component_ledger). Docstring-only edits
+    # (leakage_safe_split's schema note) do NOT spend slots ---
+    "hll_union_rollup": q_hll_union_rollup,
+    "market_share": q_market_share,
+    "mixture_weights": q_mixture_weights,
+    "incremental_leakage_split": q_incremental_leakage_split,
+    # --- new this round ---
+    "bpe_merges": q_bpe_merges,
+    # --- oldest round-6 certificate holders (fill to 50) ---
     "funnel_daily": q_funnel_daily,
     "event_transitions": q_event_transitions,
     "incremental_curate": q_incremental_curate,
     "behavior_diversity": q_behavior_diversity,
     "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
+    # --- certificate tail. Remaining round-6 holders first — they
+    # lead the round-9 window ---
     "churn_labels": q_churn_labels,
     "time_decay_features": q_time_decay_features,
     "big_spender_customers": q_big_spender_customers,
@@ -2124,6 +2117,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "corpus_language_stats": q_corpus_language_stats,
     "repetition_profile": q_repetition_profile,
+    # --- round-7 certificates (freshest tail) ---
+    "pii_scrub": q_pii_scrub,
+    "fingerprint_pairs": q_fingerprint_pairs,
+    "cardinality_sketch": q_cardinality_sketch,
+    "semantic_dedup": q_semantic_dedup,
+    "line_dedup": q_line_dedup,
+    "token_surprisal": q_token_surprisal,
+    "item_pagerank": q_item_pagerank,
+    "distribution_drift": q_distribution_drift,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "quantile_sketch": q_quantile_sketch,
+    "scd2_history": q_scd2_history,
+    "feature_backfill": q_feature_backfill,
+    "negative_samples": q_negative_samples,
+    "key_skew_profile": q_key_skew_profile,
+    "frequency_sketch": q_frequency_sketch,
+    "rolling_active_users": q_rolling_active_users,
+    "quality_report": q_quality_report,
+    "user_value_ranks": q_user_value_ranks,
+    "cohort_retention": q_cohort_retention,
+    "item_triangles": q_item_triangles,
+    "attribution": q_attribution,
+    "winsorize": q_winsorize,
+    "target_encode": q_target_encode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
+    "order_priority_counts": q_order_priority_counts,
+    "forecast_baseline": q_forecast_baseline,
+    "token_budget_mix": q_token_budget_mix,
+    "leakage_safe_split": q_leakage_safe_split,
+    "corpus_shuffle": q_corpus_shuffle,
+    "dataset_split": q_dataset_split,
+    "split_summary": q_split_summary,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
+    "capped_user_events": q_capped_user_events,
+    "source_balanced_sample": q_source_balanced_sample,
+    "user_cohort_setops": q_user_cohort_setops,
+    "customers_no_orders": q_customers_no_orders,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "split_leakage_audit": q_split_leakage_audit,
+    "dedup_latest": q_dedup_latest,
+    "above_avg_orders": q_above_avg_orders,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "pack_sequences": q_pack_sequences,
+    "frequent_tokens": q_frequent_tokens,
 }
 
 
@@ -3078,6 +3118,57 @@ FROM p GROUP BY pair
 ORDER BY n_occurrences DESC, pair ASC
 LIMIT 20
 """
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Replay bpe_train's merge loop as ``k`` unrolled CTE steps over
+    the SAME wrapped-symbol representation (\\x01sym\\x02 via chr(1)/
+    chr(2)): per step, pair counts from the symbol string -> 1-row
+    argmax with the (count DESC, pair ASC) tie-break -> one LITERAL
+    replace() (both engines scan left-to-right non-overlapping = the
+    greedy BPE merge order; the wrappers make adjacent matches share
+    no characters). An empty argmax (fully fused corpus) passes the
+    state through via LEFT JOIN ON TRUE, mirroring the Spark loop's
+    early break."""
+    steps = [f"""WITH w0 AS (
+  SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')
+           AS syms,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w)"""]
+    for i in range(1, k + 1):
+        steps.append(f""",
+p{i} AS (
+  SELECT list_extract(sl, j) AS l, list_extract(sl, j + 1) AS r,
+         CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT sl, freq, unnest(range(1, len(sl))) AS j
+        FROM (SELECT string_split(substring(syms, 2, length(syms) - 2),
+                                  chr(2) || chr(1)) AS sl, freq
+              FROM w{i - 1}))
+  GROUP BY l, r),
+b{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+w{i} AS (
+  SELECT CASE WHEN l IS NULL THEN syms
+         ELSE replace(syms,
+                      chr(1) || l || chr(2) || chr(1) || r || chr(2),
+                      chr(1) || l || r || chr(2)) END AS syms, freq
+  FROM w{i - 1} LEFT JOIN b{i} ON TRUE)""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS part, CAST({i} AS BIGINT) AS merge_rank,"
+        f" l AS left_sym, r AS right_sym, l || r AS merged,"
+        f" n AS n_occurrences FROM b{i}"
+        for i in range(1, k + 1))
+    vocab = f"""SELECT 'vocab' AS part, CAST(NULL AS BIGINT) AS merge_rank,
+       CAST(NULL AS VARCHAR) AS left_sym, CAST(NULL AS VARCHAR) AS right_sym,
+       s AS merged, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest(string_split(substring(syms, 2, length(syms) - 2),
+                                 chr(2) || chr(1))) AS s, freq
+      FROM w{k})
+GROUP BY s"""
+    return "".join(steps) + "\n" + merge_rows + "\nUNION ALL\n" + vocab
+
+
+ORACLES["bpe_merges"] = _bpe_oracle_sql(N_BPE_MERGES)
 
 # unigram surprisal in whole bits: floor(log2(N/n_t)) via binary-string
 # length — integer-exact, no floating-point log in either engine

@@ -18,45 +18,48 @@ import __spark_entry__ as entrymod
 
 WINDOW = 50
 
-# Round-7 window head: the queries that MUST be certified this round —
+# Round-8 window head: the queries that MUST be certified this round —
 # least-recently-certified first, then implementation-changed, then new.
 ROUND_WINDOW_HEAD = [
-    # the 28 queries that held only round-4 certificates (round-6
-    # verdict item #2: after round 7 every certificate is r5-r7)
-    "pii_scrub", "fingerprint_pairs", "cardinality_sketch",
-    "semantic_dedup", "line_dedup", "token_surprisal", "item_pagerank",
-    "distribution_drift", "bpe_pair_counts", "quantile_sketch",
-    "scd2_history", "feature_backfill", "negative_samples",
-    "key_skew_profile", "frequency_sketch", "rolling_active_users",
-    "quality_report", "user_value_ranks", "cohort_retention",
-    "hll_union_rollup", "item_triangles", "attribution", "winsorize",
-    "target_encode", "multimodal_resize", "multimodal_audio_windows",
-    "order_priority_counts", "forecast_baseline",
-    # implementation/module changed this round (re-certify):
-    # operators/sampling.py changed (token_budget_mix bucketed prefix
-    # sum, leakage_safe_split cast drop + component_ledger refactor),
-    # so every sampling.py-backed query re-certifies per the module
-    # rule; market_share (decimal widening), user_cohort_setops and
-    # customers_no_orders (de-vacuated predicates) changed in the
-    # entry file. Behavior-neutral docstring/annotation edits
-    # (plans/__init__.py docstring, dedup.text_hash60 annotation) do
-    # NOT spend slots — no code path changed.
-    "token_budget_mix", "leakage_safe_split", "corpus_shuffle",
-    "dataset_split", "split_summary", "stratified_sample",
-    "weighted_sample", "capped_user_events", "source_balanced_sample",
-    "market_share", "user_cohort_setops", "customers_no_orders",
+    # the 39 queries that held only round-5 certificates (round-7
+    # verdict item #1: after round 8 every certificate is r6-r8)
+    "ab_test", "behavior_trigrams", "curate_corpus", "sessions",
+    "event_type_pivot", "top_item_per_day", "item_continuation",
+    "cohort_vs_global", "promo_revenue", "minhash_accuracy",
+    "large_volume_orders", "sole_return_supplier",
+    "idle_customer_balance", "top_revenue_supplier",
+    "bulk_part_suppliers", "cluster_balanced_sample", "bracket_revenue",
+    "doc_chunks", "ann_cosine_topk", "ann_lsh_bucket", "ann_lsh_topk",
+    "ann_ivf_topk", "ann_recall_gate", "vocab_coverage",
+    "volume_anomaly", "embedding_near_pairs", "embedding_dedup",
+    "asof_features", "interval_features", "event_rollup", "event_cube",
+    "doc_fingerprints", "rolling_user_features", "event_time_windows",
+    "event_sliding_windows", "session_windows", "training_set",
+    "bm25_topk", "hybrid_search",
+    # implementation changed this round (re-certify). FUNCTION
+    # granularity: round 7's whole-module rule answered a cross-cutting
+    # sampling.py refactor; round 8's sampling.py edits are local to
+    # temperature_mix_weights (new raise_error guard in the plan) and
+    # incremental_leakage_split (factored into merge_component_ledger),
+    # and only 11 slots remain after the 39 r5 holders — spending 12 on
+    # untouched hash-threshold projections would age an r5 certificate
+    # past the 3-round cycle. hll_union_rollup (per-event-type rollup)
+    # and market_share (three markets) are the round-7 verdict #6
+    # widenings. Docstring-only edits (leakage_safe_split schema note)
+    # do NOT spend slots — no code path changed.
+    "hll_union_rollup", "market_share", "mixture_weights",
+    "incremental_leakage_split",
     # new this round
-    "incremental_leakage_split", "mixture_weights",
-    "tokenizer_fertility", "split_leakage_audit",
+    "bpe_merges",
 ]
 
 
-# oldest round-5 certificate holders filling the remaining 6 slots;
-# the round-5 holders left in the tail (ab_test .. hybrid_search)
-# lead the round-8 window
+# oldest round-6 certificate holders filling the remaining 6 slots;
+# the round-6 holders left in the tail (churn_labels ..
+# repetition_profile) lead the round-9 window
 ROUND_WINDOW_FILL = [
-    "dedup_latest", "above_avg_orders", "pricing_summary",
-    "revenue_by_nation", "pack_sequences", "frequent_tokens",
+    "funnel_daily", "event_transitions", "incremental_curate",
+    "behavior_diversity", "contamination", "shipping_priority",
 ]
 
 

@@ -878,3 +878,92 @@ def test_temperature_mix_weights_zero_token_corpus_raises(spark):
         {"source": ["a", "b"], "text": [None, None]}))
     with pytest.raises(Exception, match="zero countable tokens"):
         temperature_mix_weights(docs, 1000, tau=2).collect()
+
+
+# ------------------------------------------------------------- bpe_train
+
+# small alphabet so pair collisions and ties are routine (the argmax
+# tie-break is where engines would diverge first)
+bpe_corpus_strategy = st.lists(
+    st.lists(st.text(alphabet="ab1", min_size=1, max_size=6),
+             min_size=0, max_size=8),
+    min_size=1, max_size=6)
+
+
+def _model_bpe(word_freq: dict, k: int):
+    """Independent pure-Python BPE trainer: explicit symbol lists and a
+    left-to-right greedy merge scan — no strings-with-sentinels, no
+    shared code with the engine's replace()-based implementation."""
+    seqs = {w: list(w) for w in word_freq}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict = {}
+        for w, f in word_freq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get(
+                    (s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, n))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=bpe_corpus_strategy)
+@example(docs=[["aaa", "aa", "a"]])      # overlap: greedy scan order
+@example(docs=[["ab", "ab", "ba"]])      # tie between (a,b) and (b,a)
+@example(docs=[["a", "b"]])              # nothing mergeable
+def test_bpe_train_matches_independent_model(spark, docs):
+    """bpe_train vs a symbol-list Python model: identical merge list
+    (pair, selection-time count, order), identical final vocabulary,
+    and — the round-7 verdict's property — applying the learned merges
+    reproduces the training corpus's pair statistics exactly (the
+    engine's post-merge pair counts equal a recount over the model's
+    post-merge symbol sequences)."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_pair_stats, bpe_train, bpe_vocab,
+    )
+    K = 5
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    # model-side word frequencies over the same normalization (words
+    # are [a-z0-9]+ already, so whitespace split is the whole story)
+    wf: dict = {}
+    for t in texts:
+        for w in t.split():
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    want_merges, want_seqs = _model_bpe(wf, K)
+    got_merges, sym = bpe_train(df, n_merges=K)
+    assert got_merges == want_merges
+    # final vocab: freq-weighted symbol occurrences
+    want_vocab: dict = {}
+    for w, f in wf.items():
+        for s in want_seqs[w]:
+            want_vocab[s] = want_vocab.get(s, 0) + f
+    got_vocab = {r["symbol"]: r["n_occurrences"]
+                 for r in bpe_vocab(sym).collect()}
+    assert got_vocab == want_vocab
+    # post-merge pair statistics: engine recount == model recount
+    want_pairs: dict = {}
+    for w, f in wf.items():
+        s = want_seqs[w]
+        for i in range(len(s) - 1):
+            want_pairs[(s[i], s[i + 1])] = want_pairs.get(
+                (s[i], s[i + 1]), 0) + f
+    got_pairs = {(r["left_sym"], r["right_sym"]): r["n_occurrences"]
+                 for r in bpe_pair_stats(sym).collect()}
+    assert got_pairs == want_pairs

@@ -536,7 +536,7 @@ DOC_QUERIES_2 = [
     "multimodal_audio_windows", "incremental_curate",
     "corpus_shuffle", "token_budget_mix", "leakage_safe_split",
     "incremental_leakage_split", "mixture_weights",
-    "tokenizer_fertility", "split_leakage_audit",
+    "tokenizer_fertility", "split_leakage_audit", "bpe_merges",
 ]
 
 

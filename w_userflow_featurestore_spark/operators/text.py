@@ -727,3 +727,124 @@ def bpe_pair_counts(docs: DataFrame, k: int = 20,
             .agg(F.sum("freq").alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), F.asc("pair"))
             .limit(k))
+
+
+#: BPE symbol sentinels: every symbol in the working representation is
+#: wrapped \x01sym\x02, so one merge application is ONE literal (never
+#: regex) string replace — "\x01a\x02\x01b\x02" -> "\x01ab\x02". The
+#: wrapper guarantees exact symbol boundaries (no partial match inside a
+#: longer symbol) and that adjacent matches share no characters, making
+#: engine-native left-to-right non-overlapping replace() EXACTLY the
+#: greedy merge order BPE specifies ("aaa" + merge(a,a) -> "aa","a" —
+#: Sennrich et al. 2016's learn_bpe applies the same scan order). The
+#: sentinels cannot collide with content: symbols are [a-z0-9]+ only
+#: (the words() normalization strips everything else).
+BPE_OPEN, BPE_CLOSE = "\x01", "\x02"
+
+
+def _bpe_symbols(syms: Column) -> Column:
+    """Symbol array from the wrapped representation: strip the leading
+    \\x01 and trailing \\x02, split on the \\x02\\x01 seam."""
+    return F.split(F.substring(syms, 2, F.length(syms) - 2)
+                   .cast("string"), BPE_CLOSE + BPE_OPEN)
+
+
+def bpe_pair_stats(symbolized: DataFrame) -> DataFrame:
+    """Corpus-wide adjacent-pair frequencies of a symbolized word-freq
+    frame (syms, freq) — the quantity :func:`bpe_train` argmaxes each
+    round. Returns (left_sym, right_sym, n_occurrences); one hash
+    aggregate with map-side combine over the DISTINCT-word frame."""
+    arr = _bpe_symbols(F.col("syms"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.struct(F.element_at(arr, i).alias("left_sym"),
+                           F.element_at(arr, i + 1).alias("right_sym")))
+    return (symbolized
+            .where(F.size(arr) >= 2)     # sequence(1,0) would descend
+            .select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.left_sym").alias("left_sym"),
+                     F.col("p.right_sym").alias("right_sym"))
+            .agg(F.sum("freq").cast("long").alias("n_occurrences")))
+
+
+def bpe_vocab(symbolized: DataFrame) -> DataFrame:
+    """Final symbol vocabulary of a symbolized word-freq frame: every
+    occurrence of a symbol weighted by its word's corpus frequency.
+    Returns (symbol, n_occurrences)."""
+    return (symbolized
+            .select(F.explode(_bpe_symbols(F.col("syms")))
+                     .alias("symbol"), "freq")
+            .groupBy("symbol")
+            .agg(F.sum("freq").cast("long").alias("n_occurrences")))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> tuple[list[tuple], DataFrame]:
+    """Iterative BPE merge training (Sennrich et al. 2016): ``n_merges``
+    rounds of count-pairs -> merge the argmax pair -> recount — the
+    loop :func:`bpe_pair_counts` computes one step of and
+    ``tokenizer_fertility`` measures the end product of.
+
+    Returns ``(merges, symbolized)``:
+
+    * ``merges`` — the ordered merge list, a driver-side list of
+      ``(rank, left_sym, right_sym, merged, n_occurrences)`` where
+      ``n_occurrences`` is the pair's corpus count AT SELECTION TIME
+      (the argmaxed quantity). It is k scalars — the trained artifact
+      itself, like a model's weights — never row data.
+    * ``symbolized`` — the (syms, freq) distinct-word frame after all
+      merges, for :func:`bpe_vocab` / :func:`bpe_pair_stats`.
+
+    Determinism: the argmax tie-break is (count DESC, left ASC,
+    right ASC) — total, content-only, engine-portable. Training stops
+    early if no adjacent pair remains (every word fused to one symbol).
+
+    Scale shape — the engine's iterative pattern (cf.
+    ``dedup.connected_components``), tuned for a barrier-bound loop:
+    the working state is the DISTINCT word-frequency frame (the
+    standard BPE-training trick — a trillion-token corpus with a
+    10M-word vocabulary iterates over 10M rows; corpus size enters
+    only through the one up-front frequency aggregate), materialized
+    ONCE. Each round's symbol state is the checkpointed base plus the
+    merges so far as NESTED row-local literal replaces — a pure
+    projection chain that costs less to recompute per round than a
+    per-round materialization would cost to write (k is small, the
+    replaces pipeline inside one codegen stage, and lineage depth
+    stays k). Per round exactly ONE job: hash aggregate with map-side
+    combine -> TakeOrdered(1) -> a 1-row driver collect (the argmax —
+    scalar-only, like connected_components' convergence count). The
+    k-round sequence is inherently sequential (merge i+1's counts are
+    defined on the post-merge-i corpus) — k driver barriers IS the
+    algorithm, not an implementation artifact.
+    """
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    S, E = BPE_OPEN, BPE_CLOSE
+    word_freq = (fan_out(docs.select(F.col(text_col)))
+                 .select(F.explode(words(F.col(text_col))).alias("w"))
+                 .where(F.col("w") != "")
+                 .groupBy("w")
+                 .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    base = word_freq.select(
+        F.regexp_replace("w", "(.)", f"{S}$1{E}").alias("syms"), "freq") \
+        .localCheckpoint(eager=True)
+
+    def symbolize(upto: list[tuple]):
+        col = F.col("syms")
+        for _, a, b, _, _ in upto:
+            col = F.replace(col, F.lit(f"{S}{a}{E}{S}{b}{E}"),
+                            F.lit(f"{S}{a}{b}{E}"))
+        return base.select(col.alias("syms"), "freq")
+
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        best = (bpe_pair_stats(symbolize(merges))
+                .orderBy(F.desc("n_occurrences"), F.asc("left_sym"),
+                         F.asc("right_sym"))
+                .limit(1).collect())
+        if not best:
+            break                        # fully fused: nothing to merge
+        a, b, n = (best[0]["left_sym"], best[0]["right_sym"],
+                   best[0]["n_occurrences"])
+        merges.append((rank, a, b, a + b, int(n)))
+    return merges, symbolize(merges)
