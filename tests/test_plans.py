@@ -519,3 +519,26 @@ def test_bulk_part_suppliers_plan_pin(spark):
     assert plan.count("lineitem.parquet") == 1
     assert_plan(df, max_shuffles=2, min_broadcast_joins=2,
                 max_sort_merge_joins=0)
+
+
+def test_bpe_train_round_plan_is_vocab_sized_and_projection_only(spark):
+    """bpe_train's loop invariants at 100 TB: (a) the per-round symbol
+    state is the ONE materialized distinct-word base plus nested
+    row-local replaces — a pure projection chain, zero exchanges, never
+    a corpus rescan (no documents.parquet in any round's plan); (b) a
+    round's argmax aggregate is one shuffle over that vocabulary-sized
+    frame. k driver barriers is the algorithm; what must never happen
+    is corpus-sized work inside a round."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_pair_stats, bpe_train,
+    )
+    from w_userflow_featurestore_spark.sources import read_table
+    docs = read_table(spark, SF0001, "documents", columns=["text"])
+    merges, sym = bpe_train(docs, n_merges=3)
+    assert len(merges) == 3
+    plan = physical_plan(sym)
+    assert "ExistingRDD" in plan            # rooted at the checkpoint
+    assert "documents.parquet" not in plan  # corpus never rescanned
+    assert shuffle_count(sym) == 0          # replaces are row-local
+    # one round's counting job: exactly the one hash-agg barrier
+    assert_plan(bpe_pair_stats(sym), max_shuffles=1)
