@@ -9,16 +9,27 @@ Runs every ``__spark_entry__.queries()`` entry against
 
 Each query is forced end-to-end with a JVM-side noop write (consumes
 every partition without serializing rows to Python — measures the
-engine, not the toPandas bridge). Warm-up is PER QUERY: each query runs
-once untimed immediately before its timed repeats (plus one global
-session warm-up run). The old global-only warm-up left the first timed
-window positions measurably colder than position 51 — round 7's
-`pii_scrub` doubled purely by rotating into position 1, and the r6 head
-queries "improved" by rotating out (round-7 verdict, noise class
-"run-order cache warmth") — so every position now pays the same
-JIT/cache state and a certification-window rotation can no longer move
-timings. ``$SPARK_GRAFT_BENCH_PRERUN=0`` disables the pre-run for
-quick iteration.
+engine, not the toPandas bridge).
+
+Run-order discipline (round-7 verdict, noise class "run-order cache
+warmth": `pii_scrub` doubled purely by rotating into window position 1
+with unchanged code). Two measures, each attacking a different half:
+
+* PER-QUERY warm-up — each query runs once untimed immediately before
+  its timed repeats (plus the global session warm-up), so parquet
+  footers / codegen / plan caches are its own, not its predecessor's.
+  ``$SPARK_GRAFT_BENCH_PRERUN=0`` disables for quick iteration.
+* CANONICAL timing order — queries are timed in md5(name) order, NOT
+  certification-window order. The JVM's JIT warms over the whole
+  session (measured: a head query stays ~1.6x its deep-warm time even
+  after 9 consecutive self-runs — no affordable per-query warm-up
+  erases the gradient), so what CAN be guaranteed is that each query
+  occupies the SAME session position every round regardless of window
+  rotation — the gradient cancels in every round-over-round ratio.
+  Hash order (not alphabetical) so the position a name gets is
+  arbitrary but permanent; inserting a new query shifts neighbors by
+  at most one slot. Round 8→7 comparisons straddle the order switch —
+  one transition round of position-attributable deltas, then silence.
 
 Round-over-round comparability: every query is timed
 ``$SPARK_GRAFT_BENCH_REPEAT`` times (default 3) and the BEST run is
@@ -143,11 +154,14 @@ def main() -> None:
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     load_start = round(os.getloadavg()[0], 2)
 
+    import hashlib
     qs = entrymod.queries()
+    # canonical rotation-independent timing order (see module docstring)
+    order = sorted(qs, key=lambda n: hashlib.md5(n.encode()).hexdigest())
     # warmup: JVM/codegen/parquet-footer caches (failure is non-fatal —
     # the warmed query gets timed, and judged, like every other)
     try:
-        _force(next(iter(qs.values()))(spark, sf_dir))
+        _force(qs[order[0]](spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         print(f"warmup failed: {exc}", file=sys.stderr)
 
@@ -158,7 +172,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     query_load: dict[str, float] = {}
-    for name, fn in qs.items():
+    for name in order:
+        fn = qs[name]
         best = float("inf")
         # untimed pre-run: position-independent warmth (JIT tiers,
         # parquet footers, codegen) — a failure here surfaces in the
