@@ -858,6 +858,25 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mdf.unionByName(v)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned 8-merge BPE tokenizer to every document — the
+    missing APPLY half of the tokenizer story (counts -> train ->
+    apply -> fertility): per-doc word and learned-subword counts plus
+    the tokens-per-word ratio in exact basis points, the quantity
+    per-document token budgets are actually denominated in
+    (operators/text.py bpe_apply). Words are encoded once at the
+    (doc, distinct-word) grain; the oracle trains via the same 8
+    unrolled CTE steps and encodes through the identical wrapped
+    representation."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_apply, bpe_train,
+    )
+    docs = read_table(spark, sf_dir, "documents",
+                      columns=["doc_id", "text"])
+    merges, _ = bpe_train(docs, n_merges=N_BPE_MERGES)
+    return bpe_apply(docs, merges)
+
+
 def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram surprisal vs the corpus LM, quantized to whole
     bits (integer-exact CCNet-style perplexity-filter signal)."""
@@ -2074,15 +2093,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_leakage_split": q_incremental_leakage_split,
     # --- new this round ---
     "bpe_merges": q_bpe_merges,
-    # --- oldest round-6 certificate holders (fill to 50) ---
+    "bpe_encode": q_bpe_encode,
+    # --- oldest round-6 certificate holders (fill to 50; the sixth
+    # fill slot went to bpe_encode — shipping_priority keeps its r6
+    # certificate, valid through round 9, and leads the tail) ---
     "funnel_daily": q_funnel_daily,
     "event_transitions": q_event_transitions,
     "incremental_curate": q_incremental_curate,
     "behavior_diversity": q_behavior_diversity,
     "contamination": q_contamination,
-    "shipping_priority": q_shipping_priority,
     # --- certificate tail. Remaining round-6 holders first — they
     # lead the round-9 window ---
+    "shipping_priority": q_shipping_priority,
     "churn_labels": q_churn_labels,
     "time_decay_features": q_time_decay_features,
     "big_spender_customers": q_big_spender_customers,
@@ -3120,7 +3142,7 @@ LIMIT 20
 """
 
 
-def _bpe_oracle_sql(k: int) -> str:
+def _bpe_chain_sql(k: int) -> str:
     """Replay bpe_train's merge loop as ``k`` unrolled CTE steps over
     the SAME wrapped-symbol representation (\\x01sym\\x02 via chr(1)/
     chr(2)): per step, pair counts from the symbol string -> 1-row
@@ -3129,9 +3151,11 @@ def _bpe_oracle_sql(k: int) -> str:
     greedy BPE merge order; the wrappers make adjacent matches share
     no characters). An empty argmax (fully fused corpus) passes the
     state through via LEFT JOIN ON TRUE, mirroring the Spark loop's
-    early break."""
+    early break. The chain carries the original word ``w`` so
+    consumers can join encodings back to documents (bpe_encode)."""
     steps = [f"""WITH w0 AS (
-  SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')
+  SELECT w,
+         regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')
            AS syms,
          CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents)
@@ -3148,11 +3172,15 @@ p{i} AS (
   GROUP BY l, r),
 b{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
 w{i} AS (
-  SELECT CASE WHEN l IS NULL THEN syms
+  SELECT w, CASE WHEN l IS NULL THEN syms
          ELSE replace(syms,
                       chr(1) || l || chr(2) || chr(1) || r || chr(2),
                       chr(1) || l || r || chr(2)) END AS syms, freq
   FROM w{i - 1} LEFT JOIN b{i} ON TRUE)""")
+    return "".join(steps)
+
+
+def _bpe_merges_oracle_sql(k: int) -> str:
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT 'merge' AS part, CAST({i} AS BIGINT) AS merge_rank,"
         f" l AS left_sym, r AS right_sym, l || r AS merged,"
@@ -3165,10 +3193,35 @@ FROM (SELECT unnest(string_split(substring(syms, 2, length(syms) - 2),
                                  chr(2) || chr(1))) AS s, freq
       FROM w{k})
 GROUP BY s"""
-    return "".join(steps) + "\n" + merge_rows + "\nUNION ALL\n" + vocab
+    return (_bpe_chain_sql(k) + "\n" + merge_rows + "\nUNION ALL\n"
+            + vocab)
 
 
-ORACLES["bpe_merges"] = _bpe_oracle_sql(N_BPE_MERGES)
+def _bpe_encode_oracle_sql(k: int) -> str:
+    """Train via the shared chain, then encode every document at the
+    (doc, distinct-word) grain — mirrors operators/text.py bpe_apply."""
+    return _bpe_chain_sql(k) + f""",
+enc AS (
+  SELECT w,
+         CAST(len(string_split(substring(syms, 2, length(syms) - 2),
+                               chr(2) || chr(1))) AS BIGINT) AS n_syms
+  FROM w{k}),
+dw AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY doc_id, w)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_words,
+       CAST(sum(cnt * n_syms) AS BIGINT) AS n_tokens,
+       CAST((CAST(sum(cnt * n_syms) AS HUGEINT) * 10000)
+            // sum(cnt) AS BIGINT) AS tokens_per_word_bp
+FROM dw JOIN enc USING (w)
+GROUP BY doc_id"""
+
+
+ORACLES["bpe_merges"] = _bpe_merges_oracle_sql(N_BPE_MERGES)
+ORACLES["bpe_encode"] = _bpe_encode_oracle_sql(N_BPE_MERGES)
 
 # unigram surprisal in whole bits: floor(log2(N/n_t)) via binary-string
 # length — integer-exact, no floating-point log in either engine

@@ -542,3 +542,11 @@ def test_bpe_train_round_plan_is_vocab_sized_and_projection_only(spark):
     assert shuffle_count(sym) == 0          # replaces are row-local
     # one round's counting job: exactly the one hash-agg barrier
     assert_plan(bpe_pair_stats(sym), max_shuffles=1)
+    # apply half: (doc, word) agg -> per-doc rollup, two barriers, no
+    # joins — the nested replaces ride the grouped frame as literals
+    from w_userflow_featurestore_spark.operators.text import bpe_apply
+    enc = bpe_apply(read_table(spark, SF0001, "documents",
+                               columns=["doc_id", "text"]), merges)
+    # 2 agg barriers + fan_out's test-scale round-robin spread (a no-op
+    # exchange at real split counts, per its docstring)
+    assert_plan(enc, max_shuffles=3, max_sort_merge_joins=0)

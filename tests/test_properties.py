@@ -967,3 +967,20 @@ def test_bpe_train_matches_independent_model(spark, docs):
     got_pairs = {(r["left_sym"], r["right_sym"]): r["n_occurrences"]
                  for r in bpe_pair_stats(sym).collect()}
     assert got_pairs == want_pairs
+    # apply half: per-doc token counts under the learned merges equal
+    # encoding each doc's words with the model's symbol sequences
+    from w_userflow_featurestore_spark.operators.text import bpe_apply
+    df_id = spark.createDataFrame(list(enumerate(texts)),
+                                  "doc_id long, text string")
+    got_enc = {r["doc_id"]: (r["n_words"], r["n_tokens"],
+                             r["tokens_per_word_bp"])
+               for r in bpe_apply(df_id, got_merges).collect()}
+    want_enc = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        if not ws:
+            continue                     # no countable words -> no row
+        n_words = len(ws)
+        n_tokens = sum(len(want_seqs[w]) for w in ws)
+        want_enc[i] = (n_words, n_tokens, n_tokens * 10000 // n_words)
+    assert got_enc == want_enc

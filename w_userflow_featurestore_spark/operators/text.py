@@ -848,3 +848,48 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
                    best[0]["n_occurrences"])
         merges.append((rank, a, b, a + b, int(n)))
     return merges, symbolize(merges)
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple],
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Encode every document with a LEARNED BPE merge list — the apply
+    half of the tokenizer story (:func:`bpe_train` produces the
+    merges; this is what a production tokenizer does to the corpus,
+    and what per-document token budgets are actually denominated in).
+
+    Per doc: the symbol count of each word after applying the merges
+    in order (same wrapped-representation literal replaces as
+    training, so apply ≡ train's own encoding by construction).
+    Returns (doc_id, n_words, n_tokens, tokens_per_word_bp) with the
+    ratio in exact integer basis points; documents with no countable
+    words yield no row.
+
+    Scale shape: words are encoded ONCE at the (doc, distinct-word)
+    grain — the nested replaces and the symbol-count split run on the
+    grouped frame, so a word repeated a thousand times in a doc is
+    encoded once and multiplied by its count. Two hash aggregates
+    (per-(doc, word) counts -> per-doc rollup), zero joins, zero UDFs;
+    the merge list rides the plan as literals.
+    """
+    S, E = BPE_OPEN, BPE_CLOSE
+    col = F.regexp_replace("w", "(.)", f"{S}$1{E}")
+    for _, a, b, _, _ in merges:
+        col = F.replace(col, F.lit(f"{S}{a}{E}{S}{b}{E}"),
+                        F.lit(f"{S}{a}{b}{E}"))
+    dw = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+          .select(F.col(id_col),
+                  F.explode(words(F.col(text_col))).alias("w"))
+          .where(F.col("w") != "")
+          .groupBy(id_col, "w")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    enc = dw.withColumn("n_syms",
+                        F.size(_bpe_symbols(col)).cast("long"))
+    return (enc.groupBy(id_col)
+            .agg(F.sum("cnt").cast("long").alias("n_words"),
+                 F.sum(F.col("cnt") * F.col("n_syms")).cast("long")
+                  .alias("n_tokens"))
+            .select(F.col(id_col), "n_words", "n_tokens",
+                    F.expr("CAST((CAST(n_tokens AS DECIMAL(38,0))"
+                           " * 10000) DIV n_words AS BIGINT)")
+                     .alias("tokens_per_word_bp")))
