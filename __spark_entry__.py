@@ -877,6 +877,36 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM surprisal in whole bits — the context-aware
+    upgrade of token_surprisal (CCNet filters on a real n-gram LM; a
+    unigram model can't see that 'the the' is surprising). Bigrams are
+    built row-locally from each doc's word array (no self-join, no
+    window); bits = bit_length(c(w1) DIV c(w1,w2)) - 1, exact integer
+    arithmetic (operators/text.py bigram_surprisal)."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bigram_surprisal,
+    )
+    return bigram_surprisal(
+        read_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.4): per
+    language, documents bucketed into thirds of the LM-surprisal
+    distribution by VALUE thresholds from a (lang, score) histogram —
+    no per-language global sort (the token_budget_mix scale lesson);
+    the corpus never sorts, thresholds broadcast back
+    (operators/text.py perplexity_buckets). Docs with a NULL language
+    are excluded by both engines (inner threshold join)."""
+    from w_userflow_featurestore_spark.operators.text import (
+        perplexity_buckets,
+    )
+    return perplexity_buckets(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text", "lang"]))
+
+
 def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram surprisal vs the corpus LM, quantized to whole
     bits (integer-exact CCNet-style perplexity-filter signal)."""
@@ -2094,16 +2124,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round ---
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
-    # --- oldest round-6 certificate holders (fill to 50; the sixth
-    # fill slot went to bpe_encode — shipping_priority keeps its r6
-    # certificate, valid through round 9, and leads the tail) ---
+    "bigram_surprisal": q_bigram_surprisal,
+    "perplexity_buckets": q_perplexity_buckets,
+    # --- oldest round-6 certificate holders (fill to 50; three fill
+    # slots went to new queries — the displaced r6 holders keep
+    # certificates valid through round 9 and lead the tail) ---
     "funnel_daily": q_funnel_daily,
     "event_transitions": q_event_transitions,
     "incremental_curate": q_incremental_curate,
-    "behavior_diversity": q_behavior_diversity,
-    "contamination": q_contamination,
     # --- certificate tail. Remaining round-6 holders first — they
     # lead the round-9 window ---
+    "behavior_diversity": q_behavior_diversity,
+    "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
     "churn_labels": q_churn_labels,
     "time_decay_features": q_time_decay_features,
@@ -3244,6 +3276,74 @@ SELECT doc_id,
        round(sum(b) * 1.0 / count(*), 4) AS mean_bits
 FROM tok JOIN bits USING (token)
 GROUP BY doc_id
+"""
+
+# bigram LM surprisal: bits = floor(log2(c1/c2)) via binary-string
+# length — same integer-exact treatment as token_surprisal; bigrams
+# from the word array by index, pairs with an empty side dropped
+ORACLES["bigram_surprisal"] = f"""
+WITH arr AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+             FROM documents),
+big AS (
+  SELECT doc_id, list_extract(ws, i) AS w1, list_extract(ws, i + 1) AS w2
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM arr)
+  WHERE list_extract(ws, i) <> '' AND list_extract(ws, i + 1) <> ''),
+uni AS (
+  SELECT w1, count(*) AS c1 FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w1 FROM documents)
+  WHERE w1 <> '' GROUP BY w1),
+lm2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+bits AS (
+  SELECT w1, w2,
+         CAST(length(format('{{:b}}', c1 // c2)) - 1 AS BIGINT) AS b
+  FROM lm2 JOIN uni USING (w1))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(b) AS BIGINT) AS sum_bits,
+       round(sum(b) * 1.0 / count(*), 4) AS mean_bits
+FROM big JOIN bits USING (w1, w2)
+GROUP BY doc_id
+"""
+
+# CCNet head/middle/tail: value thresholds from a (lang, score)
+# histogram; ceilings as (n + 2) // 3 with POSITIVE operands only
+# (Spark DIV truncates, DuckDB // floors — they diverge on negatives)
+ORACLES["perplexity_buckets"] = f"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+    FROM documents)
+  WHERE token <> ''),
+lm AS (SELECT token, count(*) AS n_t FROM tok GROUP BY token),
+tottok AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM lm),
+tbits AS (
+  SELECT token,
+         CAST(length(format('{{:b}}', n_total // n_t)) - 1 AS BIGINT)
+           AS b
+  FROM lm CROSS JOIN tottok),
+ts AS (
+  SELECT doc_id, round(sum(b) * 1.0 / count(*), 4) AS mean_bits
+  FROM tok JOIN tbits USING (token) GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id, d.lang, t.mean_bits
+  FROM ts t JOIN documents d ON t.doc_id = d.doc_id),
+hist AS (SELECT lang, mean_bits, count(*) AS n
+         FROM scored GROUP BY lang, mean_bits),
+cum AS (
+  SELECT lang, mean_bits,
+         sum(n) OVER (PARTITION BY lang ORDER BY mean_bits) AS c,
+         sum(n) OVER (PARTITION BY lang) AS tot
+  FROM hist),
+thr AS (
+  SELECT lang,
+         min(CASE WHEN c >= (tot + 2) // 3 THEN mean_bits END) AS t1,
+         min(CASE WHEN c >= (2 * tot + 2) // 3 THEN mean_bits END) AS t2
+  FROM cum GROUP BY lang)
+SELECT doc_id, lang, mean_bits,
+       CASE WHEN mean_bits <= t1 THEN 'head'
+            WHEN mean_bits <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored JOIN thr USING (lang)
 """
 
 ORACLES["source_balanced_sample"] = f"""

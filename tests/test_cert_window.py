@@ -50,16 +50,16 @@ ROUND_WINDOW_HEAD = [
     "hll_union_rollup", "market_share", "mixture_weights",
     "incremental_leakage_split",
     # new this round
-    "bpe_merges", "bpe_encode",
+    "bpe_merges", "bpe_encode", "bigram_surprisal",
+    "perplexity_buckets",
 ]
 
 
-# oldest round-6 certificate holders filling the remaining 5 slots
-# (the sixth went to bpe_encode); the round-6 holders left in the tail
-# (shipping_priority .. repetition_profile) lead the round-9 window
+# oldest round-6 certificate holders filling the remaining 3 slots
+# (three went to new queries); the round-6 holders left in the tail
+# (behavior_diversity .. repetition_profile) lead the round-9 window
 ROUND_WINDOW_FILL = [
     "funnel_daily", "event_transitions", "incremental_curate",
-    "behavior_diversity", "contamination",
 ]
 
 

@@ -550,3 +550,29 @@ def test_bpe_train_round_plan_is_vocab_sized_and_projection_only(spark):
     # 2 agg barriers + fan_out's test-scale round-robin spread (a no-op
     # exchange at real split counts, per its docstring)
     assert_plan(enc, max_shuffles=3, max_sort_merge_joins=0)
+
+
+def test_perplexity_buckets_never_sorts_the_corpus(spark):
+    """CCNet tertile bucketing at 100 TB: thresholds must come from the
+    (lang, score) HISTOGRAM — never a per-language global sort of the
+    corpus (a window partitioned by a handful of languages routes each
+    language's corpus to one task: the token_budget_mix lesson). Pin:
+    zero range partitioning, the scored frame materialized once
+    (ExistingRDD), and only the two value-domain-sized agg barriers
+    above it."""
+    df = _q(spark, "perplexity_buckets")
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert "ExistingRDD" in plan           # scored frame cut once
+    assert plan.count("documents.parquet") == 0
+    assert_plan(df, max_shuffles=2, max_sort_merge_joins=0)
+
+
+def test_bigram_surprisal_builds_pairs_row_locally(spark):
+    """Bigrams come from each doc's word array (transform+explode) —
+    no self-join on (doc, pos), no per-doc window sort. The plan's
+    joins are LM-keyed hash joins; nothing sorts."""
+    df = _q(spark, "bigram_surprisal")
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert_plan(df, max_shuffles=6, max_sort_merge_joins=0)

@@ -984,3 +984,89 @@ def test_bpe_train_matches_independent_model(spark, docs):
         n_tokens = sum(len(want_seqs[w]) for w in ws)
         want_enc[i] = (n_words, n_tokens, n_tokens * 10000 // n_words)
     assert got_enc == want_enc
+
+
+# ---------------------------------------------- bigram LM / CCNet buckets
+
+bigram_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "ab", "ba", "the"]),
+             min_size=0, max_size=10),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=bigram_corpus_strategy)
+@example(docs=[["the", "the"], ["the"]])      # repeated context
+@example(docs=[["a"]])                        # no bigram anywhere
+def test_bigram_surprisal_matches_counting_model(spark, docs):
+    """bigram_surprisal vs a dict-based python model: bits =
+    (c(w1) // c(w1,w2)).bit_length() - 1 summed per doc; docs with
+    fewer than two words yield no row."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bigram_surprisal,
+    )
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    uni: dict = {}
+    big: dict = {}
+    for t in texts:
+        ws = [w for w in t.split() if w]
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    want = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        if len(ws) < 2:
+            continue
+        bits = [(uni[a] // big[(a, b)]).bit_length() - 1
+                for a, b in zip(ws, ws[1:])]
+        n, s = len(bits), sum(bits)
+        want[i] = (n, s, math.floor(s / n * 10000 + 0.5) / 10000)
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_bits"], r["mean_bits"])
+           for r in bigram_surprisal(df).collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.tuples(st.sampled_from(["en", "de"]),
+              st.lists(st.sampled_from(["x", "y", "zz", "qq"]),
+                       min_size=1, max_size=6)),
+    min_size=1, max_size=12))
+def test_perplexity_buckets_matches_threshold_model(spark, docs):
+    """perplexity_buckets vs a python replay of the value-threshold
+    rule: per language, t1/t2 = smallest score whose cumulative count
+    reaches ceil(n/3)/ceil(2n/3); buckets by <= comparison, ties share
+    a bucket. Scores come from the engine's own token_surprisal (its
+    exactness is covered by the oracle gate); the property under test
+    is the BUCKET rule."""
+    from w_userflow_featurestore_spark.operators.text import (
+        perplexity_buckets, token_surprisal,
+    )
+    rows = [(i, lang, " ".join(ws)) for i, (lang, ws) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    scores = {r["doc_id"]: r["mean_bits"]
+              for r in token_surprisal(df).collect()}
+    langs = {i: lang for i, (lang, _ws) in enumerate(docs)}
+    per_lang: dict = {}
+    for i, s in scores.items():
+        per_lang.setdefault(langs[i], []).append(s)
+    thr = {}
+    for lang, vals in per_lang.items():
+        vals.sort()
+        n = len(vals)
+        t1 = vals[-(-n // 3) - 1]
+        t2 = vals[-(-2 * n // 3) - 1]
+        thr[lang] = (t1, t2)
+    want = {}
+    for i, s in scores.items():
+        t1, t2 = thr[langs[i]]
+        want[i] = ("head" if s <= t1 else "middle" if s <= t2 else "tail")
+    got = {r["doc_id"]: r["bucket"]
+           for r in perplexity_buckets(df).collect()}
+    assert got == want

@@ -537,7 +537,7 @@ DOC_QUERIES_2 = [
     "corpus_shuffle", "token_budget_mix", "leakage_safe_split",
     "incremental_leakage_split", "mixture_weights",
     "tokenizer_fertility", "split_leakage_audit", "bpe_merges",
-    "bpe_encode",
+    "bpe_encode", "bigram_surprisal", "perplexity_buckets",
 ]
 
 

@@ -692,6 +692,127 @@ def token_surprisal(docs: DataFrame, text_col: str = "text",
                          .alias("mean_bits")))
 
 
+def bigram_surprisal(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document BIGRAM surprisal under the corpus's own 2-gram MLE
+    language model — the context-aware upgrade of
+    :func:`token_surprisal` (CCNet's filter is a real n-gram LM; a
+    unigram model can't see that "the the" is surprising), with the
+    same whole-bit quantization: a bigram (a, b) occurring c2 times
+    under a context ``a`` occurring c1 times contributes
+    ``bit_length(c1 div c2) - 1`` = floor(log2(c1/c2)) bits — exact
+    integer arithmetic via binary-string length, never a float log.
+    c1 >= c2 always (every bigram occurrence contains its context), so
+    bits >= 0.
+
+    Returns (doc_id, n_bigrams, sum_bits, mean_bits) for every doc
+    with >= 2 countable words (a doc with fewer has no bigram to
+    score; it gets no row — compose with token_surprisal for a
+    backstop signal).
+
+    Scale shape: bigrams are built ROW-LOCALLY from each doc's word
+    array (transform over sequence — no self-join, no window, no
+    per-token shuffle); one bigram hash-aggregate builds the LM
+    (map-side combine), the per-bigram bits join back on the bigram
+    key, and one doc-keyed aggregate emits the profile. The context
+    counts reuse the same token stream (unigram hash-agg), joined into
+    the LM on the context word.
+    """
+    ws = words(F.col(text_col))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                           F.element_at(ws, i + 1).alias("w2")))
+    big = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+           .where(F.size(ws) >= 2)      # sequence(1,0) would descend
+           .select(F.col(id_col), F.explode(pairs).alias("p"))
+           .select(F.col(id_col), F.col("p.w1").alias("w1"),
+                   F.col("p.w2").alias("w2"))
+           .where((F.col("w1") != "") & (F.col("w2") != "")))
+    uni = (fan_out(docs.select(F.col(text_col)))
+           .select(F.explode(words(F.col(text_col))).alias("w1"))
+           .where(F.col("w1") != "")
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    lm2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bits = (lm2.join(uni, "w1")
+               .withColumn("bits",
+                           (F.length(F.bin(F.expr("c1 DIV c2"))) - 1)
+                            .cast("long"))
+               .select("w1", "w2", "bits"))
+    return (big.join(bits, ["w1", "w2"])
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum("bits").alias("sum_bits"))
+               .select(F.col(id_col),
+                       F.col("n_bigrams").cast("long"),
+                       F.col("sum_bits").cast("long"),
+                       fround(F.col("sum_bits") / F.col("n_bigrams"), 4)
+                        .alias("mean_bits")))
+
+
+def perplexity_buckets(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       lang_col: str = "lang") -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per
+    language, bucket documents into thirds of the LM-surprisal
+    distribution — 'head' (lowest surprisal, most fluent) typically
+    kept outright, 'middle' kept or sampled, 'tail' dropped or
+    down-weighted. Scores come from :func:`token_surprisal` (whole-bit
+    quantized, cross-engine exact).
+
+    Bucket rule — VALUE thresholds, not row-number tertiles: per
+    language, t1 = the smallest score value whose cumulative doc count
+    reaches ceil(n/3), t2 = likewise for ceil(2n/3); bucket = head iff
+    score <= t1, middle iff score <= t2, else tail. Ties share a
+    bucket (the CCNet semantic is "where does my score sit in the
+    distribution", and value thresholds are what a percentile cut
+    gives), so bucket sizes are exact thirds only up to ties.
+
+    Returns (doc_id, lang, mean_bits, bucket).
+
+    Scale shape — NO per-language global sort (the round-6
+    token_budget_mix lesson: a window partitioned by a handful of
+    languages routes each language's corpus to one task). mean_bits is
+    quantized to 4 decimals, so the score domain is small and
+    bounded: the thresholds come from a (lang, score) HISTOGRAM — one
+    hash-aggregate whose output is value-domain-sized, a window over
+    that tiny frame, and a broadcast of ~2 rows per language back onto
+    the scored docs. The corpus-sized frame never sorts and never
+    shuffles beyond token_surprisal's own aggregates.
+    """
+    # Lineage cut: the scored frame feeds BOTH the histogram chain and
+    # the final bucket assignment; without it the whole surprisal
+    # subtree (two LM joins + a doc aggregate) runs twice. The
+    # materialized frame is three narrow columns per doc — the same
+    # bounded trade incremental_duplicate_spans makes for its postings.
+    scored = (token_surprisal(docs, text_col, id_col)
+              .join(docs.select(F.col(id_col), F.col(lang_col)), id_col)
+              .select(F.col(id_col), F.col(lang_col).alias("lang"),
+                      "mean_bits")
+              .localCheckpoint(eager=True))
+    hist = (scored.groupBy("lang", "mean_bits")
+                  .agg(F.count(F.lit(1)).alias("_n")))
+    w = (Window.partitionBy("lang").orderBy("mean_bits")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("lang")
+    cum = (hist.withColumn("_cum", F.sum("_n").over(w))
+               .withColumn("_tot", F.sum("_n").over(tot)))
+    # smallest value reaching ceil(n/3) / ceil(2n/3); ceiling as
+    # (n + 2) DIV 3 — POSITIVE operands only, because Spark's DIV
+    # truncates toward zero while DuckDB's // floors, and the two
+    # diverge exactly on negative operands
+    thresholds = (cum.groupBy("lang")
+                  .agg(F.min(F.when(F.expr("_cum >= (_tot + 2) DIV 3"),
+                                    F.col("mean_bits"))).alias("_t1"),
+                       F.min(F.when(F.expr("_cum >= (2 * _tot + 2) DIV 3"),
+                                    F.col("mean_bits"))).alias("_t2")))
+    return (scored.join(F.broadcast(thresholds), "lang")
+            .select(id_col, "lang", "mean_bits",
+                    F.when(F.col("mean_bits") <= F.col("_t1"), "head")
+                     .when(F.col("mean_bits") <= F.col("_t2"), "middle")
+                     .otherwise("tail").alias("bucket")))
+
+
 def bpe_pair_counts(docs: DataFrame, k: int = 20,
                     text_col: str = "text") -> DataFrame:
     """The inner counting step of BPE tokenizer training (Sennrich et
