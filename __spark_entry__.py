@@ -907,6 +907,21 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    columns=["doc_id", "text", "lang"]))
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): score every document by how much its
+    hashed unigram+bigram features look like the English-language
+    subset — importance = sum of signed whole-bit quantized smoothed
+    log(p_target(f)/p_raw(f)) over 10k hashed feature buckets
+    (operators/sampling.py dsir_importance). Feature counts are
+    bounded hash-aggs; the <=10k-row weight table broadcasts onto the
+    doc-feature stream, so the corpus never shuffles for scoring."""
+    docs = read_table(spark, sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"])
+    return SMP.dsir_importance(
+        docs.select("doc_id", "text"),
+        docs.where(F.col("lang") == "en").select("text"))
+
+
 def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram surprisal vs the corpus LM, quantized to whole
     bits (integer-exact CCNet-style perplexity-filter signal)."""
@@ -2126,14 +2141,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "bigram_surprisal": q_bigram_surprisal,
     "perplexity_buckets": q_perplexity_buckets,
-    # --- oldest round-6 certificate holders (fill to 50; three fill
+    "dsir_importance": q_dsir_importance,
+    # --- oldest round-6 certificate holders (fill to 50; four fill
     # slots went to new queries — the displaced r6 holders keep
     # certificates valid through round 9 and lead the tail) ---
     "funnel_daily": q_funnel_daily,
     "event_transitions": q_event_transitions,
-    "incremental_curate": q_incremental_curate,
     # --- certificate tail. Remaining round-6 holders first — they
     # lead the round-9 window ---
+    "incremental_curate": q_incremental_curate,
     "behavior_diversity": q_behavior_diversity,
     "contamination": q_contamination,
     "shipping_priority": q_shipping_priority,
@@ -3275,6 +3291,55 @@ SELECT doc_id,
        CAST(sum(b) AS BIGINT) AS sum_bits,
        round(sum(b) * 1.0 / count(*), 4) AS mean_bits
 FROM tok JOIN bits USING (token)
+GROUP BY doc_id
+"""
+
+def _dsir_grams_sql(source_sql: str, *cols: str) -> str:
+    """Hashed unigram+bigram feature stream for DSIR — the same gram
+    construction over a given document source, mirrored from
+    operators/sampling.py dsir_importance."""
+    sel = ", ".join(cols) + ", " if cols else ""
+    return f"""
+  SELECT {sel}{_h60("'dsir:' || g")} % 10000 AS f FROM (
+    SELECT {sel}unnest(string_split({_NORM}, ' ')) AS g
+    FROM ({source_sql})
+    UNION ALL
+    SELECT {sel}list_extract(ws, i) || ' ' || list_extract(ws, i + 1)
+             AS g
+    FROM (SELECT {sel}ws, unnest(range(1, len(ws))) AS i
+          FROM (SELECT {sel}string_split({_NORM}, ' ') AS ws
+                FROM ({source_sql})))
+  ) WHERE g <> ''"""
+
+
+# DSIR importance: signed whole-bit quantization of the smoothed
+# target/raw feature-probability log-ratio — lb(num DIV den) -
+# lb(den DIV num) with lb(x) = bit-length - 1 (lb(0) = 0); HUGEINT
+# mirrors the Spark side's DECIMAL(38,0) widening
+ORACLES["dsir_importance"] = f"""
+WITH rawg AS ({_dsir_grams_sql("SELECT doc_id, text FROM documents",
+                               "doc_id")}),
+tg AS ({_dsir_grams_sql(
+    "SELECT text FROM documents WHERE lang = 'en'")}),
+tc AS (SELECT f, CAST(count(*) AS BIGINT) AS t_f FROM tg GROUP BY f),
+rc AS (SELECT f, CAST(count(*) AS BIGINT) AS r_f FROM rawg GROUP BY f),
+tt AS (SELECT coalesce(sum(t_f), 0) AS tot_t FROM tc),
+rt AS (SELECT coalesce(sum(r_f), 0) AS tot_r FROM rc),
+w AS (
+  SELECT f,
+         CAST((length(format('{{:b}}', CAST(num // den AS BIGINT))) - 1)
+              - (length(format('{{:b}}', CAST(den // num AS BIGINT))) - 1)
+              AS BIGINT) AS w_bits
+  FROM (
+    SELECT rc.f,
+           CAST(coalesce(t_f, 0) + 1 AS HUGEINT) * (tot_r + 10000)
+             AS num,
+           CAST(r_f + 1 AS HUGEINT) * (tot_t + 10000) AS den
+    FROM rc LEFT JOIN tc USING (f), tt, rt))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(w_bits) AS BIGINT) AS score_bits
+FROM rawg JOIN w USING (f)
 GROUP BY doc_id
 """
 

@@ -576,3 +576,16 @@ def test_bigram_surprisal_builds_pairs_row_locally(spark):
     plan = physical_plan(df)
     assert "rangepartitioning" not in plan.lower()
     assert_plan(df, max_shuffles=6, max_sort_merge_joins=0)
+
+
+def test_dsir_importance_broadcasts_the_weight_table(spark):
+    """DSIR at 100 TB: the <=n_features-row weight table must BROADCAST
+    onto the doc-feature stream (the corpus never shuffles for the
+    scoring join); the only sort-merge join is the tiny bounded
+    full-outer of the two feature-count aggregates; nothing range
+    partitions."""
+    df = _q(spark, "dsir_importance")
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert_plan(df, max_shuffles=12, min_broadcast_joins=1,
+                max_sort_merge_joins=1)

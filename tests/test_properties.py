@@ -1070,3 +1070,67 @@ def test_perplexity_buckets_matches_threshold_model(spark, docs):
     got = {r["doc_id"]: r["bucket"]
            for r in perplexity_buckets(df).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.tuples(st.booleans(),                        # in target?
+              st.lists(st.sampled_from(["x", "y", "zz", "the"]),
+                       min_size=0, max_size=6)),
+    min_size=1, max_size=10))
+def test_dsir_importance_matches_counting_model(spark, docs):
+    """dsir_importance vs a dict model replaying the exact signed
+    whole-bit quantization: lb(num // den) - lb(den // num) over
+    add-one smoothed hashed unigram+bigram counts. The hash is
+    replayed through the engine's own text_hash60 expression (its
+    md5 math is pinned by every split oracle), so the property under
+    test is the counting + quantization pipeline."""
+    import hashlib as _hl
+
+    from w_userflow_featurestore_spark.operators.sampling import (
+        dsir_importance,
+    )
+    NF = 10_000
+
+    def h(g: str) -> int:
+        return int(_hl.md5(f"dsir:{g}".encode()).hexdigest()[:15],
+                   16) % NF
+
+    def grams(ws):
+        return [h(g) for g in ws + [f"{a} {b}"
+                                    for a, b in zip(ws, ws[1:])]]
+
+    rows = [(i, " ".join(ws)) for i, (_t, ws) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target_rows = [(t,) for is_t, ws in docs
+                   if is_t for t in [" ".join(ws)]]
+    tdf = spark.createDataFrame(target_rows or [(None,)],
+                                "text string").where("text IS NOT NULL")
+    tc: dict = {}
+    rc: dict = {}
+    for is_t, ws in docs:
+        ws = [w for w in ws if w]
+        for f in grams(ws):
+            rc[f] = rc.get(f, 0) + 1
+            if is_t:
+                tc[f] = tc.get(f, 0) + 1
+    T, R = sum(tc.values()), sum(rc.values())
+
+    def lb(x: int) -> int:
+        return max(x.bit_length() - 1, 0)
+
+    wbits = {f: lb(((tc.get(f, 0) + 1) * (R + NF))
+                   // ((rf + 1) * (T + NF)))
+             - lb(((rf + 1) * (T + NF))
+                  // ((tc.get(f, 0) + 1) * (R + NF)))
+             for f, rf in rc.items()}
+    want = {}
+    for i, (_t, ws) in enumerate(docs):
+        ws = [w for w in ws if w]
+        fs = grams(ws)
+        if fs:
+            want[i] = (len(fs), sum(wbits[f] for f in fs))
+    got = {r["doc_id"]: (r["n_feats"], r["score_bits"])
+           for r in dsir_importance(df, tdf).collect()}
+    assert got == want

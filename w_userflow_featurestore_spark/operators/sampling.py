@@ -587,6 +587,89 @@ def temperature_mix_weights(docs: DataFrame, budget_tokens: int,
                      .alias("budget_tokens")))
 
 
+def dsir_importance(docs: DataFrame, target: DataFrame,
+                    n_features: int = 10_000,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023):
+    score every raw document by how much its hashed n-gram features
+    look like a TARGET domain sample — importance =
+    sum_f count_f(doc) * log(p_target(f) / p_raw(f)) over hashed
+    unigram+bigram features — the principled replacement for
+    classifier-based quality filtering when "quality" means "like this
+    domain". High scores feed :func:`weighted_sample`-style keeps or a
+    top-k cut.
+
+    Exact cross-engine arithmetic: the log-ratio is quantized to
+    SIGNED WHOLE BITS, ``lb(num DIV den) - lb(den DIV num)`` with
+    ``lb(x) = bit_length(x) - 1`` (and lb(0) = 0), where
+    num = (t_f + 1) * (R + n_features) and
+    den = (r_f + 1) * (T + n_features) — add-one smoothed target/raw
+    feature probabilities cross-multiplied into integers, widened to
+    DECIMAL(38,0) so the count*total products cannot wrap at corpus
+    scale. The quantization is a documented symmetric floor (for
+    ratios < 1 it rounds toward zero, i.e. -lb(1/x) instead of
+    -ceil(log2(1/x))) — deterministic and identical in both engines,
+    which is the contract that matters for a ranking signal.
+
+    Returns (doc_id, n_feats, score_bits): feature occurrences (with
+    multiplicity) and the summed signed-bit importance.
+
+    Scale shape: features hash into ``n_features`` buckets, so BOTH
+    count aggregates are bounded-output hash-aggs with map-side
+    combine, the weight table is at most n_features rows and
+    BROADCASTS onto the doc-feature stream (the corpus never shuffles
+    for the scoring join), and one doc-keyed aggregate emits the
+    score. Grams are built row-locally from each doc's word array.
+    """
+    from w_userflow_featurestore_spark.operators.dedup import words
+    from w_userflow_featurestore_spark.sources import fan_out
+
+    def grams(frame: DataFrame, *extra_cols: str) -> DataFrame:
+        ws = words(F.col(text_col))
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i),
+                                  F.element_at(ws, i + 1)))
+        allgrams = F.when(F.size(ws) >= 2,
+                          F.concat(ws, bigrams)).otherwise(ws)
+        g = (fan_out(frame.select(*extra_cols, F.col(text_col)))
+             .select(*extra_cols, F.explode(allgrams).alias("_g"))
+             .where(F.col("_g") != ""))
+        return g.select(*extra_cols,
+                        F.pmod(text_hash60(F.concat(F.lit("dsir:"),
+                                                    F.col("_g"))),
+                               F.lit(n_features)).alias("f"))
+
+    t_counts = (grams(target).groupBy("f")
+                .agg(F.count(F.lit(1)).cast("long").alias("t_f")))
+    doc_feats = grams(docs, id_col)
+    r_counts = (doc_feats.groupBy("f")
+                .agg(F.count(F.lit(1)).cast("long").alias("r_f")))
+    t_tot = t_counts.agg(F.coalesce(F.sum("t_f"), F.lit(0))
+                         .alias("_T"))
+    r_tot = r_counts.agg(F.coalesce(F.sum("r_f"), F.lit(0))
+                         .alias("_R"))
+    lb = ("(length(bin({x})) - 1)")
+    num = (f"(CAST(coalesce(t_f, 0) + 1 AS DECIMAL(38,0))"
+           f" * (_R + {n_features}))")
+    den = (f"(CAST(coalesce(r_f, 0) + 1 AS DECIMAL(38,0))"
+           f" * (_T + {n_features}))")
+    weights = (r_counts.join(t_counts, "f", "full_outer")
+               .crossJoin(F.broadcast(t_tot))
+               .crossJoin(F.broadcast(r_tot))
+               .select("f",
+                       (F.expr(lb.format(x=f"CAST({num} DIV {den}"
+                                           f" AS BIGINT)"))
+                        - F.expr(lb.format(x=f"CAST({den} DIV {num}"
+                                             f" AS BIGINT)")))
+                       .cast("long").alias("w_bits")))
+    return (doc_feats.join(F.broadcast(weights), "f")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
+                 F.sum("w_bits").cast("long").alias("score_bits")))
+
+
 def negative_samples(positives: DataFrame, user_col: str = "user_id",
                      item_col: str = "item_k", k: int = 4,
                      salt: str = "neg") -> DataFrame:
