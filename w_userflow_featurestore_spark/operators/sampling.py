@@ -621,6 +621,12 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
     BROADCASTS onto the doc-feature stream (the corpus never shuffles
     for the scoring join), and one doc-keyed aggregate emits the
     score. Grams are built row-locally from each doc's word array.
+    The doc-gram subtree is deliberately NOT lineage-cut even though
+    two consumers read it (the r_f aggregate and the scoring join):
+    it is TOKEN-grain — materializing it costs ~16 bytes per corpus
+    gram (petabytes at 100 TB) while recomputing it costs one extra
+    row-local scan+explode pass — the opposite trade from
+    perplexity_buckets' DOC-grain scored frame, which is cut.
     """
     from w_userflow_featurestore_spark.operators.dedup import words
     from w_userflow_featurestore_spark.sources import fan_out
