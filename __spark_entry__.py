@@ -907,6 +907,23 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    columns=["doc_id", "text", "lang"]))
 
 
+def q_quality_filter_verdict(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The curation rules engine: per-doc keep/drop with PER-RULE
+    attribution (length / quality / repetition / language) — the
+    RedPajama/Gopher-style filter layer as ONE zero-shuffle row-local
+    projection that pipelines into the scan (operators/text.py
+    quality_filter_verdict). Rule hit-rates are the curation
+    dashboard; the oracle recomputes every rule from the same
+    normalized text."""
+    from w_userflow_featurestore_spark.operators.text import (
+        quality_filter_verdict,
+    )
+    return quality_filter_verdict(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text"]))
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023): score every document by how much its
     hashed unigram+bigram features look like the English-language
@@ -2142,13 +2159,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_surprisal": q_bigram_surprisal,
     "perplexity_buckets": q_perplexity_buckets,
     "dsir_importance": q_dsir_importance,
-    # --- oldest round-6 certificate holders (fill to 50; four fill
+    "quality_filter_verdict": q_quality_filter_verdict,
+    # --- oldest round-6 certificate holder (fill to 50; five fill
     # slots went to new queries — the displaced r6 holders keep
     # certificates valid through round 9 and lead the tail) ---
     "funnel_daily": q_funnel_daily,
-    "event_transitions": q_event_transitions,
     # --- certificate tail. Remaining round-6 holders first — they
     # lead the round-9 window ---
+    "event_transitions": q_event_transitions,
     "incremental_curate": q_incremental_curate,
     "behavior_diversity": q_behavior_diversity,
     "contamination": q_contamination,
@@ -3293,6 +3311,47 @@ SELECT doc_id,
 FROM tok JOIN bits USING (token)
 GROUP BY doc_id
 """
+
+# rules-engine verdict: prof supplies quality/lang, the repetition
+# CTEs (r-prefixed to avoid _PROFILE_CTE's w/p names) supply the
+# unrounded fraction signals; every rule recomputed independently
+ORACLES["quality_filter_verdict"] = _PROFILE_CTE + f""",
+rw AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+rex AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS wd FROM rw),
+rwc AS (SELECT doc_id, max(n) AS n, count(*) AS c
+        FROM rex GROUP BY doc_id, wd),
+rwa AS (SELECT doc_id, max(n) AS n, count(*) AS n_distinct,
+               max(c) AS top_w
+        FROM rwc GROUP BY doc_id),
+rbg AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i+1])) AS b
+        FROM rw WHERE len(ws) >= 2),
+rbc AS (SELECT doc_id, count(*) AS c FROM rbg GROUP BY doc_id, b),
+rba AS (SELECT doc_id, max(c) AS top_b FROM rbc GROUP BY doc_id),
+verdict AS (
+  SELECT prof.doc_id,
+         CAST(rwa.n AS BIGINT) AS n_words,
+         prof.quality,
+         prof.lang_pred,
+         rwa.n >= 20 AS pass_length,
+         CASE WHEN prof.quality IS NULL OR isnan(prof.quality)
+              THEN FALSE ELSE prof.quality >= 0.5 END AS pass_quality,
+         NOT ((CAST(top_w AS DOUBLE) / rwa.n > 0.2)
+              OR (coalesce(CAST(top_b AS DOUBLE) / (rwa.n - 1), 0.0)
+                  > 0.18)
+              OR (CAST(n_distinct AS DOUBLE) / rwa.n < 0.3))
+           AS pass_repetition,
+         prof.lang_pred <> 'und' AS pass_lang
+  FROM prof JOIN rwa ON prof.doc_id = rwa.doc_id
+  LEFT JOIN rba ON prof.doc_id = rba.doc_id)
+SELECT doc_id, n_words, quality, lang_pred,
+       pass_length, pass_quality, pass_repetition, pass_lang,
+       (pass_length AND pass_quality AND pass_repetition AND pass_lang)
+         AS keep
+FROM verdict
+"""
+
 
 def _dsir_grams_sql(source_sql: str, *cols: str) -> str:
     """Hashed unigram+bigram feature stream for DSIR — the same gram

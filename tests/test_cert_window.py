@@ -51,15 +51,15 @@ ROUND_WINDOW_HEAD = [
     "incremental_leakage_split",
     # new this round
     "bpe_merges", "bpe_encode", "bigram_surprisal",
-    "perplexity_buckets", "dsir_importance",
+    "perplexity_buckets", "dsir_importance", "quality_filter_verdict",
 ]
 
 
-# oldest round-6 certificate holders filling the remaining 2 slots
-# (four went to new queries); the round-6 holders left in the tail
-# (incremental_curate .. repetition_profile) lead the round-9 window
+# oldest round-6 certificate holder filling the remaining slot (five
+# went to new queries); the round-6 holders left in the tail
+# (event_transitions .. repetition_profile) lead the round-9 window
 ROUND_WINDOW_FILL = [
-    "funnel_daily", "event_transitions",
+    "funnel_daily",
 ]
 
 

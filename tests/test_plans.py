@@ -589,3 +589,14 @@ def test_dsir_importance_broadcasts_the_weight_table(spark):
     assert "rangepartitioning" not in plan.lower()
     assert_plan(df, max_shuffles=12, min_broadcast_joins=1,
                 max_sort_merge_joins=1)
+
+
+def test_quality_filter_verdict_is_zero_shuffle(spark):
+    """The complete rules engine must pipeline into the document scan:
+    zero shuffles (repetition's mode counts ride the sorted-run trick,
+    never an explode+groupBy), so the filter layer costs one pass in
+    front of any shuffle-bearing dedup stage."""
+    df = _q(spark, "quality_filter_verdict")
+    assert_plan(df, max_shuffles=1)   # fan_out's test-scale spread only
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()

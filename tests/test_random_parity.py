@@ -538,7 +538,7 @@ DOC_QUERIES_2 = [
     "incremental_leakage_split", "mixture_weights",
     "tokenizer_fertility", "split_leakage_audit", "bpe_merges",
     "bpe_encode", "bigram_surprisal", "perplexity_buckets",
-    "dsir_importance",
+    "dsir_importance", "quality_filter_verdict",
 ]
 
 

@@ -76,3 +76,28 @@ def test_chunking_plan_is_single_explode_no_shuffle(spark):
     # fan_out's round-robin spread is the only exchange (no-op at scale)
     assert_plan(chunk_documents(_docs(spark, [(1, "a b c")])),
                 max_shuffles=1, max_sort_merge_joins=0)
+
+
+def test_quality_filter_verdict_rule_attribution(spark):
+    """Each rule fails in isolation on a doc constructed to violate
+    exactly it, and keep is the conjunction. The short doc: 'banana
+    fruit' has 2 words (< 20) but 1.0 distinct ratio and 0.5 top-word
+    frac — top_word_max is exceeded too, so it fails length AND
+    repetition; the repeated doc fails repetition alone."""
+    from w_userflow_featurestore_spark.operators.text import (
+        quality_filter_verdict,
+    )
+    fluent = ("the quick brown fox jumps over the lazy dog and then "
+              "it runs far away to find a new home for the long cold "
+              "winter that is coming soon")
+    repeated = " ".join(["spam"] * 30)
+    rows = [(1, fluent), (2, repeated), (3, "word another")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in quality_filter_verdict(df).collect()}
+    assert got[1]["keep"] and all(
+        got[1][f] for f in ("pass_length", "pass_quality",
+                            "pass_repetition", "pass_lang"))
+    assert not got[2]["pass_repetition"] and got[2]["pass_length"]
+    assert not got[2]["keep"]
+    assert not got[3]["pass_length"] and not got[3]["keep"]

@@ -692,6 +692,86 @@ def token_surprisal(docs: DataFrame, text_col: str = "text",
                          .alias("mean_bits")))
 
 
+def quality_filter_verdict(docs: DataFrame, *,
+                           min_words: int = 20,
+                           quality_min: float = 0.5,
+                           top_word_max: float = 0.20,
+                           top_bigram_max: float = 0.18,
+                           distinct_min: float = 0.30,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The curation RULES ENGINE: per-document keep/drop verdict with
+    PER-RULE attribution — the RedPajama/Gopher-style filter layer
+    where a production pipeline needs to know not just that a document
+    was dropped but WHY (rule hit-rates are the curation dashboard;
+    a rule that suddenly drops 40% of a crawl is an incident signal).
+
+    Four rules, every flag emitted alongside the verdict:
+      pass_length     — >= ``min_words`` whitespace words,
+      pass_quality    — heuristic :func:`quality_score` >= ``quality_min``
+                        (compared on the published 2-decimal score),
+      pass_repetition — none of :func:`repetition_profile`'s three
+                        signals crosses its threshold (same unrounded
+                        fractions, same defaults),
+      pass_lang       — :func:`lang_id` identified a language ('und'
+                        fails).
+    ``keep`` = all four.
+
+    Returns (doc_id, n_words, quality, lang_pred, pass_length,
+    pass_quality, pass_repetition, pass_lang, keep).
+
+    Scale shape: ONE row-local projection — the length/quality/
+    repetition/language expressions all pipeline into the document
+    scan with zero shuffles (repetition's mode counts via
+    :func:`_max_run`'s sorted-run trick), so the complete rules engine
+    costs one pass and composes as the pre-filter stage in front of
+    any shuffle-bearing dedup (the same position curate_corpus gives
+    its quality floor).
+    """
+    docs = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    c = F.col(text_col)
+    out = (docs.withColumn("__ws", words(c))
+               .withColumn("__n", F.size(F.col("__ws")))
+               .withColumn("__q", quality_score(c))
+               .withColumn("__lang", lang_id(c)))
+    n, wsc = F.col("__n"), F.col("__ws")
+    empty = F.array().cast("array<string>")
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(wsc, i, 2)))).otherwise(empty)
+    top_word = _max_run(F.array_sort(wsc)).cast("double") / n
+    top_bigram = F.coalesce(
+        _max_run(F.array_sort(bigrams)).cast("double")
+        / F.nullif(n - 1, F.lit(0)), F.lit(0.0))
+    distinct_ratio = F.size(F.array_distinct(wsc)).cast("double") / n
+    repetitive = ((top_word > F.lit(top_word_max))
+                  | (top_bigram > F.lit(top_bigram_max))
+                  | (distinct_ratio < F.lit(distinct_min)))
+    # degenerate-doc guard: quality_score on an empty/whitespace text
+    # divides by zero — Spark emits NULL where DuckDB emits NaN (and
+    # DuckDB orders NaN ABOVE every number, so a bare `>=` would pass
+    # there and NULL out here). An unscorable doc fails the rule,
+    # explicitly, in both engines.
+    q_ok = F.when(F.col("__q").isNull() | F.isnan("__q"),
+                  F.lit(False)).otherwise(F.col("__q") >= quality_min)
+    flags = {
+        "pass_length": n >= min_words,
+        "pass_quality": q_ok,
+        "pass_repetition": ~repetitive,
+        "pass_lang": F.col("__lang") != "und",
+    }
+    keep = flags["pass_length"]
+    for f in list(flags.values())[1:]:
+        keep = keep & f
+    return out.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.col("__q").alias("quality"),
+        F.col("__lang").alias("lang_pred"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        keep.alias("keep"))
+
+
 def bigram_surprisal(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Per-document BIGRAM surprisal under the corpus's own 2-gram MLE
