@@ -535,7 +535,11 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               .where(F.col("r_name").isin(*MARKET_REGIONS)))
     # market label = the customer nation's region; a nation has exactly
     # one region, so the inner joins relabel without fan-out and the
-    # orders/customer shuffles stay 3/5 size at any scale
+    # customer-derived frame stays 3/5 of the customer table at any
+    # scale. NO broadcast hint on it: customer is SF-proportional, so a
+    # forced hint would ship millions of rows per executor at SF~100 —
+    # AQE picks broadcast while it fits the threshold and falls back to
+    # a 3/5-pruned shuffle join beyond (round-8 ADVICE)
     mkt_nations = (nation.join(F.broadcast(region),
                                F.col("n_regionkey") == F.col("r_regionkey"))
                    .select(F.col("n_nationkey").alias("_mk"),
@@ -567,7 +571,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "left_semi")
              .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
              .join(orders, li.l_orderkey == orders.o_orderkey)
-             .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+             .join(cust, F.col("o_custkey") == cust.c_custkey)
              .groupBy("market",
                       F.year("o_orderdate").cast("long").alias("o_year"))
              .agg(F.sum(F.when(F.col("supp_nation") == "NATION_2", disc)

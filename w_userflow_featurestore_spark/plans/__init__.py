@@ -56,6 +56,22 @@ def physical_plan(df: DataFrame) -> str:
         conf.set(key, prev) if prev is not None else conf.unset(key)
 
 
+def final_plan(df: DataFrame) -> str:
+    """The FINAL adaptive plan — the plan AQE actually ran, after
+    runtime re-optimization (``isFinalPlan=true``). Executes the query
+    (test-scale only) because AQE finalizes per-stage at runtime: use
+    this to pin claims like "AQE converts this sort-merge join to
+    broadcast at this SF" that the static plan cannot show — e.g. a
+    join deliberately left UNHINTED because its build side is
+    SF-proportional (market_share's 3/5-of-customer frame). Only the
+    "== Final Plan ==" section is returned — the string AQE renders
+    also appends the initial plan, whose pre-conversion operators would
+    otherwise false-positive a "no SortMergeJoin" assertion."""
+    df.foreach(lambda _: None)      # cheapest full materialization
+    plan = physical_plan(df)
+    return plan.split("== Initial Plan ==")[0]
+
+
 def broadcast_hint_count(df: DataFrame) -> int:
     """Number of EXPLICIT broadcast hints (``F.broadcast``/``/*+ BROADCAST */``)
     in the analyzed logical plan.

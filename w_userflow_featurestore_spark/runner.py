@@ -248,7 +248,19 @@ class SplitLedgerResult:
 def read_split_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
     """The CURRENT committed component ledger (doc_id, group_key) — the
     version the ``_current`` pointer names; uncommitted/crashed writes
-    are invisible by construction."""
+    are invisible by construction.
+
+    ``ledger_dir`` must be a DRIVER-LOCAL filesystem path: the
+    ``_current`` pointer is read with ``open()`` / committed with
+    ``os.replace()`` (the atomic-rename primitive object stores don't
+    offer) while the version directories are Spark parquet writes to
+    the same path string — the two coincide only on a local (or
+    driver-mounted, e.g. NFS) filesystem, same as
+    :class:`~w_userflow_featurestore_spark.incremental.IncrementalPlanner`'s
+    file ledger. An object-store deployment (s3://, hdfs://) should
+    keep the data versions remote and the pointer on a rename-capable
+    store (or a catalog) — the versioned-pointer seam localizes that
+    swap to these two functions (round-8 ADVICE)."""
     import json as _json
     import os as _os
     with open(_os.path.join(ledger_dir, "_current")) as fh:
@@ -285,6 +297,9 @@ def run_split_ledger_update(spark: SparkSession, ledger_dir: str,
     deployment hot enough to feel that rewrite should bucket the ledger
     by hash(doc_id) and rewrite only buckets holding changed rows — the
     versioned-pointer seam here accommodates that without API change.
+
+    ``ledger_dir`` must be driver-local — see
+    :func:`read_split_ledger` for the pointer-vs-data storage contract.
     """
     import json as _json
     import os as _os
