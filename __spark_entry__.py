@@ -881,6 +881,31 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def q_bpe_encode_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> PUBLISH -> load -> encode: the tokenizer-registry
+    round-trip (operators/text.py bpe_save/bpe_load/bpe_apply_from).
+    The trained merge list is committed to a versioned LogTable
+    artifact (append-only version registry, manifest stats on
+    tokenizer_version for pruned loads — the ivf_index_build pattern),
+    then the encode reads the PUBLISHED artifact rather than the
+    in-memory list, proving train and apply can run as different jobs.
+    Output must hash-match bpe_encode exactly — persistence changes
+    where the model lives, not what the plan computes — so the oracle
+    is bpe_encode's, verbatim."""
+    import os
+    import tempfile
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_apply_from, bpe_save, bpe_train,
+    )
+    docs = read_table(spark, sf_dir, "documents",
+                      columns=["doc_id", "text"])
+    merges, _ = bpe_train(docs, n_merges=N_BPE_MERGES)
+    path = os.path.join(tempfile.mkdtemp(prefix="bpe_registry_"),
+                        "tokenizer")
+    version, _snap = bpe_save(spark, path, merges)
+    return bpe_apply_from(spark, path, docs, version=version)
+
+
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram-LM surprisal in whole bits — the context-aware
     upgrade of token_surprisal (CCNet filters on a real n-gram LM; a
@@ -2160,6 +2185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round ---
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "bpe_encode_persisted": q_bpe_encode_persisted,
     "bigram_surprisal": q_bigram_surprisal,
     "perplexity_buckets": q_perplexity_buckets,
     "dsir_importance": q_dsir_importance,
@@ -3292,6 +3318,9 @@ GROUP BY doc_id"""
 
 ORACLES["bpe_merges"] = _bpe_merges_oracle_sql(N_BPE_MERGES)
 ORACLES["bpe_encode"] = _bpe_encode_oracle_sql(N_BPE_MERGES)
+# the persisted-registry round-trip must be indistinguishable from the
+# in-memory encode — same oracle, verbatim, is the contract
+ORACLES["bpe_encode_persisted"] = _bpe_encode_oracle_sql(N_BPE_MERGES)
 
 # unigram surprisal in whole bits: floor(log2(N/n_t)) via binary-string
 # length — integer-exact, no floating-point log in either engine

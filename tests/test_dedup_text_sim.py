@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tests.conftest import rows
+from tests.conftest import SF0001, rows
 from w_userflow_featurestore_spark.operators import dedup as DD
 from w_userflow_featurestore_spark.operators import similarity as SIM
 from w_userflow_featurestore_spark.operators import text as TX
@@ -619,3 +619,71 @@ def test_minhash_accuracy_rejects_non_divisible_k(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pt.raises(ValueError, match="divide 10000"):
         minhash_accuracy(docs, k=7)
+
+
+# ------------------------------------------------- BPE tokenizer registry
+
+def test_bpe_registry_roundtrip_equals_in_memory_apply(spark, tmp_path):
+    """Train -> save -> load -> apply must be byte-identical to applying
+    the in-memory merge list: persistence changes where the model lives,
+    not what the plan computes."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_apply, bpe_apply_from, bpe_load, bpe_save, bpe_train,
+    )
+    from w_userflow_featurestore_spark.sources import read_table
+    docs = read_table(spark, SF0001, "documents",
+                      columns=["doc_id", "text"])
+    merges, _ = bpe_train(docs, n_merges=4)
+    path = str(tmp_path / "tokenizer")
+    version, _snap = bpe_save(spark, path, merges)
+    assert version == 1
+    assert bpe_load(spark, path) == [tuple(m) for m in merges]
+    a = sorted(map(tuple, bpe_apply(docs, merges).collect()))
+    b = sorted(map(tuple, bpe_apply_from(spark, path, docs).collect()))
+    assert a == b
+
+
+def test_bpe_registry_versions_are_pinned_and_latest_resolves(spark, tmp_path):
+    """A pinned version replays forever even after a newer tokenizer is
+    published; the unpinned load resolves the newest."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_load, bpe_save, bpe_train,
+    )
+    from w_userflow_featurestore_spark.sources import read_table
+    docs = read_table(spark, SF0001, "documents",
+                      columns=["doc_id", "text"])
+    m2, _ = bpe_train(docs, n_merges=2)
+    m4, _ = bpe_train(docs, n_merges=4)
+    path = str(tmp_path / "tokenizer")
+    v1, _ = bpe_save(spark, path, m2)
+    v2, _ = bpe_save(spark, path, m4)
+    assert (v1, v2) == (1, 2)
+    assert bpe_load(spark, path, version=1) == [tuple(m) for m in m2]
+    assert bpe_load(spark, path) == [tuple(m) for m in m4]
+
+
+def test_bpe_registry_rollback_and_idempotent_replay(spark, tmp_path):
+    """The registry rides LogTable's snapshot machinery: rollback
+    restores the earlier published state, and a txn-tagged save
+    replayed (checkpoint-recovery style) commits exactly once."""
+    import pytest
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_load, bpe_save, bpe_train,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable, read_table
+    docs = read_table(spark, SF0001, "documents",
+                      columns=["doc_id", "text"])
+    m2, _ = bpe_train(docs, n_merges=2)
+    m3, _ = bpe_train(docs, n_merges=3)
+    path = str(tmp_path / "tokenizer")
+    _, snap1 = bpe_save(spark, path, m2, txn="publish-1")
+    # replayed publish: same token -> same snapshot, no version 2
+    _, snap_replay = bpe_save(spark, path, m2, txn="publish-1")
+    assert snap_replay == snap1
+    assert bpe_load(spark, path) == [tuple(m) for m in m2]
+    _, _snap2 = bpe_save(spark, path, m3, txn="publish-2")
+    assert bpe_load(spark, path) == [tuple(m) for m in m3]
+    LogTable(spark, path).rollback(snap1)
+    assert bpe_load(spark, path) == [tuple(m) for m in m2]
+    with pytest.raises(ValueError, match="not found"):
+        bpe_load(spark, path, version=2)

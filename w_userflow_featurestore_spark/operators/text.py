@@ -1094,3 +1094,81 @@ def bpe_apply(docs: DataFrame, merges: list[tuple],
                     F.expr("CAST((CAST(n_tokens AS DECIMAL(38,0))"
                            " * 10000) DIV n_words AS BIGINT)")
                      .alias("tokens_per_word_bp")))
+
+BPE_MERGE_SCHEMA = ("tokenizer_version long, merge_rank long,"
+                    " left_sym string, right_sym string,"
+                    " merged string, n_occurrences long")
+
+
+def bpe_save(spark, table_path: str, merges: list[tuple],
+             txn: str | None = None) -> tuple[int, int]:
+    """Persist a trained BPE merge list as a VERSIONED LogTable artifact
+    — the tokenizer registry that lets train and apply run in different
+    jobs (the production split: one training job a week, every
+    downstream encode reading the published artifact), with the same
+    build-once/query-many pattern as the persisted IVF index
+    (:func:`~w_userflow_featurestore_spark.operators.similarity.ivf_index_build`).
+
+    Append-only version registry: each save appends the COMPLETE merge
+    list stamped with ``tokenizer_version`` = previous max + 1, as one
+    atomic commit. Old versions stay readable (a training run pinned to
+    tokenizer v3 keeps resolving v3 forever — tokenizer changes silently
+    re-segmenting a corpus mid-run is a classic reproducibility bug),
+    manifest min/max stats on ``tokenizer_version`` let
+    :func:`bpe_load` prune straight to one version's files, and
+    LogTable's snapshot machinery gives rollback/time-travel for free.
+    ``txn`` makes replayed saves idempotent (same token -> same commit).
+
+    Returns ``(tokenizer_version, snapshot_id)``. The merge list is the
+    trained model — k driver-side rows, never row data."""
+    from w_userflow_featurestore_spark.sources import LogTable
+    t = LogTable.create(spark, table_path, [],
+                        stats_columns=["tokenizer_version"])
+    version = 1
+    if t.latest_snapshot_id() is not None:
+        prev = t.read().agg(
+            F.max("tokenizer_version").alias("v")).collect()[0]["v"]
+        version = int(prev or 0) + 1
+    rows = [(version, int(r), a, b, m, int(n)) for r, a, b, m, n in merges]
+    df = spark.createDataFrame(rows, BPE_MERGE_SCHEMA)
+    return version, t.append(df.coalesce(1), txn=txn)
+
+
+def bpe_load(spark, table_path: str,
+             version: int | None = None) -> list[tuple]:
+    """Load a persisted BPE merge list back into :func:`bpe_apply`'s
+    driver-side ``merges`` form — ordered by ``merge_rank`` (merge
+    order IS the model; applying them out of order is a different,
+    wrong tokenizer). ``version=None`` resolves the latest published
+    version; a pinned version replays exactly, via manifest-stat file
+    pruning on ``tokenizer_version``. Model-sized driver work only
+    (k rows per version, one scalar max for the latest-version probe)."""
+    from w_userflow_featurestore_spark.sources import LogTable
+    t = LogTable(spark, table_path)
+    if version is None:
+        latest = t.read().agg(
+            F.max("tokenizer_version").alias("v")).collect()[0]["v"]
+        if latest is None:
+            raise ValueError(f"no tokenizer versions at {table_path}")
+        version = int(latest)
+    rows = (t.read(filters=[("tokenizer_version", "=", int(version))])
+             .orderBy("merge_rank").collect())
+    if not rows:
+        raise ValueError(
+            f"tokenizer version {version} not found at {table_path}")
+    return [(r["merge_rank"], r["left_sym"], r["right_sym"],
+             r["merged"], r["n_occurrences"]) for r in rows]
+
+
+def bpe_apply_from(spark, table_path: str, docs: DataFrame,
+                   version: int | None = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Encode a corpus with a PUBLISHED tokenizer artifact —
+    :func:`bpe_load` + :func:`bpe_apply` in one call, the read side of
+    the registry. Output is byte-identical to applying the in-memory
+    merge list the artifact was saved from (the merges ride the plan as
+    literals either way; persistence changes where the model lives, not
+    what the plan computes)."""
+    return bpe_apply(docs, bpe_load(spark, table_path, version),
+                     text_col, id_col)
