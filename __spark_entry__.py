@@ -953,6 +953,38 @@ def q_quality_filter_verdict(spark: SparkSession,
                    columns=["doc_id", "text"]))
 
 
+def q_quality_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE rule-attribution rollup over the rules engine: each
+    rule's marginal failure rate + the end-to-end keep rate in exact
+    basis points (operators/text.py quality_rule_report) — the alerting
+    query the verdict's docstring promises (a rule suddenly dropping
+    40% of one crawl is an incident signal), and the certificate that
+    pins the verdict's marginal distributions rather than just 500
+    boolean rows. Source rides the zero-shuffle verdict projection as a
+    carry column; the rollup is one group-domain-sized hash-agg."""
+    from w_userflow_featurestore_spark.operators.text import (
+        quality_rule_report,
+    )
+    return quality_rule_report(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text", "source"]),
+        group_col="source")
+
+
+def q_ccnet_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet policy wired end-to-end (operators/text.py
+    ccnet_curate): a doc survives iff the quality rules pass AND its
+    perplexity bucket admits it — head outright, middle hash-sampled at
+    500/1000 by deterministic content hash, tail dropped. Gives
+    perplexity_buckets a consumer the way mixture_weights feeds
+    token_budget_mix; thresholds broadcast, corpus never sorts, the
+    composition is one doc-keyed equi-join."""
+    from w_userflow_featurestore_spark.operators.text import ccnet_curate
+    return ccnet_curate(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text", "lang"]))
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023): score every document by how much its
     hashed unigram+bigram features look like the English-language
@@ -966,6 +998,27 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.dsir_importance(
         docs.select("doc_id", "text"),
         docs.where(F.col("lang") == "en").select("text"))
+
+
+N_DSIR_BUDGET = 200
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's resampling half: the 200 documents most like the
+    English-language target by importance score — exact top-k by
+    (score_bits DESC, doc_id) WITHOUT a corpus sort: the cut threshold
+    comes from a bounded (score_bits, count) histogram and only the
+    boundary score's ties pay a row_number (operators/sampling.py
+    dsir_select). Completes score -> selection the way mixture_weights
+    feeds token_budget_mix; the oracle is the dsir_importance pipeline
+    + ORDER BY ... LIMIT, which is exactly the semantic the
+    histogram-threshold plan must reproduce."""
+    docs = read_table(spark, sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"])
+    return SMP.dsir_select(
+        docs.select("doc_id", "text"),
+        docs.where(F.col("lang") == "en").select("text"),
+        budget_docs=N_DSIR_BUDGET)
 
 
 def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2189,7 +2242,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_surprisal": q_bigram_surprisal,
     "perplexity_buckets": q_perplexity_buckets,
     "dsir_importance": q_dsir_importance,
+    "dsir_select": q_dsir_select,
     "quality_filter_verdict": q_quality_filter_verdict,
+    "quality_rule_report": q_quality_rule_report,
+    "ccnet_curate": q_ccnet_curate,
     # --- oldest round-6 certificate holder (fill to 50; five fill
     # slots went to new queries — the displaced r6 holders keep
     # certificates valid through round 9 and lead the tail) ---
@@ -3347,8 +3403,10 @@ GROUP BY doc_id
 
 # rules-engine verdict: prof supplies quality/lang, the repetition
 # CTEs (r-prefixed to avoid _PROFILE_CTE's w/p names) supply the
-# unrounded fraction signals; every rule recomputed independently
-ORACLES["quality_filter_verdict"] = _PROFILE_CTE + f""",
+# unrounded fraction signals; every rule recomputed independently.
+# Shared CTE (appends to _PROFILE_CTE) — the verdict query, the
+# per-rule rate rollup and the ccnet policy all read `verdict`
+_VERDICT_CTES = f"""
 rw AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
 rex AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS wd FROM rw),
 rwc AS (SELECT doc_id, max(n) AS n, count(*) AS c
@@ -3377,12 +3435,40 @@ verdict AS (
            AS pass_repetition,
          prof.lang_pred <> 'und' AS pass_lang
   FROM prof JOIN rwa ON prof.doc_id = rwa.doc_id
-  LEFT JOIN rba ON prof.doc_id = rba.doc_id)
+  LEFT JOIN rba ON prof.doc_id = rba.doc_id)"""
+
+ORACLES["quality_filter_verdict"] = _PROFILE_CTE + "," + _VERDICT_CTES + """
 SELECT doc_id, n_words, quality, lang_pred,
        pass_length, pass_quality, pass_repetition, pass_lang,
        (pass_length AND pass_quality AND pass_repetition AND pass_lang)
          AS keep
 FROM verdict
+"""
+
+# per-rule failure rates + keep rate in exact basis points, grouped by
+# the document's source — HUGEINT mirrors the DECIMAL(38,0) widening
+ORACLES["quality_rule_report"] = _PROFILE_CTE + "," + _VERDICT_CTES + """
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((CAST(sum(CASE WHEN NOT pass_length THEN 1 ELSE 0 END)
+             AS HUGEINT) * 10000) // count(*) AS BIGINT)
+         AS fail_length_bp,
+       CAST((CAST(sum(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END)
+             AS HUGEINT) * 10000) // count(*) AS BIGINT)
+         AS fail_quality_bp,
+       CAST((CAST(sum(CASE WHEN NOT pass_repetition THEN 1 ELSE 0 END)
+             AS HUGEINT) * 10000) // count(*) AS BIGINT)
+         AS fail_repetition_bp,
+       CAST((CAST(sum(CASE WHEN NOT pass_lang THEN 1 ELSE 0 END)
+             AS HUGEINT) * 10000) // count(*) AS BIGINT)
+         AS fail_lang_bp,
+       CAST((CAST(sum(CASE WHEN pass_length AND pass_quality
+                            AND pass_repetition AND pass_lang
+                       THEN 1 ELSE 0 END)
+             AS HUGEINT) * 10000) // count(*) AS BIGINT)
+         AS keep_bp
+FROM verdict v JOIN documents d ON v.doc_id = d.doc_id
+GROUP BY d.source
 """
 
 
@@ -3408,7 +3494,7 @@ def _dsir_grams_sql(source_sql: str, *cols: str) -> str:
 # target/raw feature-probability log-ratio — lb(num DIV den) -
 # lb(den DIV num) with lb(x) = bit-length - 1 (lb(0) = 0); HUGEINT
 # mirrors the Spark side's DECIMAL(38,0) widening
-ORACLES["dsir_importance"] = f"""
+_DSIR_SCORE_CTE = f"""
 WITH rawg AS ({_dsir_grams_sql("SELECT doc_id, text FROM documents",
                                "doc_id")}),
 tg AS ({_dsir_grams_sql(
@@ -3427,12 +3513,25 @@ w AS (
            CAST(coalesce(t_f, 0) + 1 AS HUGEINT) * (tot_r + 10000)
              AS num,
            CAST(r_f + 1 AS HUGEINT) * (tot_t + 10000) AS den
-    FROM rc LEFT JOIN tc USING (f), tt, rt))
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_feats,
-       CAST(sum(w_bits) AS BIGINT) AS score_bits
-FROM rawg JOIN w USING (f)
-GROUP BY doc_id
+    FROM rc LEFT JOIN tc USING (f), tt, rt)),
+dsir_scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(w_bits) AS BIGINT) AS score_bits
+  FROM rawg JOIN w USING (f)
+  GROUP BY doc_id)"""
+
+ORACLES["dsir_importance"] = _DSIR_SCORE_CTE + """
+SELECT doc_id, n_feats, score_bits FROM dsir_scored
+"""
+
+# the selection half: DuckDB states the top-k SEMANTIC directly
+# (ORDER BY score DESC, doc_id LIMIT k) — exactly what the Spark
+# side's histogram-threshold plan must reproduce without the sort
+ORACLES["dsir_select"] = _DSIR_SCORE_CTE + f"""
+SELECT doc_id, n_feats, score_bits FROM dsir_scored
+ORDER BY score_bits DESC, doc_id
+LIMIT {N_DSIR_BUDGET}
 """
 
 # bigram LM surprisal: bits = floor(log2(c1/c2)) via binary-string
@@ -3465,8 +3564,7 @@ GROUP BY doc_id
 # CCNet head/middle/tail: value thresholds from a (lang, score)
 # histogram; ceilings as (n + 2) // 3 with POSITIVE operands only
 # (Spark DIV truncates, DuckDB // floors — they diverge on negatives)
-ORACLES["perplexity_buckets"] = f"""
-WITH tok AS (
+_CCNET_CTES = f"""tok AS (
   SELECT doc_id, token FROM (
     SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
     FROM documents)
@@ -3495,12 +3593,31 @@ thr AS (
   SELECT lang,
          min(CASE WHEN c >= (tot + 2) // 3 THEN mean_bits END) AS t1,
          min(CASE WHEN c >= (2 * tot + 2) // 3 THEN mean_bits END) AS t2
-  FROM cum GROUP BY lang)
-SELECT doc_id, lang, mean_bits,
-       CASE WHEN mean_bits <= t1 THEN 'head'
-            WHEN mean_bits <= t2 THEN 'middle'
-            ELSE 'tail' END AS bucket
-FROM scored JOIN thr USING (lang)
+  FROM cum GROUP BY lang),
+bucketed AS (
+  SELECT doc_id, lang, mean_bits,
+         CASE WHEN mean_bits <= t1 THEN 'head'
+              WHEN mean_bits <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored JOIN thr USING (lang))"""
+
+ORACLES["perplexity_buckets"] = "WITH " + _CCNET_CTES + """
+SELECT doc_id, lang, mean_bits, bucket FROM bucketed
+"""
+
+# the CCNet POLICY: verdict rules AND bucket admission — head outright,
+# middle hash-sampled at 500/1000 (same md5 family as the Spark side's
+# hash_bucket(doc_id, 1000, 'ccnet')), tail dropped
+ORACLES["ccnet_curate"] = (_PROFILE_CTE + "," + _VERDICT_CTES + ","
+                           + _CCNET_CTES) + f"""
+SELECT b.doc_id, b.lang, b.mean_bits, b.bucket
+FROM bucketed b JOIN verdict v ON b.doc_id = v.doc_id
+WHERE (v.pass_length AND v.pass_quality AND v.pass_repetition
+       AND v.pass_lang)
+  AND (b.bucket = 'head'
+       OR (b.bucket = 'middle'
+           AND {_h60("'ccnet:' || CAST(b.doc_id AS VARCHAR)")} % 1000
+               < 500))
 """
 
 ORACLES["source_balanced_sample"] = f"""

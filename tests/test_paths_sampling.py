@@ -414,3 +414,43 @@ def test_split_leakage_audit_cluster_scheme_has_no_cross_cells(spark):
     for scheme in ("doc_hash", "cluster"):
         assert sum(r["n_pairs"] for r in out
                    if r["scheme"] == scheme) == 200
+
+
+# ----------------------------------------------------------- dsir_select
+
+def _dsir_docs(spark):
+    from w_userflow_featurestore_spark.sources import read_table
+    from tests.conftest import SF0001
+    docs = read_table(spark, SF0001, "documents",
+                      columns=["doc_id", "text", "lang"])
+    return (docs.select("doc_id", "text"),
+            docs.where(F.col("lang") == "en").select("text"))
+
+
+def test_dsir_select_is_exact_topk(spark):
+    """The histogram-threshold plan must reproduce the top-k SEMANTIC
+    exactly: same rows as ORDER BY (score_bits DESC, doc_id) LIMIT k on
+    the score frame, exact k rows, and the boundary score's ties
+    resolved by doc_id (the smallest tie ids win)."""
+    from w_userflow_featurestore_spark.operators.sampling import (
+        dsir_importance, dsir_select,
+    )
+    raw, target = _dsir_docs(spark)
+    k = 37          # deliberately not aligned to any score boundary
+    got = sorted(map(tuple, dsir_select(raw, target, k).collect()))
+    want = sorted(map(tuple,
+                      dsir_importance(raw, target)
+                      .orderBy(F.desc("score_bits"), F.asc("doc_id"))
+                      .limit(k).collect()))
+    assert len(got) == k
+    assert got == want
+
+
+def test_dsir_select_budget_over_corpus_keeps_everything(spark):
+    from w_userflow_featurestore_spark.operators.sampling import (
+        dsir_importance, dsir_select,
+    )
+    raw, target = _dsir_docs(spark)
+    n = dsir_importance(raw, target).count()
+    out = dsir_select(raw, target, n + 1000)
+    assert out.count() == n

@@ -609,3 +609,44 @@ def test_quality_filter_verdict_is_zero_shuffle(spark):
     assert_plan(df, max_shuffles=1)   # fan_out's test-scale spread only
     plan = physical_plan(df)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_dsir_select_never_sorts_the_corpus(spark):
+    """DSIR selection at 100 TB: exact top-k must come from the
+    (score_bits, count) HISTOGRAM threshold — a global ORDER BY score
+    would range-partition the corpus through one task chain. Pin: zero
+    range partitioning, the scored frame materialized once
+    (ExistingRDD, no residual corpus scan); the only sorts in the plan
+    sit over the value-domain histogram and the boundary score's ties."""
+    df = _q(spark, "dsir_select")
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert "ExistingRDD" in plan           # scored frame cut once
+    assert plan.count("documents.parquet") == 0
+    assert_plan(df, max_sort_merge_joins=0)
+
+
+def test_quality_rule_report_is_one_group_domain_aggregate(spark):
+    """The dashboard rollup must NOT rejoin the verdict to the corpus —
+    source rides the zero-shuffle verdict projection as a carry column,
+    so the whole report is one bounded hash-agg over one corpus pass:
+    a single documents scan, a single shuffle, zero joins."""
+    df = _q(spark, "quality_rule_report")
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    # verdict projection + fan_out's test-scale spread + the rollup
+    assert_plan(df, max_shuffles=2, max_sort_merge_joins=0)
+
+
+def test_ccnet_curate_broadcasts_thresholds_and_never_sorts(spark):
+    """The policy composition at 100 TB: tertile thresholds broadcast
+    onto the scored frame (never a per-language corpus sort), the
+    verdict side stays a row-local projection, and the two signals meet
+    in ONE doc-keyed equi-join — no range partitioning anywhere, the
+    middle-bucket sample a row-local hash predicate."""
+    df = _q(spark, "ccnet_curate")
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert "ExistingRDD" in plan           # scored frame cut once
+    assert_plan(df, min_broadcast_joins=1, max_sort_merge_joins=1)

@@ -676,6 +676,60 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
                  F.sum("w_bits").cast("long").alias("score_bits")))
 
 
+def dsir_select(docs: DataFrame, target: DataFrame,
+                budget_docs: int, n_features: int = 10_000,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023): keep the
+    ``budget_docs`` documents whose :func:`dsir_importance` score says
+    they look most like the target domain — exact top-k by
+    (score_bits DESC, doc_id ASC), completing the score -> selection
+    composition the same way :func:`temperature_mix_weights` feeds
+    :func:`token_budget_mix`. Returns the selected rows
+    (doc_id, n_feats, score_bits); fewer than ``budget_docs`` docs
+    means everything is kept.
+
+    Scale shape — NO corpus-sized sort (the perplexity_buckets trick):
+    score_bits is a whole-bit integer, so its value domain is small
+    and bounded. The cut threshold comes from a (score_bits, count)
+    HISTOGRAM — one bounded hash-aggregate, a descending cumulative
+    window over that tiny frame, and a 1-row aggregate broadcast back:
+    every doc scoring ABOVE the boundary value is kept outright, and
+    the exact-k remainder is resolved by doc_id among the BOUNDARY
+    SCORE'S ties only — the row_number window sees just the tie rows
+    (one score value), never the corpus, the same bounded-worst-case
+    trade TakeOrdered makes. The scored frame is lineage-cut (three
+    narrow columns per doc) because three consumers read it and its
+    subtree is the full DSIR scoring pipeline.
+    """
+    scores = dsir_importance(docs, target, n_features,
+                             text_col, id_col).localCheckpoint(eager=True)
+    hist = (scores.groupBy("score_bits")
+                  .agg(F.count(F.lit(1)).alias("_n")))
+    wd = (Window.orderBy(F.desc("score_bits"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("_cum", F.sum("_n").over(wd))
+    # boundary = the HIGHEST score whose desc-cumulative count reaches
+    # the budget; _gt = docs strictly above it (that row's _cum - _n —
+    # the min over qualifying rows, since lower scores only accumulate
+    # more). No qualifying row = corpus smaller than budget = keep all.
+    bound = cum.agg(
+        F.max(F.when(F.col("_cum") >= budget_docs,
+                     F.col("score_bits"))).alias("_t"),
+        F.min(F.when(F.col("_cum") >= budget_docs,
+                     F.col("_cum") - F.col("_n"))).alias("_gt"))
+    base = scores.crossJoin(F.broadcast(bound))
+    out_cols = [id_col, "n_feats", "score_bits"]
+    kept = base.where(F.col("_t").isNull()
+                      | (F.col("score_bits") > F.col("_t")))
+    wt = Window.partitionBy("score_bits").orderBy(F.col(id_col).asc())
+    tie_kept = (base.where(F.col("score_bits") == F.col("_t"))
+                .withColumn("_rk", F.row_number().over(wt))
+                .where(F.col("_rk") <= budget_docs - F.col("_gt")))
+    return (kept.select(*out_cols)
+                .unionByName(tie_kept.select(*out_cols)))
+
+
 def negative_samples(positives: DataFrame, user_col: str = "user_id",
                      item_col: str = "item_k", k: int = 4,
                      salt: str = "neg") -> DataFrame:

@@ -699,7 +699,8 @@ def quality_filter_verdict(docs: DataFrame, *,
                            top_bigram_max: float = 0.18,
                            distinct_min: float = 0.30,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """The curation RULES ENGINE: per-document keep/drop verdict with
     PER-RULE attribution — the RedPajama/Gopher-style filter layer
     where a production pipeline needs to know not just that a document
@@ -727,8 +728,15 @@ def quality_filter_verdict(docs: DataFrame, *,
     costs one pass and composes as the pre-filter stage in front of
     any shuffle-bearing dedup (the same position curate_corpus gives
     its quality floor).
+
+    ``carry_cols`` pass extra document columns (source, lang, ...)
+    through the projection unchanged — so a downstream rollup like
+    :func:`quality_rule_report` groups without joining the verdict
+    back to the corpus (the zero-shuffle property is the point of the
+    rules engine; a carry column is free, a doc-keyed rejoin is not).
     """
-    docs = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    docs = fan_out(docs.select(F.col(id_col), F.col(text_col),
+                               *[F.col(c) for c in carry_cols]))
     c = F.col(text_col)
     out = (docs.withColumn("__ws", words(c))
                .withColumn("__n", F.size(F.col("__ws")))
@@ -765,6 +773,7 @@ def quality_filter_verdict(docs: DataFrame, *,
         keep = keep & f
     return out.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         n.cast("long").alias("n_words"),
         F.col("__q").alias("quality"),
         F.col("__lang").alias("lang_pred"),
@@ -1172,3 +1181,98 @@ def bpe_apply_from(spark, table_path: str, docs: DataFrame,
     what the plan computes)."""
     return bpe_apply(docs, bpe_load(spark, table_path, version),
                      text_col, id_col)
+
+
+def quality_rule_report(docs: DataFrame, group_col: str = "source", *,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        **verdict_kwargs) -> DataFrame:
+    """The curation DASHBOARD over :func:`quality_filter_verdict`: per
+    ``group_col`` (source, lang, crawl snapshot, ...), each rule's
+    failure rate and the end-to-end keep rate in exact integer basis
+    points — the quantity the verdict's own docstring promises ("a rule
+    that suddenly drops 40% of a crawl is an incident signal"; this is
+    the query you alert on). Rates are per-rule marginal failure counts
+    (a doc failing two rules counts in both), so the report also pins
+    each rule's marginal distribution rather than just the conjunction.
+
+    Returns (group_col, n_docs, fail_length_bp, fail_quality_bp,
+    fail_repetition_bp, fail_lang_bp, keep_bp); bp = count * 10000 DIV
+    n_docs, exact integer arithmetic (DECIMAL(38,0) widening so the
+    *10000 cannot wrap at any corpus size).
+
+    Scale shape: the verdict frame is ONE zero-shuffle projection —
+    ``group_col`` rides through it as a carry column (never a doc-keyed
+    rejoin) — and the rollup is one bounded hash-aggregate with
+    map-side combine, output sized by the group domain. Total: one
+    shuffle, group-domain-sized.
+    """
+    v = quality_filter_verdict(docs, text_col=text_col, id_col=id_col,
+                               carry_cols=(group_col,), **verdict_kwargs)
+    counts = v.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("pass_length"), 1).otherwise(0))
+         .cast("long").alias("_f_len"),
+        F.sum(F.when(~F.col("pass_quality"), 1).otherwise(0))
+         .cast("long").alias("_f_q"),
+        F.sum(F.when(~F.col("pass_repetition"), 1).otherwise(0))
+         .cast("long").alias("_f_rep"),
+        F.sum(F.when(~F.col("pass_lang"), 1).otherwise(0))
+         .cast("long").alias("_f_lang"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+         .cast("long").alias("_n_keep"))
+
+    def bp(src: str) -> Column:
+        return F.expr(f"CAST((CAST({src} AS DECIMAL(38,0)) * 10000)"
+                      f" DIV n_docs AS BIGINT)")
+
+    return counts.select(
+        group_col, "n_docs",
+        bp("_f_len").alias("fail_length_bp"),
+        bp("_f_q").alias("fail_quality_bp"),
+        bp("_f_rep").alias("fail_repetition_bp"),
+        bp("_f_lang").alias("fail_lang_bp"),
+        bp("_n_keep").alias("keep_bp"))
+
+
+def ccnet_curate(docs: DataFrame, *, middle_keep_bp: int = 500,
+                 sample_buckets: int = 1000,
+                 salt: str = "ccnet",
+                 text_col: str = "text",
+                 id_col: str = "doc_id",
+                 lang_col: str = "lang") -> DataFrame:
+    """The CCNet selection POLICY end-to-end (Wenzek et al. 2020): keep
+    a document iff it passes the :func:`quality_filter_verdict` rules
+    AND its :func:`perplexity_buckets` bucket admits it — 'head' kept
+    outright, 'middle' hash-sampled at ``middle_keep_bp`` per
+    ``sample_buckets`` (deterministic content hash, the
+    :func:`~w_userflow_featurestore_spark.operators.sampling.hash_bucket`
+    family — rerun-stable, no RNG state), 'tail' dropped. This gives
+    the bucketing a consumer the way mixture_weights feeds
+    token_budget_mix: the labels become a corpus.
+
+    Returns the selected rows (doc_id, lang, mean_bits, bucket).
+
+    Scale shape: the verdict side is the zero-shuffle rules projection;
+    the bucket side is perplexity_buckets' histogram plan (tertile
+    thresholds broadcast back, corpus never sorts); composing them
+    costs one doc-keyed equi-join of two corpus-grain frames — the two
+    signals come from different subtrees (a row-local projection vs an
+    LM aggregate), so the join IS the composition, and it shuffles on
+    the same doc_id key both sides. The middle-bucket sample is a
+    row-local hash predicate, no added shuffle.
+    """
+    from w_userflow_featurestore_spark.operators.sampling import (
+        hash_bucket,
+    )
+    buckets = perplexity_buckets(docs, text_col, id_col, lang_col)
+    verdict = quality_filter_verdict(
+        docs, text_col=text_col, id_col=id_col).select(id_col, "keep")
+    admit = (F.when(F.col("bucket") == "head", F.lit(True))
+              .when(F.col("bucket") == "middle",
+                    hash_bucket(F.col(id_col), sample_buckets, salt)
+                    < middle_keep_bp)
+              .otherwise(F.lit(False)))
+    return (buckets.join(verdict, id_col)
+            .where(F.col("keep") & admit)
+            .select(id_col, "lang", "mean_bits", "bucket"))
