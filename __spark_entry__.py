@@ -2340,6 +2340,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_tokens": q_frequent_tokens,
 }
 
+# --- round-9 certification window (driver certifies the FIRST 50) ---
+# Rotation discipline (3-round cycle; round-8 verdict, Next round #2):
+# least-recently-certified lead, then implementation-changed, then new,
+# then oldest-round-7 holders as fill. The dict literal above keeps its
+# round-8 narrative order; this list IS the round-9 bookkeeping record
+# (tests/test_cert_window.py pins the composition), and the rebuild
+# below makes it the driver's physical certification order.
+_ROUND9_WINDOW = [
+    # the 39 queries whose latest certificate is round 6 (reconstructed
+    # from CORRECTNESS_r06 minus every later re-cert), in their round-6
+    # certification order — after this round every certificate is r7-r9
+    "event_transitions", "incremental_curate", "behavior_diversity",
+    "contamination", "shipping_priority", "churn_labels",
+    "time_decay_features", "big_spender_customers", "multimodal_decode",
+    "multimodal_frames", "salted_user_agg", "salted_join",
+    "top_docs_per_source", "duration_percentiles", "volume_shipping",
+    "small_quantity_revenue", "duplicate_spans",
+    "incremental_duplicate_spans", "product_profit",
+    "returned_item_customers", "discount_band_revenue",
+    "order_count_distribution", "user_daily", "item_daily",
+    "entry_type_daily", "binge_ratio", "retention_yesterday",
+    "retention_today", "dim_gap_features", "exact_dedup",
+    "minhash_signatures", "minhash_lsh_pairs", "dedup_components",
+    "ngram_jaccard_pairs", "simhash", "simhash_near_pairs",
+    "text_profile", "corpus_language_stats", "repetition_profile",
+    # implementation changed this round (re-certify; function
+    # granularity per the round-8 precedent): market_share lost its
+    # forced customer-side broadcast (AQE decides now — round-8 ADVICE),
+    # quality_filter_verdict's projection gained the carry_cols path
+    # that quality_rule_report rides
+    "market_share", "quality_filter_verdict",
+    # new this round
+    "bpe_encode_persisted", "dsir_select", "quality_rule_report",
+    "ccnet_curate",
+    # oldest round-7 certificate holders filling the 5 spare slots
+    # (round-7 certification order)
+    "pii_scrub", "fingerprint_pairs", "cardinality_sketch",
+    "semantic_dedup", "line_dedup",
+]
+
+QUERIES = {name: QUERIES[name] for name in
+           _ROUND9_WINDOW + [n for n in QUERIES
+                             if n not in _ROUND9_WINDOW]}
+
 
 def _datestr(df: DataFrame) -> DataFrame:
     """Emit DATE columns as 'yyyy-MM-dd' strings: DATE values serialize

@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import subprocess
 
 import pytest
@@ -95,3 +96,39 @@ def test_committed_snapshots_match_their_introducing_commit(pattern):
     # protocol is active from round 8 on; until the first stamped
     # snapshot is committed this test vacuously passes (checked == 0)
     assert checked >= 0
+
+
+def test_newest_selfcheck_covers_the_current_registry():
+    """Round 7 and round 8 both ended with a code commit landing AFTER
+    the recorded selfcheck, so the committed artifact silently covered
+    n-1 of the n queries at HEAD (round-8 verdict, What's wrong #1).
+    The write-time guard can't catch that — it checks coverage at
+    recording time. This closes the ordering loophole from the other
+    side: the NEWEST committed selfcheck must cover the CURRENT query
+    registry exactly, which mechanically forces a fresh selfcheck as
+    the final commit after ANY query addition or removal. (Expected to
+    fail mid-round from the moment a query lands until the round's
+    closing selfcheck is recorded — that failure is the enforcement.)"""
+    import sys
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    def _round(path: str) -> int:
+        m = re.search(r"SELFCHECK_r(\d+)\.json$", path)
+        return int(m.group(1))
+
+    paths = sorted(glob.glob(os.path.join(REPO, "SELFCHECK_r*.json")),
+                   key=_round)
+    assert paths, "no committed selfcheck artifact"
+    newest = paths[-1]
+    with open(newest) as fh:
+        art = json.load(fh)
+    registry = set(entrymod.queries())
+    covered = set(art["results"])
+    assert art["n_queries"] == len(covered)
+    missing = sorted(registry - covered)
+    stale = sorted(covered - registry)
+    assert covered == registry, (
+        f"{os.path.basename(newest)} does not describe the current "
+        f"registry: missing={missing[:5]} stale={stale[:5]} — record a "
+        f"fresh selfcheck as the round's final commit")

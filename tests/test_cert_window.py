@@ -18,48 +18,50 @@ import __spark_entry__ as entrymod
 
 WINDOW = 50
 
-# Round-8 window head: the queries that MUST be certified this round —
+# Round-9 window head: the queries that MUST be certified this round —
 # least-recently-certified first, then implementation-changed, then new.
 ROUND_WINDOW_HEAD = [
-    # the 39 queries that held only round-5 certificates (round-7
-    # verdict item #1: after round 8 every certificate is r6-r8)
-    "ab_test", "behavior_trigrams", "curate_corpus", "sessions",
-    "event_type_pivot", "top_item_per_day", "item_continuation",
-    "cohort_vs_global", "promo_revenue", "minhash_accuracy",
-    "large_volume_orders", "sole_return_supplier",
-    "idle_customer_balance", "top_revenue_supplier",
-    "bulk_part_suppliers", "cluster_balanced_sample", "bracket_revenue",
-    "doc_chunks", "ann_cosine_topk", "ann_lsh_bucket", "ann_lsh_topk",
-    "ann_ivf_topk", "ann_recall_gate", "vocab_coverage",
-    "volume_anomaly", "embedding_near_pairs", "embedding_dedup",
-    "asof_features", "interval_features", "event_rollup", "event_cube",
-    "doc_fingerprints", "rolling_user_features", "event_time_windows",
-    "event_sliding_windows", "session_windows", "training_set",
-    "bm25_topk", "hybrid_search",
-    # implementation changed this round (re-certify). FUNCTION
-    # granularity: round 7's whole-module rule answered a cross-cutting
-    # sampling.py refactor; round 8's sampling.py edits are local to
-    # temperature_mix_weights (new raise_error guard in the plan) and
-    # incremental_leakage_split (factored into merge_component_ledger),
-    # and only 11 slots remain after the 39 r5 holders — spending 12 on
-    # untouched hash-threshold projections would age an r5 certificate
-    # past the 3-round cycle. hll_union_rollup (per-event-type rollup)
-    # and market_share (three markets) are the round-7 verdict #6
-    # widenings. Docstring-only edits (leakage_safe_split schema note)
-    # do NOT spend slots — no code path changed.
-    "hll_union_rollup", "market_share", "mixture_weights",
-    "incremental_leakage_split",
-    # new this round
-    "bpe_merges", "bpe_encode", "bigram_surprisal",
-    "perplexity_buckets", "dsir_importance", "quality_filter_verdict",
+    # the 39 queries whose latest certificate is round 6 (round-8
+    # verdict item #2: after round 9 every certificate is r7-r9),
+    # reconstructed from CORRECTNESS_r06 minus later re-certs, in their
+    # round-6 certification order
+    "event_transitions", "incremental_curate", "behavior_diversity",
+    "contamination", "shipping_priority", "churn_labels",
+    "time_decay_features", "big_spender_customers", "multimodal_decode",
+    "multimodal_frames", "salted_user_agg", "salted_join",
+    "top_docs_per_source", "duration_percentiles", "volume_shipping",
+    "small_quantity_revenue", "duplicate_spans",
+    "incremental_duplicate_spans", "product_profit",
+    "returned_item_customers", "discount_band_revenue",
+    "order_count_distribution", "user_daily", "item_daily",
+    "entry_type_daily", "binge_ratio", "retention_yesterday",
+    "retention_today", "dim_gap_features", "exact_dedup",
+    "minhash_signatures", "minhash_lsh_pairs", "dedup_components",
+    "ngram_jaccard_pairs", "simhash", "simhash_near_pairs",
+    "text_profile", "corpus_language_stats", "repetition_profile",
+    # implementation changed this round (re-certify; function
+    # granularity per the round-8 precedent): market_share lost its
+    # forced customer-side broadcast hint — the join strategy is now
+    # AQE's call, a genuine plan change (round-8 ADVICE low #2);
+    # quality_filter_verdict's projection gained the carry_cols
+    # pass-through that quality_rule_report rides (its own output is
+    # unchanged with the default, but the projection code path moved).
+    # Plan-helper-only edits (plans.final_plan) and docstring edits
+    # (runner ledger_dir contract) spend no slots — no query's code
+    # path changed.
+    "market_share", "quality_filter_verdict",
+    # new this round: 4 new + 2 changed = 6 of the 11 spare slots
+    "bpe_encode_persisted", "dsir_select", "quality_rule_report",
+    "ccnet_curate",
 ]
 
 
-# oldest round-6 certificate holder filling the remaining slot (five
-# went to new queries); the round-6 holders left in the tail
-# (event_transitions .. repetition_profile) lead the round-9 window
+# oldest round-7 certificate holders (round-7 certification order)
+# filling the 5 remaining slots; the r7 holders left in the tail
+# (token_surprisal, item_pagerank, ...) lead the round-10 fill
 ROUND_WINDOW_FILL = [
-    "funnel_daily",
+    "pii_scrub", "fingerprint_pairs", "cardinality_sketch",
+    "semantic_dedup", "line_dedup",
 ]
 
 
