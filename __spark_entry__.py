@@ -1021,6 +1021,27 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_docs=N_DSIR_BUDGET)
 
 
+N_DSIR_BUDGET_TOKENS = 10_000
+
+
+def q_dsir_select_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection under a TOKEN budget — the unit a training run is
+    actually provisioned in (operators/sampling.py dsir_select_tokens):
+    walk the corpus in (score_bits DESC, doc_id) order, keep while the
+    cumulative token count BEFORE the doc is under 10k
+    (token_budget_mix's boundary rule — overshoot <= 1 doc). Same
+    histogram-threshold plan as dsir_select with token mass for
+    weights; only the single boundary score's ties pay an ordered
+    prefix sum. The oracle states the semantic directly as a cumulative
+    window over (score DESC, doc_id)."""
+    docs = read_table(spark, sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"])
+    return SMP.dsir_select_tokens(
+        docs.select("doc_id", "text"),
+        docs.where(F.col("lang") == "en").select("text"),
+        budget_tokens=N_DSIR_BUDGET_TOKENS)
+
+
 def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram surprisal vs the corpus LM, quantized to whole
     bits (integer-exact CCNet-style perplexity-filter signal)."""
@@ -2243,6 +2264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "dsir_importance": q_dsir_importance,
     "dsir_select": q_dsir_select,
+    "dsir_select_tokens": q_dsir_select_tokens,
     "quality_filter_verdict": q_quality_filter_verdict,
     "quality_rule_report": q_quality_rule_report,
     "ccnet_curate": q_ccnet_curate,
@@ -2372,12 +2394,12 @@ _ROUND9_WINDOW = [
     # that quality_rule_report rides
     "market_share", "quality_filter_verdict",
     # new this round
-    "bpe_encode_persisted", "dsir_select", "quality_rule_report",
-    "ccnet_curate",
-    # oldest round-7 certificate holders filling the 5 spare slots
-    # (round-7 certification order)
+    "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
+    "quality_rule_report", "ccnet_curate",
+    # oldest round-7 certificate holders filling the 4 spare slots
+    # (round-7 certification order; line_dedup leads the round-10 fill)
     "pii_scrub", "fingerprint_pairs", "cardinality_sketch",
-    "semantic_dedup", "line_dedup",
+    "semantic_dedup",
 ]
 
 QUERIES = {name: QUERIES[name] for name in
@@ -3576,6 +3598,26 @@ ORACLES["dsir_select"] = _DSIR_SCORE_CTE + f"""
 SELECT doc_id, n_feats, score_bits FROM dsir_scored
 ORDER BY score_bits DESC, doc_id
 LIMIT {N_DSIR_BUDGET}
+"""
+
+# the token-budget variant: keep while the cumulative token count
+# BEFORE the doc (importance order) is under the budget — stated
+# directly as a cumulative window over (score DESC, doc_id)
+ORACLES["dsir_select_tokens"] = _DSIR_SCORE_CTE + f""",
+dsir_tok AS (
+  SELECT s.doc_id, s.n_feats, s.score_bits,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM dsir_scored s JOIN documents USING (doc_id)),
+dsir_cum AS (
+  SELECT doc_id, n_feats, score_bits, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+                 ORDER BY score_bits DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM dsir_tok)
+SELECT doc_id, n_feats, score_bits, n_tokens
+FROM dsir_cum
+WHERE cum_before < {N_DSIR_BUDGET_TOKENS}
 """
 
 # bigram LM surprisal: bits = floor(log2(c1/c2)) via binary-string

@@ -454,3 +454,35 @@ def test_dsir_select_budget_over_corpus_keeps_everything(spark):
     n = dsir_importance(raw, target).count()
     out = dsir_select(raw, target, n + 1000)
     assert out.count() == n
+
+
+def test_dsir_select_tokens_matches_greedy_walk_and_keeps_small_corpus(spark):
+    """The histogram-boundary plan must reproduce the greedy token walk
+    exactly (keep while cum_before < budget over (score DESC, id)), and
+    a corpus smaller than the budget is kept whole."""
+    from w_userflow_featurestore_spark.operators.sampling import (
+        dsir_importance, dsir_select_tokens,
+    )
+    from w_userflow_featurestore_spark.operators.text import (
+        token_count_ws,
+    )
+    raw, target = _dsir_docs(spark)
+    budget = 7_000
+    got = sorted(map(tuple,
+                     dsir_select_tokens(raw, target, budget).collect()))
+    scored = (dsir_importance(raw, target)
+              .join(raw.select("doc_id",
+                               token_count_ws(F.col("text"))
+                               .cast("long").alias("n_tokens")),
+                    "doc_id")
+              .orderBy(F.desc("score_bits"), F.asc("doc_id")).collect())
+    want, cum = [], 0
+    for r in scored:
+        if cum < budget:
+            want.append((r["doc_id"], r["n_feats"], r["score_bits"],
+                         r["n_tokens"]))
+        cum += r["n_tokens"]
+    assert got == sorted(want)
+    assert 0 < len(got) < len(scored)
+    everything = dsir_select_tokens(raw, target, 10**12)
+    assert everything.count() == len(scored)

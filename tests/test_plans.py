@@ -650,3 +650,15 @@ def test_ccnet_curate_broadcasts_thresholds_and_never_sorts(spark):
     assert "rangepartitioning" not in plan.lower()
     assert "ExistingRDD" in plan           # scored frame cut once
     assert_plan(df, min_broadcast_joins=1, max_sort_merge_joins=1)
+
+
+def test_dsir_select_tokens_never_sorts_the_corpus(spark):
+    """Token-budget DSIR selection: same rangepartitioning-free
+    histogram-threshold shape as dsir_select, with token mass as the
+    weight — the boundary resolution must stay on one score's ties."""
+    df = _q(spark, "dsir_select_tokens")
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert "ExistingRDD" in plan           # scored+tokens frame cut once
+    assert plan.count("documents.parquet") == 0
+    assert_plan(df, max_sort_merge_joins=0)

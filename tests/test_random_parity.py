@@ -539,8 +539,8 @@ DOC_QUERIES_2 = [
     "tokenizer_fertility", "split_leakage_audit", "bpe_merges",
     "bpe_encode", "bigram_surprisal", "perplexity_buckets",
     "dsir_importance", "quality_filter_verdict",
-    "bpe_encode_persisted", "dsir_select", "quality_rule_report",
-    "ccnet_curate",
+    "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
+    "quality_rule_report", "ccnet_curate",
 ]
 
 

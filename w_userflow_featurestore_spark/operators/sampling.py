@@ -730,6 +730,83 @@ def dsir_select(docs: DataFrame, target: DataFrame,
                 .unionByName(tie_kept.select(*out_cols)))
 
 
+def dsir_select_tokens(docs: DataFrame, target: DataFrame,
+                       budget_tokens: int, n_features: int = 10_000,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """:func:`dsir_select` restated in the units a training budget is
+    actually denominated in — TOKENS, not documents (the same
+    doc-count -> token-count upgrade :func:`token_budget_mix` makes
+    over source_balanced_sample): walk the corpus in importance order
+    (score_bits DESC, doc_id ASC) and keep each doc while the
+    cumulative token count BEFORE it is under ``budget_tokens`` —
+    token_budget_mix's exact boundary rule, so the realized total
+    overshoots by at most one document and a corpus smaller than the
+    budget is kept whole.
+
+    Returns the selected rows (doc_id, n_feats, score_bits, n_tokens).
+
+    Scale shape — same histogram-threshold plan as :func:`dsir_select`,
+    with token mass instead of doc counts: the (score_bits,
+    sum(n_tokens), count) histogram is one bounded hash-agg; a
+    descending cumulative window over that tiny frame finds the single
+    BOUNDARY score (the highest score where tokens-strictly-above +
+    the score's own token mass reach the budget — every higher score
+    keeps whole, every lower score drops whole); only the boundary
+    score's ties pay a row_number-ordered token prefix sum, over one
+    score value's rows. The corpus never sorts; per-doc token counts
+    are a row-local projection joined onto the scored frame by doc_id.
+    """
+    scores = (dsir_importance(docs, target, n_features,
+                              text_col, id_col)
+              .join(docs.select(
+                        F.col(id_col),
+                        _token_count(F.col(text_col)).cast("long")
+                         .alias("n_tokens")), id_col)
+              .localCheckpoint(eager=True))
+    hist = (scores.groupBy("score_bits")
+                  .agg(F.sum("n_tokens").cast("long").alias("_tmass")))
+    wd = (Window.orderBy(F.desc("score_bits"))
+                .rowsBetween(Window.unboundedPreceding, -1))
+    cum = hist.withColumn(
+        "_above", F.coalesce(F.sum("_tmass").over(wd),
+                             F.lit(0)).cast("long"))
+    # the single boundary score: tokens strictly above it are under the
+    # budget, but adding its own mass crosses. No such score = the
+    # whole corpus fits (every group's above+mass < budget).
+    bound = cum.agg(
+        F.max(F.when((F.col("_above") < budget_tokens)
+                     & (F.col("_above") + F.col("_tmass")
+                        >= budget_tokens),
+                     F.col("score_bits"))).alias("_t"),
+        F.max(F.when((F.col("_above") < budget_tokens)
+                     & (F.col("_above") + F.col("_tmass")
+                        >= budget_tokens),
+                     F.col("_above"))).alias("_gt_tokens"))
+    base = scores.crossJoin(F.broadcast(bound))
+    out_cols = [id_col, "n_feats", "score_bits", "n_tokens"]
+    kept = base.where(F.col("_t").isNull()
+                      | (F.col("score_bits") > F.col("_t")))
+    wt = Window.partitionBy("score_bits").orderBy(F.col(id_col).asc())
+    tie_kept = (base.where(F.col("score_bits") == F.col("_t"))
+                .withColumn(
+                    "_cumb",
+                    F.col("_gt_tokens")
+                    + F.coalesce(F.sum("n_tokens").over(
+                        wt.rowsBetween(Window.unboundedPreceding, -1)),
+                        F.lit(0)).cast("long"))
+                .where(F.col("_cumb") < budget_tokens))
+    return (kept.select(*out_cols)
+                .unionByName(tie_kept.select(*out_cols)))
+
+
+def _token_count(col: Column) -> Column:
+    """Whitespace token count over normalized text (the
+    text.token_count_ws twin, local to avoid a circular import)."""
+    from w_userflow_featurestore_spark.operators.dedup import words
+    return F.size(words(col))
+
+
 def negative_samples(positives: DataFrame, user_col: str = "user_id",
                      item_col: str = "item_k", k: int = 4,
                      salt: str = "neg") -> DataFrame:
