@@ -486,3 +486,15 @@ def test_dsir_select_tokens_matches_greedy_walk_and_keeps_small_corpus(spark):
     assert 0 < len(got) < len(scored)
     everything = dsir_select_tokens(raw, target, 10**12)
     assert everything.count() == len(scored)
+
+
+def test_dsir_selectors_reject_nonpositive_budgets(spark):
+    import pytest
+    from w_userflow_featurestore_spark.operators.sampling import (
+        dsir_select, dsir_select_tokens,
+    )
+    raw, target = _dsir_docs(spark)
+    with pytest.raises(ValueError, match="budget_docs"):
+        dsir_select(raw, target, 0)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        dsir_select_tokens(raw, target, 0)

@@ -702,6 +702,9 @@ def dsir_select(docs: DataFrame, target: DataFrame,
     narrow columns per doc) because three consumers read it and its
     subtree is the full DSIR scoring pipeline.
     """
+    if budget_docs <= 0:
+        raise ValueError("budget_docs must be > 0 — an empty selection "
+                         "is never what a resampling run means")
     scores = dsir_importance(docs, target, n_features,
                              text_col, id_col).localCheckpoint(eager=True)
     hist = (scores.groupBy("score_bits")
@@ -757,6 +760,11 @@ def dsir_select_tokens(docs: DataFrame, target: DataFrame,
     score value's rows. The corpus never sorts; per-doc token counts
     are a row-local projection joined onto the scored frame by doc_id.
     """
+    if budget_tokens <= 0:
+        # the no-boundary case below means "the corpus fits the
+        # budget"; a zero/negative budget would alias onto it and keep
+        # everything — the exact opposite of what was asked
+        raise ValueError("budget_tokens must be > 0")
     scores = (dsir_importance(docs, target, n_features,
                               text_col, id_col)
               .join(docs.select(
