@@ -687,3 +687,20 @@ def test_bpe_registry_rollback_and_idempotent_replay(spark, tmp_path):
     assert bpe_load(spark, path) == [tuple(m) for m in m2]
     with pytest.raises(ValueError, match="not found"):
         bpe_load(spark, path, version=2)
+
+
+def test_bpe_registry_empty_merge_list_is_a_real_version(spark, tmp_path):
+    """A fully-fused (or n_merges=0) training run publishes a version
+    with ZERO merges — that must load back as [], not read as 'version
+    never saved' (the header row carries the version's existence)."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_apply, bpe_apply_from, bpe_load, bpe_save,
+    )
+    path = str(tmp_path / "tokenizer")
+    v, _ = bpe_save(spark, path, [])
+    assert (v, bpe_load(spark, path)) == (1, [])
+    docs = spark.createDataFrame([(1, "ab ab"), (2, "")],
+                                 "doc_id long, text string")
+    a = sorted(map(tuple, bpe_apply(docs, []).collect()))
+    b = sorted(map(tuple, bpe_apply_from(spark, path, docs).collect()))
+    assert a == b

@@ -1128,6 +1128,12 @@ def bpe_save(spark, table_path: str, merges: list[tuple],
     LogTable's snapshot machinery gives rollback/time-travel for free.
     ``txn`` makes replayed saves idempotent (same token -> same commit).
 
+    Every version carries a HEADER row (merge_rank = 0, n_occurrences =
+    merge count) besides its merge rows — so an EMPTY merge list (a
+    corpus that fused completely, or trained with n_merges=0) is still
+    a real, loadable published version rather than zero rows that make
+    the version indistinguishable from never-saved.
+
     Returns ``(tokenizer_version, snapshot_id)``. The merge list is the
     trained model — k driver-side rows, never row data."""
     from w_userflow_featurestore_spark.sources import LogTable
@@ -1138,7 +1144,9 @@ def bpe_save(spark, table_path: str, merges: list[tuple],
         prev = t.read().agg(
             F.max("tokenizer_version").alias("v")).collect()[0]["v"]
         version = int(prev or 0) + 1
-    rows = [(version, int(r), a, b, m, int(n)) for r, a, b, m, n in merges]
+    rows = [(version, 0, None, None, None, len(merges))]
+    rows += [(version, int(r), a, b, m, int(n))
+             for r, a, b, m, n in merges]
     df = spark.createDataFrame(rows, BPE_MERGE_SCHEMA)
     return version, t.append(df.coalesce(1), txn=txn)
 
@@ -1165,8 +1173,18 @@ def bpe_load(spark, table_path: str,
     if not rows:
         raise ValueError(
             f"tokenizer version {version} not found at {table_path}")
-    return [(r["merge_rank"], r["left_sym"], r["right_sym"],
-             r["merged"], r["n_occurrences"]) for r in rows]
+    # rows[0] is the version header (merge_rank 0); sanity-pin the
+    # merge count against it so a partial read can never load silently
+    merges = [(r["merge_rank"], r["left_sym"], r["right_sym"],
+               r["merged"], r["n_occurrences"])
+              for r in rows if r["merge_rank"] >= 1]
+    header = rows[0]
+    if header["merge_rank"] != 0 or len(merges) != header["n_occurrences"]:
+        raise ValueError(
+            f"tokenizer version {version} at {table_path} is corrupt: "
+            f"header promises {header['n_occurrences']} merges, "
+            f"read {len(merges)}")
+    return merges
 
 
 def bpe_apply_from(spark, table_path: str, docs: DataFrame,
