@@ -978,7 +978,8 @@ def q_ccnet_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     500/1000 by deterministic content hash, tail dropped. Gives
     perplexity_buckets a consumer the way mixture_weights feeds
     token_budget_mix; thresholds broadcast, corpus never sorts, the
-    composition is one doc-keyed equi-join."""
+    composition is one doc-keyed semi join against the lineage-cut
+    kept-id set."""
     from w_userflow_featurestore_spark.operators.text import ccnet_curate
     return ccnet_curate(
         read_table(spark, sf_dir, "documents",

@@ -1147,8 +1147,21 @@ def bpe_save(spark, table_path: str, merges: list[tuple],
     rows = [(version, 0, None, None, None, len(merges))]
     rows += [(version, int(r), a, b, m, int(n))
              for r, a, b, m, n in merges]
-    df = spark.createDataFrame(rows, BPE_MERGE_SCHEMA)
-    return version, t.append(df.coalesce(1), txn=txn)
+    # JVM-side literal relation, NOT createDataFrame(rows): a local-list
+    # DataFrame is a pickled Python RDD whose first action pays a
+    # multi-second Python-worker spin-up — for a k-row model artifact
+    # the write should cost one tiny JVM job (measured: ~4 s -> ~0.3 s)
+    structs = [F.struct(
+        F.lit(tv).cast("long").alias("tokenizer_version"),
+        F.lit(mr).cast("long").alias("merge_rank"),
+        F.lit(ls).cast("string").alias("left_sym"),
+        F.lit(rs).cast("string").alias("right_sym"),
+        F.lit(mg).cast("string").alias("merged"),
+        F.lit(no).cast("long").alias("n_occurrences"))
+        for tv, mr, ls, rs, mg, no in rows]
+    df = spark.range(1).select(
+        F.inline(F.array(*structs))).coalesce(1)
+    return version, t.append(df, txn=txn)
 
 
 def bpe_load(spark, table_path: str,
@@ -1271,26 +1284,41 @@ def ccnet_curate(docs: DataFrame, *, middle_keep_bp: int = 500,
 
     Returns the selected rows (doc_id, lang, mean_bits, bucket).
 
-    Scale shape: the verdict side is the zero-shuffle rules projection;
-    the bucket side is perplexity_buckets' histogram plan (tertile
-    thresholds broadcast back, corpus never sorts); composing them
-    costs one doc-keyed equi-join of two corpus-grain frames — the two
-    signals come from different subtrees (a row-local projection vs an
-    LM aggregate), so the join IS the composition, and it shuffles on
-    the same doc_id key both sides. The middle-bucket sample is a
-    row-local hash predicate, no added shuffle.
+    Scale shape: the verdict side is the zero-shuffle rules projection,
+    lineage-cut to a kept-id set (see inline comment for why the cut is
+    load-bearing); the bucket side is perplexity_buckets' histogram
+    plan (tertile thresholds broadcast back, corpus never sorts);
+    composing them costs one doc-keyed LEFT SEMI join of two
+    corpus-grain frames — the two signals come from different subtrees
+    (a row-local projection vs an LM aggregate), so the join IS the
+    composition. The middle-bucket sample is a row-local hash
+    predicate, no added shuffle.
     """
     from w_userflow_featurestore_spark.operators.sampling import (
         hash_bucket,
     )
     buckets = perplexity_buckets(docs, text_col, id_col, lang_col)
-    verdict = quality_filter_verdict(
-        docs, text_col=text_col, id_col=id_col).select(id_col, "keep")
+    # The rules side reduces to a kept-id set BEFORE the join (left
+    # semi) — and the verdict is LINEAGE-CUT before the keep filter
+    # touches it. Any filter on `keep` (before or after the join)
+    # hands the verdict's whole rule expression to the optimizer as a
+    # predicate, which pushes it into the document scan as a
+    # pre-codegen per-row DataFilter and re-evaluates the heaviest
+    # row-local expression in the engine a second time (measured ~8x
+    # the verdict's own cost at sf0.1). Cut, the projection runs once
+    # in its own codegen'd plan and the filter is a boolean test on a
+    # materialized 2-column frame (~17 B/doc — the perplexity side
+    # already makes the same bounded trade for its scored frame).
+    kept_ids = (quality_filter_verdict(docs, text_col=text_col,
+                                       id_col=id_col)
+                .select(id_col, "keep")
+                .localCheckpoint(eager=True)
+                .where(F.col("keep")).select(id_col))
     admit = (F.when(F.col("bucket") == "head", F.lit(True))
               .when(F.col("bucket") == "middle",
                     hash_bucket(F.col(id_col), sample_buckets, salt)
                     < middle_keep_bp)
               .otherwise(F.lit(False)))
-    return (buckets.join(verdict, id_col)
-            .where(F.col("keep") & admit)
+    return (buckets.join(kept_ids, id_col, "left_semi")
+            .where(admit)
             .select(id_col, "lang", "mean_bits", "bucket"))
