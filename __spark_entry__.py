@@ -1062,6 +1062,31 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining for anchor vectors vec_id < 5:
+    the 5 nearest DIFFERENT-label neighbors per anchor (cosine DESC,
+    null-safe label inequality) — the near-miss negatives that make a
+    triplet/InfoNCE batch informative, upgrading the random
+    negative_samples draw (operators/similarity.py
+    hard_negative_mining). Linear in the corpus for a bounded anchor
+    set: labels ride the scan projections, anchors broadcast."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.hard_negative_mining(emb, emb.where(F.col("vec_id") < 5),
+                                    k=5)
+
+
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-agreement@10 audit over the vec_id < 50 audit sample: the
+    share of each vector's 10 exact nearest neighbors carrying its own
+    label, in exact basis points — the Confident-Learning-style
+    mislabeled-example signal (operators/similarity.py
+    knn_label_agreement). One broadcast-anchored corpus scan + a
+    |Q|-way rollup; nothing rejoins the corpus by id."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.knn_label_agreement(emb, emb.where(F.col("vec_id") < 50),
+                                   k=10)
+
+
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment (8 planes, index build)."""
     return SIM.lsh_bucket_assignments(read_table(spark, sf_dir, "embeddings"),
@@ -2220,6 +2245,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bracket_revenue": q_bracket_revenue,
     "doc_chunks": q_doc_chunks,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "hard_negatives": q_hard_negatives,
+    "knn_label_agreement": q_knn_label_agreement,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2396,11 +2423,12 @@ _ROUND9_WINDOW = [
     "market_share", "quality_filter_verdict",
     # new this round
     "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
-    "quality_rule_report", "ccnet_curate",
-    # oldest round-7 certificate holders filling the 4 spare slots
-    # (round-7 certification order; line_dedup leads the round-10 fill)
-    "pii_scrub", "fingerprint_pairs", "cardinality_sketch",
-    "semantic_dedup",
+    "quality_rule_report", "ccnet_curate", "hard_negatives",
+    "knn_label_agreement",
+    # oldest round-7 certificate holders filling the 2 spare slots
+    # (round-7 certification order; cardinality_sketch, semantic_dedup,
+    # line_dedup lead the round-10 fill)
+    "pii_scrub", "fingerprint_pairs",
 ]
 
 QUERIES = {name: QUERIES[name] for name in
@@ -3892,6 +3920,55 @@ SELECT q_id, n_id, cosine, "rank" FROM (
 WHERE "rank" <= 5
 """
 
+
+# hard negatives: nearest different-label neighbors; IS DISTINCT FROM
+# mirrors the Spark side's null-safe label inequality
+ORACLES["hard_negatives"] = f"""
+WITH q AS (SELECT vec_id AS q_id, label AS q_label, {_QVEC} AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, label AS n_label, {_QVEC} AS nv
+      FROM embeddings),
+scored AS (
+  SELECT q_id, q_label, n_id, n_label, {_COSINE} AS cosine
+  FROM c CROSS JOIN q
+  WHERE n_id <> q_id AND n_label IS DISTINCT FROM q_label
+)
+SELECT q_id, q_label, n_id, n_label, cosine, neg_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, n_id ASC)
+                 AS BIGINT) AS neg_rank
+  FROM scored)
+WHERE neg_rank <= 5
+"""
+
+# label-agreement@k: IS NOT DISTINCT FROM mirrors null-safe equality;
+# HUGEINT mirrors the DECIMAL(38,0) widening of the bp numerator
+ORACLES["knn_label_agreement"] = f"""
+WITH q AS (SELECT vec_id AS q_id, label AS q_label, {_QVEC} AS qv
+           FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS n_id, label AS n_label, {_QVEC} AS nv
+      FROM embeddings),
+scored AS (
+  SELECT q_id, q_label, n_id, n_label, {_COSINE} AS cosine
+  FROM c CROSS JOIN q
+  WHERE n_id <> q_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, n_id ASC) AS rk
+    FROM scored)
+  WHERE rk <= 10)
+SELECT q_id, q_label,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(CASE WHEN n_label IS NOT DISTINCT FROM q_label
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST((CAST(sum(CASE WHEN n_label IS NOT DISTINCT FROM q_label
+                           THEN 1 ELSE 0 END) AS HUGEINT) * 10000)
+            // count(*) AS BIGINT) AS agreement_bp
+FROM topk
+GROUP BY q_id, q_label
+"""
 
 ORACLES["hybrid_search"] = f"""
 WITH lex AS (

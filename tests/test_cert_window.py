@@ -50,19 +50,19 @@ ROUND_WINDOW_HEAD = [
     # (runner ledger_dir contract) spend no slots — no query's code
     # path changed.
     "market_share", "quality_filter_verdict",
-    # new this round: 5 new + 2 changed = 7 of the 11 spare slots
+    # new this round: 7 new + 2 changed = 9 of the 11 spare slots
     "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
-    "quality_rule_report", "ccnet_curate",
+    "quality_rule_report", "ccnet_curate", "hard_negatives",
+    "knn_label_agreement",
 ]
 
 
 # oldest round-7 certificate holders (round-7 certification order)
-# filling the 4 remaining slots; the r7 holders left in the tail
-# (line_dedup, token_surprisal, item_pagerank, ...) lead the
-# round-10 fill
+# filling the 2 remaining slots; the r7 holders left in the tail
+# (cardinality_sketch, semantic_dedup, line_dedup, token_surprisal,
+# ...) lead the round-10 fill
 ROUND_WINDOW_FILL = [
-    "pii_scrub", "fingerprint_pairs", "cardinality_sketch",
-    "semantic_dedup",
+    "pii_scrub", "fingerprint_pairs",
 ]
 
 

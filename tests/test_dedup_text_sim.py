@@ -704,3 +704,41 @@ def test_bpe_registry_empty_merge_list_is_a_real_version(spark, tmp_path):
     a = sorted(map(tuple, bpe_apply(docs, []).collect()))
     b = sorted(map(tuple, bpe_apply_from(spark, path, docs).collect()))
     assert a == b
+
+
+# -------------------------------------------- label-aware neighbor ops
+
+def _labeled_vecs(spark):
+    # 1 ~ 2 (same label: easy positive), 5 near 1 with the OTHER label
+    # (the hard negative), 3 orthogonal other-label, 4 opposite same-label
+    return spark.createDataFrame([
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0, 0.0], 0),
+        (5, [0.98, 0.05, 0.1, 0.0], 1),
+    ], "vec_id long, embedding array<double>, label int")
+
+
+def test_hard_negative_mining_ranks_the_near_miss_first(spark):
+    emb = _labeled_vecs(spark)
+    out = SIM.hard_negative_mining(emb, emb.where(F.col("vec_id") == 1),
+                                   k=2, dims=4).collect()
+    got = [(r["n_id"], r["neg_rank"]) for r in
+           sorted(out, key=lambda r: r["neg_rank"])]
+    assert got[0] == (5, 1)          # the planted near-miss leads
+    assert got[1] == (3, 2)
+    assert all(r["n_label"] != r["q_label"] for r in out)
+    assert all(r["n_id"] != 2 and r["n_id"] != 4 for r in out)
+
+
+def test_knn_label_agreement_flags_the_mislabeled_vector(spark):
+    emb = _labeled_vecs(spark)
+    out = {r["q_id"]: r for r in
+           SIM.knn_label_agreement(emb, emb, k=2, dims=4).collect()}
+    # vec 5 sits inside the label-0 cluster wearing label 1: zero of its
+    # 2 nearest neighbors agree — the mislabeled-example signal
+    assert out[5]["n_agree"] == 0 and out[5]["agreement_bp"] == 0
+    # vec 1's neighborhood is mixed (2 agrees, 5 disagrees)
+    assert out[1]["n_neighbors"] == 2 and out[1]["n_agree"] == 1
+    assert out[1]["agreement_bp"] == 5000

@@ -662,3 +662,19 @@ def test_dsir_select_tokens_never_sorts_the_corpus(spark):
     assert "ExistingRDD" in plan           # scored+tokens frame cut once
     assert plan.count("documents.parquet") == 0
     assert_plan(df, max_sort_merge_joins=0)
+
+
+def test_label_aware_neighbor_plan_pins(spark):
+    """hard_negatives / knn_label_agreement at 100 TB: linear for a
+    bounded anchor set — anchors BROADCAST onto one corpus scan, labels
+    ride both scan projections (never a corpus-grain rejoin by id), the
+    rank window is |Q|-way. No sort-merge joins, no range partitioning,
+    one embeddings scan per side (query + corpus)."""
+    for name, shuffles in (("hard_negatives", 2),
+                           ("knn_label_agreement", 3)):
+        df = _q(spark, name)
+        plan = physical_plan(df)
+        assert "rangepartitioning" not in plan.lower(), name
+        assert plan.count("embeddings.parquet") == 2, name
+        assert_plan(df, max_shuffles=shuffles, min_broadcast_joins=1,
+                    max_sort_merge_joins=0)

@@ -420,6 +420,7 @@ ANN_QUERIES = [
     "ann_cosine_topk", "ann_lsh_bucket", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_near_pairs", "embedding_dedup", "semantic_dedup",
     "ann_recall_gate", "cluster_balanced_sample",
+    "hard_negatives", "knn_label_agreement",
 ]
 
 

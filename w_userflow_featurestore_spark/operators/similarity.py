@@ -594,3 +594,119 @@ def ivf_index_search(spark, table_path: str, queries: DataFrame,
                                            F.col("n_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .where(F.col("rank") <= k))
+
+
+# ------------------------------------------------ label-aware neighbors
+
+def _quantized_labeled(df: DataFrame, id_col: str, vec_col: str,
+                       label_col: str, out_id: str, out_vec: str,
+                       out_lab: str, dims: int, with_norm: str,
+                       spread: bool = True) -> DataFrame:
+    """:func:`_quantized` carrying the label column through the
+    projection (the label rides the same row — never a separate
+    corpus-grain join back by id)."""
+    base = df.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+    if spread:
+        base = fan_out(base)
+    return (base.select(F.col(id_col).alias(out_id),
+                        quantize(F.col(vec_col)).alias(out_vec),
+                        F.col(label_col).alias(out_lab))
+                .withColumn(with_norm, norm_q(F.col(out_vec))))
+
+
+def hard_negative_mining(corpus: DataFrame, queries: DataFrame,
+                         k: int = 5, label_col: str = "label",
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dims: int = 64) -> DataFrame:
+    """Contrastive-training hard negatives: for each query (anchor)
+    vector, the ``k`` NEAREST neighbors whose label DIFFERS from the
+    anchor's — the negatives that sit closest to the decision boundary,
+    which is what makes a triplet/InfoNCE batch informative (random
+    negatives — :func:`~w_userflow_featurestore_spark.operators.sampling.negative_samples`
+    — are mostly too easy; mining near-misses is the standard upgrade).
+    "Different" is null-safe (a NULL label is distinct from every
+    non-NULL label and equal to NULL), mirrored by the oracle's
+    IS DISTINCT FROM.
+
+    Returns (q_id, q_label, n_id, n_label, cosine, neg_rank) with
+    neg_rank 1..k by (cosine DESC, n_id) among different-label
+    neighbors only.
+
+    Scale shape — linear in the corpus for a bounded anchor set, same
+    as :func:`brute_force_topk`: the quantized+labeled anchors
+    broadcast onto one corpus scan (labels ride the scan projection,
+    never a join back by id), per-pair work is one codegen dot product,
+    and the rank window partitions by anchor id (|Q|-way). For anchor
+    sets too large to broadcast, mine per IVF cell
+    (:func:`ivf_topk`'s probe path) and rank within probes instead.
+    """
+    q = _quantized_labeled(queries, id_col, vec_col, label_col,
+                           "q_id", "q_vec", "q_label", dims,
+                           with_norm="q_norm", spread=False)
+    c = _quantized_labeled(corpus, id_col, vec_col, label_col,
+                           "n_id", "n_vec", "n_label", dims,
+                           with_norm="n_norm")
+    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+        / (F.col("q_norm") * F.col("n_norm"))
+    scored = (c.crossJoin(F.broadcast(q))
+               .where((F.col("n_id") != F.col("q_id"))
+                      & ~F.col("n_label").eqNullSafe(F.col("q_label")))
+               .select("q_id", "q_label", "n_id", "n_label",
+                       fround(cos, 4).alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                           F.col("n_id").asc())
+    return (scored.withColumn("neg_rank",
+                              F.row_number().over(w).cast("long"))
+                  .where(F.col("neg_rank") <= k))
+
+
+def knn_label_agreement(corpus: DataFrame, queries: DataFrame,
+                        k: int = 10, label_col: str = "label",
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dims: int = 64) -> DataFrame:
+    """Label-agreement@k — the label-ERROR audit (Confident-Learning
+    style): for each audited vector, the fraction of its k exact
+    nearest neighbors sharing its label, in exact integer basis points.
+    A low-agreement vector in a high-agreement class is the classic
+    mislabeled-example signal; run over a hash-sampled audit set per
+    ingest batch the way quality_rule_report runs over a crawl.
+    Agreement is null-safe (NULL agrees with NULL), mirrored by the
+    oracle's IS NOT DISTINCT FROM.
+
+    Returns (q_id, q_label, n_neighbors, n_agree, agreement_bp);
+    n_neighbors < k when the corpus is smaller than k+1.
+
+    Scale shape: one broadcast-anchored corpus scan produces the
+    top-k frame (linear for a bounded audit set, like
+    :func:`brute_force_topk`); labels ride both sides' scan
+    projections; the rollup is one |Q|-way aggregate. Nothing joins
+    back to the corpus by id.
+    """
+    q = _quantized_labeled(queries, id_col, vec_col, label_col,
+                           "q_id", "q_vec", "q_label", dims,
+                           with_norm="q_norm", spread=False)
+    c = _quantized_labeled(corpus, id_col, vec_col, label_col,
+                           "n_id", "n_vec", "n_label", dims,
+                           with_norm="n_norm")
+    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+        / (F.col("q_norm") * F.col("n_norm"))
+    scored = (c.crossJoin(F.broadcast(q))
+               .where(F.col("n_id") != F.col("q_id"))
+               .select("q_id", "q_label", "n_label",
+                       fround(cos, 4).alias("cosine"),
+                       F.col("n_id")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                           F.col("n_id").asc())
+    topk = (scored.withColumn("_rk", F.row_number().over(w))
+                  .where(F.col("_rk") <= k))
+    agree = F.sum(F.when(F.col("n_label").eqNullSafe(F.col("q_label")),
+                         1).otherwise(0)).cast("long")
+    return (topk.groupBy("q_id", "q_label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+                 agree.alias("n_agree"))
+            .select("q_id", "q_label", "n_neighbors", "n_agree",
+                    F.expr("CAST((CAST(n_agree AS DECIMAL(38,0))"
+                           " * 10000) DIV n_neighbors AS BIGINT)")
+                     .alias("agreement_bp")))
