@@ -726,6 +726,19 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(read_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup dashboard (operators/dedup.py
+    dedup_rate_report): doc count, within-source distinct content,
+    global survivors, within-source dup rate in exact basis points —
+    quality_rule_report's twin for the dedup family; the within-group
+    vs global-survivor contrast separates self-repeating sources from
+    source-mirroring. One content-hash shuffle + one group-domain
+    rollup."""
+    return DD.dedup_rate_report(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text", "source"]))
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash: 8 seeded minwise hashes over 3-gram shingles."""
     return DD.minhash_signatures(read_table(spark, sf_dir, "documents"),
@@ -2332,6 +2345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_today": q_retention_today,
     "dim_gap_features": q_dim_gap_features,
     "exact_dedup": q_exact_dedup,
+    "dedup_rate_report": q_dedup_rate_report,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_components": q_dedup_components,
@@ -2424,11 +2438,12 @@ _ROUND9_WINDOW = [
     # new this round
     "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
     "quality_rule_report", "ccnet_curate", "hard_negatives",
-    "knn_label_agreement",
-    # oldest round-7 certificate holders filling the 2 spare slots
-    # (round-7 certification order; cardinality_sketch, semantic_dedup,
-    # line_dedup lead the round-10 fill)
-    "pii_scrub", "fingerprint_pairs",
+    "knn_label_agreement", "dedup_rate_report",
+    # oldest round-7 certificate holder filling the 1 spare slot
+    # (round-7 certification order; fingerprint_pairs,
+    # cardinality_sketch, semantic_dedup, line_dedup lead the
+    # round-10 fill)
+    "pii_scrub",
 ]
 
 QUERIES = {name: QUERIES[name] for name in
@@ -3092,6 +3107,26 @@ SELECT doc_id, content_hash,
        CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY content_hash)
             THEN 1 ELSE 0 END AS keep
 FROM d
+"""
+
+# per-source dedup dashboard: within-group distinct vs global survivor
+# (min doc_id over the GLOBAL hash group); HUGEINT mirrors DECIMAL(38,0)
+ORACLES["dedup_rate_report"] = f"""
+WITH d AS (SELECT doc_id, source, md5({_NORM}) AS content_hash
+           FROM documents),
+t AS (SELECT doc_id, source, content_hash,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY
+                                                  content_hash)
+                  THEN 1 ELSE 0 END AS keep
+      FROM d)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT content_hash) AS BIGINT) AS n_unique,
+       CAST(sum(keep) AS BIGINT) AS n_global_survivors,
+       CAST((CAST(count(*) - count(DISTINCT content_hash) AS HUGEINT)
+             * 10000) // count(*) AS BIGINT) AS dup_rate_bp
+FROM t
+GROUP BY source
 """
 
 _MH_COLS = ",\n       ".join(

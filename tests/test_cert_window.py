@@ -50,19 +50,19 @@ ROUND_WINDOW_HEAD = [
     # (runner ledger_dir contract) spend no slots — no query's code
     # path changed.
     "market_share", "quality_filter_verdict",
-    # new this round: 7 new + 2 changed = 9 of the 11 spare slots
+    # new this round: 8 new + 2 changed = 10 of the 11 spare slots
     "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
     "quality_rule_report", "ccnet_curate", "hard_negatives",
-    "knn_label_agreement",
+    "knn_label_agreement", "dedup_rate_report",
 ]
 
 
-# oldest round-7 certificate holders (round-7 certification order)
-# filling the 2 remaining slots; the r7 holders left in the tail
-# (cardinality_sketch, semantic_dedup, line_dedup, token_surprisal,
-# ...) lead the round-10 fill
+# oldest round-7 certificate holder (round-7 certification order)
+# filling the 1 remaining slot; the r7 holders left in the tail
+# (fingerprint_pairs, cardinality_sketch, semantic_dedup, line_dedup,
+# token_surprisal, ...) lead the round-10 fill
 ROUND_WINDOW_FILL = [
-    "pii_scrub", "fingerprint_pairs",
+    "pii_scrub",
 ]
 
 

@@ -678,3 +678,15 @@ def test_label_aware_neighbor_plan_pins(spark):
         assert plan.count("embeddings.parquet") == 2, name
         assert_plan(df, max_shuffles=shuffles, min_broadcast_joins=1,
                     max_sort_merge_joins=0)
+
+
+def test_dedup_rate_report_plan_pin(spark):
+    """The dedup dashboard at 100 TB: ONE content-hash exchange (the
+    survivor window) + the distinct/rollup barriers over the hashed
+    projection — the corpus text never moves (~16 B + group key per doc
+    through the exchanges), one documents scan, no joins."""
+    df = _q(spark, "dedup_rate_report")
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert_plan(df, max_shuffles=4, max_sort_merge_joins=0)

@@ -464,3 +464,48 @@ def simhash_near_pairs(signatures: DataFrame, id_col: str = "doc_id",
     return (pairs.withColumn("hamming", hamming.cast("long"))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def dedup_rate_report(docs: DataFrame, group_col: str = "source",
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The dedup DASHBOARD over :func:`exact_dedup` — per ``group_col``
+    (source, crawl snapshot, ...): document count, distinct content
+    count WITHIN the group, global survivors (the corpus-wide canonical
+    copy landing in this group), and the within-group duplicate rate in
+    exact integer basis points. The curation twin of
+    ``quality_rule_report``: a source whose dup rate jumps is a
+    re-crawl/ingest-loop incident signal, and the within-group vs
+    global-survivor contrast separates "this source repeats itself"
+    from "this source mirrors another source" — the two have different
+    fixes (dedup config vs source selection).
+
+    Returns (group_col, n_docs, n_unique, n_global_survivors,
+    dup_rate_bp) with dup_rate_bp = (n_docs - n_unique) * 10000 DIV
+    n_docs over within-group distinct hashes.
+
+    Scale shape: :func:`exact_dedup`'s one content-hash shuffle (its
+    window already computes the global survivor), the group column
+    rides the hashed projection (~16 bytes + group key per doc through
+    the exchange), and the rollup is one group-domain-sized hash-agg
+    with a distinct on (group, hash) — bounded by the distinct-content
+    count, with map-side partial aggregation.
+    """
+    h = F.md5(normalize_text(F.col(text_col)))
+    d = fan_out(docs.select(F.col(id_col), F.col(text_col),
+                            F.col(group_col))) \
+        .select(F.col(id_col), F.col(group_col), h.alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    tagged = d.withColumn(
+        "keep", F.when(F.col(id_col) == F.min(id_col).over(w), 1)
+                 .otherwise(0))
+    return (tagged.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("content_hash").cast("long")
+                  .alias("n_unique"),
+                 F.sum("keep").cast("long").alias("n_global_survivors"))
+            .select(group_col, "n_docs", "n_unique",
+                    "n_global_survivors",
+                    F.expr("CAST((CAST(n_docs - n_unique AS"
+                           " DECIMAL(38,0)) * 10000) DIV n_docs"
+                           " AS BIGINT)").alias("dup_rate_bp")))
