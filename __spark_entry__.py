@@ -919,6 +919,33 @@ def q_bpe_encode_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply_from(spark, path, docs, version=version)
 
 
+N_BPE_MERGES_OLD = 4
+
+
+def q_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-upgrade impact report (operators/text.py
+    bpe_version_drift): publish the 4-merge tokenizer as registry v1
+    and its 8-merge extension as v2 (greedy BPE is prefix-stable, so
+    training once to 8 yields both), then encode the corpus with each
+    and report per-doc token drift in exact basis points — the
+    re-pricing audit a team runs before swapping tokenizers, and the
+    registry's cross-version consumer. The oracle replays ONE 8-step
+    merge chain and reads the 4-step prefix state for v1."""
+    import os
+    import tempfile
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_save, bpe_train, bpe_version_drift,
+    )
+    docs = read_table(spark, sf_dir, "documents",
+                      columns=["doc_id", "text"])
+    merges, _ = bpe_train(docs, n_merges=N_BPE_MERGES)
+    path = os.path.join(tempfile.mkdtemp(prefix="bpe_registry_"),
+                        "tokenizer")
+    v_old, _ = bpe_save(spark, path, merges[:N_BPE_MERGES_OLD])
+    v_new, _ = bpe_save(spark, path, merges)
+    return bpe_version_drift(spark, path, docs, v_old, v_new)
+
+
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram-LM surprisal in whole bits — the context-aware
     upgrade of token_surprisal (CCNet filters on a real n-gram LM; a
@@ -2301,6 +2328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "bpe_encode_persisted": q_bpe_encode_persisted,
+    "tokenizer_drift": q_tokenizer_drift,
     "bigram_surprisal": q_bigram_surprisal,
     "perplexity_buckets": q_perplexity_buckets,
     "dsir_importance": q_dsir_importance,
@@ -2438,12 +2466,12 @@ _ROUND9_WINDOW = [
     # new this round
     "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
     "quality_rule_report", "ccnet_curate", "hard_negatives",
-    "knn_label_agreement", "dedup_rate_report",
-    # oldest round-7 certificate holder filling the 1 spare slot
-    # (round-7 certification order; fingerprint_pairs,
+    "knn_label_agreement", "dedup_rate_report", "tokenizer_drift",
+    # all 11 spare slots spent on new+changed (9 new + 2 changed) — no
+    # r7 fill this round; pii_scrub, fingerprint_pairs,
     # cardinality_sketch, semantic_dedup, line_dedup lead the
-    # round-10 fill)
-    "pii_scrub",
+    # round-10 fill (their r7 certificates stay inside the 3-round
+    # cycle through round 10)
 ]
 
 QUERIES = {name: QUERIES[name] for name in
@@ -3502,7 +3530,46 @@ FROM dw JOIN enc USING (w)
 GROUP BY doc_id"""
 
 
+def _bpe_drift_oracle_sql(k_old: int, k_new: int) -> str:
+    """Two encodes off ONE unrolled chain: greedy BPE is prefix-stable
+    (merge i depends only on merges 1..i-1), so the k_new chain's
+    w{k_old} state IS the old tokenizer — exactly how the Spark side
+    publishes merges[:k_old] as registry v1."""
+    def enc(name: str, state: str) -> str:
+        return f"""{name} AS (
+  SELECT w,
+         CAST(len(string_split(substring(syms, 2, length(syms) - 2),
+                               chr(2) || chr(1))) AS BIGINT) AS n_syms
+  FROM {state})"""
+    return _bpe_chain_sql(k_new) + f""",
+{enc("enc_old", f"w{k_old}")},
+{enc("enc_new", f"w{k_new}")},
+dw AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY doc_id, w),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_words,
+         CAST(sum(cnt * enc_old.n_syms) AS BIGINT) AS old_tokens,
+         CAST(sum(cnt * enc_new.n_syms) AS BIGINT) AS new_tokens
+  FROM dw JOIN enc_old USING (w) JOIN enc_new USING (w)
+  GROUP BY doc_id)
+SELECT doc_id, n_words, old_tokens, new_tokens,
+       CAST((CAST(old_tokens AS HUGEINT) * 10000) // n_words AS BIGINT)
+         AS old_bp,
+       CAST((CAST(new_tokens AS HUGEINT) * 10000) // n_words AS BIGINT)
+         AS new_bp,
+       CAST((CAST(old_tokens AS HUGEINT) * 10000) // n_words
+            - (CAST(new_tokens AS HUGEINT) * 10000) // n_words
+            AS BIGINT) AS drift_bp
+FROM per_doc"""
+
+
 ORACLES["bpe_merges"] = _bpe_merges_oracle_sql(N_BPE_MERGES)
+ORACLES["tokenizer_drift"] = _bpe_drift_oracle_sql(N_BPE_MERGES_OLD,
+                                                   N_BPE_MERGES)
 ORACLES["bpe_encode"] = _bpe_encode_oracle_sql(N_BPE_MERGES)
 # the persisted-registry round-trip must be indistinguishable from the
 # in-memory encode — same oracle, verbatim, is the contract

@@ -50,20 +50,19 @@ ROUND_WINDOW_HEAD = [
     # (runner ledger_dir contract) spend no slots — no query's code
     # path changed.
     "market_share", "quality_filter_verdict",
-    # new this round: 8 new + 2 changed = 10 of the 11 spare slots
+    # new this round: 9 new + 2 changed = all 11 spare slots
     "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
     "quality_rule_report", "ccnet_curate", "hard_negatives",
-    "knn_label_agreement", "dedup_rate_report",
+    "knn_label_agreement", "dedup_rate_report", "tokenizer_drift",
 ]
 
 
-# oldest round-7 certificate holder (round-7 certification order)
-# filling the 1 remaining slot; the r7 holders left in the tail
-# (fingerprint_pairs, cardinality_sketch, semantic_dedup, line_dedup,
-# token_surprisal, ...) lead the round-10 fill
-ROUND_WINDOW_FILL = [
-    "pii_scrub",
-]
+# no r7 fill this round — all 11 spare slots went to new+changed
+# queries. The oldest r7 holders (pii_scrub, fingerprint_pairs,
+# cardinality_sketch, semantic_dedup, line_dedup, token_surprisal, ...)
+# lead the round-10 fill; their r7 certificates stay inside the 3-round
+# cycle through round 10.
+ROUND_WINDOW_FILL: list[str] = []
 
 
 def test_window_head_holds_the_must_certify_queries():

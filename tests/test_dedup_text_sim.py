@@ -742,3 +742,25 @@ def test_knn_label_agreement_flags_the_mislabeled_vector(spark):
     # vec 1's neighborhood is mixed (2 agrees, 5 disagrees)
     assert out[1]["n_neighbors"] == 2 and out[1]["n_agree"] == 1
     assert out[1]["agreement_bp"] == 5000
+
+
+def test_bpe_version_drift_prefix_stability_and_sign(spark, tmp_path):
+    """Greedy BPE is prefix-stable (merge i depends only on merges
+    1..i-1), so train(8)[:4] IS the 4-merge tokenizer — and extending a
+    merge list can only fuse further, so drift_bp >= 0 for every doc."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_save, bpe_train, bpe_version_drift,
+    )
+    from w_userflow_featurestore_spark.sources import read_table
+    docs = read_table(spark, SF0001, "documents",
+                      columns=["doc_id", "text"])
+    m8, _ = bpe_train(docs, n_merges=8)
+    m4, _ = bpe_train(docs, n_merges=4)
+    assert [tuple(m) for m in m8[:4]] == [tuple(m) for m in m4]
+    path = str(tmp_path / "tokenizer")
+    v1, _ = bpe_save(spark, path, m8[:4])
+    v2, _ = bpe_save(spark, path, m8)
+    out = bpe_version_drift(spark, path, docs, v1, v2).collect()
+    assert out and all(r["drift_bp"] >= 0 for r in out)
+    assert all(r["old_tokens"] >= r["new_tokens"] for r in out)
+    assert any(r["drift_bp"] > 0 for r in out)   # the upgrade changed SOMETHING

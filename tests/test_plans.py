@@ -690,3 +690,15 @@ def test_dedup_rate_report_plan_pin(spark):
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan
     assert_plan(df, max_shuffles=4, max_sort_merge_joins=0)
+
+
+def test_tokenizer_drift_joins_at_doc_grain(spark):
+    """The upgrade report: two (doc, distinct-word)-grain encodes must
+    aggregate to doc grain BEFORE their join (the exchange moves two
+    integer columns per doc, never word-grain rows), merges ride as
+    literals (zero joins inside either encode), nothing range
+    partitions."""
+    df = _q(spark, "tokenizer_drift")
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert_plan(df, max_sort_merge_joins=1)

@@ -542,6 +542,7 @@ DOC_QUERIES_2 = [
     "dsir_importance", "quality_filter_verdict",
     "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
     "quality_rule_report", "ccnet_curate", "dedup_rate_report",
+    "tokenizer_drift",
 ]
 
 

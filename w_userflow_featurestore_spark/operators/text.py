@@ -1322,3 +1322,43 @@ def ccnet_curate(docs: DataFrame, *, middle_keep_bp: int = 500,
     return (buckets.join(kept_ids, id_col, "left_semi")
             .where(admit)
             .select(id_col, "lang", "mean_bits", "bucket"))
+
+
+def bpe_version_drift(spark, table_path: str, docs: DataFrame,
+                      v_old: int, v_new: int,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-UPGRADE impact report — the cross-version consumer of
+    the :func:`bpe_save` registry: encode the same corpus with two
+    published tokenizer versions and report the per-document token
+    drift. This is the query a team runs before swapping tokenizers:
+    token budgets, packing density and per-doc costs are denominated in
+    tokens of a SPECIFIC tokenizer, and an upgrade silently re-pricing
+    every document is exactly the incident the versioned registry
+    exists to make visible (and the pinned-version load to prevent).
+
+    Returns (doc_id, n_words, old_tokens, new_tokens, old_bp, new_bp,
+    drift_bp) with *_bp = tokens-per-word in exact basis points and
+    drift_bp = old_bp - new_bp (>= 0 when the new version extends the
+    old merge list — more merges never split a word further).
+
+    Scale shape: two :func:`bpe_apply` passes (each at the
+    (doc, distinct-word) grain, merges riding as literals) joined on
+    the doc key — both sides aggregate to doc grain before the join,
+    so the exchange moves two small integer columns per doc.
+    """
+    old = bpe_apply(docs, bpe_load(spark, table_path, v_old),
+                    text_col, id_col)
+    new = bpe_apply(docs, bpe_load(spark, table_path, v_new),
+                    text_col, id_col)
+    o = old.select(F.col(id_col), F.col("n_words"),
+                   F.col("n_tokens").alias("old_tokens"),
+                   F.col("tokens_per_word_bp").alias("old_bp"))
+    n = new.select(F.col(id_col),
+                   F.col("n_tokens").alias("new_tokens"),
+                   F.col("tokens_per_word_bp").alias("new_bp"))
+    return (o.join(n, id_col)
+             .select(id_col, "n_words", "old_tokens", "new_tokens",
+                     "old_bp", "new_bp",
+                     (F.col("old_bp") - F.col("new_bp")).cast("long")
+                      .alias("drift_bp")))
