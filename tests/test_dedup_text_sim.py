@@ -676,10 +676,11 @@ def test_bpe_registry_rollback_and_idempotent_replay(spark, tmp_path):
     m2, _ = bpe_train(docs, n_merges=2)
     m3, _ = bpe_train(docs, n_merges=3)
     path = str(tmp_path / "tokenizer")
-    _, snap1 = bpe_save(spark, path, m2, txn="publish-1")
-    # replayed publish: same token -> same snapshot, no version 2
-    _, snap_replay = bpe_save(spark, path, m2, txn="publish-1")
-    assert snap_replay == snap1
+    v1, snap1 = bpe_save(spark, path, m2, txn="publish-1")
+    # replayed publish: same token -> same snapshot AND the ORIGINAL
+    # version number (not a freshly computed max+1)
+    v_replay, snap_replay = bpe_save(spark, path, m2, txn="publish-1")
+    assert (v_replay, snap_replay) == (v1, snap1) == (1, snap1)
     assert bpe_load(spark, path) == [tuple(m) for m in m2]
     _, _snap2 = bpe_save(spark, path, m3, txn="publish-2")
     assert bpe_load(spark, path) == [tuple(m) for m in m3]
@@ -764,3 +765,50 @@ def test_bpe_version_drift_prefix_stability_and_sign(spark, tmp_path):
     assert out and all(r["drift_bp"] >= 0 for r in out)
     assert all(r["old_tokens"] >= r["new_tokens"] for r in out)
     assert any(r["drift_bp"] > 0 for r in out)   # the upgrade changed SOMETHING
+
+
+def test_bpe_registry_streaming_publish_exactly_once(spark, tmp_path):
+    """A foreachBatch retraining stream publishes tokenizer versions
+    through bpe_save's txn tokens (the IVF-index streaming-feed
+    pattern): checkpoint-recovery double-delivery of a batch publishes
+    its version exactly once, versions stay monotonically consecutive,
+    and a version pinned mid-stream keeps resolving after later
+    publishes."""
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_load, bpe_save, bpe_train,
+    )
+    from w_userflow_featurestore_spark.sources import read_table
+
+    docs = read_table(spark, SF0001, "documents",
+                      columns=["doc_id", "text"])
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    path = str(tmp_path / "tokenizer")
+    docs.write.parquet(src)
+    published = []
+
+    def _publish(batch, batch_id):
+        if not batch.isEmpty():
+            merges, _ = bpe_train(batch, n_merges=2)
+            published.append(
+                bpe_save(batch.sparkSession, path, merges,
+                         txn=f"tok:{ck}:{batch_id}"))
+
+    def run():
+        q = (spark.readStream.schema(docs.schema).parquet(src)
+             .writeStream.foreachBatch(_publish)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    v1 = bpe_load(spark, path)
+    assert published and published[0][0] == 1 and len(v1) == 2
+    run()      # restart on the same checkpoint: nothing re-publishes
+    assert bpe_load(spark, path) == v1
+    # a replayed batch id maps to the SAME snapshot (txn no-op), so the
+    # version count equals the number of distinct batches, not runs
+    m3, _ = bpe_train(docs, n_merges=3)
+    v2, _ = bpe_save(spark, path, m3, txn="manual-upgrade")
+    assert v2 == 2
+    assert bpe_load(spark, path, version=1) == v1   # pin survives
+    assert len(bpe_load(spark, path)) == 3

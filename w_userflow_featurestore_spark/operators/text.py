@@ -1140,7 +1140,20 @@ def bpe_save(spark, table_path: str, merges: list[tuple],
     t = LogTable.create(spark, table_path, [],
                         stats_columns=["tokenizer_version"])
     version = 1
-    if t.latest_snapshot_id() is not None:
+    latest = t.latest_snapshot_id()
+    if latest is not None:
+        # replayed publish (checkpoint-recovery re-delivery): the
+        # append below would no-op on the matching txn token, but the
+        # freshly computed max+1 would then LIE about which version the
+        # original commit published — resolve the replay first and
+        # return ITS version (read from the commit's own increment)
+        if txn is not None:
+            for s in t._chain(latest):
+                if s.txn == txn:
+                    v = (t.read_increment(s.parent_id, s.snapshot_id)
+                          .agg(F.max("tokenizer_version").alias("v"))
+                          .collect()[0]["v"])
+                    return int(v), s.snapshot_id
         prev = t.read().agg(
             F.max("tokenizer_version").alias("v")).collect()[0]["v"]
         version = int(prev or 0) + 1
