@@ -2246,6 +2246,110 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(_events(spark, sf_dir), "user_id", top_k=20)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (operators/text.py
+    tfidf_top_terms): whole-bit IDF = bit_length(N DIV df) - 1 keeps
+    the score exact integer arithmetic (the token_surprisal trick on
+    the document-frequency axis); top-k per doc by (score_bits DESC,
+    term ASC). Two token-grain hash aggregates, a vocab-keyed join, a
+    1-row N broadcast, a doc-partitioned window — no corpus sort."""
+    return TX.tfidf_top_terms(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text"]), top_k=3)
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by whole-bit PMI
+    (operators/text.py pmi_collocations): bigrams built row-locally,
+    counts in two hash aggregates, PMI = bit_length((c_xy*T) DIV
+    (c_x*c_y)) - 1 with the products in DECIMAL(38,0) (BIGINT-exact
+    ratio, overflow-safe at the 100 TB design point), min_count=5
+    suppressing the rare-pair explosion, positive-PMI only. The final
+    top-20 is a TakeOrderedAndProject, never a full sort."""
+    return TX.pmi_collocations(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text"]), top_k=20, min_count=5)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty (operators/dedup.py ngram_novelty):
+    share of the doc's distinct shingles with corpus document
+    frequency 1, in exact basis points — the shingle-grain twin of
+    dedup_rate_report. One shingle hash-aggregate, the df tag rides
+    the same exchange as a window, one doc rollup."""
+    return DD.ngram_novelty(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text"]), n=3)
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mirroring matrix (operators/dedup.py
+    cross_source_overlap): distinct shared content hashes + content
+    Jaccard in basis points per unordered source pair. The self-join
+    runs AFTER the (hash, source) distinct collapse, so per-hash
+    fan-out is bounded by the source domain, not dup-group size."""
+    return DD.cross_source_overlap(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text", "source"]))
+
+
+def q_d4_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 data selection (operators/similarity.py d4_select): SemDeDup
+    drop (16 cells, cosine >= 0.35, lowest-id survivor) THEN
+    cluster-balanced diversification over the survivors (re-fit 8-cell
+    quantizer, hash-ranked 5 per cell) — dedup alone over-samples
+    dense regions, diversification alone keeps duplicates; D4 is the
+    composition. Dropped vectors carry NULL re-clustering columns and
+    selected=false. Oracle composes the semantic_dedup and
+    cluster_balanced_sample CTE chains over the same survivor set."""
+    return SIM.d4_select(
+        read_table(spark, sf_dir, "embeddings",
+                   columns=["vec_id", "embedding"]),
+        threshold=0.35, per_cluster=5, sem_centroids=16,
+        sample_centroids=8)
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (operators/sampling.py
+    curriculum_order): 4 difficulty stages by unigram-LM surprisal —
+    VALUE thresholds from a score histogram (the perplexity_buckets
+    rule, global), never a corpus sort — with corpus_shuffle's sharded
+    deterministic permutation within each stage; the reader consumes
+    (stage, shard, shard_pos) lexicographically for easy-to-hard
+    training with locally unbiased order."""
+    return SMP.curriculum_order(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text"]),
+        n_stages=4, n_shards=8)
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID accuracy audit (operators/text.py
+    lang_id_confusion): labeled lang vs the stopword-profile
+    prediction, within-language shares in exact basis points — the
+    eval for the heuristic the language filter rule trusts (zh mass
+    lands on 'und' by design: normalization strips CJK). Row-local
+    prediction + one |langs|^2 hash-agg; the per-language total is a
+    window over that tiny frame."""
+    return TX.lang_id_confusion(
+        read_table(spark, sf_dir, "documents",
+                   columns=["lang", "text"]))
+
+
+def q_quality_survivor_dedup(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Near-dup dedup keeping the highest-quality doc per cluster
+    (operators/dedup.py quality_survivor_dedup): components over the
+    same MinHash-LSH pair graph as dedup_components, survivor =
+    argmax(distinct-word count, doc_id ASC tie-break) via one
+    component-partitioned window; singleton docs are their own
+    component (leakage_safe_split's coalesce-to-self convention)."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return DD.quality_survivor_dedup(
+        read_table(spark, sf_dir, "documents",
+                   columns=["doc_id", "text"]), pairs=pairs)
+
+
 # driver-walk order: the correctness harness certifies entries
 # front-to-back and stops at 50, so the dict is kept in
 # least-recently-certified order — the block holding the OLDEST
@@ -2430,6 +2534,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "pack_sequences": q_pack_sequences,
     "frequent_tokens": q_frequent_tokens,
+    # --- round-9 window OVERFLOW (added after the 50-slot window was
+    # already spent on the 39 r6 rotations + 2 changed + 9 new): these
+    # hold no driver certificate yet — they LEAD the round-10 window
+    # head, ahead of the r7 fill (the round-8 verdict's sanctioned
+    # overflow path). Each is sf0.01-verified by the committed
+    # selfcheck and sf0.001-verified on every pytest run.
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pmi_collocations": q_pmi_collocations,
+    "ngram_novelty": q_ngram_novelty,
+    "cross_source_overlap": q_cross_source_overlap,
+    "quality_survivor_dedup": q_quality_survivor_dedup,
+    "d4_select": q_d4_select,
+    "curriculum_order": q_curriculum_order,
+    "lang_id_confusion": q_lang_id_confusion,
 }
 
 # --- round-9 certification window (driver certifies the FIRST 50) ---
@@ -5767,6 +5885,283 @@ def _lower_rounds(sql: str) -> str:
         i = k + 1
     return "".join(out)
 
+
+# --- round-9 overflow oracles ----------------------------------------------
+
+# TF-IDF keywords: whole-bit IDF = floor(log2(N/df)) via binary-string
+# length (token_surprisal's trick on the document-frequency axis)
+ORACLES["tfidf_top_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+    FROM documents)
+  WHERE token <> ''),
+tf AS (SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, token),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+idf AS (
+  SELECT term,
+         CAST(length(format('{{:b}}', n_docs // df)) - 1 AS BIGINT)
+           AS idf_bits
+  FROM dfr CROSS JOIN nd),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, idf.idf_bits,
+         CAST(tf.tf * idf.idf_bits AS BIGINT) AS score_bits
+  FROM tf JOIN idf USING (term))
+SELECT doc_id, term, tf, idf_bits, score_bits, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_bits DESC, term ASC)
+              AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+# PMI collocations: T summed BEFORE the min_count filter; products in
+# HUGEINT (mirrors Spark's DECIMAL(38,0)); positive-PMI only so the
+# whole-bit log's domain stays >= 1
+ORACLES["pmi_collocations"] = f"""
+WITH arr AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+             FROM documents),
+big AS (
+  SELECT list_extract(ws, i) AS w1, list_extract(ws, i + 1) AS w2
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM arr)
+  WHERE list_extract(ws, i) <> '' AND list_extract(ws, i + 1) <> ''),
+uni AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w),
+cxy_all AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+            FROM big GROUP BY w1, w2),
+tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS t_total FROM cxy_all),
+cxy AS (SELECT * FROM cxy_all WHERE n_pair >= 5),
+j AS (
+  SELECT c.w1, c.w2, c.n_pair,
+         CAST(c.n_pair AS HUGEINT) * t.t_total AS num,
+         CAST(u1.c AS HUGEINT) * u2.c AS den
+  FROM cxy c CROSS JOIN tot t
+  JOIN uni u1 ON u1.w = c.w1
+  JOIN uni u2 ON u2.w = c.w2)
+SELECT w1, w2, n_pair,
+       -- the HUGEINT ratio is <= T (c_xy <= c_x*c_y), so the BIGINT
+       -- cast is exact; format's :b needs an integral <= 64 bits
+       CAST(length(format('{{:b}}', CAST(num // den AS BIGINT))) - 1
+            AS BIGINT) AS pmi_bits
+FROM j
+WHERE num >= den
+ORDER BY pmi_bits DESC, n_pair DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+# per-doc shingle novelty: df over the per-doc-distinct shingle rows
+# counts DOCUMENTS; novelty = df-1 share in exact basis points
+ORACLES["ngram_novelty"] = _SHINGLE_CTE + """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+             * 10000) // count(*) AS BIGINT) AS novelty_bp
+FROM (SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df
+      FROM shex)
+GROUP BY doc_id
+"""
+
+# source-mirroring matrix over distinct (content_hash, source) rows
+ORACLES["cross_source_overlap"] = f"""
+WITH d AS (SELECT DISTINCT md5({_NORM}) AS content_hash, source
+           FROM documents),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM d a JOIN d b
+    ON a.content_hash = b.content_hash AND a.source < b.source
+  GROUP BY a.source, b.source),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hashes
+        FROM d GROUP BY source)
+SELECT source_a, source_b, n_shared,
+       CAST((CAST(n_shared AS HUGEINT) * 10000)
+            // (pa.n_hashes + pb.n_hashes - n_shared) AS BIGINT)
+         AS jaccard_bp
+FROM shared
+JOIN per pa ON pa.source = source_a
+JOIN per pb ON pb.source = source_b
+"""
+
+# quality-argmax survivor per near-dup component: the
+# dedup_components recursive CTE supplies the labels, distinct-word
+# count the quality, row_number the election
+ORACLES["quality_survivor_dedup"] = f"""
+WITH RECURSIVE lsh_pairs AS ({{LSH_PAIRS}}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+q AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(list_filter(
+             string_split({_NORM}, ' '), x -> x <> ''))) AS BIGINT)
+           AS n_distinct_words
+  FROM documents),
+lab AS (
+  SELECT q.doc_id,
+         CAST(coalesce(c.component, q.doc_id) AS BIGINT) AS component,
+         q.n_distinct_words
+  FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id)
+SELECT doc_id, component, n_distinct_words,
+       CAST(CASE WHEN row_number() OVER (
+                     PARTITION BY component
+                     ORDER BY n_distinct_words DESC, doc_id ASC) = 1
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM lab
+"""
+ORACLES["quality_survivor_dedup"] = (
+    ORACLES["quality_survivor_dedup"]
+    .replace("{LSH_PAIRS}", ORACLES["minhash_lsh_pairs"]))
+
+# D4 = the semantic_dedup chain, then the cluster_balanced_sample
+# chain RE-FIT over the survivor set; dropped vectors keep NULL
+# re-clustering columns and selected=false
+ORACLES["d4_select"] = f"""
+WITH c AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (
+           ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1
+         AS cell, qv AS cv
+  FROM c
+  QUALIFY row_number() OVER (
+           ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id)
+          <= {_SEM_K}
+),
+assign AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT c.vec_id, c.qv, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_l2_sql('c.qv', 'cent.cv')}, cent.cell)
+           AS rn
+    FROM c CROSS JOIN cent)
+  WHERE rn = 1
+),
+victims AS (
+  SELECT DISTINCT b.vec_id AS b_id
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(CAST({_qdot('a.qv', 'b.qv')} AS DOUBLE)
+              / (sqrt(CAST({_qdot('a.qv', 'a.qv')} AS DOUBLE))
+                 * sqrt(CAST({_qdot('b.qv', 'b.qv')} AS DOUBLE))), 4)
+        >= 0.35
+),
+sd AS (
+  SELECT vec_id, cell AS sem_cell,
+         vec_id NOT IN (SELECT b_id FROM victims) AS is_kept
+  FROM assign
+),
+kc AS (SELECT c.vec_id, c.qv FROM c
+       JOIN sd ON sd.vec_id = c.vec_id
+       WHERE sd.is_kept),
+cent2 AS (
+  SELECT row_number() OVER (
+           ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1
+         AS cell, qv AS cv
+  FROM kc
+  QUALIFY row_number() OVER (
+           ORDER BY {_h60("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id)
+          <= 8
+),
+assign2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT kc.vec_id, cent2.cell,
+           row_number() OVER (PARTITION BY kc.vec_id
+                              ORDER BY {_l2_sql('kc.qv', 'cent2.cv')},
+                                       cent2.cell)
+           AS rn
+    FROM kc CROSS JOIN cent2)
+  WHERE rn = 1
+),
+rk AS (
+  SELECT vec_id, cell,
+         row_number() OVER (
+           PARTITION BY cell
+           ORDER BY {_h60("'cbs:' || CAST(vec_id AS VARCHAR)")}, vec_id)
+         AS rn,
+         count(*) OVER (PARTITION BY cell) AS n
+  FROM assign2
+)
+SELECT sd.vec_id, sd.sem_cell, sd.is_kept,
+       rk.cell, CAST(rk.n AS BIGINT) AS cluster_size,
+       coalesce(rk.rn <= 5, false) AS selected
+FROM sd LEFT JOIN rk ON rk.vec_id = sd.vec_id
+"""
+
+# curriculum: the token_surprisal chain, global histogram VALUE
+# thresholds (ceil(s*n/4) as (s*n+3)//4, positive operands), then the
+# corpus_shuffle hash permutation within each (stage, shard)
+ORACLES["curriculum_order"] = f"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+    FROM documents)
+  WHERE token <> ''),
+lm AS (SELECT token, count(*) AS n_t FROM tok GROUP BY token),
+tottok AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM lm),
+tbits AS (
+  SELECT token,
+         CAST(length(format('{{:b}}', n_total // n_t)) - 1 AS BIGINT)
+           AS b
+  FROM lm CROSS JOIN tottok),
+ts AS (
+  SELECT doc_id, round(sum(b) * 1.0 / count(*), 4) AS mean_bits
+  FROM tok JOIN tbits USING (token) GROUP BY doc_id),
+hist AS (SELECT mean_bits, count(*) AS _n FROM ts GROUP BY mean_bits),
+cum AS (
+  SELECT mean_bits,
+         sum(_n) OVER (ORDER BY mean_bits
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS _cum,
+         sum(_n) OVER () AS _tot
+  FROM hist),
+th AS (
+  SELECT min(CASE WHEN _cum >= (1 * _tot + 3) // 4
+                  THEN mean_bits END) AS _t1,
+         min(CASE WHEN _cum >= (2 * _tot + 3) // 4
+                  THEN mean_bits END) AS _t2,
+         min(CASE WHEN _cum >= (3 * _tot + 3) // 4
+                  THEN mean_bits END) AS _t3
+  FROM cum),
+st AS (
+  SELECT ts.doc_id, ts.mean_bits,
+         CAST(CASE WHEN ts.mean_bits <= th._t1 THEN 1
+                   WHEN ts.mean_bits <= th._t2 THEN 2
+                   WHEN ts.mean_bits <= th._t3 THEN 3
+                   ELSE 4 END AS INT) AS stage,
+         {_h60("'curriculum:' || CAST(doc_id AS VARCHAR)")} AS _h
+  FROM ts CROSS JOIN th)
+SELECT doc_id, mean_bits, stage,
+       CAST(_h % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY stage, _h % 8
+                               ORDER BY _h, doc_id) AS BIGINT)
+         AS shard_pos
+FROM st
+"""
+
+# lang-ID confusion: prof supplies the prediction; the per-language
+# total is a window over the aggregated (lang, lang_pred) frame
+ORACLES["lang_id_confusion"] = _PROFILE_CTE + """
+SELECT d.lang, prof.lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((CAST(count(*) AS HUGEINT) * 10000)
+            // sum(count(*)) OVER (PARTITION BY d.lang) AS BIGINT)
+         AS share_bp
+FROM prof JOIN documents d USING (doc_id)
+GROUP BY d.lang, prof.lang_pred
+"""
 
 # queries whose output contains the DATE column `datetime`
 _DATE_QUERIES = {

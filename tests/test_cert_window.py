@@ -64,6 +64,28 @@ ROUND_WINDOW_HEAD = [
 # cycle through round 10.
 ROUND_WINDOW_FILL: list[str] = []
 
+# Round-9 OVERFLOW (the round-8 verdict's sanctioned path: "keep
+# round 9's new+changed count <= 11 OR flag the overflow in the window
+# comment"): eight more queries landed after the 50 slots were spent —
+# tfidf_top_terms, pmi_collocations, ngram_novelty,
+# cross_source_overlap, quality_survivor_dedup, d4_select,
+# curriculum_order, lang_id_confusion. They hold NO driver certificate
+# this round
+# (selfcheck + per-pytest sf0.001 parity only) and MUST lead the
+# round-10 window head, ahead of the changed/new block and the r7
+# fill.
+ROUND10_OVERFLOW_LEADS = [
+    "tfidf_top_terms", "pmi_collocations", "ngram_novelty",
+    "cross_source_overlap", "quality_survivor_dedup",
+    "d4_select", "curriculum_order", "lang_id_confusion",
+]
+
+
+def test_overflow_queries_are_registered_past_the_window():
+    names = list(entrymod.QUERIES)
+    for q in ROUND10_OVERFLOW_LEADS:
+        assert names.index(q) >= WINDOW
+
 
 def test_window_head_holds_the_must_certify_queries():
     names = list(entrymod.QUERIES)

@@ -702,3 +702,104 @@ def test_tokenizer_drift_joins_at_doc_grain(spark):
     plan = physical_plan(df)
     assert "rangepartitioning" not in plan.lower()
     assert_plan(df, max_sort_merge_joins=1)
+
+
+def test_tfidf_top_terms_never_sorts_the_corpus(spark):
+    """TF-IDF at 100 TB: tf and df are hash aggregates, N rides a 1-row
+    broadcast, and the top-k window partitions by doc_id — its sort is
+    LOCAL within hash partitions. Pin: zero range partitioning (no
+    global sort anywhere), the N join a broadcast, no sort-merge join
+    on the vocab key at test scale."""
+    df = _q(spark, "tfidf_top_terms")
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert_plan(df, min_broadcast_joins=1)
+
+
+def test_pmi_collocations_topk_is_take_ordered(spark):
+    """The final top-20 must be a TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global ORDER BY over the pair
+    frame; bigrams come from row-local transform (no self-join), so
+    the only joins are the vocab-keyed unigram lookups + the 1-row T
+    broadcast."""
+    df = _q(spark, "pmi_collocations")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_df_tag_rides_the_shingle_exchange(spark):
+    """The document-frequency tag is a COUNT window over the shingle
+    partition — the same exchange any df aggregate would force, reused
+    instead of joined back. Pin: two shuffles total (shingle exchange +
+    doc rollup; fan_out's test-scale spread rides the first), zero
+    joins, zero sorts beyond the window's local one."""
+    df = _q(spark, "ngram_novelty")
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert_plan(df, max_shuffles=3)
+
+
+def test_cross_source_overlap_joins_after_distinct_collapse(spark):
+    """The content-hash self-join must consume the DISTINCT
+    (hash, source) collapse — per-hash fan-out bounded by the source
+    domain, never dup-group size — and the per-source totals must ride
+    broadcast joins onto the pair-grain result."""
+    df = _q(spark, "cross_source_overlap")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert_plan(df, min_broadcast_joins=2)
+
+
+def test_quality_survivor_dedup_quality_is_row_local(spark):
+    """The quality column (distinct-word count) must be computed in the
+    document scan's projection — no token explode, no extra aggregate:
+    the plan's only corpus-grain barriers are the LSH pipeline's own
+    aggregates plus the component-partitioned election window. Pin: no
+    range partitioning, no cartesian product, documents scanned at most
+    twice (signature pipeline + quality projection)."""
+    df = _q(spark, "quality_survivor_dedup")
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") <= 2
+
+
+def test_d4_select_never_forms_corpus_pairs_outside_cells(spark):
+    """D4's only superlinear term must be SemDeDup's WITHIN-CELL pair
+    join: no cartesian product over the corpus, the centroid models
+    ride broadcast joins, the survivor filter is one id-keyed join.
+    The re-clustering never sorts the corpus."""
+    df = _q(spark, "d4_select")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert_plan(df, min_broadcast_joins=2)
+
+
+def test_curriculum_order_never_sorts_the_corpus(spark):
+    """Curriculum at 100 TB: stage thresholds come from the score
+    HISTOGRAM (1-row broadcast back), and the within-stage permutation
+    is a (stage, shard)-partitioned row_number — local sorts after one
+    hash exchange. A global ORDER BY difficulty would range-partition
+    the corpus through one task chain. Pin: zero range partitioning,
+    scored frame cut once (no residual documents rescan)."""
+    df = _q(spark, "curriculum_order")
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert "ExistingRDD" in plan
+    assert plan.count("documents.parquet") == 0
+
+
+def test_lang_id_confusion_is_one_corpus_pass(spark):
+    """The prediction is row-local; the only corpus-grain barrier is
+    the (lang, lang_pred) hash-agg, and the per-language total is a
+    window over that |langs|^2 frame — never a second documents scan
+    or a corpus-keyed join."""
+    df = _q(spark, "lang_id_confusion")
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan.lower()

@@ -283,6 +283,12 @@ DOC_QUERIES = [
     "repetition_profile", "line_dedup", "doc_chunks", "vocab_coverage",
     "frequent_tokens", "pack_sequences", "dataset_split", "pii_scrub",
     "duplicate_spans", "incremental_duplicate_spans",
+    # round-9 overflow ops (quality_survivor_dedup is excluded the same
+    # way dedup_components is — its component-iteration driver loop
+    # dominates micro-instance runtime; its CC core is covered by the
+    # dedup_components oracle and its election by unit tests)
+    "tfidf_top_terms", "pmi_collocations", "ngram_novelty",
+    "cross_source_overlap", "lang_id_confusion",
 ]
 
 # token pool stressing normalization: case, punctuation runs, digits,

@@ -1,0 +1,237 @@
+"""Round-9 overflow ops: TF-IDF keywords, PMI collocations, shingle
+novelty, source-overlap matrix, quality-argmax dedup survivor.
+
+Behavioral tests on planted fixtures — DuckDB value parity runs in
+test_oracle_parity.py; here we pin the semantics each op exists for
+(the planted keyword ranks first, the exclusive pair tops PMI, the
+mirrored doc scores zero novelty, the better near-dup copy survives).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import rows
+from w_userflow_featurestore_spark.operators import dedup as DD
+from w_userflow_featurestore_spark.operators import text as TX
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight")
+NEAR = BASE.replace("green", "dark")
+FAR = ("completely different content about spark query engines and "
+       "distributed columnar storage systems performance")
+
+
+def test_tfidf_unique_repeated_term_ranks_first(spark):
+    # "zebra" is unique to doc 1 (df=1 of N=4 -> idf 2 bits) and
+    # repeated 3x (tf=3 -> score 6); "common" appears in every doc
+    # (N DIV df = 1 -> 0 idf bits -> score 0): whole-bit IDF's built-in
+    # stopword suppression
+    docs = spark.createDataFrame(
+        [(1, "zebra zebra zebra common alpha"),
+         (2, "common beta gamma"),
+         (3, "common beta delta"),
+         (4, "common gamma delta")],
+        "doc_id long, text string")
+    out = TX.tfidf_top_terms(docs, top_k=3).collect()
+    top1 = {r["doc_id"]: r for r in out if r["rank"] == 1}
+    assert top1[1]["term"] == "zebra"
+    assert top1[1]["tf"] == 3 and top1[1]["idf_bits"] == 2
+    assert top1[1]["score_bits"] == 6
+    common = [r for r in out if r["term"] == "common"]
+    assert all(r["score_bits"] == 0 for r in common)
+    # exactly <= top_k rows per doc, ranks contiguous from 1
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_doc.values())
+    assert all(len(v) <= 3 for v in by_doc.values())
+
+
+def test_tfidf_tiebreak_is_term_ascending(spark):
+    docs = spark.createDataFrame(
+        [(1, "bb aa"), (2, "cc dd")], "doc_id long, text string")
+    out = [r for r in TX.tfidf_top_terms(docs, top_k=2).collect()
+           if r["doc_id"] == 1]
+    assert [r["term"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == ["aa", "bb"]
+
+
+def test_pmi_exclusive_pair_tops_the_ranking(spark):
+    # "hong kong" co-occur exclusively in all 6 docs (c_xy = c_x =
+    # c_y = 6); the filler words permute per doc, so every other
+    # adjacent pair occurs < 5 times and min_count drops it
+    fillers = ["a b c d", "b a d c", "c d a b",
+               "d c b a", "a c b d", "b d c a"]
+    docs = spark.createDataFrame(
+        [(i + 1, f"hong kong {f}") for i, f in enumerate(fillers)],
+        "doc_id long, text string")
+    out = TX.pmi_collocations(docs, top_k=5, min_count=5).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("hong", "kong")]
+    # T = 6 docs * 5 bigrams = 30; num/den = 6*30/36 = 5 -> 2 bits
+    assert out[0]["n_pair"] == 6 and out[0]["pmi_bits"] == 2
+
+
+def test_pmi_min_count_suppresses_rare_pairs(spark):
+    # the hapax pair "rare gem" (seen once) would max PMI — min_count
+    # must drop it
+    docs = spark.createDataFrame(
+        [(1, "rare gem"), (2, "a b a b a b a b a b")],
+        "doc_id long, text string")
+    out = rows(TX.pmi_collocations(docs, top_k=10, min_count=5),
+               "w1", "w2")
+    assert ("rare", "gem") not in out
+    assert ("a", "b") in out
+
+
+def test_ngram_novelty_mirrored_doc_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, FAR)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.ngram_novelty(docs).collect()}
+    # docs 1/2 are mirrors: every shingle has df=2 -> zero novelty
+    assert out[1]["novelty_bp"] == 0 and out[2]["novelty_bp"] == 0
+    assert out[1]["n_novel"] == 0
+    # doc 3 shares no shingle with anything -> fully novel
+    assert out[3]["novelty_bp"] == 10000
+    assert out[3]["n_novel"] == out[3]["n_shingles"] > 0
+
+
+def test_ngram_novelty_partial_overlap_exact_bp(spark):
+    # doc 2 copies doc 1's text then appends; shared shingles have df=2
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d x y z")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.ngram_novelty(docs, n=3).collect()}
+    # doc 1 shingles: {a b c, b c d} both also in doc 2 -> 0 novel
+    assert out[1]["n_shingles"] == 2 and out[1]["n_novel"] == 0
+    # doc 2: 5 shingles, 3 unique to it (c d x, d x y, x y z)
+    assert out[2]["n_shingles"] == 5 and out[2]["n_novel"] == 3
+    assert out[2]["novelty_bp"] == 3 * 10000 // 5
+
+
+def test_cross_source_overlap_counts_and_jaccard(spark):
+    # srcA {h1,h2}, srcB {h1}, srcC {h3}: A-B share 1 (J = 1/2),
+    # C shares nothing -> no row; within-source dup of h1 in B must
+    # NOT inflate the count (distinct collapse first)
+    docs = spark.createDataFrame(
+        [(1, "alpha", "A"), (2, "beta", "A"),
+         (3, "alpha", "B"), (4, "ALPHA!", "B"),   # normalized dup
+         (5, "gamma", "C")],
+        "doc_id long, text string, source string")
+    out = DD.cross_source_overlap(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert r["n_shared"] == 1
+    assert r["jaccard_bp"] == 10000 // 2
+
+
+def test_quality_survivor_keeps_richer_doc_not_lowest_id(spark):
+    # 1 and 2 are near-dups; 2 has MORE distinct words (the clean
+    # original), 1 is the truncated mirror — the survivor election
+    # must pick 2, where min-id dedup would keep 1
+    rich = BASE + " with extra unique closing words appended here"
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, rich), (3, FAR)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in
+           DD.quality_survivor_dedup(docs, pairs=pairs).collect()}
+    assert out[1]["component"] == out[2]["component"] == 1
+    assert out[2]["keep"] == 1 and out[1]["keep"] == 0
+    assert out[2]["n_distinct_words"] > out[1]["n_distinct_words"]
+    # singleton doc is its own component and survives
+    assert out[3]["component"] == 3 and out[3]["keep"] == 1
+
+
+def test_quality_survivor_tiebreak_is_lowest_id(spark):
+    docs = spark.createDataFrame(
+        [(7, "same words here"), (9, "same words here")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(7, 9)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["keep"] for r in
+           DD.quality_survivor_dedup(docs, pairs=pairs).collect()}
+    assert out == {7: 1, 9: 0}
+
+
+def test_d4_select_drops_dups_then_diversifies(spark):
+    from w_userflow_featurestore_spark.operators import similarity as SIM
+    # 12 vectors in two tight semantic modes; mode A has an exact
+    # duplicate pair (1, 2) -> SemDeDup must drop 2; per_cluster=2
+    # must then cap each re-fit cell
+    base_a = [100] * 4 + [0] * 60
+    base_b = [0] * 60 + [100] * 4
+    rows_ = [(1, [float(v) for v in base_a]),
+             (2, [float(v) for v in base_a]),              # dup of 1
+             (3, [float(v + 3) for v in base_a]),
+             (4, [float(v + 6) for v in base_a]),
+             (5, [float(v) for v in base_b]),
+             (6, [float(v + 3) for v in base_b]),
+             (7, [float(v + 6) for v in base_b])]
+    corpus = spark.createDataFrame(
+        rows_, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           SIM.d4_select(corpus, threshold=0.99, per_cluster=2,
+                         sem_centroids=2, sample_centroids=2).collect()}
+    assert not out[2]["is_kept"]                  # the exact dup dies
+    assert out[2]["cell"] is None                 # never re-clustered
+    assert out[2]["cluster_size"] is None
+    assert out[2]["selected"] is False            # coalesced, not NULL
+    assert out[1]["is_kept"]
+    # survivors: every occupied re-fit cell keeps <= per_cluster
+    by_cell: dict[int, int] = {}
+    for r in out.values():
+        if r["selected"]:
+            by_cell[r["cell"]] = by_cell.get(r["cell"], 0) + 1
+    assert by_cell and all(v <= 2 for v in by_cell.values())
+    # selected implies kept
+    assert all(r["is_kept"] for r in out.values() if r["selected"])
+
+
+def test_curriculum_order_stages_are_monotone_in_surprisal(spark):
+    from w_userflow_featurestore_spark.operators import sampling as SMP
+    # 8 docs: 4 made of the corpus's most common words (low surprisal)
+    # and 4 of rarer words (high surprisal); stages must not invert
+    common = "the the the the the the"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(4)]
+        + [(i, f"rare{i} word{i} odd{i}") for i in range(4, 8)],
+        "doc_id long, text string")
+    out = SMP.curriculum_order(docs, n_stages=2, n_shards=2).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert all(by_doc[i]["stage"] == 1 for i in range(4))
+    assert all(by_doc[i]["stage"] == 2 for i in range(4, 8))
+    # shard positions are contiguous 1..k within each (stage, shard)
+    groups: dict[tuple, list[int]] = {}
+    for r in out:
+        groups.setdefault((r["stage"], r["shard"]), []).append(
+            r["shard_pos"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in groups.values())
+
+
+def test_curriculum_order_validates_params(spark):
+    import pytest as _pytest
+    from w_userflow_featurestore_spark.operators import sampling as SMP
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        SMP.curriculum_order(docs, n_stages=1)
+    with _pytest.raises(ValueError):
+        SMP.curriculum_order(docs, n_shards=0)
+
+
+def test_lang_id_confusion_diagonal_and_und(spark):
+    # en docs built of en stopwords hit the diagonal; digit-only docs
+    # match no profile -> 'und'; share_bp is within-language
+    docs = spark.createDataFrame(
+        [(1, "the of and to is", "en"),
+         (2, "the a of and it", "en"),
+         (3, "111 222 333", "en"),
+         (4, "der die und ist nicht", "de")],
+        "doc_id long, text string, lang string")
+    out = {(r["lang"], r["lang_pred"]): r
+           for r in TX.lang_id_confusion(docs).collect()}
+    assert out[("en", "en")]["n_docs"] == 2
+    assert out[("en", "en")]["share_bp"] == 2 * 10000 // 3
+    assert out[("en", "und")]["n_docs"] == 1
+    assert out[("de", "de")]["share_bp"] == 10000
+    # note: "und" the German stopword vs "und" undetermined — doc 4
+    # hits the de profile strictly more, so the de row stays diagonal

@@ -509,3 +509,141 @@ def dedup_rate_report(docs: DataFrame, group_col: str = "source",
                     F.expr("CAST((CAST(n_docs - n_unique AS"
                            " DECIMAL(38,0)) * 10000) DIV n_docs"
                            " AS BIGINT)").alias("dup_rate_bp")))
+
+
+def ngram_novelty(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: what share of a document's distinct
+    word n-gram shingles appear in NO other document. The
+    contribution-scoring signal a curation pipeline uses to rank
+    near-the-threshold documents — a doc whose shingles are all shared
+    adds nothing a dedup pass wouldn't keep anyway, while a
+    high-novelty doc is irreplaceable — and the corpus-health twin of
+    :func:`dedup_rate_report` at the shingle grain instead of the
+    whole-document grain.
+
+    A shingle is "novel" when its document frequency is exactly 1
+    (``shingles`` are per-doc distinct, so df counts documents, not
+    occurrences). Returns (doc_id, n_shingles, n_novel, novelty_bp)
+    with novelty_bp = n_novel / n_shingles in exact basis points.
+
+    Scale shape: one shingle-grain hash-aggregate builds the df table
+    (map-side combine absorbs hot boilerplate shingles), a window
+    partitioned by the shingle key tags each (doc, shingle) row — the
+    same exchange the aggregate already forced, no extra shuffle — and
+    one doc-keyed aggregate emits the profile. Shingle strings never
+    carry document text through the exchanges.
+    """
+    ex = exploded_shingles(docs, text_col, id_col, n)
+    w = Window.partitionBy("shingle")
+    tagged = ex.withColumn(
+        "novel", F.when(F.count(F.lit(1)).over(w) == 1, 1).otherwise(0))
+    return (tagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                 F.sum("novel").cast("long").alias("n_novel"))
+            .select(F.col(id_col), "n_shingles", "n_novel",
+                    F.expr("CAST((CAST(n_novel AS DECIMAL(38,0)) * 10000)"
+                           " DIV n_shingles AS BIGINT)")
+                     .alias("novelty_bp")))
+
+
+def cross_source_overlap(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         group_col: str = "source") -> DataFrame:
+    """Source-mirroring matrix: for every pair of sources, how many
+    distinct normalized-content hashes they SHARE, plus the content
+    Jaccard in exact basis points. :func:`dedup_rate_report` separates
+    self-repeating sources from source-mirroring ones but can't say
+    WHICH sources mirror each other — this is that report: two crawl
+    feeds with high content Jaccard are the same upstream (drop one),
+    and a benchmark source overlapping a training source is a
+    contamination incident.
+
+    Returns (source_a, source_b, n_shared, jaccard_bp) for every
+    UNORDERED source pair with n_shared >= 1, source_a < source_b.
+
+    Scale shape: docs collapse to distinct (content_hash, source) rows
+    first (one hash-grain exchange — the dedup pass's own shuffle), so
+    the self-join on content_hash fans out at most |sources| rows per
+    hash side — bounded by the source DOMAIN (dozens), not by dup-group
+    size: a hash duplicated a million times inside one source
+    contributes exactly one row per side. Per-source distinct-hash
+    counts ride a broadcast join onto the source-pair-grain result
+    (|sources|^2 rows at most).
+    """
+    d = (fan_out(docs.select(F.col(id_col), F.col(text_col),
+                             F.col(group_col)))
+         .select(F.md5(normalize_text(F.col(text_col)))
+                  .alias("content_hash"),
+                 F.col(group_col).alias("src"))
+         .distinct())
+    a = d.select("content_hash", F.col("src").alias("source_a"))
+    b = d.select("content_hash", F.col("src").alias("source_b"))
+    shared = (a.join(b, "content_hash")
+              .where(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    per_src = d.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("n_hashes"))
+    return (shared
+            .join(F.broadcast(per_src.select(
+                F.col("src").alias("source_a"),
+                F.col("n_hashes").alias("ua"))), "source_a")
+            .join(F.broadcast(per_src.select(
+                F.col("src").alias("source_b"),
+                F.col("n_hashes").alias("ub"))), "source_b")
+            .select("source_a", "source_b", "n_shared",
+                    F.expr("CAST((CAST(n_shared AS DECIMAL(38,0)) * 10000)"
+                           " DIV (ua + ub - n_shared) AS BIGINT)")
+                     .alias("jaccard_bp")))
+
+
+def quality_survivor_dedup(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           pairs: DataFrame | None = None,
+                           **lsh_kwargs) -> DataFrame:
+    """Near-dup dedup that keeps the BEST document of each cluster, not
+    the lowest-id one. :func:`connected_components`' min-id survivor is
+    the right canonical label but the wrong editorial policy — when a
+    cluster holds a clean original and a truncated mirror, production
+    dedup (RefinedWeb, FineWeb) keeps the higher-quality copy. Quality
+    here is the distinct-word count (lexical richness — the truncated
+    or boilerplate-padded copy of a near-dup cluster has fewer distinct
+    words), with doc_id ASC as the deterministic tie-break.
+
+    Every document gets a row: docs in no near-dup pair are their own
+    singleton component (the :func:`leakage_safe_split`
+    coalesce-to-self convention) and survive trivially.
+
+    Returns (doc_id, component, n_distinct_words, keep).
+
+    Scale shape: the pair graph comes from banded MinHash-LSH (never
+    all-pairs), components from min-label propagation (O(diameter)
+    rounds), and the survivor election is one window partitioned by
+    component — near-dup clusters are tiny, singletons dominate, so the
+    partition key is ~corpus-cardinality with no skew. The quality
+    column is row-local (size(array_distinct(words))) — no token
+    explode, no extra shuffle.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_dedup(docs, text_col=text_col, id_col=id_col,
+                                  **lsh_kwargs)
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias(id_col), "component")
+    quality = F.size(F.array_distinct(
+        F.filter(words(F.col(text_col)), lambda w: w != ""))).cast("long")
+    scored = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+              .select(F.col(id_col), quality.alias("n_distinct_words")))
+    labeled = (scored.join(comp, id_col, "left")
+               .select(F.col(id_col),
+                       F.coalesce("component", F.col(id_col))
+                        .alias("component"),
+                       "n_distinct_words"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_distinct_words").desc(), F.col(id_col).asc())
+    return (labeled
+            .withColumn("keep",
+                        F.when(F.row_number().over(w) == 1, 1)
+                         .otherwise(0))
+            .select(F.col(id_col), "component", "n_distinct_words",
+                    "keep"))

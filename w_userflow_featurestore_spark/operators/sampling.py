@@ -884,3 +884,75 @@ def negative_samples(positives: DataFrame, user_col: str = "user_id",
                       F.col("_i").alias(item_col),
                       F.col("draw").cast("long").alias("draw"),
                       F.col("_neg").alias("neg_" + item_col))
+
+
+def curriculum_order(docs: DataFrame, n_stages: int = 4,
+                     n_shards: int = 16, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     seed: str = "curriculum") -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009, applied the way
+    data-ordering papers schedule LLM pretraining): documents are
+    bucketed into ``n_stages`` difficulty stages by LM surprisal —
+    stage 1 = most fluent, trained first — and randomized WITHIN each
+    stage by :func:`corpus_shuffle`'s sharded deterministic
+    permutation, so the reader consumes (stage, shard, shard_pos) in
+    lexicographic order and gets easy-to-hard globally with unbiased
+    order locally. The consumer composition over
+    ``token_surprisal`` that :func:`token_budget_mix` is over
+    ``temperature_mix_weights``.
+
+    Stage thresholds are VALUE thresholds from a score HISTOGRAM
+    (the ``perplexity_buckets`` rule, global instead of per-language):
+    t_s = the smallest 4-decimal-quantized mean_bits whose cumulative
+    doc count reaches ceil(s*n/n_stages); ties share a stage. A doc
+    with zero countable tokens has no surprisal and gets no row (the
+    ``bigram_surprisal`` precedent — compose with a metadata backstop
+    if such docs must train).
+
+    Returns (doc_id, mean_bits, stage, shard, shard_pos).
+
+    Scale shape: surprisal is two token-grain hash aggregates; the
+    scored frame is lineage-cut once and never globally sorts —
+    thresholds come from a value-domain histogram and ride a 1-row
+    broadcast; the within-stage permutation is ``n_stages x n_shards``
+    independent row_number sorts of ~n/(stages*shards) rows each after
+    ONE hash exchange. No RangePartitioning anywhere.
+    """
+    if n_stages < 2:
+        raise ValueError("n_stages must be >= 2")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from w_userflow_featurestore_spark.operators.text import (
+        token_surprisal,
+    )
+    scored = (token_surprisal(docs, text_col, id_col)
+              .select(F.col(id_col), "mean_bits")
+              .localCheckpoint(eager=True))
+    hist = scored.groupBy("mean_bits").agg(F.count(F.lit(1)).alias("_n"))
+    w = (Window.orderBy("mean_bits")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.withColumn("_cum", F.sum("_n").over(w))
+               .crossJoin(F.broadcast(
+                   hist.agg(F.sum("_n").alias("_tot")))))
+    # ceil(s*tot/K) as (s*tot + K-1) DIV K — positive operands only
+    # (Spark DIV truncates toward zero, DuckDB // floors)
+    thresholds = cum.agg(*[
+        F.min(F.when(
+            F.expr(f"_cum >= ({s} * _tot + {n_stages - 1})"
+                   f" DIV {n_stages}"),
+            F.col("mean_bits"))).alias(f"_t{s}")
+        for s in range(1, n_stages)])
+    stage = F.lit(n_stages)
+    for s in range(n_stages - 1, 0, -1):
+        stage = F.when(F.col("mean_bits") <= F.col(f"_t{s}"),
+                       F.lit(s)).otherwise(stage)
+    h = text_hash60(F.col(id_col).cast("string"), seed=seed)
+    wsh = Window.partitionBy("stage", "shard").orderBy("_h", id_col)
+    return (scored.crossJoin(F.broadcast(thresholds))
+            .select(F.col(id_col), "mean_bits",
+                    stage.cast("int").alias("stage"),
+                    h.alias("_h"))
+            .withColumn("shard", (F.col("_h") % n_shards).cast("long"))
+            .withColumn("shard_pos",
+                        F.row_number().over(wsh).cast("long"))
+            .select(id_col, "mean_bits", "stage", "shard", "shard_pos"))

@@ -710,3 +710,51 @@ def knn_label_agreement(corpus: DataFrame, queries: DataFrame,
                     F.expr("CAST((CAST(n_agree AS DECIMAL(38,0))"
                            " * 10000) DIV n_neighbors AS BIGINT)")
                      .alias("agreement_bp")))
+
+
+def d4_select(corpus: DataFrame, threshold: float = 0.35,
+              per_cluster: int = 5, sem_centroids: int = 16,
+              sample_centroids: int = 8, id_col: str = "vec_id",
+              vec_col: str = "embedding", dims: int = 64,
+              salt: str = "cbs") -> DataFrame:
+    """D4 data selection (Tirumala et al. 2023, arXiv:2308.12284):
+    semantic DEDUPLICATION then embedding-space DIVERSIFICATION — drop
+    SemDeDup victims first, then keep a cluster-balanced sample of the
+    survivors, so the final selection neither repeats one semantic mode
+    nor ignores a rare one. The paper's finding is that the two steps
+    compose (dedup alone over-samples dense regions; diversification
+    alone keeps duplicates): this operator is that composition as one
+    auditable frame, the same consumer pattern as ``ccnet_curate`` over
+    the text-side signals.
+
+    Returns one row per corpus vector: (``id_col``, sem_cell, is_kept,
+    cell, cluster_size, selected) — is_kept is the SemDeDup verdict
+    (cell-mate with cosine >= ``threshold`` and lower id ⇒ dropped);
+    cell / cluster_size describe the RE-FIT diversification clustering
+    over the survivor set (NULL for dropped vectors, which are never
+    re-clustered); selected is the final verdict (always False for
+    dropped vectors).
+
+    Scale shape: :func:`semantic_dedup`'s within-cell pair join is the
+    only superlinear term (bounded by raising ``sem_centroids`` with
+    the corpus); the survivor re-fit is another O(k x dims) driver
+    model, the survivor filter one id-keyed semi join, and
+    :func:`cluster_balanced_sample` adds exactly one cell-keyed
+    exchange. Nothing re-reads the corpus beyond those two passes.
+    """
+    sd = semantic_dedup(corpus, threshold, id_col, vec_col,
+                        n_centroids=sem_centroids, dims=dims)
+    kept_ids = sd.where(F.col("is_kept")).select(id_col)
+    survivors = corpus.join(kept_ids, id_col)
+    cbs = cluster_balanced_sample(survivors, per_cluster,
+                                  sample_centroids, id_col, vec_col,
+                                  dims, salt)
+    return (sd.select(F.col(id_col), F.col("cell").alias("sem_cell"),
+                      "is_kept")
+            .join(cbs.select(F.col(id_col), "cell", "cluster_size",
+                             F.col("sampled").alias("selected")),
+                  id_col, "left")
+            .select(F.col(id_col), "sem_cell", "is_kept", "cell",
+                    "cluster_size",
+                    F.coalesce("selected", F.lit(False))
+                     .alias("selected")))

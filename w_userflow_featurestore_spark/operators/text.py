@@ -1375,3 +1375,163 @@ def bpe_version_drift(spark, table_path: str, docs: DataFrame,
                      "old_bp", "new_bp",
                      (F.col("old_bp") - F.col("new_bp")).cast("long")
                       .alias("drift_bp")))
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top_k: int = 3) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the classic keyword
+    extractor a curation dashboard uses to label what a document (or a
+    crawl slice) is ABOUT, and the cheapest per-doc topic signal for
+    stratifying a pretraining mix.
+
+    IDF is quantized to whole bits so the score stays exact integer
+    arithmetic cross-engine: a term appearing in ``df`` of the corpus's
+    ``N`` documents carries ``bit_length(N div df) - 1`` =
+    floor(log2(N/df)) idf bits (the :func:`token_surprisal` trick,
+    applied to the document-frequency axis instead of the token axis);
+    ``score_bits = tf * idf_bits``. A term in more than half the corpus
+    scores 0 — whole-bit IDF's built-in stopword suppression. Top-k per
+    document by (score_bits DESC, term ASC), fully deterministic.
+
+    Returns (doc_id, term, tf, idf_bits, score_bits, rank), ``top_k``
+    rows per document (fewer when the doc has fewer distinct terms).
+
+    Scale shape: one (doc, term) hash-aggregate builds the tf frame
+    (map-side combine), the df frame re-aggregates it on the term key
+    (already partitioned by a (doc, term) hash — one vocab-grain
+    exchange), the scalar N rides a 1-row broadcast, and the per-term
+    idf joins back on the term key. The top-k window partitions by
+    doc_id — doc-grain keys, no skew, no corpus-wide sort.
+    """
+    tf = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+          .select(F.col(id_col),
+                  F.explode(words(F.col(text_col))).alias("term"))
+          .where(F.col("term") != "")
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = (dfreq.crossJoin(F.broadcast(n_docs))
+           .withColumn("idf_bits",
+                       (F.length(F.bin(F.expr("n_docs DIV df"))) - 1)
+                        .cast("long"))
+           .select("term", "idf_bits"))
+    scored = (tf.join(idf, "term")
+              .withColumn("score_bits",
+                          (F.col("tf") * F.col("idf_bits")).cast("long")))
+    w = Window.partitionBy(id_col).orderBy(F.col("score_bits").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select(F.col(id_col), "term", F.col("tf").cast("long"),
+                    "idf_bits", "score_bits",
+                    F.col("rank").cast("int")))
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", top_k: int = 20,
+                     min_count: int = 5) -> DataFrame:
+    """Corpus-level collocation mining: the top-k adjacent word pairs
+    by pointwise mutual information — the phrase detector (Mikolov et
+    al. 2013 word2vec phrases; Church & Hanks 1990 PMI) a tokenizer or
+    vocab builder runs to decide which multi-word units deserve a
+    single token, and a drift signal for what a crawl's recurring
+    phrases are.
+
+    PMI is quantized to whole bits in EXACT integer arithmetic:
+    pmi = log2(P(xy) / (P(x)P(y))) = log2(c_xy * T / (c_x * c_y)) for
+    bigram count c_xy, unigram counts c_x/c_y and total bigram count T.
+    The products run in DECIMAL(38,0) (c_xy*T overflows a BIGINT at
+    the 100 TB design point: T ~ 1e13, c_xy up to T), and the whole-bit
+    value is bit_length(num DIV den) - 1 — the ratio is <= T (since
+    c_xy <= c_x*c_y), so the DIV result always fits a BIGINT exactly.
+    Only POSITIVE-PMI pairs survive (num >= den): negative PMI means
+    "co-occur less than chance", never a collocation, and keeping the
+    domain >= 1 keeps the log integral. ``min_count`` suppresses the
+    rare-pair PMI explosion (a pair seen once between two hapaxes
+    maxes the score), the standard collocation-mining guard.
+
+    Returns exactly ``top_k`` rows (w1, w2, n_pair, pmi_bits) ordered
+    by (pmi_bits DESC, n_pair DESC, w1, w2) — a fully deterministic
+    tie-break.
+
+    Scale shape: bigrams are built ROW-LOCALLY from each doc's word
+    array (:func:`bigram_surprisal`'s transform-over-sequence — no
+    self-join, no window), one bigram hash-aggregate and one unigram
+    hash-aggregate build the count tables, the scalar T rides a 1-row
+    broadcast, and the two unigram joins key on w1/w2 (vocab-grain).
+    The final top-k is a LIMIT over the surviving pair frame — the
+    orderBy feeds a TakeOrderedAndProject, never a full sort.
+    """
+    ws = words(F.col(text_col))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                           F.element_at(ws, i + 1).alias("w2")))
+    big = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+           .where(F.size(ws) >= 2)
+           .select(F.explode(pairs).alias("p"))
+           .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+           .where((F.col("w1") != "") & (F.col("w2") != "")))
+    uni = (fan_out(docs.select(F.col(text_col)))
+           .select(F.explode(words(F.col(text_col))).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    cxy_all = (big.groupBy("w1", "w2")
+               .agg(F.count(F.lit(1)).alias("n_pair")))
+    # T is the total bigram EVENT count — summed before the min_count
+    # filter (dropping rare pairs from the denominator would inflate
+    # every survivor's PMI)
+    total = cxy_all.agg(F.sum("n_pair").cast("long").alias("t_total"))
+    cxy = cxy_all.where(F.col("n_pair") >= min_count)
+    joined = (cxy.crossJoin(F.broadcast(total))
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c").alias("c1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c").alias("c2")), "w2"))
+    num = "CAST(n_pair AS DECIMAL(38,0)) * CAST(t_total AS DECIMAL(38,0))"
+    den = "CAST(c1 AS DECIMAL(38,0)) * CAST(c2 AS DECIMAL(38,0))"
+    return (joined
+            .where(F.expr(f"{num} >= {den}"))
+            .withColumn("pmi_bits",
+                        (F.length(F.bin(F.expr(f"({num}) DIV ({den})")))
+                         - 1).cast("long"))
+            .select("w1", "w2", F.col("n_pair").cast("long"), "pmi_bits")
+            .orderBy(F.col("pmi_bits").desc(), F.col("n_pair").desc(),
+                     F.col("w1").asc(), F.col("w2").asc())
+            .limit(top_k))
+
+
+def lang_id_confusion(docs: DataFrame, text_col: str = "text",
+                      label_col: str = "lang") -> DataFrame:
+    """Language-ID confusion matrix: labeled language vs
+    :func:`lang_id`'s prediction, with the within-language share in
+    exact basis points — the standard accuracy audit for the heuristic
+    that `quality_filter_verdict`'s language rule and
+    `corpus_language_stats`' rollup both trust. The diagonal row per
+    language IS its recall; a language whose mass sits on 'und' tells
+    you the stopword profile doesn't cover it (zh here — the
+    normalize-to-ascii pipeline strips CJK, by design), which is
+    exactly what a curation team needs to know before acting on a
+    language filter.
+
+    Returns (lang, lang_pred, n_docs, share_bp) — share_bp sums to
+    <= 10000 per language (floor division).
+
+    Scale shape: prediction is row-local (stopword hit counts — zero
+    shuffle, pipelines into the scan); one hash-aggregate onto the
+    (lang, lang_pred) key — a |langs|^2-bounded frame — and the
+    per-language total rides a window over that tiny frame, never a
+    second corpus pass.
+    """
+    p = (fan_out(docs.select(F.col(label_col), F.col(text_col)))
+         .select(F.col(label_col).alias("lang"),
+                 lang_id(F.col(text_col)).alias("lang_pred")))
+    g = (p.groupBy("lang", "lang_pred")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    w = Window.partitionBy("lang")
+    return (g.withColumn("_tot", F.sum("n_docs").over(w))
+            .select("lang", "lang_pred", "n_docs",
+                    F.expr("CAST((CAST(n_docs AS DECIMAL(38,0)) * 10000)"
+                           " DIV _tot AS BIGINT)").alias("share_bp")))
