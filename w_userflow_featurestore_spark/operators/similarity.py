@@ -742,8 +742,14 @@ def d4_select(corpus: DataFrame, threshold: float = 0.35,
     :func:`cluster_balanced_sample` adds exactly one cell-keyed
     exchange. Nothing re-reads the corpus beyond those two passes.
     """
+    # Lineage cut: the SemDeDup verdict feeds BOTH the survivor filter
+    # (via the re-clustering pipeline) and the final output join —
+    # without it the within-cell pair join (D4's most expensive
+    # subtree) runs twice. Three narrow columns per vector, the same
+    # bounded trade perplexity_buckets makes for its scored frame.
     sd = semantic_dedup(corpus, threshold, id_col, vec_col,
-                        n_centroids=sem_centroids, dims=dims)
+                        n_centroids=sem_centroids, dims=dims) \
+        .localCheckpoint(eager=True)
     kept_ids = sd.where(F.col("is_kept")).select(id_col)
     survivors = corpus.join(kept_ids, id_col)
     cbs = cluster_balanced_sample(survivors, per_cluster,
