@@ -2336,6 +2336,20 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                    columns=["lang", "text"]))
 
 
+def q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 vs nprobe tuning curve (operators/similarity.py
+    ivf_recall_sweep): ann_recall_gate pins ONE operating point
+    against a floor; this sweeps nprobe over {1, 2, 4} against the
+    same exact brute-force baseline and emits the whole curve —
+    recall_bp non-decreasing in nprobe by construction (unit-pinned).
+    Brute baseline computed once and lineage-cut; one ivf_topk
+    pipeline per point folded to a 1-row aggregate."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).localCheckpoint(eager=True)
+    return SIM.ivf_recall_sweep(emb, qs, k=5, n_centroids=8,
+                                nprobes=(1, 2, 4))
+
+
 def q_quality_survivor_dedup(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Near-dup dedup keeping the highest-quality doc per cluster
@@ -2548,6 +2562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d4_select": q_d4_select,
     "curriculum_order": q_curriculum_order,
     "lang_id_confusion": q_lang_id_confusion,
+    "ivf_recall_sweep": q_ivf_recall_sweep,
 }
 
 # --- round-9 certification window (driver certifies the FIRST 50) ---
@@ -4302,7 +4317,10 @@ def _l2_sql(a: str, b: str) -> str:
             f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
 
 
-ORACLES["ann_ivf_topk"] = f"""
+def _ivf_topk_sql(nprobe: int) -> str:
+    """The IVF top-k oracle chain parametrized by nprobe — shared by
+    ann_ivf_topk (nprobe=2), the recall gate, and the recall sweep."""
+    return f"""
 WITH c AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
 cent AS (
   SELECT row_number() OVER (
@@ -4330,7 +4348,7 @@ probe AS (
            AS rn
     FROM c CROSS JOIN cent
     WHERE c.vec_id < 5)
-  WHERE rn <= {_IVF_NPROBE}
+  WHERE rn <= {nprobe}
 ),
 scored AS (
   SELECT q_id, n_id, {_COSINE} AS cosine FROM (
@@ -4344,6 +4362,9 @@ SELECT q_id, n_id, cosine, "rank" FROM (
   FROM scored)
 WHERE "rank" <= 5
 """
+
+
+ORACLES["ann_ivf_topk"] = _ivf_topk_sql(_IVF_NPROBE)
 
 # SemDeDup: same deterministic centroid fit + assignment rule as the
 # IVF oracle but its own (larger) centroid count; pairs exist only
@@ -6162,6 +6183,20 @@ SELECT d.lang, prof.lang_pred,
 FROM prof JOIN documents d USING (doc_id)
 GROUP BY d.lang, prof.lang_pred
 """
+
+# IVF recall/nprobe tuning curve: one parametrized IVF chain per sweep
+# point against the shared brute-force baseline (the recall gate's
+# arithmetic, swept)
+ORACLES["ivf_recall_sweep"] = (
+    "WITH brute AS (SELECT q_id, n_id FROM ("
+    + ORACLES["ann_cosine_topk"] + "))\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS INT) AS nprobe,
+       CAST(floor(count(i.n_id) * 10000 / count(*)) AS BIGINT)
+         AS recall_bp
+FROM brute LEFT JOIN (SELECT q_id, n_id FROM ({_ivf_topk_sql(p)})) i
+  USING (q_id, n_id)"""
+        for p in (1, 2, 4)))
 
 # queries whose output contains the DATE column `datetime`
 _DATE_QUERIES = {

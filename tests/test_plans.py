@@ -803,3 +803,17 @@ def test_lang_id_confusion_is_one_corpus_pass(spark):
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ivf_recall_sweep_shares_one_candidate_pipeline(spark):
+    """The sweep must NOT rebuild the IVF pipeline per point: probe
+    sets nest, so one candidate pass at max(nprobe) is tagged with the
+    probe rank and lineage-cut; each point filters that pool. Pin: the
+    embeddings scan count stays that of ONE ivf pipeline + one brute
+    baseline (both cut to ExistingRDD), zero corpus-grain rescans per
+    point, no cartesian product over the corpus."""
+    df = _q(spark, "ivf_recall_sweep")
+    plan = physical_plan(df)
+    assert "ExistingRDD" in plan
+    assert plan.count("embeddings.parquet") == 0   # both pools cut once
+    assert "rangepartitioning" not in plan.lower()

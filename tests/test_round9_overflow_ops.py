@@ -235,3 +235,22 @@ def test_lang_id_confusion_diagonal_and_und(spark):
     assert out[("de", "de")]["share_bp"] == 10000
     # note: "und" the German stopword vs "und" undetermined — doc 4
     # hits the de profile strictly more, so the de row stays diagonal
+
+
+def test_ivf_recall_sweep_is_monotone_and_hits_full_recall(spark):
+    from w_userflow_featurestore_spark.operators import similarity as SIM
+    import pytest as _pytest
+    # 8 spread-out vectors; probing ALL cells must reach exact recall
+    rows_ = [(i, [float((i * 7 + j * 3) % 13) for j in range(64)])
+             for i in range(8)]
+    corpus = spark.createDataFrame(
+        rows_, "vec_id long, embedding array<float>")
+    qs = corpus.where("vec_id < 2")
+    out = {r["nprobe"]: r["recall_bp"] for r in
+           SIM.ivf_recall_sweep(corpus, qs, k=3, n_centroids=4,
+                                nprobes=(1, 2, 4)).collect()}
+    assert list(out) == [1, 2, 4]
+    assert out[1] <= out[2] <= out[4]        # superset cells, never worse
+    assert out[4] == 10000                   # all cells probed = brute
+    with _pytest.raises(ValueError):
+        SIM.ivf_recall_sweep(corpus, qs, nprobes=())

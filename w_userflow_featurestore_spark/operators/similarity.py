@@ -764,3 +764,86 @@ def d4_select(corpus: DataFrame, threshold: float = 0.35,
                     "cluster_size",
                     F.coalesce("selected", F.lit(False))
                      .alias("selected")))
+
+
+def ivf_recall_sweep(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     n_centroids: int = 8,
+                     nprobes: tuple[int, ...] = (1, 2, 4),
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     dims: int = 64) -> DataFrame:
+    """Recall@k vs nprobe tuning curve for the IVF index — the
+    characterization a team runs BEFORE fixing the production nprobe:
+    `ann_recall_gate` pins one operating point against a floor; this
+    sweeps the knob and emits the whole curve, so the cost/recall
+    trade (probing p of C cells scans ~p/C of the corpus) is chosen
+    from data rather than folklore. Recall is measured against exact
+    brute force on the same query set, floor(hits * 10000 / expected)
+    in exact basis points.
+
+    Returns one row per probed setting: (nprobe, recall_bp) — recall
+    is non-decreasing in nprobe by construction (a superset of cells
+    can only add candidates), which the unit test pins.
+
+    Scale shape: probe sets NEST (the cells probed at nprobe=p are the
+    first p of the max setting's list), so the whole sweep is ONE IVF
+    candidate pipeline run at max(nprobes) with every scored candidate
+    tagged by its cell's probe RANK, lineage-cut once — each sweep
+    point is then a rank-filter + top-k window + 1-row aggregate over
+    that candidate-pool-bounded frame. One centroid fit, one corpus
+    assignment, one exact-cosine verify for the whole curve; the
+    brute-force baseline (|Q|-bounded) is computed once and
+    lineage-cut. Per-point cost is candidate-pool-sized, independent
+    of the corpus.
+    """
+    if not nprobes:
+        raise ValueError("nprobes must be non-empty")
+    pmax = max(nprobes)
+    cents = ivf_fit_centroids(corpus, n_centroids, id_col, vec_col)
+    cdf = _centroids_df(corpus.sparkSession, cents)
+    n = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
+                   with_norm="n_norm")
+    assign = (n.select("n_id", "n_vec")
+               .crossJoin(F.broadcast(cdf))
+               .select("n_id", "cell",
+                       l2_q(F.col("n_vec"), F.col("cv")).alias("d"))
+               .groupBy("n_id")
+               .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
+    q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
+                   with_norm="q_norm", spread=False)
+    wq = Window.partitionBy("q_id").orderBy("d", "cell")
+    probes = (q.select("q_id", "q_vec")
+               .crossJoin(F.broadcast(cdf))
+               .select("q_id", "cell",
+                       l2_q(F.col("q_vec"), F.col("cv")).alias("d"))
+               .withColumn("probe_rank", F.row_number().over(wq))
+               .where(F.col("probe_rank") <= pmax)
+               .select("q_id", "cell", "probe_rank"))
+    cand = (assign.join(F.broadcast(probes), "cell")
+                  .where(F.col("n_id") != F.col("q_id"))
+                  .select("q_id", "n_id", "probe_rank"))
+    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+        / (F.col("q_norm") * F.col("n_norm"))
+    scored = (cand.join(F.broadcast(q), "q_id")
+                  .join(n, "n_id")
+                  .select("q_id", "n_id", "probe_rank",
+                          fround(cos, 4).alias("cosine"))
+                  .localCheckpoint(eager=True))
+    brute = (brute_force_topk(corpus, queries, k, id_col, vec_col, dims)
+             .select("q_id", "n_id").localCheckpoint(eager=True))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                           F.col("n_id").asc())
+    curve = None
+    for p in nprobes:
+        topk = (scored.where(F.col("probe_rank") <= p)
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("q_id", "n_id").withColumn("_h", F.lit(1)))
+        point = (brute.join(topk, ["q_id", "n_id"], "left")
+                 .agg(F.count(F.lit(1)).alias("_n"),
+                      F.count("_h").alias("_hits"))
+                 .select(F.lit(p).cast("int").alias("nprobe"),
+                         F.floor(F.col("_hits") * 10000 / F.col("_n"))
+                          .cast("long").alias("recall_bp")))
+        curve = point if curve is None else curve.unionAll(point)
+    return curve
