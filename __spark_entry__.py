@@ -2350,6 +2350,24 @@ def q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 nprobes=(1, 2, 4))
 
 
+def q_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-update novelty scoring: odd-id docs arrive as the new
+    batch and are scored against the even-id corpus represented ONLY
+    by its persisted shingle-df ledger (operators/dedup.py
+    shingle_ledger / incremental_novelty) — corpus text is never
+    rescanned. By construction the result equals the full hash-grain
+    novelty of corpus+batch restricted to the batch (property-tested);
+    the gram_ledger discipline applied to the novelty signal."""
+    docs = read_table(spark, sf_dir, "documents",
+                      columns=["doc_id", "text"])
+    # the ledger IS a persisted table in production; derived inline
+    # here, so materialize it once for its single probe consumer
+    ledger = DD.shingle_ledger(docs.where(F.col("doc_id") % 2 == 0),
+                               n=3).localCheckpoint(eager=True)
+    return DD.incremental_novelty(docs.where(F.col("doc_id") % 2 == 1),
+                                  ledger, n=3)
+
+
 def q_quality_survivor_dedup(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Near-dup dedup keeping the highest-quality doc per cluster
@@ -2563,6 +2581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_order": q_curriculum_order,
     "lang_id_confusion": q_lang_id_confusion,
     "ivf_recall_sweep": q_ivf_recall_sweep,
+    "incremental_novelty": q_incremental_novelty,
 }
 
 # --- round-9 certification window (driver certifies the FIRST 50) ---
@@ -6197,6 +6216,28 @@ ORACLES["ivf_recall_sweep"] = (
 FROM brute LEFT JOIN (SELECT q_id, n_id FROM ({_ivf_topk_sql(p)})) i
   USING (q_id, n_id)"""
         for p in (1, 2, 4)))
+
+# incremental novelty: even-id corpus enters ONLY via its hash-keyed
+# shingle-df ledger; batch df is a window over batch rows alone
+ORACLES["incremental_novelty"] = _SHINGLE_CTE + f""",
+hx AS (SELECT doc_id, {_h60('shingle')} AS sh FROM shex),
+cdf AS (SELECT sh, count(*) AS n FROM hx WHERE doc_id % 2 = 0
+        GROUP BY sh),
+b AS (SELECT doc_id, sh FROM hx WHERE doc_id % 2 = 1),
+bdf AS (SELECT doc_id, sh,
+               count(*) OVER (PARTITION BY sh) AS _bdf
+        FROM b),
+t AS (SELECT doc_id, _bdf + coalesce(cdf.n, 0) AS df
+      FROM bdf LEFT JOIN cdf USING (sh))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+             * 10000) // count(*) AS BIGINT) AS novelty_bp
+FROM t
+GROUP BY doc_id
+"""
 
 # queries whose output contains the DATE column `datetime`
 _DATE_QUERIES = {

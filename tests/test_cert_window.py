@@ -66,11 +66,11 @@ ROUND_WINDOW_FILL: list[str] = []
 
 # Round-9 OVERFLOW (the round-8 verdict's sanctioned path: "keep
 # round 9's new+changed count <= 11 OR flag the overflow in the window
-# comment"): nine more queries landed after the 50 slots were spent —
+# comment"): ten more queries landed after the 50 slots were spent —
 # tfidf_top_terms, pmi_collocations, ngram_novelty,
 # cross_source_overlap, quality_survivor_dedup, d4_select,
-# curriculum_order, lang_id_confusion, ivf_recall_sweep. They hold NO
-# driver certificate this round
+# curriculum_order, lang_id_confusion, ivf_recall_sweep,
+# incremental_novelty. They hold NO driver certificate this round
 # (selfcheck + per-pytest sf0.001 parity only) and MUST lead the
 # round-10 window head, ahead of the changed/new block and the r7
 # fill.
@@ -78,7 +78,7 @@ ROUND10_OVERFLOW_LEADS = [
     "tfidf_top_terms", "pmi_collocations", "ngram_novelty",
     "cross_source_overlap", "quality_survivor_dedup",
     "d4_select", "curriculum_order", "lang_id_confusion",
-    "ivf_recall_sweep",
+    "ivf_recall_sweep", "incremental_novelty",
 ]
 
 

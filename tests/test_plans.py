@@ -817,3 +817,19 @@ def test_ivf_recall_sweep_shares_one_candidate_pipeline(spark):
     assert "ExistingRDD" in plan
     assert plan.count("embeddings.parquet") == 0   # both pools cut once
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_incremental_novelty_never_rescans_corpus_text(spark):
+    """The corpus enters ONLY through its hash-keyed ledger: the plan
+    scans documents text for the BATCH side (plus the inline ledger
+    derivation this query carries in place of a persisted table), the
+    batch postings are lineage-cut once, and the ledger probe joins
+    the batch's distinct hash set — no corpus-keyed window, no range
+    partitioning."""
+    df = _q(spark, "incremental_novelty")
+    plan = physical_plan(df)
+    assert "ExistingRDD" in plan          # batch postings cut once
+    assert "rangepartitioning" not in plan.lower()
+    # batch side reads from the cut frame; only the inline ledger
+    # derivation touches the parquet
+    assert plan.count("documents.parquet") <= 1

@@ -288,7 +288,7 @@ DOC_QUERIES = [
     # dominates micro-instance runtime; its CC core is covered by the
     # dedup_components oracle and its election by unit tests)
     "tfidf_top_terms", "pmi_collocations", "ngram_novelty",
-    "cross_source_overlap", "lang_id_confusion",
+    "cross_source_overlap", "lang_id_confusion", "incremental_novelty",
 ]
 
 # token pool stressing normalization: case, punctuation runs, digits,

@@ -254,3 +254,55 @@ def test_ivf_recall_sweep_is_monotone_and_hits_full_recall(spark):
     assert out[4] == 10000                   # all cells probed = brute
     with _pytest.raises(ValueError):
         SIM.ivf_recall_sweep(corpus, qs, nprobes=())
+
+
+def _py_novelty(texts: dict[int, str], batch_ids: set[int]):
+    """Independent model: hash-grain shingle novelty of batch docs
+    within the full corpus."""
+    import hashlib
+    import re
+
+    def sh_set(t):
+        ws = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+        k = max(len(ws) - 2, 1)
+        grams = {" ".join(ws[i:i + 3]) for i in range(k)}
+        return {int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                for g in grams}
+
+    sets = {d: sh_set(t) for d, t in texts.items()}
+    from collections import Counter
+    df = Counter(h for s in sets.values() for h in s)
+    out = {}
+    for d in batch_ids:
+        n = len(sets[d])
+        novel = sum(1 for h in sets[d] if df[h] == 1)
+        out[d] = (n, novel, novel * 10000 // n)
+    return out
+
+
+def test_incremental_novelty_equals_full_run_on_batch(spark):
+    texts = {0: BASE, 1: BASE, 2: FAR,                 # 1 mirrors corpus
+             3: "a b c d x y z unique tail here",
+             4: "a b c d shared head with doc three",  # corpus doc
+             5: "totally fresh nine gram content never seen anywhere"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    ledger = DD.shingle_ledger(docs.where("doc_id % 2 = 0"))
+    out = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_bp"])
+           for r in DD.incremental_novelty(
+               docs.where("doc_id % 2 = 1"), ledger).collect()}
+    assert out == _py_novelty(texts, {1, 3, 5})
+    # the mirrored batch doc scored zero without corpus text present
+    assert out[1][1] == 0 and out[5][2] == 10000
+
+
+def test_merge_shingle_ledger_is_additive_over_disjoint_batches(spark):
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],
+        "doc_id long, text string")
+    full = {r["sh"]: r["n_docs"]
+            for r in DD.shingle_ledger(docs).collect()}
+    merged = {r["sh"]: r["n_docs"] for r in DD.merge_shingle_ledger(
+        DD.shingle_ledger(docs.where("doc_id <= 2")),
+        DD.shingle_ledger(docs.where("doc_id > 2"))).collect()}
+    assert merged == full

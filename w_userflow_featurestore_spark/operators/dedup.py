@@ -647,3 +647,85 @@ def quality_survivor_dedup(docs: DataFrame, text_col: str = "text",
                          .otherwise(0))
             .select(F.col(id_col), "component", "n_distinct_words",
                     "keep"))
+
+
+def shingle_ledger(docs: DataFrame, n: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The persistable novelty state for an ingested corpus: one row
+    per distinct 60-bit shingle HASH with the count of documents
+    carrying it (sh, n_docs) — :func:`ngram_novelty`'s document-
+    frequency table in ledger form, the same state discipline as
+    ``text.gram_ledger`` (substring spans) and ``curate.
+    signature_index`` (minhash bands).
+
+    Hash-keyed on purpose: ~16 bytes per distinct shingle, a single
+    BIGINT key (bucketable in production), vs carrying the shingle
+    strings themselves. A 60-bit collision can only merge two shingles'
+    counts (novel -> non-novel, the conservative direction), at ~1e-18
+    per pair — the standard fingerprint trade every hash-keyed ledger
+    in this engine makes. Per-doc-distinct shingles mean ``n_docs``
+    counts documents, not occurrences, so it is additive under
+    ingestion of DISJOINT batches (:func:`merge_shingle_ledger`).
+    """
+    ex = exploded_shingles(docs, text_col, id_col, n)
+    return (ex.select(text_hash60(F.col("shingle")).alias("sh"))
+              .groupBy("sh")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+def merge_shingle_ledger(ledger: DataFrame, batch: DataFrame) -> DataFrame:
+    """Ledger after ingesting a batch: per-doc-distinct document counts
+    are additive across disjoint doc sets, so the update is a union +
+    re-aggregate on the hash key — no corpus rescan, partition-local
+    when both sides are bucketed by ``sh``."""
+    return (ledger.unionByName(batch)
+                  .groupBy("sh")
+                  .agg(F.sum("n_docs").cast("long").alias("n_docs")))
+
+
+def incremental_novelty(new_docs: DataFrame, ledger: DataFrame,
+                        n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document shingle novelty for a NEW batch against an
+    already-ingested corpus represented ONLY by its
+    :func:`shingle_ledger` — the daily-update form of
+    :func:`ngram_novelty`: score an incoming crawl batch's novelty
+    against the corpus HISTORY without rescanning corpus text, the
+    ledger discipline ``incremental_duplicate_spans`` applies to
+    spans, applied to the novelty signal.
+
+    A batch shingle is novel iff its document frequency across
+    corpus + batch is exactly 1 — i.e. the result equals the full
+    hash-grain novelty of ``corpus UNION batch`` restricted to batch
+    documents (property-tested), computed from ~16 bytes of state per
+    distinct corpus shingle.
+
+    Returns (doc_id, n_shingles, n_novel, novelty_bp) — the
+    :func:`ngram_novelty` schema at the hash grain.
+
+    Scale shape: batch postings and their within-batch counts are
+    batch-proportional; the corpus probe is one INNER equi-join of the
+    ledger against the batch's distinct hash set (Catalyst broadcasts
+    the small batch side — ledger work is a scan + bucket-local probe,
+    never a corpus-sized shuffle); one doc rollup emits the profile.
+    """
+    ex = exploded_shingles(new_docs, text_col, id_col, n)
+    posting = ex.select(F.col(id_col),
+                        text_hash60(F.col("shingle")).alias("sh")) \
+        .localCheckpoint(eager=True)
+    wsh = Window.partitionBy("sh")
+    batch_df = posting.withColumn("_bdf", F.count(F.lit(1)).over(wsh))
+    probe = (ledger.join(
+        posting.select("sh").distinct(), "sh")
+        .select("sh", F.col("n_docs").alias("_cdf")))
+    tagged = (batch_df.join(probe, "sh", "left")
+              .withColumn("_df", F.col("_bdf")
+                          + F.coalesce("_cdf", F.lit(0))))
+    return (tagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                 F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_novel"))
+            .select(F.col(id_col), "n_shingles", "n_novel",
+                    F.expr("CAST((CAST(n_novel AS DECIMAL(38,0)) * 10000)"
+                           " DIV n_shingles AS BIGINT)")
+                     .alias("novelty_bp")))
