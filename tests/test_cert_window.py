@@ -81,6 +81,17 @@ ROUND10_OVERFLOW_LEADS = [
     "ivf_recall_sweep", "incremental_novelty",
 ]
 
+# CYCLE-LENGTH NOTE for round 10: at 154 registered queries a 50-slot
+# window can no longer complete a 3-round LRU rotation (3 x 50 = 150 <
+# 154) — the steady-state cycle is now FOUR rounds, mathematically
+# forced by coverage growth, not a discipline lapse. Round-10 window
+# arithmetic under strict LRU: the 10 overflow leads above (never
+# certified — oldest by definition), then 40 of the 46 remaining r7
+# certificate holders; the 6 r7 holders that don't fit lead round 11
+# alongside the r8 holders. The invariant the window test enforces is
+# strict least-recently-certified ORDER — the cycle length follows
+# from |queries| / WINDOW.
+
 
 def test_overflow_queries_are_registered_past_the_window():
     names = list(entrymod.QUERIES)
