@@ -283,10 +283,8 @@ DOC_QUERIES = [
     "repetition_profile", "line_dedup", "doc_chunks", "vocab_coverage",
     "frequent_tokens", "pack_sequences", "dataset_split", "pii_scrub",
     "duplicate_spans", "incremental_duplicate_spans",
-    # round-9 overflow ops (quality_survivor_dedup is excluded the same
-    # way dedup_components is — its component-iteration driver loop
-    # dominates micro-instance runtime; its CC core is covered by the
-    # dedup_components oracle and its election by unit tests)
+    # round-9 overflow ops (quality_survivor_dedup and curriculum_order
+    # ride DOC_QUERIES_2 with the other iterative/composed doc ops)
     "tfidf_top_terms", "pmi_collocations", "ngram_novelty",
     "cross_source_overlap", "lang_id_confusion", "incremental_novelty",
 ]
@@ -427,6 +425,7 @@ ANN_QUERIES = [
     "embedding_near_pairs", "embedding_dedup", "semantic_dedup",
     "ann_recall_gate", "cluster_balanced_sample",
     "hard_negatives", "knn_label_agreement",
+    "d4_select", "ivf_recall_sweep",
 ]
 
 
@@ -546,6 +545,7 @@ DOC_QUERIES_2 = [
     "tokenizer_fertility", "split_leakage_audit", "bpe_merges",
     "bpe_encode", "bigram_surprisal", "perplexity_buckets",
     "dsir_importance", "quality_filter_verdict",
+    "quality_survivor_dedup", "curriculum_order",
     "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
     "quality_rule_report", "ccnet_curate", "dedup_rate_report",
     "tokenizer_drift",
