@@ -255,3 +255,60 @@ def test_split_ledger_persist_reload_extend_three_batches(spark, tmp_path):
     final = dict(got)
     assert {final[d] for d in (0, 3, 12)} == {0}
     assert {final[d] for d in (4, 7, 10, 11, 20)} == {4}
+
+
+def test_novelty_ledger_score_then_ingest_three_batches(spark, tmp_path):
+    """The novelty ledger's pipeline loop: each day's batch is SCORED
+    against the history ledger first, then ingested (the score-then-
+    ingest order score_batch_novelty documents). After every commit the
+    ledger equals shingle_ledger rebuilt from everything ingested so
+    far, and each score equals incremental_novelty against an inline
+    ledger of the prior batches — persistence never drifts state."""
+    import json
+    import os
+    import pytest as _pt
+    from w_userflow_featurestore_spark.operators.dedup import (
+        incremental_novelty, shingle_ledger,
+    )
+    from w_userflow_featurestore_spark.runner import (
+        read_novelty_ledger, run_novelty_ledger_update,
+        score_batch_novelty,
+    )
+    ledger_dir = str(tmp_path / "novelty_ledger")
+    os.makedirs(ledger_dir)
+    with _pt.raises(FileNotFoundError):
+        read_novelty_ledger(spark, ledger_dir)
+    texts = {1: "a b c d e", 2: "f g h i j",        # batch 1
+             3: "a b c d e", 4: "k l m n o",        # batch 2: 3 mirrors 1
+             5: "f g h unique tail", 6: "p q r s"}  # batch 3: 5 overlaps 2
+    mk = lambda ids: spark.createDataFrame(
+        [(d, texts[d]) for d in ids], "doc_id long, text string")
+    batches = [[1, 2], [3, 4], [5, 6]]
+    seen: list[int] = []
+    scores: dict[int, tuple] = {}
+    for i, ids in enumerate(batches, start=1):
+        if seen:
+            got = {r["doc_id"]: (r["n_novel"], r["novelty_bp"]) for r in
+                   score_batch_novelty(spark, ledger_dir,
+                                       mk(ids)).collect()}
+            want = {r["doc_id"]: (r["n_novel"], r["novelty_bp"]) for r in
+                    incremental_novelty(mk(ids),
+                                        shingle_ledger(mk(seen)))
+                    .collect()}
+            assert got == want
+            scores.update(got)
+        res = run_novelty_ledger_update(spark, ledger_dir, mk(ids))
+        assert res.version == i
+        assert res.mode == ("initial" if i == 1 else "incremental")
+        seen.extend(ids)
+        with open(os.path.join(ledger_dir, "_current")) as fh:
+            assert json.load(fh)["version"] == i
+        got_l = {tuple(r) for r in
+                 read_novelty_ledger(spark, ledger_dir).collect()}
+        want_l = {tuple(r) for r in shingle_ledger(mk(seen)).collect()}
+        assert got_l == want_l
+        assert res.n_shingles == len(want_l)
+    # batch-2 scoring saw doc 3 as a full mirror of ingested doc 1;
+    # batch-3 doc 6 shares nothing with any prior ingest
+    assert scores[3] == (0, 0)
+    assert scores[6][1] == 10000

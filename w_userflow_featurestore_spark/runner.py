@@ -238,6 +238,35 @@ def run_silver(spark: SparkSession, events_path: str, silver_path: str,
                         int(obs_out.get["rows"]))
 
 
+def _ledger_current_version(ledger_dir: str) -> int | None:
+    """The committed version the ``_current`` pointer names, or None
+    before the first commit. Driver-local filesystem only — see
+    :func:`read_split_ledger` for the pointer-vs-data storage
+    contract shared by every versioned ledger in this module."""
+    import json as _json
+    import os as _os
+    pointer = _os.path.join(ledger_dir, "_current")
+    if not _os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        return _json.load(fh)["version"]
+
+
+def _ledger_commit(ledger_dir: str, version: int) -> None:
+    """Move the ``_current`` pointer to ``version`` atomically
+    (tmp + rename) — THE commit point: called only after the version's
+    parquet write landed, so a crash at any earlier moment leaves the
+    previous version live and the run re-entrant."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+    pointer = _os.path.join(ledger_dir, "_current")
+    tmp = pointer + f".{_uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"version": version}, fh)
+    _os.replace(tmp, pointer)
+
+
 @dataclass
 class SplitLedgerResult:
     version: int         # committed ledger version after this run
@@ -260,11 +289,12 @@ def read_split_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
     file ledger. An object-store deployment (s3://, hdfs://) should
     keep the data versions remote and the pointer on a rename-capable
     store (or a catalog) — the versioned-pointer seam localizes that
-    swap to these two functions (round-8 ADVICE)."""
-    import json as _json
+    swap to ``_ledger_current_version`` / ``_ledger_commit``
+    (round-8 ADVICE)."""
     import os as _os
-    with open(_os.path.join(ledger_dir, "_current")) as fh:
-        v = _json.load(fh)["version"]
+    v = _ledger_current_version(ledger_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed ledger in {ledger_dir}")
     return spark.read.parquet(_os.path.join(ledger_dir, f"v{v}"))
 
 
@@ -301,16 +331,12 @@ def run_split_ledger_update(spark: SparkSession, ledger_dir: str,
     ``ledger_dir`` must be driver-local — see
     :func:`read_split_ledger` for the pointer-vs-data storage contract.
     """
-    import json as _json
     import os as _os
-    import uuid as _uuid
     from w_userflow_featurestore_spark.operators.sampling import (
         component_ledger, merge_component_ledger,
     )
-    pointer = _os.path.join(ledger_dir, "_current")
-    if _os.path.exists(pointer):
-        with open(pointer) as fh:
-            base = _json.load(fh)["version"]
+    base = _ledger_current_version(ledger_dir)
+    if base is not None:
         prev = spark.read.parquet(_os.path.join(ledger_dir, f"v{base}"))
         merged = merge_component_ledger(prev, batch_docs, batch_pairs,
                                         id_col, pair_a, pair_b)
@@ -327,11 +353,92 @@ def run_split_ledger_update(spark: SparkSession, ledger_dir: str,
     out = _os.path.join(ledger_dir, f"v{base + 1}")
     merged.write.mode("overwrite").parquet(out)
     n = int(obs.get["rows"])
-    tmp = pointer + f".{_uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as fh:
-        _json.dump({"version": base + 1}, fh)
-    _os.replace(tmp, pointer)           # the commit point
+    _ledger_commit(ledger_dir, base + 1)
     return SplitLedgerResult(base + 1, mode, n)
+
+
+@dataclass
+class NoveltyLedgerResult:
+    version: int         # committed ledger version after this run
+    mode: str            # initial | incremental
+    n_shingles: int      # distinct shingle hashes in the committed ledger
+
+
+def read_novelty_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    """The CURRENT committed shingle-df ledger (sh, n_docs) — the
+    corpus-history state :func:`score_batch_novelty` probes. Same
+    versioned-pointer commit protocol and driver-local storage contract
+    as :func:`read_split_ledger`."""
+    import os as _os
+    v = _ledger_current_version(ledger_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed ledger in {ledger_dir}")
+    return spark.read.parquet(_os.path.join(ledger_dir, f"v{v}"))
+
+
+def score_batch_novelty(spark: SparkSession, ledger_dir: str,
+                        batch_docs: DataFrame, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Novelty-score an incoming batch against the corpus HISTORY in
+    the persisted ledger — run BEFORE :func:`run_novelty_ledger_update`
+    ingests the same batch: ``incremental_novelty`` counts batch
+    occurrences itself, so a ledger that already contains the batch
+    would double-count them (the score-then-ingest order is the
+    pipeline contract, demonstrated in the runner test)."""
+    from w_userflow_featurestore_spark.operators.dedup import (
+        incremental_novelty,
+    )
+    return incremental_novelty(batch_docs,
+                               read_novelty_ledger(spark, ledger_dir),
+                               n, text_col, id_col)
+
+
+def run_novelty_ledger_update(spark: SparkSession, ledger_dir: str,
+                              batch_docs: DataFrame, n: int = 3,
+                              text_col: str = "text",
+                              id_col: str = "doc_id"
+                              ) -> NoveltyLedgerResult:
+    """Ingest a batch into the persisted shingle-df ledger — the state
+    behind :func:`score_batch_novelty`, committed with the same
+    versioned-pointer discipline as :func:`run_split_ledger_update`:
+    the merged ledger lands in a fresh ``v{N+1}`` directory and the
+    ``_current`` pointer moves only after the parquet write completed,
+    so a crash leaves the previous version live and the replay
+    converges (``merge_shingle_ledger`` is a deterministic
+    re-aggregate; a half-written directory is simply overwritten).
+
+    Batches must be doc-DISJOINT from prior ingests (the additivity
+    precondition ``merge_shingle_ledger`` documents) — replaying the
+    SAME batch would double its counts; production keys ingestion by
+    snapshot range (``LakehousePlanner``) exactly to guarantee this.
+
+    Scale note: each commit rewrites the full (sh, n_docs) ledger —
+    ~16 bytes per distinct shingle, the same always-consistent-snapshot
+    trade the component ledger makes; bucket by ``sh`` and rewrite
+    changed buckets when the rewrite itself becomes hot.
+    """
+    import os as _os
+    from w_userflow_featurestore_spark.operators.dedup import (
+        merge_shingle_ledger, shingle_ledger,
+    )
+    batch = shingle_ledger(batch_docs, n, text_col, id_col)
+    base = _ledger_current_version(ledger_dir)
+    if base is not None:
+        prev = spark.read.parquet(_os.path.join(ledger_dir, f"v{base}"))
+        merged = merge_shingle_ledger(prev, batch)
+        mode = "incremental"
+    else:
+        base = 0
+        merged = batch
+        mode = "initial"
+    obs = Observation()
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+    out = _os.path.join(ledger_dir, f"v{base + 1}")
+    merged.write.mode("overwrite").parquet(out)
+    n_rows = int(obs.get["rows"])
+    _ledger_commit(ledger_dir, base + 1)
+    return NoveltyLedgerResult(base + 1, mode, n_rows)
 
 
 # feature jobs in dependency order; item_daily feeds top_item_per_day the
