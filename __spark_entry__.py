@@ -2284,13 +2284,22 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mirroring matrix (operators/dedup.py
-    cross_source_overlap): distinct shared content hashes + content
-    Jaccard in basis points per unordered source pair. The self-join
-    runs AFTER the (hash, source) distinct collapse, so per-hash
-    fan-out is bounded by the source domain, not dup-group size."""
+    cross_source_overlap): distinct shared content units + unit
+    Jaccard in basis points per unordered source pair. The unit is the
+    winnowing bottom-1 fingerprint (text.doc_fingerprint) rather than
+    the exact content hash, so lightly-edited mirrors count — and the
+    certificate stays non-vacuous at sf0.01, where the fixtures carry
+    near-mirrors but zero byte-identical cross-source dups. The
+    self-join runs AFTER the (unit, source) distinct collapse, so
+    per-unit fan-out is bounded by the source domain, not dup-group
+    size."""
+    from w_userflow_featurestore_spark.operators.text import (
+        doc_fingerprint,
+    )
     return DD.cross_source_overlap(
         read_table(spark, sf_dir, "documents",
-                   columns=["doc_id", "text", "source"]))
+                   columns=["doc_id", "text", "source"]),
+        unit=doc_fingerprint(F.col("text")))
 
 
 def q_d4_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6007,10 +6016,13 @@ FROM (SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df
 GROUP BY doc_id
 """
 
-# source-mirroring matrix over distinct (content_hash, source) rows
+# source-mirroring matrix over distinct (unit, source) rows; the unit
+# is the winnowing bottom-1 fingerprint (_FP5 — near-dup-sensitive,
+# non-vacuous at sf0.01 where exact cross-source dups don't exist)
 ORACLES["cross_source_overlap"] = f"""
-WITH d AS (SELECT DISTINCT md5({_NORM}) AS content_hash, source
+WITH w AS (SELECT string_split({_NORM}, ' ') AS ws, source
            FROM documents),
+d AS (SELECT DISTINCT {_FP5} AS content_hash, source FROM w),
 shared AS (
   SELECT a.source AS source_a, b.source AS source_b,
          CAST(count(*) AS BIGINT) AS n_shared

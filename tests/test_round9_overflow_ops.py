@@ -306,3 +306,24 @@ def test_merge_shingle_ledger_is_additive_over_disjoint_batches(spark):
         DD.shingle_ledger(docs.where("doc_id <= 2")),
         DD.shingle_ledger(docs.where("doc_id > 2"))).collect()}
     assert merged == full
+
+
+def test_cross_source_overlap_near_dup_unit_catches_edited_mirror(spark):
+    from w_userflow_featurestore_spark.operators.text import (
+        doc_fingerprint,
+    )
+    from pyspark.sql import functions as F
+    # B's doc is a lightly-edited mirror of A's (tail word changed):
+    # the exact-hash unit misses it, the winnowing fingerprint unit
+    # catches it (the minimal 5-gram survives the edit)
+    a = BASE
+    b = BASE.rsplit(" ", 1)[0] + " yesterday"
+    docs = spark.createDataFrame(
+        [(1, a, "A"), (2, b, "B")],
+        "doc_id long, text string, source string")
+    exact = DD.cross_source_overlap(docs).collect()
+    fp = DD.cross_source_overlap(
+        docs, unit=doc_fingerprint(F.col("text"))).collect()
+    assert exact == []
+    assert [(r["source_a"], r["source_b"], r["n_shared"])
+            for r in fp] == [("A", "B", 1)]

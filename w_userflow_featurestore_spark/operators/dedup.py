@@ -549,32 +549,40 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text",
 
 def cross_source_overlap(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
-                         group_col: str = "source") -> DataFrame:
+                         group_col: str = "source",
+                         unit: Column | None = None) -> DataFrame:
     """Source-mirroring matrix: for every pair of sources, how many
-    distinct normalized-content hashes they SHARE, plus the content
-    Jaccard in exact basis points. :func:`dedup_rate_report` separates
-    self-repeating sources from source-mirroring ones but can't say
-    WHICH sources mirror each other — this is that report: two crawl
-    feeds with high content Jaccard are the same upstream (drop one),
-    and a benchmark source overlapping a training source is a
-    contamination incident.
+    distinct content UNITS they SHARE, plus the unit Jaccard in exact
+    basis points. :func:`dedup_rate_report` separates self-repeating
+    sources from source-mirroring ones but can't say WHICH sources
+    mirror each other — this is that report: two crawl feeds with high
+    content Jaccard are the same upstream (drop one), and a benchmark
+    source overlapping a training source is a contamination incident.
+
+    ``unit`` is the per-document content key compared across sources —
+    the exact normalized-content md5 by default (byte-level mirrors
+    only); pass a near-dup-sensitive key like
+    ``text.doc_fingerprint(col)`` (the winnowing bottom-1 shingle
+    hash) to catch lightly-edited mirrors the exact hash misses — the
+    unit the entry query uses, since a near-mirror is the common case.
 
     Returns (source_a, source_b, n_shared, jaccard_bp) for every
     UNORDERED source pair with n_shared >= 1, source_a < source_b.
 
-    Scale shape: docs collapse to distinct (content_hash, source) rows
-    first (one hash-grain exchange — the dedup pass's own shuffle), so
-    the self-join on content_hash fans out at most |sources| rows per
-    hash side — bounded by the source DOMAIN (dozens), not by dup-group
-    size: a hash duplicated a million times inside one source
-    contributes exactly one row per side. Per-source distinct-hash
+    Scale shape: docs collapse to distinct (unit, source) rows first
+    (one unit-grain exchange — the dedup pass's own shuffle), so the
+    self-join on the unit fans out at most |sources| rows per unit
+    side — bounded by the source DOMAIN (dozens), not by dup-group
+    size: a unit duplicated a million times inside one source
+    contributes exactly one row per side. Per-source distinct-unit
     counts ride a broadcast join onto the source-pair-grain result
     (|sources|^2 rows at most).
     """
+    if unit is None:
+        unit = F.md5(normalize_text(F.col(text_col)))
     d = (fan_out(docs.select(F.col(id_col), F.col(text_col),
                              F.col(group_col)))
-         .select(F.md5(normalize_text(F.col(text_col)))
-                  .alias("content_hash"),
+         .select(unit.alias("content_hash"),
                  F.col(group_col).alias("src"))
          .distinct())
     a = d.select("content_hash", F.col("src").alias("source_a"))
