@@ -505,3 +505,63 @@ def test_debug_sink_console_drains_and_stops(spark, tmp_path):
     # writer (not a silent noop) ran
     assert any("Console" in str(p["sink"]["description"])
                for p in q.recentProgress)
+
+
+def test_streaming_novelty_monitor_matches_batch_and_replays_once(
+        spark, tmp_path):
+    """Per-tranche stream scores must equal incremental_novelty against
+    the pre-tranche history, the summed delta ledger must equal
+    shingle_ledger over the full ingested corpus, and a restart on the
+    same checkpoint must not re-score or double-count (txn-token replay
+    dedup at both LogTables)."""
+    from w_userflow_featurestore_spark.operators.dedup import (
+        incremental_novelty, shingle_ledger,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable
+    from w_userflow_featurestore_spark.streaming.ingest import (
+        read_streaming_novelty_ledger, streaming_novelty_monitor,
+    )
+
+    src, scores, ledger, ckpt = (str(tmp_path / d)
+                                 for d in ("src", "scores", "led", "ck"))
+    ddl = "doc_id long, text string"
+    t1 = [(1, "the quick brown fox jumps over the lazy dog"),
+          (2, "completely different spark engine content here")]
+    t2 = [(3, "the quick brown fox jumps over the lazy dog"),   # mirror of 1
+          (4, "fresh never seen nine gram content appears now")]
+
+    def _run(rows):
+        spark.createDataFrame(rows, ddl).write.mode("append").parquet(src)
+        q = streaming_novelty_monitor(
+            spark.readStream.schema(ddl).parquet(src), scores, ledger,
+            ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    _run(t1)
+    _run(t2)
+    got = {r["doc_id"]: (r["n_novel"], r["novelty_bp"]) for r in
+           LogTable(spark, scores).read().collect()}
+    mk = lambda rows: spark.createDataFrame(rows, ddl)
+    empty = spark.createDataFrame([], "sh long, n_docs long")
+    want1 = {r["doc_id"]: (r["n_novel"], r["novelty_bp"]) for r in
+             incremental_novelty(mk(t1), empty).collect()}
+    want2 = {r["doc_id"]: (r["n_novel"], r["novelty_bp"]) for r in
+             incremental_novelty(mk(t2), shingle_ledger(mk(t1)))
+             .collect()}
+    assert got == {**want1, **want2}
+    assert got[3] == (0, 0)                    # the cross-tranche mirror
+    # summed deltas == batch ledger over the full corpus
+    got_l = {tuple(r) for r in
+             read_streaming_novelty_ledger(spark, ledger).collect()}
+    want_l = {tuple(r) for r in shingle_ledger(mk(t1 + t2)).collect()}
+    assert got_l == want_l
+    # restart on the same checkpoint with no new files: nothing re-runs
+    n_scores = LogTable(spark, scores).read().count()
+    q3 = streaming_novelty_monitor(
+        spark.readStream.schema(ddl).parquet(src), scores, ledger,
+        ckpt, available_now=True)
+    q3.awaitTermination(120)
+    assert LogTable(spark, scores).read().count() == n_scores
+    assert {tuple(r) for r in
+            read_streaming_novelty_ledger(spark, ledger).collect()} \
+        == want_l

@@ -434,3 +434,73 @@ def streaming_attribution(purchases: DataFrame, clicks: DataFrame,
     )
     return (p.join(c, cond, "leftOuter")
              .drop("c_user_id"))
+
+
+def streaming_novelty_monitor(docs: DataFrame, scores_path: str,
+                              ledger_path: str, checkpoint: str, *,
+                              n: int = 3, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              trigger_seconds: int | None = 30,
+                              available_now: bool = False):
+    """Novelty scoring as a streaming job — the crawl-intake form of
+    ``operators/dedup.incremental_novelty``: each micro-batch is scored
+    against the corpus HISTORY (everything ingested by prior batches),
+    the scores land in an append-only LogTable, and the batch's own
+    shingle-df counts append to a DELTA ledger. Both appends carry a
+    per-batch txn token, so checkpoint recovery's re-delivered batch is
+    a no-op at both tables — exactly-once without a pointer protocol.
+
+    The ledger is stored as additive DELTAS (one tiny file per batch,
+    ``streaming_drift_monitor``'s discipline): per-doc-distinct shingle
+    counts sum across disjoint batches, so the CURRENT ledger is one
+    group-sum over the delta table (:func:`read_streaming_novelty_ledger`)
+    and equals ``shingle_ledger`` over the full ingested history —
+    batch-vs-stream parity is tested, not trusted. Scores are computed
+    BEFORE the batch's delta lands, so a document is never compared
+    against itself twice (the score-then-ingest order the batch runner
+    documents); compaction (``LogTable.compact``) bounds file count.
+    """
+    from w_userflow_featurestore_spark.operators.dedup import (
+        incremental_novelty, shingle_ledger,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        # one derivation feeds the scoring AND the delta append
+        batch = batch.select(F.col(id_col), F.col(text_col)) \
+            .localCheckpoint(eager=True)
+        if LogTable.is_log_table(ledger_path):
+            led = read_streaming_novelty_ledger(spark, ledger_path)
+        else:
+            led = spark.createDataFrame([], "sh long, n_docs long")
+        scores = (incremental_novelty(batch, led, n, text_col, id_col)
+                  .withColumn("batch_id",
+                              F.lit(batch_id).cast("long")))
+        st = LogTable.create(spark, scores_path, [])
+        st.append(scores, txn=f"nov-scores:{checkpoint}:{batch_id}")
+        lt = LogTable.create(spark, ledger_path, [])
+        lt.append(shingle_ledger(batch, n, text_col, id_col),
+                  txn=f"nov-ledger:{checkpoint}:{batch_id}")
+
+    writer = (docs.writeStream
+              .foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def read_streaming_novelty_ledger(spark: SparkSession,
+                                  ledger_path: str) -> DataFrame:
+    """Current shingle-df ledger view over a
+    ``streaming_novelty_monitor`` delta table: sum the per-batch
+    deltas — equals ``shingle_ledger`` over everything ingested."""
+    from w_userflow_featurestore_spark.sources import LogTable
+    return (LogTable(spark, ledger_path).read()
+            .groupBy("sh")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs")))
