@@ -580,11 +580,17 @@ def cross_source_overlap(docs: DataFrame, text_col: str = "text",
     """
     if unit is None:
         unit = F.md5(normalize_text(F.col(text_col)))
+    # Lineage cut: the distinct (unit, source) frame feeds THREE
+    # consumers (both self-join sides + the per-source totals); without
+    # it each consumer recomputes the unit expression over the corpus —
+    # ruinous for shingle-derived units like the winnowing fingerprint.
+    # The frame is two narrow columns at <= corpus cardinality.
     d = (fan_out(docs.select(F.col(id_col), F.col(text_col),
                              F.col(group_col)))
          .select(unit.alias("content_hash"),
                  F.col(group_col).alias("src"))
-         .distinct())
+         .distinct()
+         .localCheckpoint(eager=True))
     a = d.select("content_hash", F.col("src").alias("source_a"))
     b = d.select("content_hash", F.col("src").alias("source_b"))
     shared = (a.join(b, "content_hash")
