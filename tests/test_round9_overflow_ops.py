@@ -327,3 +327,135 @@ def test_cross_source_overlap_near_dup_unit_catches_edited_mirror(spark):
     assert exact == []
     assert [(r["source_a"], r["source_b"], r["n_shared"])
             for r in fp] == [("A", "B", 1)]
+
+
+# --------------------------------------------------------------------------
+# Property tests: independent pure-Python models on randomized corpora.
+# These ops hold no driver certificate until round 10 (window overflow),
+# so they carry a third independent check beyond unit fixtures and the
+# DuckDB random-parity batches.
+
+import re as _re
+from collections import Counter as _Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["spark", "hash", "join", "the", "scan", "merge", "a",
+          "table", "sort", "row", "123", "x;y", "Batch"]
+
+_corpus = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12)
+    .map(" ".join),
+    min_size=1, max_size=8)
+
+
+def _norm_words(t):
+    return [w for w in
+            _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+            if w]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(texts=_corpus)
+def test_tfidf_matches_python_model(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["idf_bits"],
+                                      r["score_bits"], r["rank"])
+           for r in TX.tfidf_top_terms(docs, top_k=3).collect()}
+    n = len(texts)
+    tf = {d: _Counter(_norm_words(t)) for d, t in enumerate(texts)}
+    df = _Counter(w for c in tf.values() for w in set(c))
+    want = {}
+    for d, c in tf.items():
+        scored = sorted(
+            ((w, cnt, (n // df[w]).bit_length() - 1)
+             for w, cnt in c.items()),
+            key=lambda x: (-x[1] * x[2], x[0]))
+        for rank, (w, cnt, idf) in enumerate(scored[:3], start=1):
+            want[(d, w)] = (cnt, idf, cnt * idf, rank)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(texts=_corpus)
+def test_pmi_matches_python_model(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = [(r["w1"], r["w2"], r["n_pair"], r["pmi_bits"])
+           for r in TX.pmi_collocations(docs, top_k=20,
+                                        min_count=2).collect()]
+    uni: _Counter = _Counter()
+    big: _Counter = _Counter()
+    for t in texts:
+        ws = _norm_words(t)
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    t_total = sum(big.values())
+    rows = []
+    for (w1, w2), c in big.items():
+        if c < 2:
+            continue
+        num, den = c * t_total, uni[w1] * uni[w2]
+        if num >= den:
+            rows.append((w1, w2, c, (num // den).bit_length() - 1))
+    rows.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    assert got == rows[:20]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(texts=_corpus)
+def test_ngram_novelty_matches_python_model(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_bp"])
+           for r in DD.ngram_novelty(docs, n=3).collect()}
+
+    def sh_set(t):
+        ws = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+        k = max(len(ws) - 2, 1)
+        return {" ".join(ws[i:i + 3]) for i in range(k)}
+
+    sets = {d: sh_set(t) for d, t in enumerate(texts)}
+    df = _Counter(s for ss in sets.values() for s in ss)
+    want = {}
+    for d, ss in sets.items():
+        novel = sum(1 for s in ss if df[s] == 1)
+        want[d] = (len(ss), novel, novel * 10000 // len(ss))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(texts=_corpus, n_stages=st.sampled_from([2, 3, 4]))
+def test_curriculum_stage_sizes_are_thirds_up_to_ties(spark, texts,
+                                                      n_stages):
+    from w_userflow_featurestore_spark.operators import sampling as SMP
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = SMP.curriculum_order(docs, n_stages=n_stages,
+                               n_shards=2).collect()
+    if not out:          # all-empty texts yield no surprisal rows
+        return
+    # stages are monotone in score: max score of stage s <= min of s+1
+    by_stage: dict[int, list[float]] = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r["mean_bits"])
+    stages = sorted(by_stage)
+    for a, b in zip(stages, stages[1:]):
+        assert max(by_stage[a]) <= min(by_stage[b])
+    # cumulative stage mass reaches each ceil(s*n/K) boundary at the
+    # stage holding it (ties may push mass earlier, never later)
+    total = len(out)
+    cum = 0
+    for s in stages:
+        cum += len(by_stage[s])
+    assert cum == total
