@@ -2593,51 +2593,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_novelty": q_incremental_novelty,
 }
 
-# --- round-9 certification window (driver certifies the FIRST 50) ---
-# Rotation discipline (3-round cycle; round-8 verdict, Next round #2):
-# least-recently-certified lead, then implementation-changed, then new,
-# then oldest-round-7 holders as fill. The dict literal above keeps its
-# round-8 narrative order; this list IS the round-9 bookkeeping record
-# (tests/test_cert_window.py pins the composition), and the rebuild
-# below makes it the driver's physical certification order.
-_ROUND9_WINDOW = [
-    # the 39 queries whose latest certificate is round 6 (reconstructed
-    # from CORRECTNESS_r06 minus every later re-cert), in their round-6
-    # certification order — after this round every certificate is r7-r9
-    "event_transitions", "incremental_curate", "behavior_diversity",
-    "contamination", "shipping_priority", "churn_labels",
-    "time_decay_features", "big_spender_customers", "multimodal_decode",
-    "multimodal_frames", "salted_user_agg", "salted_join",
-    "top_docs_per_source", "duration_percentiles", "volume_shipping",
-    "small_quantity_revenue", "duplicate_spans",
-    "incremental_duplicate_spans", "product_profit",
-    "returned_item_customers", "discount_band_revenue",
-    "order_count_distribution", "user_daily", "item_daily",
-    "entry_type_daily", "binge_ratio", "retention_yesterday",
-    "retention_today", "dim_gap_features", "exact_dedup",
-    "minhash_signatures", "minhash_lsh_pairs", "dedup_components",
-    "ngram_jaccard_pairs", "simhash", "simhash_near_pairs",
-    "text_profile", "corpus_language_stats", "repetition_profile",
-    # implementation changed this round (re-certify; function
-    # granularity per the round-8 precedent): market_share lost its
-    # forced customer-side broadcast (AQE decides now — round-8 ADVICE),
-    # quality_filter_verdict's projection gained the carry_cols path
-    # that quality_rule_report rides
-    "market_share", "quality_filter_verdict",
-    # new this round
-    "bpe_encode_persisted", "dsir_select", "dsir_select_tokens",
-    "quality_rule_report", "ccnet_curate", "hard_negatives",
-    "knn_label_agreement", "dedup_rate_report", "tokenizer_drift",
-    # all 11 spare slots spent on new+changed (9 new + 2 changed) — no
-    # r7 fill this round; pii_scrub, fingerprint_pairs,
-    # cardinality_sketch, semantic_dedup, line_dedup lead the
-    # round-10 fill (their r7 certificates stay inside the 3-round
-    # cycle through round 10)
+# --- round-10 certification window (driver certifies the FIRST 50) ---
+# Rotation discipline: never-certified first, then strict
+# least-recently-certified, then implementation-changed, then new. At
+# 154 registered queries the 50-slot window needs a FOUR-round cycle
+# (3 x 50 = 150 < 154 — round-9 verdict, What's wrong #2). The dict
+# literal above keeps its historical narrative order; this list IS the
+# round-10 bookkeeping record (tests/test_cert_window.py pins the
+# composition), and the rebuild below makes it the driver's physical
+# certification order.
+_ROUND10_WINDOW = [
+    # the 10 round-9 OVERFLOW queries — never driver-certified; the
+    # round-9 verdict pins them as mandatory round-10 leads in exactly
+    # this order (tests/test_cert_window.py:87-94 as of round 9)
+    "tfidf_top_terms", "pmi_collocations", "ngram_novelty",
+    "cross_source_overlap", "quality_survivor_dedup",
+    "d4_select", "curriculum_order", "lang_id_confusion",
+    "ivf_recall_sweep", "incremental_novelty",
+    # then strict LRU: the first 40 of the 46 remaining r7 certificate
+    # holders (reconstructed from CORRECTNESS_r07 minus every later
+    # re-cert), in their round-7 certification order
+    "pii_scrub", "fingerprint_pairs", "cardinality_sketch",
+    "semantic_dedup", "line_dedup", "token_surprisal",
+    "item_pagerank", "distribution_drift", "bpe_pair_counts",
+    "quantile_sketch", "scd2_history", "feature_backfill",
+    "negative_samples", "key_skew_profile", "frequency_sketch",
+    "rolling_active_users", "quality_report", "user_value_ranks",
+    "cohort_retention", "item_triangles", "attribution",
+    "winsorize", "target_encode", "multimodal_resize",
+    "multimodal_audio_windows", "order_priority_counts",
+    "forecast_baseline", "token_budget_mix", "leakage_safe_split",
+    "corpus_shuffle", "dataset_split", "split_summary",
+    "stratified_sample", "weighted_sample", "capped_user_events",
+    "source_balanced_sample", "user_cohort_setops",
+    "customers_no_orders", "tokenizer_fertility",
+    "split_leakage_audit",
+    # the 6 r7 holders that don't fit (dedup_latest, above_avg_orders,
+    # pricing_summary, revenue_by_nation, pack_sequences,
+    # frequent_tokens) lead the ROUND-11 window, ahead of the r8
+    # holders — the 4-round cycle forced by 154 queries / 50 slots
 ]
 
 QUERIES = {name: QUERIES[name] for name in
-           _ROUND9_WINDOW + [n for n in QUERIES
-                             if n not in _ROUND9_WINDOW]}
+           _ROUND10_WINDOW + [n for n in QUERIES
+                              if n not in _ROUND10_WINDOW]}
 
 
 def _datestr(df: DataFrame) -> DataFrame:
