@@ -413,6 +413,42 @@ def test_compact_single_replace_commit_triggers_full_replan(spark, table, tmp_pa
     assert plan.df.count() == 8
 
 
+def test_rewrite_changes_content_atomically_and_pins_old_readers(
+        spark, table):
+    """rewrite() = whole-table content replace in ONE commit: the new
+    row set is whatever df holds (here: a group-sum roll-up of
+    additive deltas — fewer rows, same summed view), the commit is a
+    'replace' like compact's, and a reader pinned to the pre-rewrite
+    snapshot still sees the original deltas."""
+    table.append(_df(spark, [(1, D1, "a"), (2, D1, "b")]))
+    table.append(_df(spark, [(1, D1, "c"), (3, D2, "d")]))
+    pre = table.latest_snapshot_id()
+    rolled = (table.read().groupBy("k", "datetime")
+              .agg(F.count(F.lit(1)).cast("string").alias("v")))
+    table.rewrite(rolled)
+    assert table.snapshots()[-1].operation == "replace"
+    assert rows(table.read(), "k", "v") == [
+        (1, "2"), (2, "1"), (3, "1")]            # rows CHANGED (rolled up)
+    assert table.read().count() == 3
+    assert table.read(pre).count() == 4          # old snapshot untouched
+    # rewrite validates its base: a commit that lands in between fails
+    # the rewrite instead of losing that commit's rows
+    import pytest as _pt
+    from w_userflow_featurestore_spark.sources.lakehouse import (
+        ConcurrentCommitError,
+    )
+    stale_base = table.latest_snapshot_id()
+    table.append(_df(spark, [(9, D2, "z")]))
+    staged = table.read().limit(1)
+    orig = table.latest_snapshot_id
+    table.latest_snapshot_id = lambda: stale_base   # stale derivation
+    try:
+        with _pt.raises(ConcurrentCommitError):
+            table.rewrite(staged)
+    finally:
+        table.latest_snapshot_id = orig
+
+
 def test_run_daily_features_log_format_matches_parquet(spark, tmp_path):
     """Gold on LogTable: same feature rows as the parquet backend, one
     atomic overwrite commit per table, idempotent on re-run."""

@@ -83,6 +83,26 @@ def test_pmi_min_count_suppresses_rare_pairs(spark):
     assert ("a", "b") in out
 
 
+def test_pmi_overflow_envelope_raises_instead_of_dropping(spark,
+                                                          monkeypatch):
+    # round-9 ADVICE: past the DECIMAL(38,0) envelope, non-ANSI decimal
+    # overflow would silently NULL (drop) the hottest pairs. The guard
+    # must fail LOUDLY instead. Shrink the envelope so a tiny corpus
+    # trips it (the expr reads _PMI_T_MAX at call time).
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b a b")], "doc_id long, text string")
+    monkeypatch.setattr(TX, "_PMI_T_MAX", 5)  # corpus has T=9 bigrams
+    with pytest.raises(SparkRuntimeException, match="overflow envelope"):
+        TX.pmi_collocations(docs, top_k=5, min_count=2).collect()
+    # at the boundary (T == envelope) nothing raises and values hold
+    monkeypatch.setattr(TX, "_PMI_T_MAX", 9)
+    out = TX.pmi_collocations(docs, top_k=5, min_count=2).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("a", "b"), ("b", "a")]
+
+
 def test_ngram_novelty_mirrored_doc_scores_zero(spark):
     docs = spark.createDataFrame(
         [(1, BASE), (2, BASE), (3, FAR)], "doc_id long, text string")
@@ -453,9 +473,19 @@ def test_curriculum_stage_sizes_are_thirds_up_to_ties(spark, texts,
     for a, b in zip(stages, stages[1:]):
         assert max(by_stage[a]) <= min(by_stage[b])
     # cumulative stage mass reaches each ceil(s*n/K) boundary at the
-    # stage holding it (ties may push mass earlier, never later)
+    # stage holding it: ties may push mass earlier, never later, so
+    # after consuming stages 1..s the running count is >= ceil(s*n/K).
+    # (The stage-s threshold t_s is the smallest score whose histogram
+    # cum count reaches the boundary, and every doc scoring <= t_s
+    # lands in a stage <= s.) Empty stages are legal under heavy ties —
+    # iterate the stage NUMBERS, not just the non-empty keys.
     total = len(out)
     cum = 0
-    for s in stages:
-        cum += len(by_stage[s])
+    for s in range(1, n_stages + 1):
+        cum += len(by_stage.get(s, []))
+        boundary = -(-s * total // n_stages)  # ceil
+        assert cum >= boundary, (
+            f"stage {s}: cumulative {cum} < ceil({s}*{total}/{n_stages})"
+            f" = {boundary}")
     assert cum == total
+    assert set(stages) <= set(range(1, n_stages + 1))

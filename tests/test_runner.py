@@ -238,7 +238,9 @@ def test_split_ledger_persist_reload_extend_three_batches(spark, tmp_path):
         assert res.mode == ("initial" if i == 1 else "incremental")
         seen_docs.extend(ids)
         seen_pairs.extend(prs)
-        with open(os.path.join(ledger_dir, "_current")) as fh:
+        # on-disk protocol: commit i is ONE O_EXCL sequence file
+        with open(os.path.join(ledger_dir, "_ptr",
+                               f"{i:020d}.json")) as fh:
             assert json.load(fh)["version"] == i
         got = {tuple(r) for r in read_split_ledger(spark, ledger_dir)
                .collect()}
@@ -301,7 +303,8 @@ def test_novelty_ledger_score_then_ingest_three_batches(spark, tmp_path):
         assert res.version == i
         assert res.mode == ("initial" if i == 1 else "incremental")
         seen.extend(ids)
-        with open(os.path.join(ledger_dir, "_current")) as fh:
+        with open(os.path.join(ledger_dir, "_ptr",
+                               f"{i:020d}.json")) as fh:
             assert json.load(fh)["version"] == i
         got_l = {tuple(r) for r in
                  read_novelty_ledger(spark, ledger_dir).collect()}
@@ -312,3 +315,150 @@ def test_novelty_ledger_score_then_ingest_three_batches(spark, tmp_path):
     # batch-3 doc 6 shares nothing with any prior ingest
     assert scores[3] == (0, 0)
     assert scores[6][1] == 10000
+
+
+def test_ledger_pointer_cas_rejects_the_losing_concurrent_writer(
+        spark, tmp_path):
+    """Round-9 ADVICE: two concurrent ingests that both read base N
+    must NOT both land — the loser's commit would silently erase the
+    winner's counts from the additive ledger. The CAS raises
+    ConcurrentLedgerError for the writer whose read went stale, and
+    the committed ledger still holds exactly the winner's history."""
+    import os
+    import pytest as _pt
+    from w_userflow_featurestore_spark.operators.dedup import (
+        shingle_ledger,
+    )
+    from w_userflow_featurestore_spark.runner import (
+        ConcurrentLedgerError, InMemoryLedgerPointerStore,
+        read_novelty_ledger, run_novelty_ledger_update,
+    )
+
+    class FrozenCurrentStore:
+        """Wraps a real store but serves a frozen current entry —
+        models a writer whose base read happened before a rival
+        committed."""
+
+        def __init__(self, inner):
+            self.inner, self.frozen = inner, None
+
+        def current_entry(self, d):
+            return dict(self.frozen) if self.frozen is not None \
+                else self.inner.current_entry(d)
+
+        def current(self, d):
+            e = self.current_entry(d)
+            return None if e is None else e["version"]
+
+        def commit(self, d, v, base, entry=None):
+            self.inner.commit(d, v, base, entry)
+
+    ledger_dir = str(tmp_path / "novelty_cas")
+    os.makedirs(ledger_dir)
+    inner = InMemoryLedgerPointerStore()
+    store = FrozenCurrentStore(inner)
+    texts = {1: "a b c d e", 2: "f g h i j", 3: "k l m n o"}
+    mk = lambda ids: spark.createDataFrame(
+        [(d, texts[d]) for d in ids], "doc_id long, text string")
+    assert run_novelty_ledger_update(
+        spark, ledger_dir, mk([1]), pointer_store=store).version == 1
+    store.frozen = inner.current_entry(ledger_dir)  # rival A's stale base
+    # rival B commits v2 first (it read base 1 too — via the freeze)
+    assert run_novelty_ledger_update(
+        spark, ledger_dir, mk([2]), pointer_store=store).version == 2
+    # rival A now merges against v1 and tries to commit v2: CAS loses
+    with _pt.raises(ConcurrentLedgerError):
+        run_novelty_ledger_update(spark, ledger_dir, mk([3]),
+                                  pointer_store=store)
+    # the winner's history is intact: ledger == batches {1} + {2}
+    store.frozen = None
+    got = {tuple(r) for r in
+           read_novelty_ledger(spark, ledger_dir,
+                               pointer_store=store).collect()}
+    want = {tuple(r) for r in shingle_ledger(mk([1, 2])).collect()}
+    assert got == want
+    # and the re-run against the fresh base succeeds as v3
+    assert run_novelty_ledger_update(
+        spark, ledger_dir, mk([3]), pointer_store=store).version == 3
+
+
+def test_ledger_pointer_file_store_cas_and_legacy_upgrade(tmp_path):
+    """The default file backend: O_EXCL sequence files ARE the CAS
+    (dense versions -> the filename race), and a pre-round-10 ledger
+    whose pointer is the legacy single _current file is read in place
+    and upgraded by its next commit."""
+    import json
+    import os
+    import pytest as _pt
+    from w_userflow_featurestore_spark.runner import (
+        ConcurrentLedgerError, FileLedgerPointerStore,
+    )
+    d = str(tmp_path / "led")
+    os.makedirs(d)
+    store = FileLedgerPointerStore()
+    assert store.current(d) is None
+    with _pt.raises(ConcurrentLedgerError):
+        store.commit(d, 2, 1)           # stale base: nothing committed yet
+    store.commit(d, 1, None)
+    assert store.current(d) == 1
+    with _pt.raises(ConcurrentLedgerError):
+        store.commit(d, 1, None)        # losing the filename race
+    with _pt.raises(ConcurrentLedgerError):
+        store.commit(d, 3, 2)           # pre-write check: base moved
+    store.commit(d, 2, 1)
+    assert store.current(d) == 2
+    # legacy layout: _current only, no _ptr sequence files
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "_current"), "w") as fh:
+        json.dump({"version": 5}, fh)
+    assert store.current(legacy) == 5
+    store.commit(legacy, 6, 5)          # upgrade in place
+    assert store.current(legacy) == 6
+    assert os.path.exists(os.path.join(legacy, "_ptr",
+                                       f"{6:020d}.json"))
+
+
+def test_split_ledger_protocol_holds_on_a_swapped_pointer_backend(
+        spark, tmp_path):
+    """Round-9 verdict #4 'done' criterion: the split-ledger protocol
+    runs unchanged with the pointer routed through a non-filesystem
+    backend (the catalog-backed object-store deployment shape) — no
+    _current/_ptr file ever touches disk."""
+    import os
+    from w_userflow_featurestore_spark.operators.sampling import (
+        component_ledger,
+    )
+    from w_userflow_featurestore_spark.runner import (
+        InMemoryLedgerPointerStore, read_split_ledger,
+        run_split_ledger_update,
+    )
+    ledger_dir = str(tmp_path / "split_mem")
+    os.makedirs(ledger_dir)
+    store = InMemoryLedgerPointerStore()
+    mk_docs = lambda ids: spark.createDataFrame(
+        [(d,) for d in ids], "doc_id long")
+    mk_pairs = lambda prs: spark.createDataFrame(
+        prs, "doc_a long, doc_b long")
+    batches = [([0, 1, 2], [(0, 1)]),
+               ([3, 4], [(1, 3)]),
+               ([5], [])]
+    seen_docs: list[int] = []
+    seen_pairs: list[tuple[int, int]] = []
+    for i, (ids, prs) in enumerate(batches, start=1):
+        res = run_split_ledger_update(spark, ledger_dir, mk_docs(ids),
+                                      mk_pairs(prs),
+                                      pointer_store=store)
+        assert res.version == i
+        seen_docs.extend(ids)
+        seen_pairs.extend(prs)
+        got = {tuple(r) for r in
+               read_split_ledger(spark, ledger_dir,
+                                 pointer_store=store).collect()}
+        want = {tuple(r) for r in
+                component_ledger(mk_docs(seen_docs),
+                                 mk_pairs(seen_pairs)).collect()}
+        assert got == want
+    # the pointer never touched the filesystem
+    assert not os.path.exists(os.path.join(ledger_dir, "_ptr"))
+    assert not os.path.exists(os.path.join(ledger_dir, "_current"))

@@ -565,3 +565,61 @@ def test_streaming_novelty_monitor_matches_batch_and_replays_once(
     assert {tuple(r) for r in
             read_streaming_novelty_ledger(spark, ledger).collect()} \
         == want_l
+
+
+def test_streaming_novelty_rollup_bounds_ledger_and_keeps_parity(
+        spark, tmp_path):
+    """Round-9 ADVICE: the delta ledger must not grow unboundedly.
+    With compact_every=1 every batch ends in a roll-up rewrite, so the
+    PHYSICAL delta-table row count stays at |distinct shingles| (one
+    row per sh, already summed) instead of one row per (batch, sh) —
+    while scores and the summed view stay exactly batch-parity."""
+    from w_userflow_featurestore_spark.operators.dedup import (
+        incremental_novelty, shingle_ledger,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable
+    from w_userflow_featurestore_spark.streaming.ingest import (
+        read_streaming_novelty_ledger, streaming_novelty_monitor,
+    )
+
+    src, scores, ledger, ckpt = (str(tmp_path / d)
+                                 for d in ("src", "scores", "led", "ck"))
+    ddl = "doc_id long, text string"
+    t1 = [(1, "the quick brown fox jumps over the lazy dog")]
+    t2 = [(2, "the quick brown fox jumps over the lazy dog"),
+          (3, "completely different spark engine content here")]
+    t3 = [(4, "fresh never seen nine gram content appears now")]
+
+    def _run(rows):
+        spark.createDataFrame(rows, ddl).write.mode("append").parquet(src)
+        q = streaming_novelty_monitor(
+            spark.readStream.schema(ddl).parquet(src), scores, ledger,
+            ckpt, available_now=True, compact_every=1)
+        q.awaitTermination(120)
+
+    mk = lambda rows: spark.createDataFrame(rows, ddl)
+    seen: list = []
+    for tranche in (t1, t2, t3):
+        _run(tranche)
+        seen += tranche
+        # summed view == batch ledger over everything ingested
+        got_l = {tuple(r) for r in
+                 read_streaming_novelty_ledger(spark, ledger).collect()}
+        want_l = {tuple(r) for r in shingle_ledger(mk(seen)).collect()}
+        assert got_l == want_l
+        # roll-up actually replaced the deltas: physical rows ==
+        # distinct shingles (no per-batch duplicates survive)
+        assert LogTable(spark, ledger).read().count() == len(want_l)
+    # scores unaffected by roll-ups: per-tranche batch parity
+    got = {r["doc_id"]: (r["n_novel"], r["novelty_bp"]) for r in
+           LogTable(spark, scores).read().collect()}
+    empty = spark.createDataFrame([], "sh long, n_docs long")
+    want = {}
+    hist: list = []
+    for tranche in (t1, t2, t3):
+        led = shingle_ledger(mk(hist)) if hist else empty
+        for r in incremental_novelty(mk(tranche), led).collect():
+            want[r["doc_id"]] = (r["n_novel"], r["novelty_bp"])
+        hist += tranche
+    assert got == want
+    assert got[2] == (0, 0)     # mirror of doc 1 across the roll-up

@@ -1429,6 +1429,13 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
                     F.col("rank").cast("int")))
 
 
+# pmi_collocations overflow envelope: products are <= T*T, so keeping
+# the total bigram count T <= 4e18 keeps every DECIMAL(38,0) product
+# under 1.6e37 (< 1e38-1). Module-level so tests can shrink it to
+# exercise the guard without 4e18 rows.
+_PMI_T_MAX = 4_000_000_000_000_000_000
+
+
 def pmi_collocations(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", top_k: int = 20,
                      min_count: int = 5) -> DataFrame:
@@ -1446,6 +1453,10 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     the 100 TB design point: T ~ 1e13, c_xy up to T), and the whole-bit
     value is bit_length(num DIV den) - 1 — the ratio is <= T (since
     c_xy <= c_x*c_y), so the DIV result always fits a BIGINT exactly.
+    The envelope itself is ENFORCED: T > ``_PMI_T_MAX`` (4e18, where
+    T*T approaches DECIMAL(38,0)'s 38 digits and non-ANSI overflow
+    would start silently NULLing — i.e. dropping — the hottest pairs)
+    raises at execution time instead of losing rows.
     Only POSITIVE-PMI pairs survive (num >= den): negative PMI means
     "co-occur less than chance", never a collocation, and keeping the
     domain >= 1 keeps the log integral. ``min_count`` suppresses the
@@ -1482,8 +1493,25 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
                .agg(F.count(F.lit(1)).alias("n_pair")))
     # T is the total bigram EVENT count — summed before the min_count
     # filter (dropping rare pairs from the denominator would inflate
-    # every survivor's PMI)
-    total = cxy_all.agg(F.sum("n_pair").cast("long").alias("t_total"))
+    # every survivor's PMI). Summed in DECIMAL(38,0) (a long sum wraps
+    # silently in non-ANSI Spark) and GUARDED against the envelope the
+    # arithmetic below assumes: every product is <= T*T, so T <= 4e18
+    # keeps c_xy*T and c1*c2 under 1.6e37 < DECIMAL(38,0)'s 1e38-1.
+    # Past that, non-ANSI decimal overflow yields NULL, which would
+    # silently DROP the hottest pairs from the ranking — fail loudly
+    # at execution time instead (raise_error keeps the plan lazy and
+    # costs nothing on in-envelope corpora; 4e18 bigram events is
+    # ~3 PB of pure text, far beyond the 100 TB design point).
+    total = (cxy_all
+             .agg(F.sum(F.col("n_pair").cast("decimal(38,0)"))
+                   .alias("_t"))
+             .select(F.expr(
+                 f"CASE WHEN _t > CAST({_PMI_T_MAX} AS"
+                 " DECIMAL(38,0)) THEN CAST(raise_error("
+                 "'pmi_collocations: total bigram count exceeds the"
+                 " 4e18 DECIMAL(38,0) overflow envelope - rerun with"
+                 " a sharded corpus') AS BIGINT) "
+                 "ELSE CAST(_t AS BIGINT) END").alias("t_total")))
     cxy = cxy_all.where(F.col("n_pair") >= min_count)
     joined = (cxy.crossJoin(F.broadcast(total))
               .join(uni.select(F.col("w").alias("w1"),

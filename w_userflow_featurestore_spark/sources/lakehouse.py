@@ -1017,6 +1017,25 @@ class LogTable:
         adds = self._stage_write(df)
         return self._commit("replace", adds, live, expected_base=base)
 
+    def rewrite(self, df: DataFrame, target_files: int = 1) -> int:
+        """Atomic whole-table CONTENT rewrite: replace the live file
+        set with ``df`` as ONE ``replace`` commit. Where
+        :meth:`compact` preserves rows and only merges files, rewrite
+        changes the row set — the roll-up compaction an
+        additive-delta ledger needs (sum the deltas, replace the
+        deltas with their sums: row count drops to the distinct-key
+        count, the group-sum view is unchanged). ``df`` may be derived
+        from reading this table — staging writes the new files while
+        the live set is still intact, and the commit validates
+        ``expected_base`` so a concurrent commit fails this rewrite
+        instead of losing rows. Readers pinned to older snapshots are
+        untouched; incremental readers crossing the replace commit
+        replan a full read, exactly as for :meth:`compact`."""
+        base = self.latest_snapshot_id()
+        live = self.files(base)
+        adds = self._stage_write(df.repartition(target_files))
+        return self._commit("replace", adds, live, expected_base=base)
+
     def rollback(self, snapshot_id: int) -> int:
         """Reset the table to an older snapshot by committing a new
         snapshot whose PARENT is the target — later snapshots become a

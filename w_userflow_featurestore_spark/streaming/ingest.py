@@ -441,7 +441,8 @@ def streaming_novelty_monitor(docs: DataFrame, scores_path: str,
                               n: int = 3, id_col: str = "doc_id",
                               text_col: str = "text",
                               trigger_seconds: int | None = 30,
-                              available_now: bool = False):
+                              available_now: bool = False,
+                              compact_every: int | None = 16):
     """Novelty scoring as a streaming job — the crawl-intake form of
     ``operators/dedup.incremental_novelty``: each micro-batch is scored
     against the corpus HISTORY (everything ingested by prior batches),
@@ -458,7 +459,20 @@ def streaming_novelty_monitor(docs: DataFrame, scores_path: str,
     batch-vs-stream parity is tested, not trusted. Scores are computed
     BEFORE the batch's delta lands, so a document is never compared
     against itself twice (the score-then-ingest order the batch runner
-    documents); compaction (``LogTable.compact``) bounds file count.
+    documents).
+
+    ROLL-UP COMPACTION (round-9 ADVICE: without it, per-batch cost and
+    file count grow unboundedly with stream lifetime): every
+    ``compact_every`` batches the sink replaces the accumulated delta
+    rows with their group-sum in ONE atomic ``LogTable.rewrite``
+    commit — the summed view is unchanged by construction (sum of
+    sums), so scoring semantics are untouched, while ledger rows are
+    bounded by |distinct shingles| + the deltas since the last roll-up
+    and file count by ~``compact_every`` + 1. A checkpoint-recovery
+    replay of a roll-up batch re-runs the rewrite on already-summed
+    content — an extra replace commit with identical rows, idempotent
+    where it matters. ``compact_every=None`` disables the roll-up for
+    deployments running ``LogTable.compact``/rewrite out-of-band.
     """
     from w_userflow_featurestore_spark.operators.dedup import (
         incremental_novelty, shingle_ledger,
@@ -484,6 +498,9 @@ def streaming_novelty_monitor(docs: DataFrame, scores_path: str,
         lt = LogTable.create(spark, ledger_path, [])
         lt.append(shingle_ledger(batch, n, text_col, id_col),
                   txn=f"nov-ledger:{checkpoint}:{batch_id}")
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # roll-up: deltas -> their group-sum, one replace commit
+            lt.rewrite(read_streaming_novelty_ledger(spark, ledger_path))
 
     writer = (docs.writeStream
               .foreachBatch(_sink)
