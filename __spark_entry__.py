@@ -435,26 +435,33 @@ def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
 
 
+_SMALL_QTY_BRANDS = ["Brand#13", "Brand#19", "Brand#22",
+                     "Brand#25", "Brand#7"]
+
+
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17-shape: revenue locked in small-quantity orders of one
-    brand — a correlated scalar subquery (qty < 0.2 x the part's own
-    avg qty) decorrelated into one per-part aggregate joined back.
-    The brand filter broadcast-semi-prunes the fact FIRST, so the
-    per-part stats aggregate runs over the pruned fact, never the full
-    table. The 0.2x-avg predicate cross-multiplies to pure integers:
+    """TPC-H Q17-shape, PER BRAND: revenue locked in small-quantity
+    orders across a 5-brand watchlist, one row per brand plus a
+    ROLLUP total row (brand = 'ALL') — round-9 verdict #3 widened the
+    single-row certificate to cross-brand contrast while the total
+    row still pins the old aggregate's lineage. The correlated scalar
+    subquery (qty < 0.2 x the part's own avg qty) stays decorrelated
+    into one per-part aggregate joined back, and the brand IN-list
+    still broadcast-prunes the fact FIRST (each part has exactly one
+    brand, so per-part stats are unchanged by widening the list).
+    The 0.2x-avg predicate cross-multiplies to pure integers:
     qty < 0.2 * (sum/cnt)  <=>  5 * qty_c * cnt < sum_c — no division,
     no float, engine-exact at any scale."""
     from w_userflow_featurestore_spark.functions import scaled_long
     part = (read_table(spark, sf_dir, "part",
                        columns=["p_partkey", "p_brand"])
-            .where(F.col("p_brand") == "Brand#13")
-            .select("p_partkey"))
+            .where(F.col("p_brand").isin(_SMALL_QTY_BRANDS))
+            .select("p_partkey", "p_brand"))
     li = read_table(spark, sf_dir, "lineitem",
                     columns=["l_partkey", "l_quantity",
                              "l_extendedprice"])
-    fact = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey,
-                    "left_semi")
-              .select("l_partkey",
+    fact = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .select("l_partkey", "p_brand",
                       scaled_long(F.col("l_quantity"), 2).alias("qty_c"),
                       scaled_long(F.col("l_extendedprice"), 2)
                        .alias("price_c")))
@@ -470,9 +477,14 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fact.join(stats, "l_partkey")
                 .where(5 * F.col("qty_c") * F.col("cnt")
                        < F.col("sum_q"))
+                .rollup("p_brand")
                 .agg(fround(F.sum("price_c") / 700.0, 2)
                       .alias("avg_yearly"),
-                     F.count(F.lit(1)).cast("long").alias("n_lines")))
+                     F.count(F.lit(1)).cast("long").alias("n_lines"),
+                     F.grouping("p_brand").alias("_g"))
+                .select(F.when(F.col("_g") == 1, F.lit("ALL"))
+                        .otherwise(F.col("p_brand")).alias("brand"),
+                        "avg_yearly", "n_lines"))
 
 
 def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,12 +678,17 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6-shape: potential revenue from lineitems in one ship
-    year, a discount band, and a quantity cap — the pure
-    scan-pushdown query: every predicate reaches the parquet scan
-    (pinned), zero joins, one aggregation. The discount band compares
-    in exact integer basis points (floor(d*10000+0.5)) — a raw double
-    BETWEEN on a 2-decimal column is the classic ulp trap."""
+    """TPC-H Q6-shape, PER DISCOUNT BAND: potential revenue from
+    lineitems in one ship year under a quantity cap, grouped by the
+    whole-percent discount band with a ROLLUP grand-total row
+    (band_pct = -1) — the name always promised bands; round-9 verdict
+    #3 widened the single-total certificate to one row per band plus
+    the total the old query pinned. Still the pure scan-pushdown
+    query: date + quantity predicates reach the parquet scan
+    (pinned), zero joins, one (rollup) aggregation whose output is
+    bounded by the 11-value discount domain. The band computes in
+    exact integer basis points (floor(d*10000+0.5) DIV 100) — a raw
+    double BETWEEN on a 2-decimal column is the classic ulp trap."""
     from w_userflow_featurestore_spark.functions import scaled_long
     li = read_table(spark, sf_dir, "lineitem",
                     columns=["l_shipdate", "l_quantity", "l_discount",
@@ -679,12 +696,21 @@ def q_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ts_filter=("l_shipdate", "1995-01-01 00:00:00",
                                "1995-12-31 23:59:59"))
     disc_bp = scaled_long(F.col("l_discount"), 4)
-    return (li.where(disc_bp.between(500, 700)
-                     & (F.col("l_quantity") < 24))
-              .agg(fround(F.sum(scaled_long(
-                       F.col("l_extendedprice") * F.col("l_discount"),
-                       4)) / 1e4, 2).alias("revenue"),
-                   F.count(F.lit(1)).cast("long").alias("n_lines")))
+    return (li.where(F.col("l_quantity") < 24)
+              .select(disc_bp.alias("disc_bp"),
+                      scaled_long(F.col("l_extendedprice")
+                                  * F.col("l_discount"), 4)
+                      .alias("rev_c"))
+              .withColumn("band_pct",
+                          F.expr("disc_bp DIV 100").cast("long"))
+              .rollup("band_pct")
+              .agg(fround(F.sum("rev_c") / 1e4, 2).alias("revenue"),
+                   F.count(F.lit(1)).cast("long").alias("n_lines"),
+                   F.grouping("band_pct").alias("_g"))
+              .select(F.when(F.col("_g") == 1, F.lit(-1))
+                      .otherwise(F.col("band_pct")).cast("long")
+                      .alias("band_pct"),
+                      "revenue", "n_lines"))
 
 
 def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,8 +814,13 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicted-language rollup with exact-avg quality."""
-    return TX.corpus_language_stats(read_table(spark, sf_dir, "documents"))
+    """Predicted-language rollup with exact-avg quality, sliced by the
+    LABELED language (round-9 verdict #3: the 2-row certificate widens
+    to |labeled x predicted| cells with cross-group contrast — and the
+    slice is the labeled-vs-predicted dashboard a curation run
+    actually reads)."""
+    return TX.corpus_language_stats(read_table(spark, sf_dir, "documents"),
+                                    extra_dims=["lang"])
 
 
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1189,6 +1220,18 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     k~50 tokens (Lee et al. 2022 use 50 BPE tokens)."""
     return TX.duplicate_spans(read_table(spark, sf_dir, "documents"),
                               k=6, min_count=2)
+
+
+def q_span_removed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr-REWRITTEN corpus (Lee et al. 2022: the output
+    of substring dedup is the corpus with matched spans EXCISED, not a
+    span report): every document reassembled from the complement of
+    its ``duplicate_spans`` islands, same k=6 / min_count=2 as the
+    span query so the two certify the same pipeline end to end
+    (round-9 verdict #5 — the one LLM-pipeline gap a real curation
+    run would hit)."""
+    return TX.remove_duplicate_spans(
+        read_table(spark, sf_dir, "documents"), k=6, min_count=2)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2591,6 +2634,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_confusion": q_lang_id_confusion,
     "ivf_recall_sweep": q_ivf_recall_sweep,
     "incremental_novelty": q_incremental_novelty,
+    # --- round-10 OVERFLOW (all 50 window slots went to the 10 r9
+    # overflow leads + 40 r7 rotations): new in round 10, flagged as a
+    # round-11 window lead in tests/test_cert_window.py alongside the
+    # three round-10 reshapes (discount_band_revenue,
+    # small_quantity_revenue, corpus_language_stats) ---
+    "span_removed_corpus": q_span_removed_corpus,
 }
 
 # --- round-10 certification window (driver certifies the FIRST 50) ---
@@ -3145,18 +3194,23 @@ WHERE EXISTS (
 # integer form (5 * qty_c * cnt < sum_c) on BOTH sides
 ORACLES["small_quantity_revenue"] = """
 WITH f AS (
-  SELECT l_partkey,
+  SELECT l_partkey, p_brand,
          CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
          CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c
   FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_brand = 'Brand#13'
+  WHERE p_brand IN ('Brand#13', 'Brand#19', 'Brand#22',
+                    'Brand#25', 'Brand#7')
 ),
 s AS (SELECT l_partkey, sum(qty_c) AS sum_q, count(*) AS cnt
       FROM f GROUP BY 1)
-SELECT round(sum(price_c) / 700.0, 2) AS avg_yearly,
+SELECT CASE WHEN GROUPING(p_brand) = 1 THEN 'ALL' ELSE p_brand END
+         AS brand,
+       round(sum(price_c) / 700.0, 2) AS avg_yearly,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM f JOIN s USING (l_partkey)
 WHERE 5 * qty_c * cnt < sum_q
+GROUP BY ROLLUP(p_brand)
+HAVING count(*) > 0
 """
 
 ORACLES["bracket_revenue"] = """
@@ -3173,15 +3227,28 @@ WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
 """
 
 ORACLES["discount_band_revenue"] = """
-SELECT round(sum(CAST(floor(l_extendedprice * l_discount * 10000.0
-                            + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
+WITH f AS (
+  SELECT CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) // 100
+           AS band_pct,
+         CAST(floor(l_extendedprice * l_discount * 10000.0
+                    + 0.5) AS BIGINT) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <= TIMESTAMP '1995-12-31 23:59:59'
+    AND l_quantity < 24
+)
+SELECT CAST(CASE WHEN GROUPING(band_pct) = 1 THEN -1
+            ELSE band_pct END AS BIGINT) AS band_pct,
+       round(sum(rev_c) / 10000.0, 2) AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-  AND l_shipdate <= TIMESTAMP '1995-12-31 23:59:59'
-  AND CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) BETWEEN 500 AND 700
-  AND l_quantity < 24
+FROM f GROUP BY ROLLUP(band_pct)
+HAVING count(*) > 0
 """
+# ^ HAVING: DuckDB materializes the () grouping set over EMPTY input
+# as one (-1, NULL, 0) row where Spark's rollup yields zero rows;
+# count(*)=0 can only be that artifact, so the HAVING restores
+# cross-engine parity without touching real groups (same guard on the
+# small_quantity_revenue rollup below).
 
 ORACLES["order_count_distribution"] = """
 WITH per_cust AS (
@@ -4144,12 +4211,13 @@ FROM t3
 """
 
 ORACLES["corpus_language_stats"] = _PROFILE_CTE + """
-SELECT lang_pred, count(*) AS n_docs,
+SELECT d.lang, lang_pred, count(*) AS n_docs,
        CASE WHEN count(quality) > 0
             THEN round(sum(CAST(floor(quality * 100.0 + 0.5) AS BIGINT)) / 100.0
                        / count(quality), 2) END AS avg_quality,
        CAST(sum(n_tokens_ws) AS BIGINT) AS total_tokens
-FROM prof GROUP BY lang_pred
+FROM prof JOIN documents d USING (doc_id)
+GROUP BY d.lang, lang_pred
 """
 
 # quantized-embedding primitives (mirror operators/similarity.py: exact
@@ -4512,6 +4580,38 @@ FROM grp GROUP BY doc_id, island
 # probe / hot-set union glue in operators/text.py
 ORACLES["incremental_duplicate_spans"] = f"""
 SELECT * FROM ({ORACLES['duplicate_spans']}) WHERE doc_id % 2 = 1
+"""
+
+# the ExactSubstr REWRITE: every doc reassembled from the complement
+# of its duplicate_spans islands (same k=6/min_count=2 CTE chain);
+# kept + removed partition the token stream, span-free docs pass
+# through whole, fully-duplicated docs survive as ''
+ORACLES["span_removed_corpus"] = f"""
+WITH spans AS (
+  SELECT doc_id, span_start AS s, span_end AS e
+  FROM ({ORACLES['duplicate_spans']})
+),
+w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+cov AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS pos
+        FROM spans),
+tok AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w),
+kept AS (SELECT t.doc_id, t.i, t.ws[t.i] AS tok
+         FROM tok t LEFT JOIN cov c
+           ON t.doc_id = c.doc_id AND t.i = c.pos
+         WHERE c.pos IS NULL),
+k2 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+              count(*) AS n_kept
+       FROM kept GROUP BY doc_id),
+nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+SELECT w.doc_id,
+       coalesce(k2.text_clean, '') AS text_clean,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(len(w.ws) - coalesce(k2.n_kept, 0) AS BIGINT)
+         AS n_tokens_removed,
+       CAST(coalesce(nsp.n_spans, 0) AS BIGINT) AS n_spans_removed
+FROM w
+LEFT JOIN k2 ON w.doc_id = k2.doc_id
+LEFT JOIN nsp ON w.doc_id = nsp.doc_id
 """
 
 ORACLES["line_dedup"] = f"""

@@ -66,9 +66,19 @@ ROUND11_LEADS = [
     # (a) r7 holders displaced by the 4-round cycle, r7 order
     "dedup_latest", "above_avg_orders", "pricing_summary",
     "revenue_by_nation", "pack_sequences", "frequent_tokens",
-    # (b)/(c) entries are appended by the round-10 commits that reshape
-    # or add the corresponding queries (this list is the bookkeeping
-    # record — each such commit must extend it or CI flags the query)
+    # (b) reshaped in round 10 (round-9 verdict #3: widen the 1-row
+    # certificates) — r9 holders whose OUTPUT GRAIN changed, so their
+    # r9 certificates no longer describe the current query:
+    # discount_band_revenue now emits one row per whole-percent
+    # discount band + a ROLLUP total (was: one total row);
+    # small_quantity_revenue one row per watchlist brand + 'ALL'
+    # total (was: one Brand#13 row); corpus_language_stats slices by
+    # labeled x predicted language (was: predicted only, 2 rows)
+    "discount_band_revenue", "small_quantity_revenue",
+    "corpus_language_stats",
+    # (c) NEW in round 10 (round-9 verdict #5: the ExactSubstr span
+    # REMOVAL — Lee et al. 2022's actual output, the rewritten corpus)
+    "span_removed_corpus",
 ]
 
 # CYCLE-LENGTH NOTE: at 154+ registered queries a 50-slot window

@@ -812,3 +812,24 @@ def test_bpe_registry_streaming_publish_exactly_once(spark, tmp_path):
     assert v2 == 2
     assert bpe_load(spark, path, version=1) == v1   # pin survives
     assert len(bpe_load(spark, path)) == 3
+
+
+def test_remove_duplicate_spans_excises_exactly_the_spans(spark):
+    """The ExactSubstr REWRITE: kept text is the span complement of
+    the normalized token stream; span-free docs pass through whole; a
+    fully-duplicated doc survives as an empty string (never dropped)."""
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd eee fff ggg hhh"),
+         (2, "xxx yyy aaa bbb ccc ddd eee zzz"),   # shares a 5-token run
+         (3, "p q r s t p q r s t"),               # fully duplicated
+         (4, "one two three four five")],          # fully unique
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_tokens"],
+                         r["n_tokens_removed"], r["n_spans_removed"])
+           for r in TX.remove_duplicate_spans(docs, k=4).collect()}
+    assert got == {
+        1: ("fff ggg hhh", 8, 5, 1),        # span [1,5] excised
+        2: ("xxx yyy zzz", 8, 5, 1),        # span [3,7] excised
+        3: ("", 10, 10, 1),                 # self-repetition covers all
+        4: ("one two three four five", 5, 0, 0),
+    }

@@ -203,6 +203,20 @@ def test_duplicate_spans_plan_pin(spark):
                 min_broadcast_joins=1, max_sort_merge_joins=0)
 
 
+def test_span_removed_corpus_plan_pin(spark):
+    # the ExactSubstr rewrite rides the duplicate_spans pipeline, then
+    # ONE id-grain span rollup (reuses the island window's id-hash
+    # exchange — no extra shuffle for it) and ONE corpus rejoin, the
+    # only place document text moves; the complement is row-local HOFs
+    # (no explode of token rows, no RangePartitioning). Budget = the
+    # span pin + the rejoin exchange pair.
+    df = _q(spark, "span_removed_corpus")
+    assert_plan(df, max_shuffles=7, min_broadcast_joins=1,
+                max_sort_merge_joins=1)
+    assert "RangePartitioning" not in physical_plan(df)
+    assert "CartesianProduct" not in physical_plan(df)
+
+
 def test_ann_recall_gate_plan_pin(spark):
     # three full ANN pipelines + two membership joins; the membership
     # joins themselves must not add sort-merge work beyond the two the

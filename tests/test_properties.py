@@ -1134,3 +1134,45 @@ def test_dsir_importance_matches_counting_model(spark, docs):
     got = {r["doc_id"]: (r["n_feats"], r["score_bits"])
            for r in dsir_importance(df, tdf).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists=span_corpus_strategy)
+@example(token_lists=[["aa", "bb", "cc"] * 2])      # fully duplicated doc
+@example(token_lists=[["aa"], [], ["aa", "bb"]])    # all docs < k
+def test_remove_duplicate_spans_partitions_the_token_stream(
+        spark, token_lists):
+    """removed + kept PARTITION the original normalized tokens: the
+    kept text is exactly the in-order complement of the union of
+    duplicate_spans coverage (itself property-tested against an
+    independent model), counts reconcile per doc, and every input doc
+    appears in the output exactly once."""
+    from w_userflow_featurestore_spark.operators.text import (
+        duplicate_spans, remove_duplicate_spans,
+    )
+    K, MIN = 3, 2
+    texts = {i: " ".join(ws) for i, ws in enumerate(token_lists)}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    spans: dict[int, set[int]] = {}
+    nspans: dict[int, int] = {}
+    for r in duplicate_spans(df, k=K, min_count=MIN).collect():
+        spans.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"] + 1))
+        nspans[r["doc_id"]] = nspans.get(r["doc_id"], 0) + 1
+    got = {r["doc_id"]: r
+           for r in remove_duplicate_spans(df, k=K,
+                                           min_count=MIN).collect()}
+    assert set(got) == set(texts)           # every doc, exactly once
+    import re as _re
+    for d, t in texts.items():
+        ws = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+        cov = spans.get(d, set())
+        kept = [w for i, w in enumerate(ws, start=1) if i not in cov]
+        r = got[d]
+        assert r["text_clean"] == " ".join(kept)
+        assert r["n_tokens"] == len(ws)
+        assert r["n_tokens_removed"] == len(cov)
+        assert r["n_tokens"] - r["n_tokens_removed"] == len(kept)
+        assert r["n_spans_removed"] == nspans.get(d, 0)

@@ -265,14 +265,25 @@ def repetition_profile(docs: DataFrame, text_col: str = "text",
         .cast("int").alias("repetitive"))
 
 
-def corpus_language_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_language_stats(docs: DataFrame, text_col: str = "text",
+                          extra_dims: list[str] | None = None
+                          ) -> DataFrame:
     """Predicted-language rollup with mean quality — the corpus-curation
-    dashboard aggregate (one hash-agg shuffle on the tiny lang key)."""
-    docs = fan_out(docs.select(F.col(text_col)))
-    p = docs.select(lang_id(F.col(text_col)).alias("lang_pred"),
+    dashboard aggregate (one hash-agg shuffle on the tiny lang key).
+
+    ``extra_dims`` prepends metadata grouping columns (e.g. the
+    LABELED language, or the crawl source) so the dashboard slices by
+    prediction WITHIN each metadata cell — still one hash aggregate,
+    output cardinality = |dims x predicted langs| (dashboard-sized at
+    any corpus scale)."""
+    dims = list(extra_dims or [])
+    docs = fan_out(docs.select(*[F.col(c) for c in dims],
+                               F.col(text_col)))
+    p = docs.select(*dims,
+                    lang_id(F.col(text_col)).alias("lang_pred"),
                     quality_score(F.col(text_col)).alias("quality"),
                     token_count_ws(F.col(text_col)).alias("n_tokens_ws"))
-    return (p.groupBy("lang_pred")
+    return (p.groupBy(*dims, "lang_pred")
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   # exact_avg: quality is 2-decimal; integer-scaled sum is
                   # immune to partial-agg summation order
@@ -522,6 +533,67 @@ def duplicate_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
                   .select("gh"))
     hits = posting.join(hot, "gh").select(id_col, "pos")
     return _merge_islands(hits, k, id_col)
+
+
+def remove_duplicate_spans(docs: DataFrame, k: int = 8,
+                           min_count: int = 2, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The REWRITTEN corpus after excising duplicated spans — the
+    actual output of ExactSubstr dedup (Lee et al. 2022 §3: the
+    deduplicated dataset has the matched substrings REMOVED, not the
+    containing documents dropped). :func:`duplicate_spans` finds the
+    maximal duplicated spans; this operator reassembles each
+    document from the span COMPLEMENT of its normalized token stream.
+
+    Returns one row per input document:
+    (doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed)
+    — ``text_clean`` is the kept tokens joined by single spaces (the
+    normalized-word stream is the unit the spans index, exactly as
+    Lee et al. rewrite the token stream, not raw bytes); documents
+    with no duplicated spans pass through whole, and a fully-
+    duplicated document survives as an empty string (span removal
+    never drops rows — composing with a min-length filter is the
+    caller's curation policy). Kept + removed token counts partition
+    ``n_tokens`` by construction (property-tested).
+
+    Scale shape: rides the :func:`duplicate_spans` pipeline
+    unchanged (postings never pair documents), then ONE id-grain
+    span rollup that reuses the island window's id-hash exchange
+    (HashPartitioning(id) satisfies the (id)-clustered aggregate —
+    no new shuffle) and ONE join back to the corpus, which is the
+    only place document text moves. The complement itself is
+    row-local higher-order functions: spans arrive merged and
+    disjoint, so the per-token membership test is O(spans-in-doc)
+    with spans bounded by n_tokens/k — no explode of token rows, no
+    UDF, whole-stage codegen end to end.
+    """
+    spans = duplicate_spans(docs, k, min_count, text_col, id_col)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.collect_list(
+                        F.struct(F.col("span_start").alias("s"),
+                                 F.col("span_end").alias("e")))
+                    .alias("_spans")))
+    base = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), words(F.col(text_col)).alias("_ws")))
+    j = (base.join(per_doc, id_col, "left")
+             .withColumn("_spans",
+                         F.coalesce(F.col("_spans"),
+                                    F.expr("CAST(array() AS "
+                                           "array<struct<s:bigint,"
+                                           "e:bigint>>)"))))
+    n = F.size("_ws")
+    kept = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: ~F.exists(F.col("_spans"),
+                            lambda s: (i >= s["s"]) & (i <= s["e"])))
+    return (j.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept,
+                                     lambda i: F.element_at("_ws", i)))
+         .alias("text_clean"),
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.size("_spans").cast("long").alias("n_spans_removed")))
 
 
 def _gram_postings(docs: DataFrame, k: int, text_col: str,
