@@ -462,3 +462,45 @@ def test_split_ledger_protocol_holds_on_a_swapped_pointer_backend(
     # the pointer never touched the filesystem
     assert not os.path.exists(os.path.join(ledger_dir, "_ptr"))
     assert not os.path.exists(os.path.join(ledger_dir, "_current"))
+
+
+def test_file_pointer_store_exactly_one_winner_under_real_threads(
+        tmp_path):
+    """The O_EXCL filename race IS the CAS: 8 threads that all read
+    base 1 race to commit v2 through one barrier — exactly one wins,
+    every loser gets ConcurrentLedgerError, and the committed entry is
+    the winner's (its staged dir name survives verbatim)."""
+    import json
+    import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+    from w_userflow_featurestore_spark.runner import (
+        ConcurrentLedgerError, FileLedgerPointerStore,
+    )
+    d = str(tmp_path / "led")
+    os.makedirs(d)
+    store = FileLedgerPointerStore()
+    store.commit(d, 1, None, {"dir": "v1-base"})
+    barrier = threading.Barrier(8)
+
+    def worker(i):
+        barrier.wait()
+        try:
+            store.commit(d, 2, 1, {"dir": f"v2-w{i}"})
+            return ("win", i)
+        except ConcurrentLedgerError:
+            return ("lose", i)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        outcomes = list(ex.map(worker, range(8)))
+    wins = [i for o, i in outcomes if o == "win"]
+    assert len(wins) == 1
+    assert len([1 for o, _ in outcomes if o == "lose"]) == 7
+    entry = store.current_entry(d)
+    assert entry["version"] == 2
+    assert entry["dir"] == f"v2-w{wins[0]}"
+    # and the pointer dir holds exactly the two committed sequence files
+    assert sorted(os.listdir(os.path.join(d, "_ptr"))) == [
+        f"{1:020d}.json", f"{2:020d}.json"]
+    with open(os.path.join(d, "_ptr", f"{2:020d}.json")) as fh:
+        assert json.load(fh)["dir"] == f"v2-w{wins[0]}"
