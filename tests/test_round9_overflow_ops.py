@@ -489,3 +489,56 @@ def test_curriculum_stage_sizes_are_thirds_up_to_ties(spark, texts,
             f" = {boundary}")
     assert cum == total
     assert set(stages) <= set(range(1, n_stages + 1))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(texts=_corpus, data=st.data())
+def test_incremental_novelty_chain_is_batching_invariant(spark, texts,
+                                                         data):
+    """The ledger discipline's core claim, property-tested end to end:
+    for ANY ordered disjoint partition of a random corpus into
+    batches, (a) each batch's incremental_novelty against the chained
+    ledger equals the independent Python model's df over
+    history + own batch, and (b) the chained merge_shingle_ledger
+    state equals shingle_ledger rebuilt from everything ingested —
+    i.e. batching (and therefore micro-batch boundaries in the
+    streaming monitor) can never change a novelty verdict."""
+    k = data.draw(st.integers(1, 3))
+    assign = [data.draw(st.integers(0, k - 1)) for _ in texts]
+    batches = [[i for i, a in enumerate(assign) if a == b]
+               for b in range(k)]
+    batches = [b for b in batches if b]
+    mk = lambda ids: spark.createDataFrame(
+        [(d, texts[d]) for d in ids], "doc_id long, text string")
+
+    def sh_set(t):
+        ws = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+        n = max(len(ws) - 2, 1)
+        return {" ".join(ws[i:i + 3]) for i in range(n)}
+
+    ledger = None
+    hist: _Counter = _Counter()
+    for ids in batches:
+        cur_sets = {d: sh_set(texts[d]) for d in ids}
+        curdf = _Counter(s for ss in cur_sets.values() for s in ss)
+        led_df = ledger if ledger is not None else \
+            spark.createDataFrame([], "sh long, n_docs long")
+        got = {r["doc_id"]: (r["n_shingles"], r["n_novel"],
+                             r["novelty_bp"])
+               for r in DD.incremental_novelty(mk(ids),
+                                               led_df).collect()}
+        want = {}
+        for d, ss in cur_sets.items():
+            novel = sum(1 for s in ss if hist[s] + curdf[s] == 1)
+            want[d] = (len(ss), novel, novel * 10000 // len(ss))
+        assert got == want
+        batch_led = DD.shingle_ledger(mk(ids))
+        ledger = batch_led if ledger is None else \
+            DD.merge_shingle_ledger(ledger, batch_led)
+        hist.update(curdf)
+    all_ids = [d for b in batches for d in b]
+    got_l = {tuple(r) for r in ledger.collect()}
+    want_l = {tuple(r) for r in DD.shingle_ledger(mk(all_ids)).collect()}
+    assert got_l == want_l
