@@ -90,6 +90,16 @@ class IncrementalPlanner:
     def plan_read(self, spark: SparkSession) -> ReadPlan:
         current = _list_data_files(self.table_path)
 
+        # Last-writer-wins by DESIGN, no compare-and-swap: this ledger
+        # is a WATERMARK (what was seen), not additive state. If two
+        # concurrent runs race, the loser's older file list merely
+        # causes the next run to re-read some files, and the silver
+        # MERGE makes reprocessing idempotent — regression is safe,
+        # nothing is lost. The additive split/novelty ledgers in
+        # runner.py are the opposite (a lost commit silently erases a
+        # batch's counts) and carry the CAS pointer-store seam; swap
+        # this open()/os.replace for that seam only if a deployment
+        # needs the watermark on a rename-free object store.
         def commit(files=current):
             os.makedirs(os.path.dirname(self.ledger_path) or ".", exist_ok=True)
             tmp = self.ledger_path + ".tmp"
