@@ -623,3 +623,19 @@ def test_streaming_novelty_rollup_bounds_ledger_and_keeps_parity(
         hist += tranche
     assert got == want
     assert got[2] == (0, 0)     # mirror of doc 1 across the roll-up
+    # restart on the same checkpoint with no new files: the replayed
+    # batch's appends are txn-deduped and the roll-up re-runs on
+    # already-summed content — ledger AND scores must be unchanged
+    # (idempotence across a rewrite commit, not just across appends)
+    n_scores = LogTable(spark, scores).read().count()
+    led_before = {tuple(r) for r in
+                  read_streaming_novelty_ledger(spark, ledger).collect()}
+    q = streaming_novelty_monitor(
+        spark.readStream.schema(ddl).parquet(src), scores, ledger,
+        ckpt, available_now=True, compact_every=1)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert LogTable(spark, scores).read().count() == n_scores
+    assert {tuple(r) for r in
+            read_streaming_novelty_ledger(spark, ledger).collect()} \
+        == led_before
