@@ -87,6 +87,29 @@ ROUND11_LEADS = [
 # growth. The invariant the window test enforces is strict
 # least-recently-certified ORDER — the cycle length follows from
 # |queries| / WINDOW.
+#
+# ROUND-11 FILL, pre-reconstructed (the 48 r8 certificate holders =
+# CORRECTNESS_r08 keys minus every r9 re-cert, in their r8
+# certification order; the round-10 window head touches none of them,
+# so this list is final). The 10 ROUND11_LEADS above + the FIRST 40 of
+# these fill round 11's window; the last 8 lead round 12 ahead of the
+# r9 holders:
+#   ab_test, behavior_trigrams, curate_corpus, sessions,
+#   event_type_pivot, top_item_per_day, item_continuation,
+#   cohort_vs_global, promo_revenue, minhash_accuracy,
+#   large_volume_orders, sole_return_supplier, idle_customer_balance,
+#   top_revenue_supplier, bulk_part_suppliers, cluster_balanced_sample,
+#   bracket_revenue, doc_chunks, ann_cosine_topk, ann_lsh_bucket,
+#   ann_lsh_topk, ann_ivf_topk, ann_recall_gate, vocab_coverage,
+#   volume_anomaly, embedding_near_pairs, embedding_dedup,
+#   asof_features, interval_features, event_rollup, event_cube,
+#   doc_fingerprints, rolling_user_features, event_time_windows,
+#   event_sliding_windows, session_windows, training_set, bm25_topk,
+#   hybrid_search, hll_union_rollup,
+#   -- the 8 that do not fit (round-12 leads) --
+#   mixture_weights, incremental_leakage_split, bpe_merges,
+#   bpe_encode, bigram_surprisal, perplexity_buckets,
+#   dsir_importance, funnel_daily
 
 
 def test_round11_leads_are_registered_past_the_window():
