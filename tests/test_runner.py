@@ -504,3 +504,49 @@ def test_file_pointer_store_exactly_one_winner_under_real_threads(
         f"{1:020d}.json", f"{2:020d}.json"]
     with open(os.path.join(d, "_ptr", f"{2:020d}.json")) as fh:
         assert json.load(fh)["dir"] == f"v2-w{wins[0]}"
+
+
+def test_vacuum_ledger_reclaims_orphans_keeps_recent_versions(
+        spark, tmp_path):
+    """vacuum_ledger removes staged-but-never-committed directories
+    (crash/lost-race orphans) and superseded versions beyond
+    keep_last, never the retained versions or the pointer history —
+    and the ledger reads identically afterwards."""
+    import os
+    import pytest as _pt
+    from w_userflow_featurestore_spark.operators.dedup import (
+        shingle_ledger,
+    )
+    from w_userflow_featurestore_spark.runner import (
+        read_novelty_ledger, run_novelty_ledger_update, vacuum_ledger,
+    )
+    ledger_dir = str(tmp_path / "nl")
+    os.makedirs(ledger_dir)
+    texts = {1: "a b c d e", 2: "f g h i j", 3: "k l m n o"}
+    mk = lambda ids: spark.createDataFrame(
+        [(d, texts[d]) for d in ids], "doc_id long, text string")
+    for i, ids in enumerate(([1], [2], [3]), start=1):
+        assert run_novelty_ledger_update(
+            spark, ledger_dir, mk(ids)).version == i
+    # plant a crash orphan: staged dir no pointer entry names
+    os.makedirs(os.path.join(ledger_dir, "v4-deadbeef"))
+    removed = vacuum_ledger(ledger_dir, keep_last=2)
+    # v1's dir + the orphan go; v2/v3 dirs stay
+    assert any(n.startswith("v1-") for n in removed)
+    assert "v4-deadbeef" in removed
+    assert len(removed) == 2
+    live = [n for n in os.listdir(ledger_dir) if n.startswith("v")]
+    assert len(live) == 2
+    # pointer history intact (still 3 sequence files), reads unchanged
+    assert len(os.listdir(os.path.join(ledger_dir, "_ptr"))) == 3
+    got = {tuple(r) for r in
+           read_novelty_ledger(spark, ledger_dir).collect()}
+    want = {tuple(r) for r in shingle_ledger(mk([1, 2, 3])).collect()}
+    assert got == want
+    with _pt.raises(ValueError):
+        vacuum_ledger(ledger_dir, keep_last=0)
+    # an empty (uncommitted) ledger dir refuses to guess
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    os.makedirs(os.path.join(empty, "v1-aaaa"))
+    assert vacuum_ledger(empty) == []

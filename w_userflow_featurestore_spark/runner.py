@@ -365,6 +365,61 @@ class InMemoryLedgerPointerStore:
 _DEFAULT_POINTER_STORE = FileLedgerPointerStore()
 
 
+def vacuum_ledger(ledger_dir: str, keep_last: int = 2,
+                  pointer_store=None) -> list[str]:
+    """Delete ledger data directories that no retained pointer entry
+    names — the :meth:`LogTable.vacuum` analogue for the versioned
+    split/novelty ledgers: staged-but-never-committed directories
+    (crashes, lost CAS races) and superseded old versions both
+    accumulate as ``v*`` directories only the pointer history can
+    distinguish from live data.
+
+    Retention: the data directories of the newest ``keep_last``
+    committed versions survive (the file store reads its full
+    ``_ptr`` history; a catalog-backed store without history retains
+    at least the current entry); every OTHER ``v*`` directory under
+    ``ledger_dir`` is removed and returned. Time-travel reads of
+    versions older than ``keep_last`` break after a vacuum — the same
+    trade LogTable.vacuum documents. The pointer sequence files are
+    never touched: history stays auditable, only data is reclaimed.
+    ``keep_last`` must be >= 1 (the current version is never
+    deletable)."""
+    import os as _os
+    import re as _re_mod
+    import shutil as _shutil
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    store = pointer_store or _DEFAULT_POINTER_STORE
+    entries: list[dict] = []
+    ptr_dir = _os.path.join(ledger_dir, "_ptr")
+    if _os.path.isdir(ptr_dir):
+        for name in sorted(_os.listdir(ptr_dir)):
+            if name.endswith(".json"):
+                import json as _json
+                try:
+                    with open(_os.path.join(ptr_dir, name)) as fh:
+                        entries.append(_json.load(fh))
+                except (ValueError, OSError):
+                    continue
+    cur = store.current_entry(ledger_dir)
+    if cur is not None and cur not in entries:
+        entries.append(cur)
+    if not entries:
+        return []                     # nothing committed: refuse to guess
+    entries.sort(key=lambda e: e["version"])
+    keep = {e.get("dir", f"v{e['version']}")
+            for e in entries[-keep_last:]}
+    removed: list[str] = []
+    pat = _re_mod.compile(r"^v\d+(-[0-9a-f]+)?$")
+    for name in sorted(_os.listdir(ledger_dir)):
+        full = _os.path.join(ledger_dir, name)
+        if (pat.match(name) and name not in keep
+                and _os.path.isdir(full)):
+            _shutil.rmtree(full)
+            removed.append(name)
+    return removed
+
+
 def _ledger_current_entry(ledger_dir: str,
                           pointer_store=None) -> dict | None:
     """The committed pointer entry ({"version", "dir"}), or None
