@@ -550,3 +550,61 @@ def test_vacuum_ledger_reclaims_orphans_keeps_recent_versions(
     os.makedirs(empty)
     os.makedirs(os.path.join(empty, "v1-aaaa"))
     assert vacuum_ledger(empty) == []
+
+
+def test_file_pointer_store_readers_never_see_partial_commits(tmp_path):
+    """The write-then-link publish contract: concurrent readers
+    hammering current_entry() while writers race a 30-version CAS
+    chain must never observe a half-written commit file (the bare
+    open('x')+dump implementation failed exactly here under
+    full-suite load: a reader parsed a created-but-not-yet-written
+    sequence file into JSONDecodeError)."""
+    import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+    from w_userflow_featurestore_spark.runner import (
+        ConcurrentLedgerError, FileLedgerPointerStore,
+    )
+    d = str(tmp_path / "led")
+    os.makedirs(d)
+    store = FileLedgerPointerStore()
+    stop = threading.Event()
+    reader_errors: list[Exception] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                e = store.current_entry(d)
+                assert e is None or "version" in e
+            except Exception as exc:  # noqa: BLE001 — the assertion
+                reader_errors.append(exc)
+                return
+
+    def writer():
+        # race the chain forward with CAS retries until v30 commits
+        while not stop.is_set():
+            cur = store.current(d)
+            if cur is not None and cur >= 30:
+                return
+            base = cur
+            try:
+                store.commit(d, (base or 0) + 1, base,
+                             {"dir": f"v{(base or 0) + 1}-x"})
+            except ConcurrentLedgerError:
+                continue
+
+    with ThreadPoolExecutor(max_workers=7) as ex:
+        readers = [ex.submit(reader) for _ in range(3)]
+        writers = [ex.submit(writer) for _ in range(4)]
+        for w in writers:
+            w.result(timeout=60)
+        stop.set()
+        for r in readers:
+            r.result(timeout=60)
+    assert not reader_errors, reader_errors[:1]
+    assert store.current(d) >= 30
+    # every published sequence file parses (no torn commits on disk)
+    import json
+    for name in os.listdir(os.path.join(d, "_ptr")):
+        with open(os.path.join(d, "_ptr", name)) as fh:
+            assert "version" in json.load(fh)

@@ -308,19 +308,33 @@ class FileLedgerPointerStore:
                 f"ledger {ledger_dir} moved to v{cur} since this run "
                 f"read v{expected_base} — re-run against the current "
                 "version")
+        import uuid as _uuid
         ptr_dir = _os.path.join(ledger_dir, "_ptr")
         _os.makedirs(ptr_dir, exist_ok=True)
         target = _os.path.join(ptr_dir, f"{version:020d}.json")
         body = dict(entry or {})
         body["version"] = version
+        # write-then-PUBLISH: the body lands in a private tmp file and
+        # the commit is one atomic os.link onto the sequence name —
+        # exclusive-create semantics identical to open("x") (EEXIST =
+        # lost race), but a concurrent reader can never observe a
+        # half-written commit file (a bare open("x") + dump exposes
+        # the window between create and write — caught by the threaded
+        # race test under full-suite load). The tmp never matches the
+        # reader's {version:020d}.json pattern, so a crash between
+        # write and link leaves invisible garbage, not a bad commit.
+        tmp = target + f".{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(body, fh)
         try:
-            with open(target, "x") as fh:   # exclusive create = commit
-                _json.dump(body, fh)
+            _os.link(tmp, target)       # atomic exclusive publish
         except FileExistsError:
             raise ConcurrentLedgerError(
                 f"ledger {ledger_dir} lost the commit race for "
                 f"v{version} — another writer committed from the same "
                 "base; re-run against the current version") from None
+        finally:
+            _os.unlink(tmp)
 
 
 class InMemoryLedgerPointerStore:
