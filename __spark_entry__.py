@@ -2642,50 +2642,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_removed_corpus": q_span_removed_corpus,
 }
 
-# --- round-10 certification window (driver certifies the FIRST 50) ---
-# Rotation discipline: never-certified first, then strict
-# least-recently-certified, then implementation-changed, then new. At
-# 154 registered queries the 50-slot window needs a FOUR-round cycle
-# (3 x 50 = 150 < 154 — round-9 verdict, What's wrong #2). The dict
+# --- round-11 certification window (driver certifies the FIRST 50) ---
+# Rotation discipline: displaced/reshaped/never-certified leads first
+# (the sanctioned overflow path), then strict least-recently-certified.
+# At 155 registered queries the 50-slot window needs a FOUR-round cycle
+# (3 x 50 = 150 < 155 — round-9 verdict, What's wrong #2). The dict
 # literal above keeps its historical narrative order; this list IS the
-# round-10 bookkeeping record (tests/test_cert_window.py pins the
+# round-11 bookkeeping record (tests/test_cert_window.py pins the
 # composition), and the rebuild below makes it the driver's physical
 # certification order.
-_ROUND10_WINDOW = [
-    # the 10 round-9 OVERFLOW queries — never driver-certified; the
-    # round-9 verdict pins them as mandatory round-10 leads in exactly
-    # this order (tests/test_cert_window.py:87-94 as of round 9)
-    "tfidf_top_terms", "pmi_collocations", "ngram_novelty",
-    "cross_source_overlap", "quality_survivor_dedup",
-    "d4_select", "curriculum_order", "lang_id_confusion",
-    "ivf_recall_sweep", "incremental_novelty",
-    # then strict LRU: the first 40 of the 46 remaining r7 certificate
-    # holders (reconstructed from CORRECTNESS_r07 minus every later
-    # re-cert), in their round-7 certification order
-    "pii_scrub", "fingerprint_pairs", "cardinality_sketch",
-    "semantic_dedup", "line_dedup", "token_surprisal",
-    "item_pagerank", "distribution_drift", "bpe_pair_counts",
-    "quantile_sketch", "scd2_history", "feature_backfill",
-    "negative_samples", "key_skew_profile", "frequency_sketch",
-    "rolling_active_users", "quality_report", "user_value_ranks",
-    "cohort_retention", "item_triangles", "attribution",
-    "winsorize", "target_encode", "multimodal_resize",
-    "multimodal_audio_windows", "order_priority_counts",
-    "forecast_baseline", "token_budget_mix", "leakage_safe_split",
-    "corpus_shuffle", "dataset_split", "split_summary",
-    "stratified_sample", "weighted_sample", "capped_user_events",
-    "source_balanced_sample", "user_cohort_setops",
-    "customers_no_orders", "tokenizer_fertility",
-    "split_leakage_audit",
-    # the 6 r7 holders that don't fit (dedup_latest, above_avg_orders,
-    # pricing_summary, revenue_by_nation, pack_sequences,
-    # frequent_tokens) lead the ROUND-11 window, ahead of the r8
-    # holders — the 4-round cycle forced by 154 queries / 50 slots
+_ROUND11_WINDOW = [
+    # the 10 ROUND11_LEADS the round-10 verdict pins (Next round #1),
+    # in exactly this order: 6 r7 holders displaced by the 4-round
+    # cycle, 3 round-10 grain reshapes (stale r9 certificates), and
+    # the never-certified round-10 addition
+    "dedup_latest", "above_avg_orders", "pricing_summary",
+    "revenue_by_nation", "pack_sequences", "frequent_tokens",
+    "discount_band_revenue", "small_quantity_revenue",
+    "corpus_language_stats", "span_removed_corpus",
+    # then strict LRU: the first 40 of the 48 r8 certificate holders
+    # (reconstructed from CORRECTNESS_r08 minus every r9 re-cert),
+    # in their round-8 certification order
+    "ab_test", "behavior_trigrams", "curate_corpus", "sessions",
+    "event_type_pivot", "top_item_per_day", "item_continuation",
+    "cohort_vs_global", "promo_revenue", "minhash_accuracy",
+    "large_volume_orders", "sole_return_supplier",
+    "idle_customer_balance", "top_revenue_supplier",
+    "bulk_part_suppliers", "cluster_balanced_sample",
+    "bracket_revenue", "doc_chunks", "ann_cosine_topk",
+    "ann_lsh_bucket", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_recall_gate", "vocab_coverage", "volume_anomaly",
+    "embedding_near_pairs", "embedding_dedup", "asof_features",
+    "interval_features", "event_rollup", "event_cube",
+    "doc_fingerprints", "rolling_user_features", "event_time_windows",
+    "event_sliding_windows", "session_windows", "training_set",
+    "bm25_topk", "hybrid_search", "hll_union_rollup",
+    # the 8 r8 holders that don't fit (mixture_weights,
+    # incremental_leakage_split, bpe_merges, bpe_encode,
+    # bigram_surprisal, perplexity_buckets, dsir_importance,
+    # funnel_daily) lead the ROUND-12 window, ahead of the r9
+    # holders — the 4-round cycle forced by 155 queries / 50 slots
 ]
 
 QUERIES = {name: QUERIES[name] for name in
-           _ROUND10_WINDOW + [n for n in QUERIES
-                              if n not in _ROUND10_WINDOW]}
+           _ROUND11_WINDOW + [n for n in QUERIES
+                              if n not in _ROUND11_WINDOW]}
 
 
 def _datestr(df: DataFrame) -> DataFrame:

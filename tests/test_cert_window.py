@@ -18,67 +18,59 @@ import __spark_entry__ as entrymod
 
 WINDOW = 50
 
-# Round-10 window head: the queries that MUST be certified this round.
-# Composition pinned by the round-9 verdict (Next round #1):
-# never-certified first, then strict least-recently-certified.
+# Round-11 window head: the queries that MUST be certified this round.
+# Composition pinned by the round-10 verdict (Next round #1):
+# the 10 ROUND11_LEADS (6 displaced r7 holders, 3 round-10 reshapes,
+# 1 never-certified round-10 addition), then strict
+# least-recently-certified.
 ROUND_WINDOW_HEAD = [
-    # the 10 round-9 overflow queries — never driver-certified
-    # (selfcheck + per-pytest sf0.001 parity + judge-run oracle_check
-    # only), in the order the round-9 verdict pins
-    "tfidf_top_terms", "pmi_collocations", "ngram_novelty",
-    "cross_source_overlap", "quality_survivor_dedup",
-    "d4_select", "curriculum_order", "lang_id_confusion",
-    "ivf_recall_sweep", "incremental_novelty",
-    # then the first 40 of the 46 remaining r7 certificate holders
-    # (reconstructed from CORRECTNESS_r07 minus every later re-cert),
-    # in their round-7 certification order
-    "pii_scrub", "fingerprint_pairs", "cardinality_sketch",
-    "semantic_dedup", "line_dedup", "token_surprisal",
-    "item_pagerank", "distribution_drift", "bpe_pair_counts",
-    "quantile_sketch", "scd2_history", "feature_backfill",
-    "negative_samples", "key_skew_profile", "frequency_sketch",
-    "rolling_active_users", "quality_report", "user_value_ranks",
-    "cohort_retention", "item_triangles", "attribution",
-    "winsorize", "target_encode", "multimodal_resize",
-    "multimodal_audio_windows", "order_priority_counts",
-    "forecast_baseline", "token_budget_mix", "leakage_safe_split",
-    "corpus_shuffle", "dataset_split", "split_summary",
-    "stratified_sample", "weighted_sample", "capped_user_events",
-    "source_balanced_sample", "user_cohort_setops",
-    "customers_no_orders", "tokenizer_fertility",
-    "split_leakage_audit",
-]
-
-
-# no spare slots this round — the 10 overflow leads + 40 r7 rotations
-# consume all 50. Anything added or reshaped in round 10 lands as
-# flagged ROUND11_LEADS overflow below.
-ROUND_WINDOW_FILL: list[str] = []
-
-# ROUND-11 LEADS (the sanctioned overflow path, third application):
-# queries that must open the round-11 window, least-recently-certified
-# first. (a) the 6 r7 certificate holders the 50-slot window could not
-# fit this round; (b) any query whose implementation is reshaped in
-# round 10 (certificate invalidated — re-certify); (c) any query NEW
-# in round 10 (never certified). Keep (b)+(c) minimal per the round-9
-# verdict ("strengthen, don't grow").
-ROUND11_LEADS = [
+    # the 10 round-11 leads, in the order the round-10 verdict pins:
     # (a) r7 holders displaced by the 4-round cycle, r7 order
     "dedup_latest", "above_avg_orders", "pricing_summary",
     "revenue_by_nation", "pack_sequences", "frequent_tokens",
-    # (b) reshaped in round 10 (round-9 verdict #3: widen the 1-row
-    # certificates) — r9 holders whose OUTPUT GRAIN changed, so their
-    # r9 certificates no longer describe the current query:
-    # discount_band_revenue now emits one row per whole-percent
-    # discount band + a ROLLUP total (was: one total row);
-    # small_quantity_revenue one row per watchlist brand + 'ALL'
-    # total (was: one Brand#13 row); corpus_language_stats slices by
-    # labeled x predicted language (was: predicted only, 2 rows)
+    # (b) reshaped in round 10 (grain widened; r9 certificates no
+    # longer describe the output): per-band ROLLUP, per-brand + ALL,
+    # labeled x predicted
     "discount_band_revenue", "small_quantity_revenue",
     "corpus_language_stats",
-    # (c) NEW in round 10 (round-9 verdict #5: the ExactSubstr span
-    # REMOVAL — Lee et al. 2022's actual output, the rewritten corpus)
+    # (c) new in round 10, never driver-certified
     "span_removed_corpus",
+    # then the first 40 of the 48 r8 certificate holders
+    # (reconstructed from CORRECTNESS_r08 minus every r9 re-cert),
+    # in their round-8 certification order — pre-reconstructed in
+    # round 10's bookkeeping comment and unchanged since
+    "ab_test", "behavior_trigrams", "curate_corpus", "sessions",
+    "event_type_pivot", "top_item_per_day", "item_continuation",
+    "cohort_vs_global", "promo_revenue", "minhash_accuracy",
+    "large_volume_orders", "sole_return_supplier",
+    "idle_customer_balance", "top_revenue_supplier",
+    "bulk_part_suppliers", "cluster_balanced_sample",
+    "bracket_revenue", "doc_chunks", "ann_cosine_topk",
+    "ann_lsh_bucket", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_recall_gate", "vocab_coverage", "volume_anomaly",
+    "embedding_near_pairs", "embedding_dedup", "asof_features",
+    "interval_features", "event_rollup", "event_cube",
+    "doc_fingerprints", "rolling_user_features", "event_time_windows",
+    "event_sliding_windows", "session_windows", "training_set",
+    "bm25_topk", "hybrid_search", "hll_union_rollup",
+]
+
+
+# no spare slots this round — the 10 leads + 40 r8 rotations consume
+# all 50. Anything added or reshaped in round 11 lands as flagged
+# ROUND12_LEADS overflow below.
+ROUND_WINDOW_FILL: list[str] = []
+
+# ROUND-12 LEADS (the sanctioned overflow path, fourth application):
+# queries that must open the round-12 window, least-recently-certified
+# first. (a) the 8 r8 certificate holders the 50-slot window could not
+# fit this round, in their r8 certification order; (b) any query
+# reshaped in round 11 (none); (c) any query NEW in round 11.
+ROUND12_LEADS = [
+    # (a) r8 holders displaced by the 4-round cycle, r8 order
+    "mixture_weights", "incremental_leakage_split", "bpe_merges",
+    "bpe_encode", "bigram_surprisal", "perplexity_buckets",
+    "dsir_importance", "funnel_daily",
 ]
 
 # CYCLE-LENGTH NOTE: at 154+ registered queries a 50-slot window
@@ -88,33 +80,32 @@ ROUND11_LEADS = [
 # least-recently-certified ORDER — the cycle length follows from
 # |queries| / WINDOW.
 #
-# ROUND-11 FILL, pre-reconstructed (the 48 r8 certificate holders =
-# CORRECTNESS_r08 keys minus every r9 re-cert, in their r8
-# certification order; the round-10 window head touches none of them,
-# so this list is final). The 10 ROUND11_LEADS above + the FIRST 40 of
-# these fill round 11's window; the last 8 lead round 12 ahead of the
-# r9 holders:
-#   ab_test, behavior_trigrams, curate_corpus, sessions,
-#   event_type_pivot, top_item_per_day, item_continuation,
-#   cohort_vs_global, promo_revenue, minhash_accuracy,
-#   large_volume_orders, sole_return_supplier, idle_customer_balance,
-#   top_revenue_supplier, bulk_part_suppliers, cluster_balanced_sample,
-#   bracket_revenue, doc_chunks, ann_cosine_topk, ann_lsh_bucket,
-#   ann_lsh_topk, ann_ivf_topk, ann_recall_gate, vocab_coverage,
-#   volume_anomaly, embedding_near_pairs, embedding_dedup,
-#   asof_features, interval_features, event_rollup, event_cube,
-#   doc_fingerprints, rolling_user_features, event_time_windows,
-#   event_sliding_windows, session_windows, training_set, bm25_topk,
-#   hybrid_search, hll_union_rollup,
-#   -- the 8 that do not fit (round-12 leads) --
-#   mixture_weights, incremental_leakage_split, bpe_merges,
-#   bpe_encode, bigram_surprisal, perplexity_buckets,
-#   dsir_importance, funnel_daily
+# ROUND-12 FILL, pre-reconstructed (the 47 remaining r9 certificate
+# holders = CORRECTNESS_r09 keys minus the 3 reshaped queries that
+# re-certify in round 11; the round-11 window head touches none of
+# them, so this list is final). The ROUND12_LEADS above + the FIRST
+# 50-len(leads) of these fill round 12's window; the remainder lead
+# round 13 ahead of the r10 holders:
+#   event_transitions, incremental_curate, behavior_diversity,
+#   contamination, shipping_priority, churn_labels,
+#   time_decay_features, big_spender_customers, multimodal_decode,
+#   multimodal_frames, salted_user_agg, salted_join,
+#   top_docs_per_source, duration_percentiles, volume_shipping,
+#   duplicate_spans, incremental_duplicate_spans, product_profit,
+#   returned_item_customers, order_count_distribution, user_daily,
+#   item_daily, entry_type_daily, binge_ratio, retention_yesterday,
+#   retention_today, dim_gap_features, exact_dedup,
+#   minhash_signatures, minhash_lsh_pairs, dedup_components,
+#   ngram_jaccard_pairs, simhash, simhash_near_pairs, text_profile,
+#   repetition_profile, market_share, quality_filter_verdict,
+#   bpe_encode_persisted, dsir_select, dsir_select_tokens,
+#   quality_rule_report, ccnet_curate, hard_negatives,
+#   knn_label_agreement, dedup_rate_report, tokenizer_drift
 
 
-def test_round11_leads_are_registered_past_the_window():
+def test_round12_leads_are_registered_past_the_window():
     names = list(entrymod.QUERIES)
-    for q in ROUND11_LEADS:
+    for q in ROUND12_LEADS:
         assert names.index(q) >= WINDOW
 
 
