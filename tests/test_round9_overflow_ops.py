@@ -103,6 +103,17 @@ def test_pmi_overflow_envelope_raises_instead_of_dropping(spark,
     assert [(r["w1"], r["w2"]) for r in out] == [("a", "b"), ("b", "a")]
 
 
+def test_pmi_empty_bigram_corpus_returns_empty_not_overflow(spark):
+    # round-10 ADVICE follow-through: the guard's NULL arm (a SUM that
+    # itself overflowed DECIMAL(38,0)) must not conflate with the
+    # OTHER way _t goes NULL — a sum over ZERO bigram rows. Single-word
+    # docs produce no bigrams; the broadcast build still evaluates the
+    # guard projection, so a bare IS-NULL arm would raise here.
+    docs = spark.createDataFrame(
+        [(1, "alone"), (2, "word")], "doc_id long, text string")
+    assert TX.pmi_collocations(docs, top_k=5, min_count=2).count() == 0
+
+
 def test_ngram_novelty_mirrored_doc_scores_zero(spark):
     docs = spark.createDataFrame(
         [(1, BASE), (2, BASE), (3, FAR)], "doc_id long, text string")

@@ -530,7 +530,14 @@ def test_vacuum_ledger_reclaims_orphans_keeps_recent_versions(
             spark, ledger_dir, mk(ids)).version == i
     # plant a crash orphan: staged dir no pointer entry names
     os.makedirs(os.path.join(ledger_dir, "v4-deadbeef"))
-    removed = vacuum_ledger(ledger_dir, keep_last=2)
+    # default retention (24 h) protects ANYTHING young — the orphan is
+    # indistinguishable from a concurrent writer's live staging dir
+    # (round-10 ADVICE: deleting that dir would let the writer publish
+    # a pointer to a vanished directory)
+    assert vacuum_ledger(ledger_dir, keep_last=2) == []
+    # retention 0 = the documented "no concurrent writers" mode
+    removed = vacuum_ledger(ledger_dir, keep_last=2,
+                            retention_seconds=0)
     # v1's dir + the orphan go; v2/v3 dirs stay
     assert any(n.startswith("v1-") for n in removed)
     assert "v4-deadbeef" in removed
@@ -608,3 +615,95 @@ def test_file_pointer_store_readers_never_see_partial_commits(tmp_path):
     for name in os.listdir(os.path.join(d, "_ptr")):
         with open(os.path.join(d, "_ptr", name)) as fh:
             assert "version" in json.load(fh)
+
+
+def test_file_pointer_store_crash_between_write_and_link(tmp_path,
+                                                         monkeypatch):
+    """Crash injection (round-10 verdict #4): a writer dying between
+    its private tmp write and the atomic link publish must leave NO
+    visible commit — readers still see only complete commits, a rerun
+    of the same commit succeeds cleanly, and vacuum_ledger's
+    _ptr/*.tmp sweep reclaims the orphaned tmp."""
+    import os
+    from w_userflow_featurestore_spark.runner import (
+        FileLedgerPointerStore, vacuum_ledger,
+    )
+    d = str(tmp_path / "led")
+    os.makedirs(d)
+    store = FileLedgerPointerStore()
+    store.commit(d, 1, None, {"dir": "v1-base"})
+    os.makedirs(os.path.join(d, "v1-base"))
+
+    real_link = os.link
+
+    def dying_link(src, dst, **kw):
+        raise KeyboardInterrupt("simulated crash before publish")
+
+    monkeypatch.setattr(os, "link", dying_link)
+    try:
+        store.commit(d, 2, 1, {"dir": "v2-crashed"})
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.setattr(os, "link", real_link)
+    # the crash is invisible: v2 never published, reads are complete
+    assert store.current(d) == 1
+    ptr = os.path.join(d, "_ptr")
+    # an in-process raise still runs the finally-unlink; a HARD kill
+    # (SIGKILL / power loss) does not — plant the orphan exactly as a
+    # hard kill between write and link leaves it: torn content under a
+    # name no reader's {version:020d}.json pattern matches
+    assert [n for n in os.listdir(ptr) if n.endswith(".tmp")] == []
+    with open(os.path.join(ptr, f"{2:020d}.json.dead.tmp"), "w") as fh:
+        fh.write('{"version"')
+    # readers never parse tmp files
+    assert store.current_entry(d)["version"] == 1
+    # the rerun commits cleanly over the orphan
+    store.commit(d, 2, 1, {"dir": "v2-retry"})
+    assert store.current_entry(d)["dir"] == "v2-retry"
+    # vacuum reclaims the orphaned tmp (age guard lifted), never the
+    # published sequence files
+    removed = vacuum_ledger(d, keep_last=2, retention_seconds=0)
+    assert any(n.endswith(".tmp") for n in removed)
+    left = os.listdir(ptr)
+    assert sorted(left) == [f"{1:020d}.json", f"{2:020d}.json"]
+
+
+def test_file_pointer_store_falls_back_when_hard_links_unsupported(
+        tmp_path, monkeypatch):
+    """Filesystems without hard links (some NFS/FUSE/object-store
+    mounts) must degrade to bare O_CREAT|O_EXCL — the CAS contract
+    holds (winner commits, loser gets ConcurrentLedgerError), only
+    the torn-read guarantee narrows (round-10 ADVICE)."""
+    import errno
+    import os
+    import pytest as _pt
+    from w_userflow_featurestore_spark.runner import (
+        ConcurrentLedgerError, FileLedgerPointerStore,
+    )
+    d = str(tmp_path / "led")
+    os.makedirs(d)
+    store = FileLedgerPointerStore()
+
+    def no_links(src, dst, **kw):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(os, "link", no_links)
+    store.commit(d, 1, None, {"dir": "v1-a"})
+    assert store.current_entry(d) == {"dir": "v1-a", "version": 1}
+    # no tmp leaks on the fallback path either
+    assert [n for n in os.listdir(os.path.join(d, "_ptr"))
+            if n.endswith(".tmp")] == []
+    # the filename race still loses cleanly through the fallback
+    with _pt.raises(ConcurrentLedgerError):
+        store.commit(d, 1, None, {"dir": "v1-b"})
+    store.commit(d, 2, 1, {"dir": "v2-a"})
+    assert store.current(d) == 2
+    # an UNRELATED OSError still surfaces (only link-capability
+    # errnos trigger the fallback)
+
+    def disk_full(src, dst, **kw):
+        raise OSError(errno.ENOSPC, "no space")
+
+    monkeypatch.setattr(os, "link", disk_full)
+    with _pt.raises(OSError):
+        store.commit(d, 3, 2, {"dir": "v3-a"})

@@ -1528,7 +1528,10 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     The envelope itself is ENFORCED: T > ``_PMI_T_MAX`` (4e18, where
     T*T approaches DECIMAL(38,0)'s 38 digits and non-ANSI overflow
     would start silently NULLing — i.e. dropping — the hottest pairs)
-    raises at execution time instead of losing rows.
+    raises at execution time instead of losing rows; a NULL T with a
+    nonempty pair table (the SUM itself overflowing past ~1e38
+    events) raises through the same guard rather than falling to the
+    ELSE arm (round-10 ADVICE).
     Only POSITIVE-PMI pairs survive (num >= den): negative PMI means
     "co-occur less than chance", never a collocation, and keeping the
     domain >= 1 keeps the log integral. ``min_count`` suppresses the
@@ -1576,9 +1579,20 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     # ~3 PB of pure text, far beyond the 100 TB design point).
     total = (cxy_all
              .agg(F.sum(F.col("n_pair").cast("decimal(38,0)"))
-                   .alias("_t"))
+                   .alias("_t"),
+                  F.count(F.lit(1)).alias("_np"))
              .select(F.expr(
-                 f"CASE WHEN _t > CAST({_PMI_T_MAX} AS"
+                 # _t IS NULL AND _np > 0: the DECIMAL(38,0) sum
+                 # ITSELF overflowed (>1e38 events — non-ANSI Spark
+                 # nulls it); without the IS NULL arm the NULL
+                 # comparison falls to ELSE and silently corrupts
+                 # t_total (round-10 ADVICE). The _np > 0 conjunct
+                 # keeps a legitimately EMPTY bigram corpus (sum over
+                 # zero rows is also NULL) from tripping the guard —
+                 # the broadcast build evaluates this projection even
+                 # when the probe side is empty.
+                 f"CASE WHEN (_t IS NULL AND _np > 0)"
+                 f" OR _t > CAST({_PMI_T_MAX} AS"
                  " DECIMAL(38,0)) THEN CAST(raise_error("
                  "'pmi_collocations: total bigram count exceeds the"
                  " 4e18 DECIMAL(38,0) overflow envelope - rerun with"

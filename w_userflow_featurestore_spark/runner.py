@@ -269,7 +269,14 @@ class FileLedgerPointerStore:
     record). Reads fall back to the legacy single ``_current``
     pointer file (pre-round-10 layout, data in plain ``v{N}`` dirs)
     when no ``_ptr`` sequence file exists, so existing ledgers
-    upgrade in place on their next commit."""
+    upgrade in place on their next commit.
+
+    Storage contract: the torn-read-free publish path additionally
+    uses one hard link (write private tmp, ``os.link`` onto the
+    sequence name). On filesystems without hard-link support the
+    commit degrades automatically to bare ``O_CREAT|O_EXCL`` +
+    write + fsync — the CAS still holds; only the no-torn-read
+    guarantee narrows back to the original window."""
 
     def current_entry(self, ledger_dir: str) -> dict | None:
         import json as _json
@@ -333,6 +340,34 @@ class FileLedgerPointerStore:
                 f"ledger {ledger_dir} lost the commit race for "
                 f"v{version} — another writer committed from the same "
                 "base; re-run against the current version") from None
+        except OSError as exc:
+            # Hard links are a STRONGER requirement than exclusive
+            # create and are unsupported on some filesystems the bare
+            # open('x') path worked on (certain NFS configs,
+            # FUSE/object-store mounts, FAT). Fall back to
+            # O_CREAT|O_EXCL + write + fsync there — same CAS
+            # semantics, re-accepting the narrow torn-read window
+            # ONLY on filesystems that cannot do better (round-10
+            # ADVICE: degrade cleanly instead of an unclassified
+            # OSError).
+            import errno as _errno
+            if exc.errno not in (_errno.EPERM, _errno.EACCES,
+                                 _errno.ENOTSUP, _errno.EOPNOTSUPP,
+                                 getattr(_errno, "EMLINK", -1)):
+                raise
+            try:
+                fd = _os.open(target,
+                              _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentLedgerError(
+                    f"ledger {ledger_dir} lost the commit race for "
+                    f"v{version} — another writer committed from the "
+                    "same base; re-run against the current "
+                    "version") from None
+            with _os.fdopen(fd, "w") as fh:
+                _json.dump(body, fh)
+                fh.flush()
+                _os.fsync(fh.fileno())
         finally:
             _os.unlink(tmp)
 
@@ -380,7 +415,8 @@ _DEFAULT_POINTER_STORE = FileLedgerPointerStore()
 
 
 def vacuum_ledger(ledger_dir: str, keep_last: int = 2,
-                  pointer_store=None) -> list[str]:
+                  pointer_store=None,
+                  retention_seconds: float = 24 * 3600.0) -> list[str]:
     """Delete ledger data directories that no retained pointer entry
     names — the :meth:`LogTable.vacuum` analogue for the versioned
     split/novelty ledgers: staged-but-never-committed directories
@@ -397,12 +433,27 @@ def vacuum_ledger(ledger_dir: str, keep_last: int = 2,
     trade LogTable.vacuum documents. The pointer sequence files are
     never touched: history stays auditable, only data is reclaimed.
     ``keep_last`` must be >= 1 (the current version is never
-    deletable)."""
+    deletable).
+
+    Unreferenced directories younger than ``retention_seconds`` are
+    kept: a CONCURRENT writer's uniquely-named staging directory
+    (parquet written, CAS commit not yet landed) is indistinguishable
+    from a crash orphan by name alone, and deleting it would let the
+    writer's commit publish a pointer to a vanished directory —
+    permanently breaking reads. The mtime window is the same guard
+    :meth:`LogTable.vacuum` applies to staged data files (round-10
+    ADVICE). Pass ``0`` only when no concurrent writer can exist.
+    Orphaned ``_ptr/*.tmp`` files (a writer that crashed between its
+    private tmp write and the atomic link publish — invisible to
+    readers by design) are swept under the same age guard and
+    returned as ``_ptr/<name>`` entries."""
     import os as _os
     import re as _re_mod
     import shutil as _shutil
+    import time as _time
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    cutoff = _time.time() - retention_seconds
     store = pointer_store or _DEFAULT_POINTER_STORE
     entries: list[dict] = []
     ptr_dir = _os.path.join(ledger_dir, "_ptr")
@@ -429,8 +480,25 @@ def vacuum_ledger(ledger_dir: str, keep_last: int = 2,
         full = _os.path.join(ledger_dir, name)
         if (pat.match(name) and name not in keep
                 and _os.path.isdir(full)):
+            try:
+                if _os.path.getmtime(full) > cutoff:
+                    continue     # possibly a live writer's staging dir
+            except OSError:
+                continue         # vanished mid-scan: someone else's
             _shutil.rmtree(full)
             removed.append(name)
+    if _os.path.isdir(ptr_dir):
+        for name in sorted(_os.listdir(ptr_dir)):
+            if not name.endswith(".tmp"):
+                continue
+            full = _os.path.join(ptr_dir, name)
+            try:
+                if _os.path.getmtime(full) > cutoff:
+                    continue     # possibly a commit in flight
+                _os.unlink(full)
+            except OSError:
+                continue
+            removed.append(_os.path.join("_ptr", name))
     return removed
 
 
