@@ -1949,6 +1949,24 @@ def q_incremental_duplicate_spans(spark: SparkSession,
         docs.where(F.col("doc_id") % 2 == 1), ledger, k=6, min_count=2)
 
 
+def q_incremental_span_removed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Daily-update ExactSubstr REWRITE: the odd-id batch excised
+    against the even-id corpus represented ONLY by its persisted
+    gram_ledger — corpus text never rescanned, batch text moved once.
+    Same k=6/min_count=2 as the span family; by construction equals
+    the full-corpus rewrite restricted to the batch
+    (operators/text.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    # the ledger IS a persisted table in production; derived inline
+    # here, so materialize it once for its single probe consumer
+    # (same rationale as q_incremental_duplicate_spans)
+    ledger = TX.gram_ledger(docs.where(F.col("doc_id") % 2 == 0), k=6) \
+        .localCheckpoint(eager=True)
+    return TX.incremental_span_removed(
+        docs.where(F.col("doc_id") % 2 == 1), ledger, k=6, min_count=2)
+
+
 def q_time_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user recency-weighted value sum: integer right-shift decay
     (half-life 1 day, anchored at the corpus max event date) — exact
@@ -2640,6 +2658,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # three round-10 reshapes (discount_band_revenue,
     # small_quantity_revenue, corpus_language_stats) ---
     "span_removed_corpus": q_span_removed_corpus,
+    # --- round-11 OVERFLOW (all 50 window slots went to the 10
+    # ROUND11_LEADS + 40 r8 rotations): new in round 11 (the one
+    # sanctioned addition, round-10 verdict #5 — the incremental twin
+    # of the span REWRITE), flagged as a round-12 window lead in
+    # tests/test_cert_window.py ---
+    "incremental_span_removed": q_incremental_span_removed,
 }
 
 # --- round-11 certification window (driver certifies the FIRST 50) ---
@@ -4613,6 +4637,15 @@ SELECT w.doc_id,
 FROM w
 LEFT JOIN k2 ON w.doc_id = k2.doc_id
 LEFT JOIN nsp ON w.doc_id = nsp.doc_id
+"""
+
+# incremental rewrite: the ledger path is DEFINED to equal the
+# full-corpus rewrite restricted to the batch (inherited from the
+# detect-side additivity of gram counts), so the oracle is literally
+# the batch slice of the span_removed_corpus oracle — any mismatch
+# localizes to the ledger probe / excise glue in operators/text.py
+ORACLES["incremental_span_removed"] = f"""
+SELECT * FROM ({ORACLES['span_removed_corpus']}) WHERE doc_id % 2 = 1
 """
 
 ORACLES["line_dedup"] = f"""

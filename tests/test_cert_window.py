@@ -71,6 +71,9 @@ ROUND12_LEADS = [
     "mixture_weights", "incremental_leakage_split", "bpe_merges",
     "bpe_encode", "bigram_surprisal", "perplexity_buckets",
     "dsir_importance", "funnel_daily",
+    # (c) NEW in round 11 (round-10 verdict #5: the incremental twin
+    # of the ExactSubstr span REWRITE — the one sanctioned addition)
+    "incremental_span_removed",
 ]
 
 # CYCLE-LENGTH NOTE: at 154+ registered queries a 50-slot window

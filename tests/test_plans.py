@@ -493,6 +493,24 @@ def test_incremental_duplicate_spans_plan_pin(spark):
     assert_plan(df, max_shuffles=3, max_sort_merge_joins=0)
 
 
+def test_incremental_span_removed_plan_pin(spark):
+    # Incremental rewrite = the incremental detect pipeline (ledger +
+    # lineage-cut batch postings, both ExistingRDD-rooted) + the shared
+    # excise stage: one id-grain span rollup riding the island window's
+    # id-hash exchange and EXACTLY ONE batch-document rescan (the
+    # rejoin where text moves — batch-sized, never corpus-sized); the
+    # complement is row-local HOFs, so no RangePartitioning and no
+    # token-row explode anywhere.
+    df = _q(spark, "incremental_span_removed")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "RangePartitioning" not in plan
+    assert "ExistingRDD" in plan
+    assert plan.count("documents.parquet") == 1
+    assert_plan(df, max_shuffles=5, min_broadcast_joins=1,
+                max_sort_merge_joins=1)
+
+
 def test_large_volume_orders_plan_pin(spark):
     # Q18 shape: lineitem aggregates ONCE (one shuffle barrier); the
     # HAVING-surviving key set joins back by broadcast, never by

@@ -1176,3 +1176,33 @@ def test_remove_duplicate_spans_partitions_the_token_stream(
         assert r["n_tokens_removed"] == len(cov)
         assert r["n_tokens"] - r["n_tokens_removed"] == len(kept)
         assert r["n_spans_removed"] == nspans.get(d, 0)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists=span_corpus_strategy)
+@example(token_lists=[["aa", "bb", "cc"] * 2])      # fully duplicated doc
+@example(token_lists=[["aa"], [], ["aa", "bb"]])    # all docs < k
+def test_incremental_span_removed_equals_full_rewrite_on_batch(
+        spark, token_lists):
+    """The incremental rewrite is DEFINED as remove_duplicate_spans(
+    corpus UNION batch) restricted to the batch — inherited from the
+    detect-side additivity (itself property-tested above), so the
+    ledger path must reproduce the full-corpus rewrite exactly on
+    arbitrary even/odd splits (including empty corpus or empty
+    batch, span-free docs, and fully-duplicated docs)."""
+    from w_userflow_featurestore_spark.operators.text import (
+        gram_ledger, incremental_span_removed, remove_duplicate_spans,
+    )
+    K, MIN = 3, 2
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(token_lists)],
+        "doc_id long, text string")
+    corpus = df.where(F.col("doc_id") % 2 == 0)
+    batch = df.where(F.col("doc_id") % 2 == 1)
+    got = {tuple(r) for r in incremental_span_removed(
+        batch, gram_ledger(corpus, k=K), k=K, min_count=MIN).collect()}
+    want = {tuple(r)
+            for r in remove_duplicate_spans(df, k=K, min_count=MIN)
+            .where(F.col("doc_id") % 2 == 1).collect()}
+    assert got == want

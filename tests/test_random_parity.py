@@ -283,7 +283,7 @@ DOC_QUERIES = [
     "repetition_profile", "line_dedup", "doc_chunks", "vocab_coverage",
     "frequent_tokens", "pack_sequences", "dataset_split", "pii_scrub",
     "duplicate_spans", "incremental_duplicate_spans",
-    "span_removed_corpus",
+    "span_removed_corpus", "incremental_span_removed",
     # round-9 overflow ops (quality_survivor_dedup and curriculum_order
     # ride DOC_QUERIES_2 with the other iterative/composed doc ops)
     "tfidf_top_terms", "pmi_collocations", "ngram_novelty",

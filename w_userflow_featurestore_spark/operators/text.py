@@ -568,6 +568,18 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 8,
     UDF, whole-stage codegen end to end.
     """
     spans = duplicate_spans(docs, k, min_count, text_col, id_col)
+    return _excise_spans(docs, spans, text_col, id_col)
+
+
+def _excise_spans(docs: DataFrame, spans: DataFrame, text_col: str,
+                  id_col: str) -> DataFrame:
+    """Reassemble each document from the complement of its (merged,
+    disjoint) duplicate spans — the rewrite stage shared by the batch
+    (:func:`remove_duplicate_spans`) and incremental
+    (:func:`incremental_span_removed`) ExactSubstr paths, so 'the
+    tokens a span keeps' is one code path. One id-grain span rollup
+    (rides the island window's id-hash exchange), one join back to
+    ``docs`` (the only place text moves), then row-local HOFs."""
     per_doc = (spans.groupBy(id_col)
                .agg(F.collect_list(
                         F.struct(F.col("span_start").alias("s"),
@@ -717,6 +729,41 @@ def incremental_duplicate_spans(new_docs: DataFrame, ledger: DataFrame,
     hits = (posting.join(hot_batch.unionByName(hot_corpus), "gh")
                    .select(id_col, "pos"))
     return _merge_islands(hits, k, id_col)
+
+
+def incremental_span_removed(new_docs: DataFrame, ledger: DataFrame,
+                             k: int = 8, min_count: int = 2,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """The ExactSubstr REWRITE for a NEW batch against an
+    already-ingested corpus represented ONLY by its
+    :func:`gram_ledger` — the daily-update twin of
+    :func:`remove_duplicate_spans`, completing the incremental family
+    (round-10 verdict #5: detect had an incremental form,
+    :func:`incremental_duplicate_spans`; the rewrite did not, so a
+    growing corpus re-paid the whole-complement rewrite each batch).
+
+    Returns the batch rewritten: one row per batch document with
+    (doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed)
+    — by construction EXACTLY ``remove_duplicate_spans(corpus UNION
+    batch)`` restricted to batch documents (inherited from the
+    detect-side equivalence, both property-tested), computed without
+    touching corpus text. Deployment shape: rewrite-on-ingest — each
+    batch is excised once against the merged ledger
+    (:func:`merge_gram_ledger` afterwards ingests the batch's grams),
+    so corpus text is written once and never rescanned.
+
+    Scale shape: the span detect rides
+    :func:`incremental_duplicate_spans` unchanged (batch-proportional
+    postings, broadcast-side ledger probe, per-batch-doc island
+    merge); the rewrite is the shared :func:`_excise_spans` stage —
+    one id-grain span rollup on the island window's existing id-hash
+    exchange, one join back to the BATCH (the only text movement,
+    batch-sized not corpus-sized), then row-local HOF complement. No
+    token explode, no UDF, whole-stage codegen end to end."""
+    spans = incremental_duplicate_spans(new_docs, ledger, k, min_count,
+                                        text_col, id_col)
+    return _excise_spans(new_docs, spans, text_col, id_col)
 
 
 def token_surprisal(docs: DataFrame, text_col: str = "text",
