@@ -865,3 +865,117 @@ def test_incremental_novelty_never_rescans_corpus_text(spark):
     # batch side reads from the cut frame; only the inline ledger
     # derivation touches the parquet
     assert plan.count("documents.parquet") <= 1
+
+
+# --- round-11 window sweep: pins for every window query that lacked one
+# (round-10 verdict #3 — the pins are the only scale evidence the driver
+# re-checks each round). Budgets are the measured sf0.001 shapes with
+# zero headroom; every pin is cartesian-free by assert_plan's join caps
+# plus the explicit plan-text checks where the failure mode is specific.
+
+
+def test_round11_window_relational_plan_pins(spark):
+    # dedup_latest: keep-latest-by-key = ONE id-hash window barrier,
+    # no self-join (the naive max-ts + rejoin form would be 2 shuffles
+    # + a join that skews on hot keys)
+    assert_plan(_q(spark, "dedup_latest"), max_shuffles=1,
+                max_sort_merge_joins=0)
+    # above_avg_orders: the global average is a 1-row broadcast, never
+    # a shuffle-side join against the aggregate
+    assert_plan(_q(spark, "above_avg_orders"), max_shuffles=1,
+                min_broadcast_joins=1, max_sort_merge_joins=0)
+    # event_type_pivot: pivot = ONE hash-agg barrier (values enumerated
+    # up front — no second pass to discover the column domain)
+    assert_plan(_q(spark, "event_type_pivot"), max_shuffles=1,
+                max_sort_merge_joins=0)
+    # top_item_per_day: agg + top-1-per-group window share the day
+    # grain: two barriers total, no join back to the fact
+    assert_plan(_q(spark, "top_item_per_day"), max_shuffles=2,
+                max_sort_merge_joins=0)
+    # item_continuation: lexicographic next-item = dropDuplicates +
+    # lead window + day re-agg chain, join-free end to end
+    assert_plan(_q(spark, "item_continuation"), max_shuffles=4,
+                max_sort_merge_joins=0)
+    # cohort_vs_global: cohort agg + weighted global re-agg — the
+    # global side re-aggregates the COHORT OUTPUT (never rescans
+    # events) and rides back on a broadcast
+    assert_plan(_q(spark, "cohort_vs_global"), max_shuffles=5,
+                min_broadcast_joins=1, max_sort_merge_joins=0)
+
+
+def test_round11_window_text_plan_pins(spark):
+    # pack_sequences: concat-and-slice packing is a PARTITIONED
+    # running-sum window — a RangePartitioning here would mean a
+    # global sort of the corpus, the exact cliff the operator avoids
+    df = _q(spark, "pack_sequences")
+    assert "RangePartitioning" not in physical_plan(df)
+    assert_plan(df, max_shuffles=2, max_sort_merge_joins=0)
+    # frequent_tokens: corpus token counts -> top-k via
+    # TakeOrderedAndProject (per-partition limit + merge), never a
+    # global sort of the token domain
+    df = _q(spark, "frequent_tokens")
+    assert "TakeOrderedAndProject" in physical_plan(df)
+    assert_plan(df, max_shuffles=2, max_sort_merge_joins=0)
+    # corpus_language_stats: labeled x predicted confusion = lang_id
+    # row-locally then ONE two-key hash-agg + the share re-agg —
+    # prediction never joins back to the corpus
+    assert_plan(_q(spark, "corpus_language_stats"), max_shuffles=2,
+                max_sort_merge_joins=0)
+    # doc_chunks / doc_fingerprints: row-local explode/winnow then one
+    # doc-keyed barrier; text moves once
+    assert_plan(_q(spark, "doc_chunks"), max_shuffles=1,
+                max_sort_merge_joins=0)
+    assert_plan(_q(spark, "doc_fingerprints"), max_shuffles=1,
+                max_sort_merge_joins=0)
+
+
+def test_round11_window_ann_plan_pins(spark):
+    # The ANN family's scale contract is structural: candidates come
+    # from buckets/cells (equi-joins), NEVER an all-pairs product —
+    # a CartesianProduct in any of these plans is the 100 TB cliff.
+    for name, sh, bc in (("ann_cosine_topk", 2, 1),
+                         ("ann_lsh_bucket", 1, 0),
+                         ("ann_lsh_topk", 5, 3),
+                         ("ann_ivf_topk", 5, 5)):
+        df = _q(spark, name)
+        assert "CartesianProduct" not in physical_plan(df), name
+        assert_plan(df, max_shuffles=sh, min_broadcast_joins=bc,
+                    max_sort_merge_joins=0)
+
+
+def test_round11_window_event_window_plan_pins(spark):
+    # interval_features: point-in-interval via the union + keyed
+    # window form — one SMJ is the id-keyed rejoin, never a range join
+    assert_plan(_q(spark, "interval_features"), max_shuffles=2,
+                min_broadcast_joins=1, max_sort_merge_joins=1)
+    # event_rollup / event_cube: ROLLUP/CUBE grouping sets are ONE
+    # expand + hash-agg barrier, not one pass per grain
+    assert_plan(_q(spark, "event_rollup"), max_shuffles=1,
+                max_sort_merge_joins=0)
+    assert_plan(_q(spark, "event_cube"), max_shuffles=1,
+                max_sort_merge_joins=0)
+    # rolling_user_features: day pre-agg then user-keyed frame windows
+    # over DAYS (bounded state), never raw events in the frame
+    assert_plan(_q(spark, "rolling_user_features"), max_shuffles=2,
+                max_sort_merge_joins=0)
+    # tumbling / sliding / session windows: each is ONE hash-agg
+    # barrier (the streaming twins' batch plans — sliding's window
+    # replication is row-local expand, session merge is agg-internal)
+    for name in ("event_time_windows", "event_sliding_windows",
+                 "session_windows"):
+        assert_plan(_q(spark, name), max_shuffles=1,
+                    max_sort_merge_joins=0)
+
+
+def test_bm25_and_hll_rollup_plan_pins(spark):
+    # bm25_topk: df/idf stats re-aggregate the posting frame (no
+    # corpus rescan), scores ride broadcast joins, top-k is
+    # TakeOrderedAndProject — the hot-term-safe retrieval shape
+    df = _q(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in physical_plan(df)
+    assert_plan(df, max_shuffles=5, min_broadcast_joins=2,
+                max_sort_merge_joins=0)
+    # hll_union_rollup: per-type sketches union into the rollup by
+    # MERGING REGISTERS (agg chain), never by re-counting raw ids
+    assert_plan(_q(spark, "hll_union_rollup"), max_shuffles=4,
+                min_broadcast_joins=1, max_sort_merge_joins=0)
