@@ -40,7 +40,16 @@ DEFAULT_CUR = os.path.join(_HERE, "BENCH_DETAIL.json")
 
 
 def _default_base() -> str:
-    """Newest committed per-round snapshot (BENCH_DETAIL_r{N}.json).
+    """Newest committed snapshot: BENCH_BASE_r{N}.json (a round-START
+    run recorded on the CURRENT boot at the prior round's final HEAD)
+    preferred over BENCH_DETAIL_r{N}.json at the same round number.
+
+    Three consecutive rounds spent a commit proving cross-boot flags
+    were boot variance (Python-worker spawn and JIT timing differ by
+    up to 4x on sub-second queries across VM restarts); the round-10
+    verdict's structural fix is the same-boot base — when one exists
+    for the newest round, flags against it are real regressions by
+    construction.
 
     Newest = largest PARSED round number, not lexicographic filename —
     "r100" sorts before "r99" as a string, and an unpadded "r9" would
@@ -48,13 +57,15 @@ def _default_base() -> str:
     """
     snaps = []
     for f in os.listdir(_HERE):
-        m = re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", f)
+        m = re.fullmatch(r"BENCH_(BASE|DETAIL)_r(\d+)\.json", f)
         if m:
-            snaps.append((int(m.group(1)), f))
+            # (round, is_base) sort key: BASE wins ties within a round
+            snaps.append((int(m.group(2)), m.group(1) == "BASE", f))
     if not snaps:
-        raise SystemExit("no BENCH_DETAIL_r*.json snapshot to compare "
-                         "against — pass the base file explicitly")
-    return os.path.join(_HERE, max(snaps)[1])
+        raise SystemExit("no BENCH_BASE_r*/BENCH_DETAIL_r*.json "
+                         "snapshot to compare against — pass the base "
+                         "file explicitly")
+    return os.path.join(_HERE, max(snaps)[2])
 
 
 def _timings(detail: dict) -> dict[str, float]:

@@ -114,3 +114,27 @@ def test_bench_compare_flags_only_outside_noise_band():
     assert out["n_compared"] == 4
     # the explicit threshold is part of the artifact contract
     assert out["noise_ratio"] == 1.5 and out["abs_floor_sec"] == 0.25
+
+
+def test_bench_compare_default_base_prefers_same_boot_base(
+        tmp_path, monkeypatch):
+    """Round-10 verdict #2: when a round-START same-boot base exists
+    (BENCH_BASE_r{N}), the default comparison base must be it — not a
+    prior round's detail recorded on a different boot. Parsed round
+    numbers, not lexicographic names; BASE beats DETAIL within a
+    round; DETAIL still wins when it is the newer round."""
+    import os
+    for f in ("BENCH_DETAIL_r9.json", "BENCH_DETAIL_r10.json",
+              "BENCH_BASE_r10.json"):
+        (tmp_path / f).write_text("{}")
+    monkeypatch.setattr(bench_compare, "_HERE", str(tmp_path))
+    assert os.path.basename(
+        bench_compare._default_base()) == "BENCH_BASE_r10.json"
+    # a NEWER detail (the round just ended) outranks an old base
+    (tmp_path / "BENCH_DETAIL_r11.json").write_text("{}")
+    assert os.path.basename(
+        bench_compare._default_base()) == "BENCH_DETAIL_r11.json"
+    # and a round-11 base reclaims the default over r11's detail
+    (tmp_path / "BENCH_BASE_r11.json").write_text("{}")
+    assert os.path.basename(
+        bench_compare._default_base()) == "BENCH_BASE_r11.json"
