@@ -1206,3 +1206,64 @@ def test_incremental_span_removed_equals_full_rewrite_on_batch(
             for r in remove_duplicate_spans(df, k=K, min_count=MIN)
             .where(F.col("doc_id") % 2 == 1).collect()}
     assert got == want
+
+
+# ------------------------------------------------- novelty ledger family
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists=span_corpus_strategy)
+@example(token_lists=[["aa", "bb", "cc", "dd"] * 2,
+                      ["aa", "bb", "cc", "dd"]])     # mirrored batch doc
+@example(token_lists=[[], ["aa", "bb"]])             # sub-shingle docs
+def test_incremental_novelty_matches_model_on_random_corpora(
+        spark, token_lists):
+    """Randomized upgrade of the fixed-example equivalence test: the
+    ledger path must reproduce the independent pure-Python hash-grain
+    novelty model (tests.test_round9_overflow_ops._py_novelty — md5
+    recomputed from scratch, no shared hashing code) on arbitrary
+    even/odd corpus splits, including empty corpus/batch, mirrored
+    docs, and docs shorter than the shingle width."""
+    from tests.test_round9_overflow_ops import _py_novelty
+    from w_userflow_featurestore_spark.operators.dedup import (
+        incremental_novelty, shingle_ledger,
+    )
+    texts = {i: " ".join(ws) for i, ws in enumerate(token_lists)}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    ledger = shingle_ledger(df.where(F.col("doc_id") % 2 == 0))
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_bp"])
+           for r in incremental_novelty(
+               df.where(F.col("doc_id") % 2 == 1), ledger).collect()}
+    assert got == _py_novelty(texts, {i for i in texts if i % 2 == 1})
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists=span_corpus_strategy)
+def test_ledger_merges_equal_full_rebuild_on_random_corpora(
+        spark, token_lists):
+    """Additivity is the load-bearing assumption under BOTH incremental
+    families (spans ride per-gram occurrence counts, novelty rides
+    per-doc-distinct document counts): merging per-batch ledgers must
+    equal the ledger of the unioned corpus on random even/odd splits —
+    not just the fixed examples the unit tests pin."""
+    from w_userflow_featurestore_spark.operators.dedup import (
+        merge_shingle_ledger, shingle_ledger,
+    )
+    from w_userflow_featurestore_spark.operators.text import (
+        gram_ledger, merge_gram_ledger,
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(token_lists)],
+        "doc_id long, text string")
+    evens = df.where(F.col("doc_id") % 2 == 0)
+    odds = df.where(F.col("doc_id") % 2 == 1)
+    got_g = {tuple(r) for r in merge_gram_ledger(
+        gram_ledger(evens, k=3), gram_ledger(odds, k=3)).collect()}
+    want_g = {tuple(r) for r in gram_ledger(df, k=3).collect()}
+    assert got_g == want_g
+    got_s = {tuple(r) for r in merge_shingle_ledger(
+        shingle_ledger(evens), shingle_ledger(odds)).collect()}
+    want_s = {tuple(r) for r in shingle_ledger(df).collect()}
+    assert got_s == want_s
