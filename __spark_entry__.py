@@ -2669,8 +2669,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # --- round-11 certification window (driver certifies the FIRST 50) ---
 # Rotation discipline: displaced/reshaped/never-certified leads first
 # (the sanctioned overflow path), then strict least-recently-certified.
-# At 155 registered queries the 50-slot window needs a FOUR-round cycle
-# (3 x 50 = 150 < 155 — round-9 verdict, What's wrong #2). The dict
+# At 156 registered queries the 50-slot window needs a FOUR-round cycle
+# (3 x 50 = 150 < 156 — round-9 verdict, What's wrong #2). The dict
 # literal above keeps its historical narrative order; this list IS the
 # round-11 bookkeeping record (tests/test_cert_window.py pins the
 # composition), and the rebuild below makes it the driver's physical
@@ -2705,7 +2705,7 @@ _ROUND11_WINDOW = [
     # incremental_leakage_split, bpe_merges, bpe_encode,
     # bigram_surprisal, perplexity_buckets, dsir_importance,
     # funnel_daily) lead the ROUND-12 window, ahead of the r9
-    # holders — the 4-round cycle forced by 155 queries / 50 slots
+    # holders — the 4-round cycle forced by 156 queries / 50 slots
 ]
 
 QUERIES = {name: QUERIES[name] for name in
