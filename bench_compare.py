@@ -47,9 +47,13 @@ def _default_base() -> str:
     Three consecutive rounds spent a commit proving cross-boot flags
     were boot variance (Python-worker spawn and JIT timing differ by
     up to 4x on sub-second queries across VM restarts); the round-10
-    verdict's structural fix is the same-boot base — when one exists
-    for the newest round, flags against it are real regressions by
-    construction.
+    verdict's structural fix is the same-boot base — while a round is
+    OPEN, only its BASE exists and flags against it are same-boot by
+    construction. Once the round CLOSES (its DETAIL lands, reflecting
+    the round's final code), the DETAIL outranks the round-start BASE:
+    defaulting back to the BASE would re-flag every perf change the
+    closed round deliberately made, against a snapshot of the PRIOR
+    round's code.
 
     Newest = largest PARSED round number, not lexicographic filename —
     "r100" sorts before "r99" as a string, and an unpadded "r9" would
@@ -59,8 +63,9 @@ def _default_base() -> str:
     for f in os.listdir(_HERE):
         m = re.fullmatch(r"BENCH_(BASE|DETAIL)_r(\d+)\.json", f)
         if m:
-            # (round, is_base) sort key: BASE wins ties within a round
-            snaps.append((int(m.group(2)), m.group(1) == "BASE", f))
+            # (round, is_detail) sort key: DETAIL wins ties within a
+            # round (it only exists once the round has closed)
+            snaps.append((int(m.group(2)), m.group(1) == "DETAIL", f))
     if not snaps:
         raise SystemExit("no BENCH_BASE_r*/BENCH_DETAIL_r*.json "
                          "snapshot to compare against — pass the base "

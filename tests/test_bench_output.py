@@ -118,23 +118,27 @@ def test_bench_compare_flags_only_outside_noise_band():
 
 def test_bench_compare_default_base_prefers_same_boot_base(
         tmp_path, monkeypatch):
-    """Round-10 verdict #2: when a round-START same-boot base exists
-    (BENCH_BASE_r{N}), the default comparison base must be it — not a
-    prior round's detail recorded on a different boot. Parsed round
-    numbers, not lexicographic names; BASE beats DETAIL within a
-    round; DETAIL still wins when it is the newer round."""
+    """Round-10 verdict #2: while a round is OPEN (its same-boot
+    BENCH_BASE_r{N} exists but its DETAIL doesn't yet), the default
+    comparison base must be that base — not a prior round's detail
+    recorded on a different boot. Once the round CLOSES (DETAIL_r{N}
+    lands), the detail outranks the round-start base: comparing new
+    work against the pre-round snapshot would re-flag every perf
+    change the closed round made. Parsed round numbers, not
+    lexicographic names."""
     import os
     for f in ("BENCH_DETAIL_r9.json", "BENCH_DETAIL_r10.json",
-              "BENCH_BASE_r10.json"):
+              "BENCH_BASE_r11.json"):
         (tmp_path / f).write_text("{}")
     monkeypatch.setattr(bench_compare, "_HERE", str(tmp_path))
+    # round 11 open: base_r11 beats detail_r10
     assert os.path.basename(
-        bench_compare._default_base()) == "BENCH_BASE_r10.json"
-    # a NEWER detail (the round just ended) outranks an old base
+        bench_compare._default_base()) == "BENCH_BASE_r11.json"
+    # round 11 closes: its detail outranks its round-start base
     (tmp_path / "BENCH_DETAIL_r11.json").write_text("{}")
     assert os.path.basename(
         bench_compare._default_base()) == "BENCH_DETAIL_r11.json"
-    # and a round-11 base reclaims the default over r11's detail
-    (tmp_path / "BENCH_BASE_r11.json").write_text("{}")
+    # round 12 opens: the new same-boot base takes over again
+    (tmp_path / "BENCH_BASE_r12.json").write_text("{}")
     assert os.path.basename(
-        bench_compare._default_base()) == "BENCH_BASE_r11.json"
+        bench_compare._default_base()) == "BENCH_BASE_r12.json"

@@ -1006,7 +1006,8 @@ def test_daily_metrics_family_plan_pins(spark):
                          ("duration_percentiles", 2, 0),
                          ("top_docs_per_source", 1, 0)):
         assert_plan(_q(spark, name), max_shuffles=sh,
-                    min_broadcast_joins=bc, max_sort_merge_joins=0), name
+                    min_broadcast_joins=bc, max_sort_merge_joins=0,
+                    label=name)
 
 
 def test_global_threshold_and_decay_plan_pins(spark):
@@ -1044,7 +1045,7 @@ def test_dedup_text_profile_plan_pins(spark):
         df = _q(spark, name)
         assert "CartesianProduct" not in physical_plan(df), name
         assert_plan(df, max_shuffles=sh, min_broadcast_joins=bc,
-                    max_sort_merge_joins=0), name
+                    max_sort_merge_joins=0, label=name)
     # ngram_jaccard_pairs: banded candidate join + exact verify — the
     # widest dedup plan, but still bucket-scoped (cartesian-free) with
     # id-only candidates
@@ -1115,7 +1116,8 @@ def test_multimodal_arrow_plan_pins(spark):
         plan = physical_plan(df)
         assert "MapInPandas" in plan, name
         assert "BatchEvalPython" not in plan, name
-        assert_plan(df, max_shuffles=1, max_sort_merge_joins=0), name
+        assert_plan(df, max_shuffles=1, max_sort_merge_joins=0,
+                    label=name)
 
 
 def test_iterative_and_sketch_plan_pins(spark):

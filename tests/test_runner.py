@@ -530,18 +530,19 @@ def test_vacuum_ledger_reclaims_orphans_keeps_recent_versions(
             spark, ledger_dir, mk(ids)).version == i
     # plant a crash orphan: staged dir no pointer entry names
     os.makedirs(os.path.join(ledger_dir, "v4-deadbeef"))
-    # default retention (24 h) protects ANYTHING young — the orphan is
-    # indistinguishable from a concurrent writer's live staging dir
-    # (round-10 ADVICE: deleting that dir would let the writer publish
-    # a pointer to a vanished directory)
-    assert vacuum_ledger(ledger_dir, keep_last=2) == []
+    # default retention (24 h) protects only UNNAMED young dirs — the
+    # orphan is indistinguishable from a concurrent writer's live
+    # staging dir (round-10 ADVICE: deleting that dir would let the
+    # writer publish a pointer to a vanished directory). v1's dir is
+    # NAMED by pointer history — provably committed, just superseded —
+    # so the keep_last contract reclaims it immediately, no 24h wait.
+    removed = vacuum_ledger(ledger_dir, keep_last=2)
+    assert any(n.startswith("v1-") for n in removed)
+    assert len(removed) == 1               # the young orphan survived
     # retention 0 = the documented "no concurrent writers" mode
     removed = vacuum_ledger(ledger_dir, keep_last=2,
                             retention_seconds=0)
-    # v1's dir + the orphan go; v2/v3 dirs stay
-    assert any(n.startswith("v1-") for n in removed)
-    assert "v4-deadbeef" in removed
-    assert len(removed) == 2
+    assert removed == ["v4-deadbeef"]
     live = [n for n in os.listdir(ledger_dir) if n.startswith("v")]
     assert len(live) == 2
     # pointer history intact (still 3 sequence files), reads unchanged
@@ -707,3 +708,49 @@ def test_file_pointer_store_falls_back_when_hard_links_unsupported(
     monkeypatch.setattr(os, "link", disk_full)
     with _pt.raises(OSError):
         store.commit(d, 3, 2, {"dir": "v3-a"})
+
+
+def test_fallback_write_failure_retracts_the_published_name(
+        tmp_path, monkeypatch):
+    """On the no-hardlink fallback path the O_EXCL create PUBLISHES the
+    sequence name before the body is written — a write failure
+    (ENOSPC/EIO) must retract the torn file, or every subsequent read
+    json-decode-crashes and every retry misreports a lost CAS race."""
+    import errno
+    import json
+    import os
+    import pytest as _pt
+    from w_userflow_featurestore_spark.runner import (
+        FileLedgerPointerStore,
+    )
+    d = str(tmp_path / "led")
+    os.makedirs(d)
+    store = FileLedgerPointerStore()
+
+    def no_links(src, dst, **kw):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(os, "link", no_links)
+    store.commit(d, 1, None, {"dir": "v1-a"})
+    real_dump = json.dump
+    state = {"n": 0}
+
+    def dump_fails_on_target(obj, fh, **kw):
+        # per commit: dump #1 writes the private tmp, dump #2 the
+        # O_EXCL-published target — fail the published one
+        state["n"] += 1
+        if state["n"] == 2:
+            raise OSError(errno.ENOSPC, "no space left on device")
+        return real_dump(obj, fh, **kw)
+
+    monkeypatch.setattr(json, "dump", dump_fails_on_target)
+    with _pt.raises(OSError, match="no space"):
+        store.commit(d, 2, 1, {"dir": "v2-torn"})
+    monkeypatch.setattr(json, "dump", real_dump)
+    # the torn publish was retracted: reads are whole, v2's name free
+    assert store.current_entry(d) == {"dir": "v1-a", "version": 1}
+    assert not os.path.exists(os.path.join(d, "_ptr",
+                                           f"{2:020d}.json"))
+    # the retry commits cleanly instead of a phantom lost-race error
+    store.commit(d, 2, 1, {"dir": "v2-retry"})
+    assert store.current_entry(d) == {"dir": "v2-retry", "version": 2}

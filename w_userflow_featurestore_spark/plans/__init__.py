@@ -146,9 +146,11 @@ def codegen_stage_count(df: DataFrame) -> int:
 def assert_plan(df: DataFrame, *, max_shuffles: int | None = None,
                 min_broadcast_joins: int = 0,
                 max_sort_merge_joins: int | None = None,
-                require_pushed: tuple[str, ...] = ()) -> None:
+                require_pushed: tuple[str, ...] = (),
+                label: str = "") -> None:
     """One-call plan audit; raises AssertionError with the full plan text
-    so a regression is diagnosable from the failure alone."""
+    so a regression is diagnosable from the failure alone. ``label``
+    prefixes the failure so looped pins name the query that broke."""
     problems = []
     if max_shuffles is not None and shuffle_count(df) > max_shuffles:
         problems.append(
@@ -168,4 +170,5 @@ def assert_plan(df: DataFrame, *, max_shuffles: int | None = None,
             problems.append(f"filter not pushed to scan: {frag!r}")
     if problems:
         raise AssertionError(
-            "; ".join(problems) + "\n--- plan ---\n" + physical_plan(df))
+            (f"{label}: " if label else "") + "; ".join(problems)
+            + "\n--- plan ---\n" + physical_plan(df))

@@ -333,6 +333,11 @@ class FileLedgerPointerStore:
         tmp = target + f".{_uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             _json.dump(body, fh)
+            fh.flush()
+            _os.fsync(fh.fileno())   # the PUBLISHED bytes must be
+            #                          durable BEFORE the link lands —
+            #                          a post-link power loss must not
+            #                          leave a torn reader-visible file
         try:
             _os.link(tmp, target)       # atomic exclusive publish
         except FileExistsError:
@@ -351,9 +356,11 @@ class FileLedgerPointerStore:
             # ADVICE: degrade cleanly instead of an unclassified
             # OSError).
             import errno as _errno
-            if exc.errno not in (_errno.EPERM, _errno.EACCES,
-                                 _errno.ENOTSUP, _errno.EOPNOTSUPP,
-                                 getattr(_errno, "EMLINK", -1)):
+            link_unsupported = (_errno.EPERM, _errno.EACCES,
+                                getattr(_errno, "ENOTSUP", -1),
+                                getattr(_errno, "EOPNOTSUPP", -1),
+                                getattr(_errno, "EMLINK", -1))
+            if exc.errno not in link_unsupported:
                 raise
             try:
                 fd = _os.open(target,
@@ -364,10 +371,21 @@ class FileLedgerPointerStore:
                     f"v{version} — another writer committed from the "
                     "same base; re-run against the current "
                     "version") from None
-            with _os.fdopen(fd, "w") as fh:
-                _json.dump(body, fh)
-                fh.flush()
-                _os.fsync(fh.fileno())
+            try:
+                with _os.fdopen(fd, "w") as fh:
+                    _json.dump(body, fh)
+                    fh.flush()
+                    _os.fsync(fh.fileno())
+            except BaseException:
+                # a write failure here has already PUBLISHED a torn
+                # file under the name readers match — it would poison
+                # every subsequent read (JSONDecodeError) and make
+                # retries misreport ConcurrentLedgerError. Retract it.
+                try:
+                    _os.unlink(target)
+                except OSError:
+                    pass
+                raise
         finally:
             _os.unlink(tmp)
 
@@ -435,14 +453,18 @@ def vacuum_ledger(ledger_dir: str, keep_last: int = 2,
     ``keep_last`` must be >= 1 (the current version is never
     deletable).
 
-    Unreferenced directories younger than ``retention_seconds`` are
-    kept: a CONCURRENT writer's uniquely-named staging directory
-    (parquet written, CAS commit not yet landed) is indistinguishable
-    from a crash orphan by name alone, and deleting it would let the
-    writer's commit publish a pointer to a vanished directory —
-    permanently breaking reads. The mtime window is the same guard
-    :meth:`LogTable.vacuum` applies to staged data files (round-10
-    ADVICE). Pass ``0`` only when no concurrent writer can exist.
+    UNNAMED directories (no pointer entry in history) younger than
+    ``retention_seconds`` are kept: a CONCURRENT writer's
+    uniquely-named staging directory (parquet written, CAS commit not
+    yet landed) is indistinguishable from a crash orphan by name
+    alone, and deleting it would let the writer's commit publish a
+    pointer to a vanished directory — permanently breaking reads. The
+    mtime window is the same guard :meth:`LogTable.vacuum` applies to
+    staged data files (round-10 ADVICE). Pass ``0`` only when no
+    concurrent writer can exist. Directories a pointer entry NAMES
+    are provably committed (their CAS landed), so superseded versions
+    beyond ``keep_last`` reclaim immediately regardless of age — the
+    keep_last contract is not deferred 24h for known-dead data.
     Orphaned ``_ptr/*.tmp`` files (a writer that crashed between its
     private tmp write and the atomic link publish — invisible to
     readers by design) are swept under the same age guard and
@@ -472,6 +494,7 @@ def vacuum_ledger(ledger_dir: str, keep_last: int = 2,
     if not entries:
         return []                     # nothing committed: refuse to guess
     entries.sort(key=lambda e: e["version"])
+    named = {e.get("dir", f"v{e['version']}") for e in entries}
     keep = {e.get("dir", f"v{e['version']}")
             for e in entries[-keep_last:]}
     removed: list[str] = []
@@ -481,11 +504,11 @@ def vacuum_ledger(ledger_dir: str, keep_last: int = 2,
         if (pat.match(name) and name not in keep
                 and _os.path.isdir(full)):
             try:
-                if _os.path.getmtime(full) > cutoff:
+                if name not in named and _os.path.getmtime(full) > cutoff:
                     continue     # possibly a live writer's staging dir
+                _shutil.rmtree(full)
             except OSError:
                 continue         # vanished mid-scan: someone else's
-            _shutil.rmtree(full)
             removed.append(name)
     if _os.path.isdir(ptr_dir):
         for name in sorted(_os.listdir(ptr_dir)):
