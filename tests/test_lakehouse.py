@@ -956,3 +956,111 @@ def test_delete_where_isnull_removes_null_rows(spark, tmp_path):
         [(1, 10), (2, None), (3, 30)], "id long, v long").coalesce(1))
     t.delete_where([("v", "isnull", None)])
     assert sorted(r["id"] for r in t.read().collect()) == [1, 3]
+
+
+# --- round-11 review fixes: pruning soundness + maintenance races ----
+
+
+def test_partition_prune_matches_spark_dir_formatting(spark, tmp_path):
+    """Partition-dir pruning must use Spark's dir formatting, not bare
+    Python str(): a double partition writes p=1.0, so an int literal 1
+    must match numerically (str(1) is '1' — the old comparison pruned
+    EVERY file and returned an empty frame for a matching filter).
+    Booleans read back as STRING partition values (Spark's own
+    partition inference does not infer bool), so the realistic filter
+    literal is 'true'/'false' — pruning and the residual filter must
+    agree on it."""
+    td = LogTable.create(spark, str(tmp_path / "td"), ["p"])
+    td.append(spark.createDataFrame([(1.0, 10), (2.5, 20)],
+                                    "p double, x long"))
+    assert rows(td.read(filters=[("p", "=", 1)]).select("x")) == [(10,)]
+    assert rows(td.read(filters=[("p", "in", [2.5, 7])])
+                .select("x")) == [(20,)]
+    tb = LogTable.create(spark, str(tmp_path / "tb"), ["flag"])
+    tb.append(spark.createDataFrame([(True, 1), (False, 2)],
+                                    "flag boolean, x long"))
+    assert rows(tb.read(filters=[("flag", "=", "true")])
+                .select("x")) == [(1,)]
+    assert rows(tb.read(filters=[("flag", "in", ["false"])])
+                .select("x")) == [(2,)]
+    # and the unit predicate handles the literal forms Spark writes
+    from w_userflow_featurestore_spark.sources.lakehouse import (
+        _part_matches,
+    )
+    assert _part_matches("true", True) and _part_matches("false", False)
+    assert _part_matches("1.0", 1) and not _part_matches("1.0", 2)
+    assert _part_matches("2024-01-01", dt.date(2024, 1, 1))
+
+
+def test_stats_prune_aligns_date_and_datetime_shapes():
+    """A DATE column's footer stats ('2024-01-01') compared against a
+    timestamp-shaped literal must follow Spark's coercion (date ->
+    timestamp at midnight), not lexicographic string order — the old
+    comparison pruned files whose rows all matched."""
+    from w_userflow_featurestore_spark.sources.lakehouse import (
+        _stat_value, _stats_exclude,
+    )
+    stats = ["2024-01-01", "2024-01-03"]
+    assert not _stats_exclude(stats, "=", "2024-01-01 00:00:00")
+    assert not _stats_exclude(stats, "<=", "2024-01-01 00:00:00")
+    # and pruning still fires where it is provably sound
+    assert _stats_exclude(stats, "<", "2024-01-01 00:00:00")
+    assert _stats_exclude(["2024-01-01", "2024-01-01"], ">",
+                          "2024-01-01 00:00:00")
+    assert not _stats_exclude(stats, "in",
+                              ["2024-01-03 00:00:00"])
+    # tz-aware stats (parquet TIMESTAMP is adjusted-to-UTC) normalize
+    # to UTC wall-clock, not a raw offset-strip
+    aware = dt.datetime(2024, 1, 1, 1, 0,
+                        tzinfo=dt.timezone(dt.timedelta(hours=5)))
+    assert _stat_value(aware) == "2023-12-31 20:00:00"
+
+
+def test_update_where_rejects_unknown_set_column(spark, table):
+    table.append(_df(spark, [(1, D1, "a")]))
+    with pytest.raises(ValueError, match="unknown column"):
+        table.update_where([("k", "=", 1)], {"vv": F.lit("typo")})
+    # the data is untouched — no empty replace commit happened
+    assert rows(table.read().select("v")) == [("a",)]
+
+
+def test_snapshots_tolerates_concurrent_expire_deletions(
+        spark, table, monkeypatch):
+    """A log entry deleted by a concurrent expire_snapshots between
+    listdir and open must be skipped (the checkpoint commit that
+    replaced it summarizes its state), not crash every reader."""
+    table.append(_df(spark, [(1, D1, "a")]))
+    table.append(_df(spark, [(2, D2, "b")]))
+    real_listdir = os.listdir
+
+    def ghosting(path):
+        names = real_listdir(path)
+        if path == table._log_path:
+            names = sorted(set(names) | {"00000000000000000099.json"})
+        return names
+
+    monkeypatch.setattr(os, "listdir", ghosting)
+    snaps = table.snapshots()
+    assert [s.snapshot_id for s in snaps] == [1, 2]
+    assert table.read().count() == 2
+
+
+def test_empty_read_anchor_survives_missing_dead_files(spark, table):
+    """The zero-file read fallback must anchor its schema on a file
+    that EXISTS — and fail with the format's own error (not a Spark
+    PATH_NOT_FOUND) when every known file is gone."""
+    table.append(_df(spark, [(1, D1, "a")]))
+    table.delete_where([("k", ">=", 0)])
+    assert table.files() == []
+    # live set empty, the dead file still on disk: schema-stable empty
+    got = table.read()
+    assert got.count() == 0 and set(got.columns) == {"k", "datetime",
+                                                     "v"}
+    # remove every known data file from disk: the clear ValueError,
+    # not an AnalysisException from reading a vanished path
+    for root, _dirs, fs in os.walk(table._data_path):
+        for f in fs:
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(root, f))
+    with pytest.raises(ValueError, match="no readable data file"):
+        table.read().count()

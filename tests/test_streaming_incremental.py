@@ -639,3 +639,65 @@ def test_streaming_novelty_rollup_bounds_ledger_and_keeps_parity(
     assert {tuple(r) for r in
             read_streaming_novelty_ledger(spark, ledger).collect()} \
         == led_before
+
+
+def test_streaming_sessionize_gap_is_millisecond_exact(spark, tmp_path):
+    """The session gap must carry milliseconds verbatim: flooring to
+    whole seconds silently moved session boundaries vs the batch
+    operator for any gap not a multiple of 1000 (gap_ms=1500 became
+    '1 seconds', splitting events 1.2s apart that batch keeps
+    together), and produced an invalid '0 seconds' below 1s."""
+    src = str(tmp_path / "gsrc")
+    data = [
+        _batch(1, "2024-01-01 10:00:00.000", 1, "view"),
+        _batch(2, "2024-01-01 10:00:01.200", 1, "view"),   # <= 1500ms
+        _batch(3, "2024-01-01 10:00:04.000", 1, "view"),   # > 1500ms
+        # a far-future event per user drives the watermark well past
+        # the sessions above so append mode emits them closed
+        _batch(4, "2024-01-01 12:00:00", 1, "view"),
+    ]
+    _write_events(spark, src, data)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    q = (streaming_sessionize(stream, gap_ms=1500)
+         .writeStream.format("memory").queryName("gapsess")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "gck")).start())
+    q.awaitTermination(180)
+    got = sorted((r["start_time"], r["n_events"])
+                 for r in spark.table("gapsess").collect())
+    # events 1+2 merge (1200ms <= 1500ms), event 3 splits
+    assert got == [
+        (dt.datetime.fromisoformat("2024-01-01 10:00:00"), 2),
+        (dt.datetime.fromisoformat("2024-01-01 10:00:04"), 1),
+    ]
+def test_streaming_novelty_monitor_recovers_zero_commit_ledger(
+        spark, tmp_path):
+    """Crash-shaped state: the ledger LogTable exists (create() ran)
+    but holds ZERO commits — the replay path must treat it as an empty
+    ledger and make progress, not raise 'has no commits' on every
+    retry and wedge the stream permanently."""
+    from w_userflow_featurestore_spark.operators.dedup import (
+        shingle_ledger,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable
+    from w_userflow_featurestore_spark.streaming.ingest import (
+        read_streaming_novelty_ledger, streaming_novelty_monitor,
+    )
+    src, scores, ledger, ckpt = (str(tmp_path / d)
+                                 for d in ("nsrc", "nsc", "nled", "nck"))
+    ddl = "doc_id long, text string"
+    # the crash leftover: a ledger table with a log dir and no commits
+    LogTable.create(spark, ledger, [])
+    t1 = [(1, "the quick brown fox jumps over the lazy dog"),
+          (2, "completely different spark engine content here")]
+    spark.createDataFrame(t1, ddl).write.mode("append").parquet(src)
+    q = streaming_novelty_monitor(
+        spark.readStream.schema(ddl).parquet(src), scores, ledger,
+        ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = {tuple(r) for r in
+           read_streaming_novelty_ledger(spark, ledger).collect()}
+    want = {tuple(r) for r in
+            shingle_ledger(spark.createDataFrame(t1, ddl)).collect()}
+    assert got == want
+    assert LogTable(spark, scores).read().count() == 2

@@ -45,6 +45,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re as _re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -67,12 +68,24 @@ def _stat_value(v):
     lexicographic order == chronological order even when the
     fractional-seconds part is absent); Decimal and raw binary are
     skipped — float-rounding a Decimal could prune a file that
-    actually matches, and pruning must never be unsound."""
+    actually matches, and pruning must never be unsound.
+
+    Timestamp convention: tz-AWARE datetimes (parquet TIMESTAMP is
+    adjusted-to-UTC, so pyarrow footer stats arrive aware) convert to
+    UTC before the offset is dropped — stored stats are UTC
+    wall-clock. Naive filter literals compare directly against them
+    because the engine PINS ``spark.sql.session.timeZone=UTC``
+    (conf.py): Spark interprets a naive literal as session-local =
+    UTC, the same wall-clock. A deployment that overrides the session
+    timezone must convert its filter literals to UTC (or pass aware
+    datetimes, which are converted here)."""
     if isinstance(v, bool) or v is None:
         return None                      # bool min/max carries no signal
     if isinstance(v, (int, float, str)):
         return v
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc)
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -93,6 +106,50 @@ def _comparable(a, b) -> bool:
     num = (int, float)
     return (isinstance(a, num) and isinstance(b, num)) or \
            (isinstance(a, str) and isinstance(b, str))
+
+
+_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_DATETIME_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:")
+
+
+def _part_matches(pv: str | None, val) -> bool:
+    """Does a Hive partition-dir STRING value match a filter literal
+    under Spark's own dir formatting? Spark writes booleans as
+    true/false (str(True) is 'True' — comparing that wrongly pruned
+    every file), dates/timestamps as ISO text, and doubles as '1.0'
+    (an int literal 1 must still match) — so bools/temporals format
+    explicitly and numerics compare numerically, falling back to the
+    raw string only for genuinely-string partition values."""
+    if val is None:
+        return pv is None
+    if pv is None:
+        return False
+    if isinstance(val, bool):
+        return pv == ("true" if val else "false")
+    if isinstance(val, _dt.datetime):
+        return pv == val.isoformat(sep=" ")
+    if isinstance(val, _dt.date):
+        return pv == val.isoformat()
+    if isinstance(val, (int, float)):
+        try:
+            return float(pv) == float(val)
+        except ValueError:
+            return False
+    return pv == str(val)
+
+
+def _align_date_shape(a: str, b: str) -> str:
+    """Pad a date-only ISO string to midnight when compared against a
+    datetime-shaped string: Spark coerces a DATE column in a timestamp
+    comparison to timestamp-at-midnight, so a date stat '2024-01-01'
+    against a filter literal '2024-01-01 00:00:00' must compare EQUAL,
+    not lexicographically-less (which wrongly pruned matching files).
+    For genuine string columns the padding can only LOSE pruning
+    (midnight-padded bounds are looser), never prune a matching file —
+    the sound direction."""
+    if _DATE_RE.match(a) and _DATETIME_RE.match(b):
+        return a + " 00:00:00"
+    return a
 
 
 def _stats_exclude(col_stats, op: str, val) -> bool:
@@ -116,9 +173,21 @@ def _stats_exclude(col_stats, op: str, val) -> bool:
                 and col_stats[2] == col_stats[3])
     if val is None or lo is None or hi is None:
         return False
+    if isinstance(lo, str) and isinstance(val, str):
+        # date-vs-datetime shape coercion (Spark compares a DATE column
+        # to a timestamp literal at midnight — align before comparing)
+        lo, hi = _align_date_shape(lo, val), _align_date_shape(hi, val)
+        val = _align_date_shape(val, lo)
     if op == "in":
-        return all(x is not None and _comparable(lo, x)
-                   and (x < lo or x > hi) for x in val)
+        def _excludes_member(x) -> bool:
+            if x is None or not _comparable(lo, x):
+                return False
+            l, h = lo, hi
+            if isinstance(l, str) and isinstance(x, str):
+                l, h = _align_date_shape(l, x), _align_date_shape(h, x)
+                x = _align_date_shape(x, l)
+            return x < l or x > h
+        return all(_excludes_member(x) for x in val)
     if not (_comparable(lo, val) and _comparable(hi, val)):
         return False
     if op in ("=", "=="):
@@ -254,8 +323,16 @@ class LogTable:
         for f in sorted(os.listdir(self._log_path)):
             if not f.endswith(".json") or f.startswith("_"):
                 continue
-            with open(os.path.join(self._log_path, f)) as fh:
-                d = json.load(fh)
+            try:
+                with open(os.path.join(self._log_path, f)) as fh:
+                    d = json.load(fh)
+            except FileNotFoundError:
+                # lost a race with a concurrent expire_snapshots: the
+                # entry listdir saw was just deleted — it is strictly
+                # older than the checkpoint commit that replaced it,
+                # so the checkpoint (already in this listing or the
+                # next) summarizes it; skipping is consistent
+                continue
             out.append(Snapshot(d["snapshot_id"], d["parent_id"],
                                 d["committed_at_ms"], d["operation"],
                                 tuple(d["add"]), tuple(d["remove"]),
@@ -284,7 +361,6 @@ class LogTable:
         partition values decoded from the dir segments, and the
         manifest min/max column stats as JSON. Driver-side O(files)
         like every metadata read — never a data scan."""
-        from urllib.parse import unquote
         parts = self.partition_by
         rows = []
         stats = self.files_stats(snapshot_id)
@@ -294,11 +370,10 @@ class LogTable:
                 size = os.path.getsize(p)
             except OSError:
                 size = None
-            vals = dict(seg.split("=", 1)
-                        for seg in rel.split(os.sep)[:-1] if "=" in seg)
-            part = {c: (None if vals.get(c) == "__HIVE_DEFAULT_PARTITION__"
-                        else unquote(vals[c]) if c in vals else None)
-                    for c in parts}
+            # one dir-decoding code path with the prune layer — a fix
+            # to partition parsing must not have to land twice
+            pvals = self._partition_values(rel)
+            part = {c: pvals.get(c) for c in parts}
             rows.append((rel, size, part, json.dumps(stats.get(rel, {}),
                                                      sort_keys=True)))
         return self.spark.createDataFrame(
@@ -530,14 +605,16 @@ class LogTable:
                 if col in pvals:
                     # dir value is the authoritative partition value;
                     # equality-shaped ops only (dir values are strings,
-                    # range-comparing stringified numbers is unsound)
+                    # range-comparing stringified numbers is unsound).
+                    # Matching goes through _part_matches — Spark's dir
+                    # formatting, not Python str() (bool/double/date
+                    # literals silently pruned everything otherwise)
                     pv = pvals[col]
-                    if op in ("=", "==") and (pv is None
-                                              or pv != str(val)):
+                    if op in ("=", "==") and not _part_matches(pv, val):
                         drop = True
                         break
-                    if op == "in" and (pv is None or
-                                       pv not in {str(x) for x in val}):
+                    if op == "in" and not any(_part_matches(pv, x)
+                                              for x in val):
                         drop = True
                         break
                     if op == "isnull" and pv is not None:
@@ -572,15 +649,29 @@ class LogTable:
                     merge_schema: bool = False) -> DataFrame:
         paths = [os.path.join(self._data_path, f) for f in rel_files]
         if not paths:
-            # schema-stable empty frame from any existing data file; a
-            # table with zero-commits has no schema to offer
-            all_known = sorted({f for s in self.snapshots() for f in s.add})
-            if not all_known:
+            # schema-stable empty frame from an existing data file; a
+            # table with zero-commits has no schema to offer. Anchor
+            # on the CURRENT chain's files first — a file known only
+            # to a dead-fork snapshot may have been vacuumed — and
+            # verify on-disk existence either way (retention-expired
+            # files linger in old add-lists)
+            snaps = self.snapshots()
+            if not snaps:
                 raise ValueError(f"LogTable {self.path} has no commits")
-            return (self.spark.read
-                    .option("basePath", self._data_path)
-                    .parquet(os.path.join(self._data_path, all_known[0]))
-                    .limit(0))
+            live = sorted(self.files())
+            dead = sorted({f for s in snaps for f in s.add}
+                          - set(live))
+            for rel in live + dead:
+                p = os.path.join(self._data_path, rel)
+                if os.path.exists(p):
+                    return (self.spark.read
+                            .option("basePath", self._data_path)
+                            .parquet(p)
+                            .limit(0))
+            raise ValueError(
+                f"LogTable {self.path} has no readable data file to "
+                "anchor an empty frame's schema on (all known files "
+                "vacuumed)")
         reader = self.spark.read.option("basePath", self._data_path)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -962,6 +1053,13 @@ class LogTable:
         if not victim_rel:
             return base
         victim_df = self._read_files(victim_rel)
+        unknown = sorted(set(set_exprs) - set(victim_df.columns))
+        if unknown:
+            raise ValueError(
+                f"update_where SET names unknown column(s) {unknown} — "
+                f"table columns are {victim_df.columns} (SQL UPDATE "
+                "rejects an unknown SET column; silently ignoring it "
+                "would no-op the update)")
         hit = F.coalesce(self._filter_cond(filters), F.lit(False))
         # ONE select evaluating predicate and every SET expression
         # against the ORIGINAL row — sequential withColumn would let a
@@ -1093,7 +1191,11 @@ class LogTable:
                 "stats": {f: stats.get(f, {}) for f in full}}
         target = os.path.join(self._log_path,
                               f"{oldest.snapshot_id:020d}.json")
-        tmp = target + ".tmp"
+        # uuid-suffixed tmp, like every other tmp write in this file:
+        # two concurrent expires sharing a bare '.tmp' name could
+        # publish one writer's half-written bytes via the other's
+        # os.replace, bricking the log
+        tmp = f"{target}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             json.dump(body, fh)
         os.replace(tmp, target)

@@ -154,7 +154,10 @@ def streaming_sessionize(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS,
     ``gap_ms``. Produces the same rollup columns; session identity is
     (user_id, window.start) instead of a synthetic id.
     """
-    gap = f"{gap_ms // 1000} seconds"
+    # milliseconds verbatim: flooring to whole seconds silently moved
+    # session boundaries vs the batch operator for any gap not a
+    # multiple of 1000 (and produced an invalid '0 seconds' below 1s)
+    gap = f"{gap_ms} milliseconds"
     return (events
             .withWatermark(ts_col, watermark)
             .groupBy(F.col(user_col),
@@ -486,7 +489,15 @@ def streaming_novelty_monitor(docs: DataFrame, scores_path: str,
         # one derivation feeds the scoring AND the delta append
         batch = batch.select(F.col(id_col), F.col(text_col)) \
             .localCheckpoint(eager=True)
-        if LogTable.is_log_table(ledger_path):
+        # zero-commit guard: a crash between LogTable.create() and the
+        # first ledger append leaves _txn_log present but empty — on
+        # checkpoint replay is_log_table() alone would route into
+        # read() and raise 'has no commits' on EVERY retry, wedging
+        # the stream permanently (runner.py's ledger readers guard
+        # this same state)
+        if (LogTable.is_log_table(ledger_path)
+                and LogTable(spark, ledger_path)
+                        .latest_snapshot_id() is not None):
             led = read_streaming_novelty_ledger(spark, ledger_path)
         else:
             led = spark.createDataFrame([], "sh long, n_docs long")
