@@ -2666,51 +2666,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_span_removed": q_incremental_span_removed,
 }
 
-# --- round-11 certification window (driver certifies the FIRST 50) ---
+# --- round-12 certification window (driver certifies the FIRST 50) ---
 # Rotation discipline: displaced/reshaped/never-certified leads first
 # (the sanctioned overflow path), then strict least-recently-certified.
 # At 156 registered queries the 50-slot window needs a FOUR-round cycle
 # (3 x 50 = 150 < 156 — round-9 verdict, What's wrong #2). The dict
 # literal above keeps its historical narrative order; this list IS the
-# round-11 bookkeeping record (tests/test_cert_window.py pins the
+# round-12 bookkeeping record (tests/test_cert_window.py pins the
 # composition), and the rebuild below makes it the driver's physical
 # certification order.
-_ROUND11_WINDOW = [
-    # the 10 ROUND11_LEADS the round-10 verdict pins (Next round #1),
-    # in exactly this order: 6 r7 holders displaced by the 4-round
-    # cycle, 3 round-10 grain reshapes (stale r9 certificates), and
-    # the never-certified round-10 addition
-    "dedup_latest", "above_avg_orders", "pricing_summary",
-    "revenue_by_nation", "pack_sequences", "frequent_tokens",
-    "discount_band_revenue", "small_quantity_revenue",
-    "corpus_language_stats", "span_removed_corpus",
-    # then strict LRU: the first 40 of the 48 r8 certificate holders
-    # (reconstructed from CORRECTNESS_r08 minus every r9 re-cert),
-    # in their round-8 certification order
-    "ab_test", "behavior_trigrams", "curate_corpus", "sessions",
-    "event_type_pivot", "top_item_per_day", "item_continuation",
-    "cohort_vs_global", "promo_revenue", "minhash_accuracy",
-    "large_volume_orders", "sole_return_supplier",
-    "idle_customer_balance", "top_revenue_supplier",
-    "bulk_part_suppliers", "cluster_balanced_sample",
-    "bracket_revenue", "doc_chunks", "ann_cosine_topk",
-    "ann_lsh_bucket", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_recall_gate", "vocab_coverage", "volume_anomaly",
-    "embedding_near_pairs", "embedding_dedup", "asof_features",
-    "interval_features", "event_rollup", "event_cube",
-    "doc_fingerprints", "rolling_user_features", "event_time_windows",
-    "event_sliding_windows", "session_windows", "training_set",
-    "bm25_topk", "hybrid_search", "hll_union_rollup",
-    # the 8 r8 holders that don't fit (mixture_weights,
-    # incremental_leakage_split, bpe_merges, bpe_encode,
-    # bigram_surprisal, perplexity_buckets, dsir_importance,
-    # funnel_daily) lead the ROUND-12 window, ahead of the r9
-    # holders — the 4-round cycle forced by 156 queries / 50 slots
+_ROUND12_WINDOW = [
+    # the 9 ROUND12_LEADS the round-11 verdict pins (Next round #1),
+    # in exactly this order: 8 r8 holders displaced by the 4-round
+    # cycle (in r8 certification order), then the never-certified
+    # round-11 addition. Nothing was reshaped in round 11.
+    "mixture_weights", "incremental_leakage_split", "bpe_merges",
+    "bpe_encode", "bigram_surprisal", "perplexity_buckets",
+    "dsir_importance", "funnel_daily", "incremental_span_removed",
+    # then strict LRU: the first 41 of the 47 r9 certificate holders
+    # (reconstructed from CORRECTNESS_r09 minus the 3 reshapes that
+    # re-certified in round 11), in their round-9 certification order
+    "event_transitions", "incremental_curate", "behavior_diversity",
+    "contamination", "shipping_priority", "churn_labels",
+    "time_decay_features", "big_spender_customers", "multimodal_decode",
+    "multimodal_frames", "salted_user_agg", "salted_join",
+    "top_docs_per_source", "duration_percentiles", "volume_shipping",
+    "duplicate_spans", "incremental_duplicate_spans", "product_profit",
+    "returned_item_customers", "order_count_distribution", "user_daily",
+    "item_daily", "entry_type_daily", "binge_ratio",
+    "retention_yesterday", "retention_today", "dim_gap_features",
+    "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+    "dedup_components", "ngram_jaccard_pairs", "simhash",
+    "simhash_near_pairs", "text_profile", "repetition_profile",
+    "market_share", "quality_filter_verdict", "bpe_encode_persisted",
+    "dsir_select", "dsir_select_tokens",
+    # the 6 r9 holders that don't fit (quality_rule_report,
+    # ccnet_curate, hard_negatives, knn_label_agreement,
+    # dedup_rate_report, tokenizer_drift) lead the ROUND-13 window,
+    # ahead of the r10 holders — the 4-round cycle forced by
+    # 156 queries / 50 slots
 ]
 
 QUERIES = {name: QUERIES[name] for name in
-           _ROUND11_WINDOW + [n for n in QUERIES
-                              if n not in _ROUND11_WINDOW]}
+           _ROUND12_WINDOW + [n for n in QUERIES
+                              if n not in _ROUND12_WINDOW]}
 
 
 def _datestr(df: DataFrame) -> DataFrame:
