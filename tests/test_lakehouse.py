@@ -992,6 +992,86 @@ def test_partition_prune_matches_spark_dir_formatting(spark, tmp_path):
     assert _part_matches("2024-01-01", dt.date(2024, 1, 1))
 
 
+def test_partition_prune_temporal_decimal_and_special_doubles(
+        spark, tmp_path):
+    """Round-11 ADVICE #1: _part_matches lacked the temporal
+    normalization the stats path got. A tz-aware literal formatted as
+    '...+00:00' via isoformat and never matched the naive dir string;
+    a midnight datetime vs a DATE-partitioned dir (or a date literal
+    vs a TIMESTAMP dir) failed the exact string match where Spark's
+    own coercion matches; Spark trims trailing zeros in the dir's
+    fractional seconds ('.123', not isoformat's '.123000'); decimal
+    dirs carry the FULL declared scale ('1.500' vs str(Decimal('1.5'))
+    = '1.5'); and NaN = NaN is TRUE in Spark SQL. Every one of these
+    pruned ALL matching files — silent empty results."""
+    import decimal as dec
+
+    utc = dt.timezone.utc
+    ist = dt.timezone(dt.timedelta(hours=5, minutes=30))
+
+    ts = LogTable.create(spark, str(tmp_path / "ts"), ["p"])
+    ts.append(spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1),
+         (dt.datetime(2024, 1, 1, 0, 0, 0, 123000), 2),
+         (dt.datetime(2024, 1, 2, 10, 30), 3)], "p timestamp, x long"))
+    # tz-aware literal (UTC wall-clock == session tz) matches
+    assert rows(ts.read(filters=[
+        ("p", "=", dt.datetime(2024, 1, 1, tzinfo=utc))])
+        .select("x")) == [(1,)]
+    # the same instant expressed in another zone matches too
+    assert rows(ts.read(filters=[
+        ("p", "=", dt.datetime(2024, 1, 1, tzinfo=utc).astimezone(ist))])
+        .select("x")) == [(1,)]
+    # DATE literal on a timestamp partition: Spark coerces to midnight
+    assert rows(ts.read(filters=[("p", "=", dt.date(2024, 1, 1))])
+                .select("x")) == [(1,)]
+    # trailing-zero-trimmed dir fraction ('.123') vs isoformat '.123000'
+    assert rows(ts.read(filters=[
+        ("p", "=", dt.datetime(2024, 1, 1, 0, 0, 0, 123000))])
+        .select("x")) == [(2,)]
+
+    dp = LogTable.create(spark, str(tmp_path / "dp"), ["p"])
+    dp.append(spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 1), (dt.date(2024, 1, 2), 2)],
+        "p date, x long"))
+    # midnight datetime literal on a DATE partition matches its day...
+    assert rows(dp.read(filters=[("p", "=", dt.datetime(2024, 1, 1))])
+                .select("x")) == [(1,)]
+    assert rows(dp.read(filters=[
+        ("p", "=", dt.datetime(2024, 1, 1, tzinfo=utc))])
+        .select("x")) == [(1,)]
+    # ...and a non-midnight one correctly matches nothing
+    assert dp.read(filters=[
+        ("p", "=", dt.datetime(2024, 1, 1, 10, 0))]).count() == 0
+
+    dc = LogTable.create(spark, str(tmp_path / "dc"), ["p"])
+    dc.append(spark.createDataFrame(
+        [(dec.Decimal("1.500"), 1), (dec.Decimal("-123456.789"), 2)],
+        "p decimal(9,3), x long"))
+    assert rows(dc.read(filters=[("p", "=", dec.Decimal("1.5"))])
+                .select("x")) == [(1,)]
+    assert rows(dc.read(filters=[
+        ("p", "in", [dec.Decimal("-123456.789"), dec.Decimal("9")])])
+        .select("x")) == [(2,)]
+
+    # unit predicate on the literal dir forms Spark writes
+    from w_userflow_featurestore_spark.sources.lakehouse import (
+        _part_matches,
+    )
+    assert _part_matches("NaN", float("nan"))       # Spark: NaN = NaN
+    assert not _part_matches("1.5", float("nan"))
+    assert not _part_matches("NaN", 1.5)
+    assert _part_matches("Infinity", float("inf"))
+    assert _part_matches("1.0E300", 1e300)
+    assert _part_matches("2024-01-01 00:00:00.123",
+                         dt.datetime(2024, 1, 1, 0, 0, 0, 123000))
+    assert not _part_matches("2024-01-01 00:00:00.123",
+                             dt.datetime(2024, 1, 1, 0, 0, 0, 123001))
+    assert _part_matches("1.500", dec.Decimal("1.5"))
+    assert not _part_matches("1.500", dec.Decimal("1.501"))
+    assert not _part_matches("abc", dec.Decimal("1.5"))
+
+
 def test_stats_prune_aligns_date_and_datetime_shapes():
     """A DATE column's footer stats ('2024-01-01') compared against a
     timestamp-shaped literal must follow Spark's coercion (date ->
@@ -1043,6 +1123,65 @@ def test_snapshots_tolerates_concurrent_expire_deletions(
     snaps = table.snapshots()
     assert [s.snapshot_id for s in snaps] == [1, 2]
     assert table.read().count() == 2
+
+
+def test_snapshots_relist_closes_the_torn_expire_interleaving(
+        spark, table, monkeypatch):
+    """Round-11 ADVICE #3: skipping a FileNotFoundError is not enough
+    when the reader already CONSUMED a pre-expire entry before the
+    expire deleted it — the returned list would mix that stale entry
+    (parent chain gone) with the post-expire checkpoint, and
+    whole-list consumers (snapshots_df, the dead-fork scan) see a
+    dangling parent. The fix re-lists when any skip happened; by then
+    the expire's deletions are all visible. This test freezes the
+    exact torn interleaving: listdir returns a PRE-expire listing,
+    then the expire lands (checkpoint written, old entries deleted)
+    while entry 1 was already readable — so the first pass reads
+    stale-1, loses 2 to FileNotFoundError, and reads checkpoint-3."""
+    table.append(_df(spark, [(1, D1, "a")]))
+    table.append(_df(spark, [(2, D2, "b")]))
+    table.append(_df(spark, [(3, D1, "c")]))
+    log = table._log_path
+    entries = sorted(f for f in os.listdir(log)
+                     if f.endswith(".json") and not f.startswith("_"))
+    e1 = os.path.join(log, entries[0])
+    with open(e1) as fh:
+        e1_bytes = fh.read()                 # entry 1, pre-expire
+    real_listdir = os.listdir
+    state = {"phase": 0}
+
+    def torn(path):
+        if path != log:
+            return real_listdir(path)
+        if state["phase"] == 0:
+            # the reader's FIRST listing: land the expire now (its
+            # own internal listings run at phase 1 and pass through),
+            # then resurrect entry 1 — 'deleted only after the reader
+            # consumed it' — and hand back the stale pre-expire names
+            state["phase"] = 1
+            table.expire_snapshots(keep_last=1)
+            with open(e1, "w") as fh:
+                fh.write(e1_bytes)
+            state["phase"] = 2
+            return entries
+        if state["phase"] == 2:
+            # the reader's RE-list: entry 1's deletion is now visible
+            state["phase"] = 3
+            if os.path.exists(e1):
+                os.remove(e1)
+        return real_listdir(path)
+
+    monkeypatch.setattr(os, "listdir", torn)
+    snaps = table.snapshots()
+    # the torn first pass reads stale-1, loses 2 to FileNotFoundError,
+    # reads checkpoint-3 — [stale-1, checkpoint-3] is what the old
+    # code returned; the re-list returns the consistent post-expire log
+    assert [s.snapshot_id for s in snaps] == [3]
+    assert snaps[0].operation == "checkpoint"
+    assert snaps[0].parent_id is None
+    assert state["phase"] == 3               # the re-list happened
+    monkeypatch.setattr(os, "listdir", real_listdir)
+    assert table.read().count() == 3
 
 
 def test_empty_read_anchor_survives_missing_dead_files(spark, table):

@@ -710,6 +710,30 @@ def test_file_pointer_store_falls_back_when_hard_links_unsupported(
         store.commit(d, 3, 2, {"dir": "v3-a"})
 
 
+def test_enosys_link_failure_takes_the_fallback_path(
+        tmp_path, monkeypatch):
+    """Round-11 ADVICE #2: several FUSE/network filesystems raise
+    ENOSYS (not EPERM/EOPNOTSUPP) for an unimplemented os.link — that
+    errno must classify as link-unsupported and degrade to the
+    O_CREAT|O_EXCL path instead of dying with an unclassified
+    OSError."""
+    import errno
+    import os
+    from w_userflow_featurestore_spark.runner import (
+        FileLedgerPointerStore,
+    )
+    d = str(tmp_path / "led")
+    os.makedirs(d)
+    store = FileLedgerPointerStore()
+
+    def no_syscall(src, dst, **kw):
+        raise OSError(errno.ENOSYS, "function not implemented")
+
+    monkeypatch.setattr(os, "link", no_syscall)
+    store.commit(d, 1, None, {"dir": "v1-a"})
+    assert store.current_entry(d) == {"dir": "v1-a", "version": 1}
+
+
 def test_fallback_write_failure_retracts_the_published_name(
         tmp_path, monkeypatch):
     """On the no-hardlink fallback path the O_EXCL create PUBLISHES the

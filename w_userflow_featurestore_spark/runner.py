@@ -359,7 +359,11 @@ class FileLedgerPointerStore:
             link_unsupported = (_errno.EPERM, _errno.EACCES,
                                 getattr(_errno, "ENOTSUP", -1),
                                 getattr(_errno, "EOPNOTSUPP", -1),
-                                getattr(_errno, "EMLINK", -1))
+                                getattr(_errno, "EMLINK", -1),
+                                # several FUSE/network filesystems
+                                # report an unimplemented os.link as
+                                # ENOSYS, not EOPNOTSUPP
+                                getattr(_errno, "ENOSYS", -1))
             if exc.errno not in link_unsupported:
                 raise
             try:

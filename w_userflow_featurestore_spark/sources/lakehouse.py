@@ -43,7 +43,9 @@ writer leaves only orphaned staging files, never a partial commit.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import json
+import math as _math
 import os
 import re as _re
 import time
@@ -112,14 +114,45 @@ _DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
 _DATETIME_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:")
 
 
+def _parse_dir_temporal(pv: str) -> _dt.datetime | None:
+    """A partition-dir string as a naive-UTC datetime, when it parses
+    as ISO date or timestamp (Spark writes both shapes as ISO text,
+    timestamps with the fractional part trailing-zero-trimmed —
+    '.123', not '.123000' — which is why string equality is the wrong
+    comparison and a PARSED compare is used). A date-only dir value
+    parses to midnight — exactly Spark's DATE->TIMESTAMP coercion, so
+    the date-vs-datetime shape mismatch the stats path needed
+    ``_align_date_shape`` for is handled here by construction. An
+    offset-bearing value (not a shape Spark's dir writer emits, but a
+    STRING partition column may hold one) converts to UTC wall-clock —
+    the same convention ``_stat_value`` documents."""
+    try:
+        d = _dt.datetime.fromisoformat(pv)
+    except ValueError:
+        return None
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return d
+
+
 def _part_matches(pv: str | None, val) -> bool:
     """Does a Hive partition-dir STRING value match a filter literal
-    under Spark's own dir formatting? Spark writes booleans as
-    true/false (str(True) is 'True' — comparing that wrongly pruned
-    every file), dates/timestamps as ISO text, and doubles as '1.0'
-    (an int literal 1 must still match) — so bools/temporals format
-    explicitly and numerics compare numerically, falling back to the
-    raw string only for genuinely-string partition values."""
+    under Spark's own dir formatting and coercion? Spark writes
+    booleans as true/false (str(True) is 'True' — comparing that
+    wrongly pruned every file), dates/timestamps as ISO text, doubles
+    as '1.0'/'1.0E300'/'Infinity'/'NaN' (an int literal 1 must still
+    match '1.0'), and decimals at FULL declared scale ('1.500' for a
+    decimal(9,3) literal 1.5 — str(Decimal) compare wrongly pruned
+    every file). Temporals compare PARSED, not as strings: a tz-aware
+    literal normalizes to UTC wall-clock (isoformat would embed
+    '+00:00' and never match), a date literal against a
+    timestamp-partitioned dir (and vice versa) compares at midnight —
+    Spark's own DATE<->TIMESTAMP coercion — and trailing-zero-trimmed
+    fractional seconds compare equal regardless of rendering. NaN
+    matches NaN because Spark SQL defines NaN = NaN as TRUE (IEEE
+    would say false; pruning on IEEE semantics would silently drop
+    every NaN row). Falls back to the raw string only for
+    genuinely-string partition values."""
     if val is None:
         return pv is None
     if pv is None:
@@ -127,14 +160,30 @@ def _part_matches(pv: str | None, val) -> bool:
     if isinstance(val, bool):
         return pv == ("true" if val else "false")
     if isinstance(val, _dt.datetime):
+        if val.tzinfo is not None:
+            val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        parsed = _parse_dir_temporal(pv)
+        if parsed is not None:
+            return parsed == val
         return pv == val.isoformat(sep=" ")
     if isinstance(val, _dt.date):
+        parsed = _parse_dir_temporal(pv)
+        if parsed is not None:
+            return parsed == _dt.datetime(val.year, val.month, val.day)
         return pv == val.isoformat()
+    if isinstance(val, _decimal.Decimal):
+        try:
+            return _decimal.Decimal(pv) == val
+        except _decimal.InvalidOperation:
+            return False
     if isinstance(val, (int, float)):
         try:
-            return float(pv) == float(val)
-        except ValueError:
+            fpv, fv = float(pv), float(val)
+        except (ValueError, OverflowError):
             return False
+        if _math.isnan(fv) or _math.isnan(fpv):
+            return _math.isnan(fv) and _math.isnan(fpv)
+        return fpv == fv
     return pv == str(val)
 
 
@@ -318,25 +367,42 @@ class LogTable:
 
     def snapshots(self) -> list[Snapshot]:
         """All commits in log order (the ``snapshots`` metadata table,
-        reference silver_dag.py:102-107)."""
-        out = []
-        for f in sorted(os.listdir(self._log_path)):
-            if not f.endswith(".json") or f.startswith("_"):
-                continue
-            try:
-                with open(os.path.join(self._log_path, f)) as fh:
-                    d = json.load(fh)
-            except FileNotFoundError:
-                # lost a race with a concurrent expire_snapshots: the
-                # entry listdir saw was just deleted — it is strictly
-                # older than the checkpoint commit that replaced it,
-                # so the checkpoint (already in this listing or the
-                # next) summarizes it; skipping is consistent
-                continue
-            out.append(Snapshot(d["snapshot_id"], d["parent_id"],
-                                d["committed_at_ms"], d["operation"],
-                                tuple(d["add"]), tuple(d["remove"]),
-                                d.get("txn"), d.get("stats") or {}))
+        reference silver_dag.py:102-107).
+
+        Concurrent ``expire_snapshots`` race: entries deleted between
+        the listdir and the reads raise FileNotFoundError. Merely
+        skipping them is NOT enough for whole-list consumers — a
+        reader that consumed a pre-expire entry BEFORE its deletion
+        and then skipped a later one would return a list mixing that
+        stale entry (whose parent chain no longer exists) with the
+        post-expire checkpoint. So any swallowed FileNotFoundError
+        triggers a full re-list: expire deletes the old prefix and the
+        reader scans in sorted order, so every torn interleaving
+        surfaces as at least one FileNotFoundError on a not-yet-read
+        entry, and by the retry the deletions are all visible —
+        the second pass reads a consistent log. (Bounded retries:
+        expire is a maintenance call, not a loop; three CONSECUTIVE
+        racing expires is not a state this engine produces, and the
+        final pass still returns a usable post-expire listing.)"""
+        out: list[Snapshot] = []
+        for _attempt in range(3):
+            out = []
+            lost_race = False
+            for f in sorted(os.listdir(self._log_path)):
+                if not f.endswith(".json") or f.startswith("_"):
+                    continue
+                try:
+                    with open(os.path.join(self._log_path, f)) as fh:
+                        d = json.load(fh)
+                except FileNotFoundError:
+                    lost_race = True
+                    continue
+                out.append(Snapshot(d["snapshot_id"], d["parent_id"],
+                                    d["committed_at_ms"], d["operation"],
+                                    tuple(d["add"]), tuple(d["remove"]),
+                                    d.get("txn"), d.get("stats") or {}))
+            if not lost_race:
+                break
         return out
 
     def snapshots_df(self) -> DataFrame:
