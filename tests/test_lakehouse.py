@@ -966,10 +966,14 @@ def test_partition_prune_matches_spark_dir_formatting(spark, tmp_path):
     Python str(): a double partition writes p=1.0, so an int literal 1
     must match numerically (str(1) is '1' — the old comparison pruned
     EVERY file and returned an empty frame for a matching filter).
-    Booleans read back as STRING partition values (Spark's own
-    partition inference does not infer bool), so the realistic filter
-    literal is 'true'/'false' — pruning and the residual filter must
-    agree on it."""
+    Booleans USED to read back as STRING partition values (Spark's own
+    partition inference does not infer bool); since the round-12 typed
+    read (``partition_types`` stamped at first write) they read back
+    as genuine BOOLEAN — bool literals filter natively, and a string
+    '=' literal still coerces (Spark casts across bool/string in
+    binary comparison; inside IN lists Spark refuses mixed types, so a
+    string 'in' literal is a caller type error now, as on any typed
+    table)."""
     td = LogTable.create(spark, str(tmp_path / "td"), ["p"])
     td.append(spark.createDataFrame([(1.0, 10), (2.5, 20)],
                                     "p double, x long"))
@@ -979,9 +983,12 @@ def test_partition_prune_matches_spark_dir_formatting(spark, tmp_path):
     tb = LogTable.create(spark, str(tmp_path / "tb"), ["flag"])
     tb.append(spark.createDataFrame([(True, 1), (False, 2)],
                                     "flag boolean, x long"))
+    assert dict(tb.read().dtypes)["flag"] == "boolean"
     assert rows(tb.read(filters=[("flag", "=", "true")])
                 .select("x")) == [(1,)]
-    assert rows(tb.read(filters=[("flag", "in", ["false"])])
+    assert rows(tb.read(filters=[("flag", "=", True)])
+                .select("x")) == [(1,)]
+    assert rows(tb.read(filters=[("flag", "in", [False])])
                 .select("x")) == [(2,)]
     # and the unit predicate handles the literal forms Spark writes
     from w_userflow_featurestore_spark.sources.lakehouse import (
@@ -1203,3 +1210,189 @@ def test_empty_read_anchor_survives_missing_dead_files(spark, table):
                 os.remove(os.path.join(root, f))
     with pytest.raises(ValueError, match="no readable data file"):
         table.read().count()
+
+
+# ------------------------------------- randomized pruning soundness
+#
+# Round 11's DIRECTED review of the pruning layer found three
+# silent-row-loss bugs (partition str(val) vs Spark dir formatting,
+# date-vs-datetime lexicographic stats compare, raw tz-strip); round
+# 12's directed pass found three more (tz-aware literal isoformat,
+# decimal full-scale dirs, NaN equality). The round-11 verdict (Next
+# round #2) asks for the RESIDUAL class to be covered property-style:
+# seeded trials generating LogTables with randomly-typed partition and
+# data columns and random predicates, asserting the pruned read is
+# row-identical to the same predicate applied WITHOUT pruning.
+#
+# Ground truth is Spark itself: `_apply_filters(read(), f)` evaluates
+# the predicate over EVERY live file with Spark's own coercion
+# semantics; `read(filters=f)` runs the same residual AFTER manifest
+# pruning — so the only way the two can differ is a file the manifest
+# wrongly dropped. (Extra KEPT files are invisible: the residual
+# removes their rows on both sides. The harness therefore tests
+# exactly the soundness direction, which is the one that matters —
+# nothing downstream ever notices a silently-missing file.)
+
+import decimal as _dec
+import math as _math
+import random as _random
+
+_PRUNE_TRIALS = int(os.environ.get("SPARK_GRAFT_PRUNE_TRIALS", "120"))
+_TRIALS_PER_TABLE = 8
+_UTC = dt.timezone.utc
+_IST = dt.timezone(dt.timedelta(hours=5, minutes=30))
+_PRUNE_TYPES = ["int", "bigint", "double", "string", "date",
+                "timestamp", "boolean", "decimal(9,3)"]
+
+
+def _value_pool(typ: str, partition: bool) -> list:
+    """Candidate cell values per Spark type — deliberately nasty:
+    empty + unicode + dir-escaping-required strings, negative zero,
+    int-boundary values, midnight and microsecond timestamps, NaN/inf
+    doubles (data columns only: a NaN partition VALUE is a
+    data-modeling error, but NaN rows inside a file must never let
+    footer stats prune that file)."""
+    if typ in ("int", "bigint"):
+        pool = [0, 1, -1, 7, 42, -2147483648, 2147483647]
+        if typ == "bigint":
+            pool += [2**62, -(2**62)]
+        return pool
+    if typ == "double":
+        pool = [0.0, -0.0, 1.5, -1.5, 0.001, 1e300, -1e300]
+        if not partition:
+            pool += [float("nan"), float("inf"), float("-inf")]
+        return pool
+    if typ == "string":
+        # NOTE: '' deliberately included — Spark writes an empty-string
+        # partition value as __HIVE_DEFAULT_PARTITION__ and reads it
+        # back as NULL (a Hive wart Spark itself owns); both the
+        # pruned and the unpruned side see the same roundtrip, so the
+        # differential stays consistent.
+        return ["", "a", "b c", "Z", "héllo☃", "1", "1.50",
+                "2024-01-01", "a=b", "x/y", "s:t", "NULL", " lead"]
+    if typ == "date":
+        return [dt.date(2024, 1, 1), dt.date(2024, 1, 2),
+                dt.date(1999, 12, 31), dt.date(2024, 2, 29)]
+    if typ == "timestamp":
+        return [dt.datetime(2024, 1, 1),
+                dt.datetime(2024, 1, 1, 10, 30, 0),
+                dt.datetime(2024, 1, 1, 0, 0, 0, 123000),
+                dt.datetime(2024, 1, 2, 23, 59, 59, 123456)]
+    if typ == "boolean":
+        return [True, False]
+    if typ == "decimal(9,3)":
+        return [_dec.Decimal("0.000"), _dec.Decimal("1.500"),
+                _dec.Decimal("-123456.789"), _dec.Decimal("999999.999")]
+    raise AssertionError(typ)
+
+
+def _twist_literal(rng: "_random.Random", v):
+    """Apply one of the cross-type coercions Spark accepts (and the
+    round-11 ADVICE flagged) so filters arrive in a DIFFERENT shape
+    than the column: date<->datetime, naive<->aware, int<->double,
+    decimal->float/int."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, dt.datetime):
+        return rng.choice([
+            v.date() if (v.hour, v.minute, v.second, v.microsecond)
+            == (0, 0, 0, 0) else v,
+            v.replace(tzinfo=_UTC),
+            v.replace(tzinfo=_UTC).astimezone(_IST),
+        ])
+    if isinstance(v, dt.date):
+        mid = dt.datetime(v.year, v.month, v.day)
+        return rng.choice([mid, mid.replace(tzinfo=_UTC),
+                           mid.replace(tzinfo=_UTC).astimezone(_IST)])
+    if isinstance(v, int):
+        return rng.choice([v, float(v)]) if abs(v) < 2**53 else v
+    if isinstance(v, float):
+        return (rng.choice([v, int(v)])
+                if _math.isfinite(v) and v == int(v) and abs(v) < 2**53
+                else v)
+    if isinstance(v, _dec.Decimal):
+        return rng.choice([v, float(v)])
+    return v
+
+
+def _gen_filters(rng: "_random.Random", cols: dict, data: list) -> list:
+    filters = []
+    for _ in range(rng.randint(1, 2)):
+        col = rng.choice(list(cols))
+        op = rng.choice(["=", "=", "=", "in", ">", ">=", "<", "<=",
+                         "isnull", "notnull"])
+        if op in ("isnull", "notnull"):
+            filters.append((col, op, None))
+            continue
+
+        def lit():
+            present = [r[col] for r in data if r[col] is not None]
+            v = (rng.choice(present) if present and rng.random() < 0.6
+                 else rng.choice(_value_pool(cols[col], partition=True)))
+            return _twist_literal(rng, v) if rng.random() < 0.5 else v
+
+        if op == "in":
+            filters.append((col, "in", [lit() for _ in
+                                        range(rng.randint(1, 3))]))
+        else:
+            filters.append((col, op, lit()))
+    return filters
+
+
+def _canon_rows(rows_) -> list:
+    """Multiset-comparable canonical form; NaN collapses to a token so
+    Python's NaN != NaN doesn't break the equality the test needs."""
+    out = []
+    for r in rows_:
+        out.append(tuple("NaN" if isinstance(v, float)
+                         and _math.isnan(v) else v for v in r))
+    return sorted(out, key=repr)
+
+
+def test_randomized_pruning_is_row_identical_to_unpruned(spark, tmp_path):
+    n_tables = max(1, (_PRUNE_TRIALS + _TRIALS_PER_TABLE - 1)
+                   // _TRIALS_PER_TABLE)
+    trial = 0
+    for ti in range(n_tables):
+        rng = _random.Random(20260816 + ti)
+        pcols = {f"p{i}": rng.choice(_PRUNE_TYPES)
+                 for i in range(rng.randint(1, 2))}
+        dcols = {f"d{i}": rng.choice(_PRUNE_TYPES) for i in range(2)}
+        cols = {**pcols, **dcols}
+        ddl = ", ".join(f"{c} {t}" for c, t in cols.items())
+
+        def cell(c, t):
+            if rng.random() < 0.18:
+                return None
+            return rng.choice(_value_pool(t, partition=c in pcols))
+
+        data = [{c: cell(c, t) for c, t in cols.items()}
+                for _ in range(40)]
+        t = LogTable.create(spark, str(tmp_path / f"pr{ti}"),
+                            partition_by=list(pcols),
+                            stats_columns=list(dcols))
+
+        def mk(rows_):
+            return spark.createDataFrame(
+                [tuple(r[c] for c in cols) for r in rows_],
+                ddl).coalesce(2)
+
+        t.append(mk(data[:20]))        # two commits: per-commit stats,
+        t.append(mk(data[20:]))        # multiple files per partition
+
+        full = t.read().select(*cols)
+        for _ in range(_TRIALS_PER_TABLE):
+            trial += 1
+            fl = _gen_filters(rng, cols, data)
+            truth = _canon_rows(
+                LogTable._apply_filters(full, fl).collect())
+            got = _canon_rows(
+                t.read(filters=fl).select(*cols).collect())
+            assert got == truth, (
+                f"pruning soundness violated (table seed "
+                f"{20260816 + ti}, trial {trial}): filters={fl!r}\n"
+                f"schema={cols!r}\n"
+                f"pruned-read rows ({len(got)}) != unpruned "
+                f"({len(truth)}); missing="
+                f"{[r for r in truth if r not in got][:5]!r}")
+    assert trial >= min(_PRUNE_TRIALS, 100)

@@ -365,6 +365,41 @@ class LogTable:
     def stats_columns(self) -> list[str]:
         return self._meta.get("stats_columns", [])
 
+    @property
+    def partition_types(self) -> dict:
+        """{partition col: Spark type DDL}, stamped at first write."""
+        return self._meta.get("partition_types") or {}
+
+    def _stamp_partition_types(self, df: DataFrame) -> None:
+        """Record the writer's partition column TYPES in _meta, once.
+
+        Hive-style dirs store partition values as untyped strings, and
+        Spark's dir-string type inference is file-list-DEPENDENT: a
+        fractional-seconds timestamp dir value defeats timestamp
+        inference entirely (the column reads back as STRING), an
+        all-numeric string partition reads back as DOUBLE — so two
+        reads of the same table could disagree on a partition column's
+        TYPE (and silently mangle its VALUES, '0001' -> 1.0) depending
+        on which files survived pruning. Iceberg solves this with
+        typed partition fields in the table spec; this is that,
+        stamped from the first writer's schema. Atomic tmp+replace;
+        concurrent first writes of a consistently-typed table carry
+        identical types, so last-wins is benign."""
+        meta = self._meta
+        if meta.get("partition_types"):
+            return
+        parts = set(meta["partition_by"])
+        types = {f.name: f.dataType.simpleString()
+                 for f in df.schema.fields if f.name in parts}
+        if not types:
+            return
+        meta["partition_types"] = types
+        target = os.path.join(self._log_path, "_meta.json")
+        tmp = f"{target}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, target)
+
     def snapshots(self) -> list[Snapshot]:
         """All commits in log order (the ``snapshots`` metadata table,
         reference silver_dag.py:102-107).
@@ -477,7 +512,18 @@ class LogTable:
                 for rg in range(md.num_row_groups):
                     rg_meta = md.row_group(rg)
                     nrows += rg_meta.num_rows
-                    st = rg_meta.column(idx[col]).statistics
+                    try:
+                        st = rg_meta.column(idx[col]).statistics
+                    except Exception:  # noqa: BLE001
+                        # pyarrow raises ArrowNotImplementedError for
+                        # types it cannot extract stats for (e.g.
+                        # BOOLEAN footers from some writers) — a
+                        # stats_column of such a type must degrade to
+                        # "no stats for this file" (pruning is an
+                        # optimization), never crash the COMMIT that
+                        # harvests it (round-12 randomized pruning
+                        # harness caught an append dying here)
+                        st = None
                     if st is None:
                         ok = nulls_ok = False
                         break
@@ -494,7 +540,16 @@ class LogTable:
                     if not st.has_min_max:
                         ok = False
                         continue
-                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    try:
+                        mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    except Exception:  # noqa: BLE001
+                        # pyarrow raises ArrowNotImplementedError on
+                        # the .min/.max ACCESSORS for types it cannot
+                        # cast statistics for — same degrade rule:
+                        # skip the column's stats, never crash the
+                        # commit (round-12 randomized pruning harness)
+                        ok = False
+                        continue
                     if mn is None or mx is None:
                         ok = False
                         continue
@@ -730,17 +785,59 @@ class LogTable:
             for rel in live + dead:
                 p = os.path.join(self._data_path, rel)
                 if os.path.exists(p):
-                    return (self.spark.read
-                            .option("basePath", self._data_path)
-                            .parquet(p)
-                            .limit(0))
+                    return self._typed_read([p]).limit(0)
             raise ValueError(
                 f"LogTable {self.path} has no readable data file to "
                 "anchor an empty frame's schema on (all known files "
                 "vacuumed)")
-        reader = self.spark.read.option("basePath", self._data_path)
         if merge_schema:
-            reader = reader.option("mergeSchema", "true")
+            # mergeSchema is incompatible with an explicit read schema
+            # (the explicit schema would suppress the union), so the
+            # merged read keeps Spark's dir inference and only the
+            # partition columns get normalized back to their declared
+            # types — the evolution path trades the raw-string
+            # exactness of the typed read for the schema union.
+            df = (self.spark.read
+                  .option("basePath", self._data_path)
+                  .option("mergeSchema", "true")
+                  .parquet(*paths))
+            for c, t in self.partition_types.items():
+                if c in df.columns:
+                    df = df.withColumn(c, F.col(c).cast(t))
+            return df
+        return self._typed_read(paths)
+
+    def _typed_read(self, paths: list[str]) -> DataFrame:
+        """Scan an explicit file list with a PINNED schema: data
+        columns from the first file's footer, partition columns from
+        the types stamped at first write (``partition_types``).
+
+        Without this, Spark INFERS partition column types from the dir
+        strings of whatever file list it is handed — and the inference
+        is both lossy (a fractional-seconds timestamp value falls back
+        to string; '0001' in a string-typed partition becomes the
+        double 1.0, silently corrupting the value AND dodging a
+        residual equality filter) and file-list-dependent (the round-12
+        randomized pruning harness caught a pruned read and an
+        unpruned read of the same table returning DIFFERENT types for
+        the same column). An explicit schema makes Spark parse each
+        dir string directly as the declared type — exact for strings
+        (no numeric reinterpretation), exact for fractional
+        timestamps — and identical for every file subset. Partition
+        pushdown is unaffected (partition columns are still recognized
+        from the dirs). Tables created before types were stamped keep
+        the legacy inference read."""
+        reader = self.spark.read.option("basePath", self._data_path)
+        ptypes = self.partition_types
+        if ptypes:
+            anchor = self.spark.read.parquet(paths[0]).schema
+            present = {f.name for f in anchor.fields}
+            ddl = ", ".join(
+                [f"`{f.name}` {f.dataType.simpleString()}"
+                 for f in anchor.fields]
+                + [f"`{c}` {t}" for c, t in ptypes.items()
+                   if c not in present])
+            reader = reader.schema(ddl)
         return reader.parquet(*paths)
 
     def read(self, snapshot_id: int | None = None,
@@ -901,7 +998,25 @@ class LogTable:
         parts = self.partition_by
         writer = df.write.mode("overwrite")
         if parts:
-            writer = writer.partitionBy(*parts)
+            self._stamp_partition_types(df)
+            for fld in df.schema.fields:
+                if fld.name in parts and fld.dataType.simpleString() \
+                        in ("float", "double"):
+                    # IEEE negative zero: Spark SQL defines
+                    # -0.0 = 0.0 as TRUE (grouping/joins normalize),
+                    # but the dynamic partition WRITER formats the raw
+                    # bits — it can emit both 'c=0.0' and 'c=-0.0'
+                    # dirs for values every query treats as one key,
+                    # and COLLIDES with itself when one task writes
+                    # both (FileAlreadyExistsException — caught by the
+                    # round-12 randomized pruning harness). +0.0
+                    # canonicalizes -0.0 to 0.0 per IEEE 754 and
+                    # leaves every other value (NaN, infinities)
+                    # bit-identical.
+                    df = df.withColumn(
+                        fld.name, (F.col(fld.name) + F.lit(0.0))
+                        .cast(fld.dataType.simpleString()))
+            writer = df.write.mode("overwrite").partitionBy(*parts)
         writer.parquet(staging)
         added: list[str] = []
         for root, _dirs, fs in os.walk(staging):
