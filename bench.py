@@ -145,10 +145,42 @@ def summary_line(out: dict, budget: int = _LINE_BUDGET) -> str:
     return render(lo)
 
 
+def settle_gate(load5: float, max_load5: float,
+                forced: bool) -> dict:
+    """Refuse to bench on an unsettled machine (round-11 verdict, Next
+    round #3): even SAME-boot bases carry residual machine-state
+    variance on sub-2s queries — round 11's round-end run, launched
+    right after a 40-minute full-suite run (5-min loadavg ~6.7),
+    flagged an untouched query at 1.9x its idle-machine base, and a
+    judge+builder adjudication cycle was spent proving it was load.
+    The 5-MINUTE loadavg is the gate (the 1-minute figure forgives a
+    just-finished suite run too quickly). ``SPARK_GRAFT_BENCH_FORCE=1``
+    overrides, and the override is stamped into the artifact so a
+    reviewer sees the context without an adjudication round.
+
+    Returns the settle-gate record to stamp into the artifact; raises
+    SystemExit when the gate refuses."""
+    rec = {"load5": load5, "max_load5": max_load5, "forced": forced}
+    if load5 > max_load5 and not forced:
+        raise SystemExit(
+            f"settle gate: 5-min loadavg {load5} > {max_load5} — the "
+            "machine has not drained recent load and sub-2s timings "
+            "would be inflated. Wait for the load to settle (watch "
+            "/proc/loadavg) or set SPARK_GRAFT_BENCH_FORCE=1 to "
+            "record anyway (the artifact is annotated).")
+    return rec
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    gate = settle_gate(
+        round(os.getloadavg()[1], 2),
+        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD5", "1.5")),
+        os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1")
+
     spark = get_spark(app_name="bench")
 
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
@@ -214,6 +246,7 @@ def main() -> None:
         "repeat": repeat,
         "prerun": prerun,
         "loadavg": [load_start, round(os.getloadavg()[0], 2)],
+        "settle_gate": gate,
         **git_provenance(),
     }
     if errors:

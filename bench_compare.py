@@ -35,6 +35,13 @@ import sys
 NOISE_RATIO = 1.5
 ABS_FLOOR_SEC = 0.25
 
+#: minimum common queries before the median ratio is trusted as the
+#: common-mode drift term — on a handful of queries the median IS one
+#: query's own change, not the machine's; at a registry-sized ~150 the
+#: median is ambient state by construction (a real regression moves
+#: ONE query, not the 78th percentile)
+MIN_DRIFT_QUERIES = 20
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_CUR = os.path.join(_HERE, "BENCH_DETAIL.json")
 
@@ -82,21 +89,47 @@ def _timings(detail: dict) -> dict[str, float]:
 def compare(base: dict, cur: dict,
             noise_ratio: float = NOISE_RATIO,
             abs_floor_sec: float = ABS_FLOOR_SEC) -> dict:
-    """Pure comparison of two bench detail dicts -> artifact dict."""
+    """Pure comparison of two bench detail dicts -> artifact dict.
+
+    Drift normalization (round-11 verdict, Next round #3): ambient
+    machine state moves EVERY query together — round 11 measured a
+    uniform 1.09-1.25x shift between a round-start idle run and a
+    round-end post-suite run with ~150 queries' code untouched. The
+    median common-query ratio IS that common-mode term, so the gate
+    applies to drift-NORMALIZED ratios (raw numbers stay in every
+    entry; totals are reported raw). With fewer than MIN_DRIFT_QUERIES
+    common queries the median would just be some query's own change —
+    drift pins to 1.0 and the gate is the raw one."""
     bt, ct = _timings(base), _timings(cur)
     both = sorted(set(bt) & set(ct))
+    ratios = sorted(ct[n] / bt[n] for n in both if bt[n] > 0)
+    drift = (ratios[len(ratios) // 2]
+             if len(ratios) >= MIN_DRIFT_QUERIES else 1.0)
     flagged, improved = {}, {}
     for n in both:
         b, c = bt[n], ct[n]
         ratio = round(c / b, 3) if b > 0 else float("inf")
-        entry = {"base": b, "cur": c, "ratio": ratio}
-        if ratio > noise_ratio and (c - b) > abs_floor_sec:
+        adj = round(ratio / drift, 3) if b > 0 else float("inf")
+        entry = {"base": b, "cur": c, "ratio": ratio, "ratio_adj": adj}
+        if adj > noise_ratio and (c / drift - b) > abs_floor_sec:
             flagged[n] = entry
-        elif ratio < 1 / noise_ratio and (b - c) > abs_floor_sec:
+        elif adj < 1 / noise_ratio and (b - c / drift) > abs_floor_sec:
             improved[n] = entry
+    # every flag carries its machine-state context automatically (the
+    # round-11 verdict's ask): the loadavg observed right after that
+    # query in each run, when the details recorded it
+    bq = base.get("query_loadavg") or {}
+    cq = cur.get("query_loadavg") or {}
+    for n, e in list(flagged.items()) + list(improved.items()):
+        if n in bq or n in cq:
+            e["loadavg_after_query"] = {"base": bq.get(n),
+                                        "cur": cq.get(n)}
     return {
         "noise_ratio": noise_ratio,
         "abs_floor_sec": abs_floor_sec,
+        "drift_median_ratio": round(drift, 3),
+        "base_loadavg": base.get("loadavg"),
+        "cur_loadavg": cur.get("loadavg"),
         "base_total_sec": round(sum(bt[n] for n in both), 3),
         "cur_total_sec": round(sum(ct[n] for n in both), 3),
         "n_compared": len(both),

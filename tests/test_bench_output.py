@@ -142,3 +142,55 @@ def test_bench_compare_default_base_prefers_same_boot_base(
     (tmp_path / "BENCH_BASE_r12.json").write_text("{}")
     assert os.path.basename(
         bench_compare._default_base()) == "BENCH_BASE_r12.json"
+
+
+def test_settle_gate_refuses_loaded_machine_and_force_annotates():
+    """Round-11 verdict #3: bench.py must refuse (or loudly annotate)
+    when the 5-min loadavg says the machine hasn't drained recent
+    load — round 11 spent an adjudication cycle proving a 1.9x 'flag'
+    was the post-suite load, not code."""
+    import pytest
+    rec = bench.settle_gate(0.8, 1.5, forced=False)
+    assert rec == {"load5": 0.8, "max_load5": 1.5, "forced": False}
+    with pytest.raises(SystemExit, match="settle gate"):
+        bench.settle_gate(6.7, 1.5, forced=False)
+    rec = bench.settle_gate(6.7, 1.5, forced=True)
+    assert rec["forced"] is True and rec["load5"] == 6.7
+
+
+def test_bench_compare_normalizes_uniform_drift():
+    """Round-11 verdict #3 (second half): ambient machine state moves
+    every query together — the median common-query ratio is that
+    common-mode term and the gate must apply AFTER dividing it out,
+    so a uniformly-1.6x-slower boot doesn't flag 150 untouched
+    queries, while a query that ALSO regressed 2x on top of the drift
+    still flags."""
+    base = {"queries": {f"q{i:02d}": 1.0 for i in range(24)},
+            "loadavg": [0.3, 0.2]}
+    cur = {"queries": {f"q{i:02d}": 1.6 for i in range(24)},
+           "loadavg": [5.0, 6.7],
+           "query_loadavg": {"q00": 6.5}}
+    cur["queries"]["q00"] = 3.4          # 3.4x raw, ~2.1x adjusted
+    out = bench_compare.compare(base, cur)
+    assert out["drift_median_ratio"] == 1.6
+    assert set(out["flagged"]) == {"q00"}
+    assert out["flagged"]["q00"]["ratio"] == 3.4
+    assert out["flagged"]["q00"]["ratio_adj"] == round(3.4 / 1.6, 3)
+    # the flag carries its machine-state context automatically
+    assert out["flagged"]["q00"]["loadavg_after_query"]["cur"] == 6.5
+    assert out["cur_loadavg"] == [5.0, 6.7]
+    # and a uniformly-FASTER run doesn't report 150 phantom wins
+    cur2 = {"queries": {f"q{i:02d}": 0.6 for i in range(24)}}
+    out2 = bench_compare.compare(base, cur2)
+    assert out2["flagged"] == {} and out2["improved"] == {}
+
+
+def test_bench_compare_small_suites_skip_drift_normalization():
+    """Below MIN_DRIFT_QUERIES common queries the median is some
+    query's own change, not the machine — drift pins to 1.0 and the
+    raw gate applies (keeps the 4-query contract test semantics)."""
+    base = {"queries": {"a": 1.0, "b": 1.0, "c": 1.0}}
+    cur = {"queries": {"a": 2.0, "b": 2.0, "c": 2.0}}
+    out = bench_compare.compare(base, cur)
+    assert out["drift_median_ratio"] == 1.0
+    assert set(out["flagged"]) == {"a", "b", "c"}
