@@ -1,0 +1,194 @@
+"""Empirical scale-slope check: x8 synthetic inflation of the three
+big tables, timing the slowest queries at both sizes (round-11
+verdict, Next round #4).
+
+The registry's plan pins assert the SHAPE that makes linear scaling
+possible (no cartesian products, no global sorts on data, bounded
+shuffles) — but no measurement above sf0.1 existed, because no larger
+fixture is provided. This harness builds one: ``events`` /
+``documents`` / ``embeddings`` unioned with 7 transformed copies (x8
+rows), every other table symlinked unchanged, then the top-N slowest
+queries from the newest committed bench snapshot are timed at sf0.1
+and at x8 in the SAME session (min-of-2 each after an untimed warm-up
+pass — the bench.py noise discipline).
+
+The copies are id-shifted AND content-decorrelated — a verbatim copy
+would be a 100%-duplicate corpus, and the dedup families would then
+measure an O(dup^2) candidate-pair blowup that is a DATA pathology,
+not an engine slope:
+
+* ``events``: ``user_id``/``event_id`` shifted by the copy stride —
+  8x the users with identical per-user activity (the realistic
+  scale-up shape for sessionization/rollup/window families: group
+  COUNT grows, group SIZE doesn't). ``ts`` stays the raw nano-epoch
+  BIGINT the fixture uses; ``read_table`` converts it the same way
+  either side.
+* ``documents``: ``doc_id`` shifted, ``text`` word-shuffled per copy —
+  preserves the token/char distribution (BPE, DSIR, perplexity,
+  lang-ID see the same statistics) while decorrelating the
+  shingle/gram structure, so MinHash/SimHash/ExactSubstr see 8x the
+  corpus, not 8 copies of one corpus.
+* ``embeddings``: ``vec_id`` shifted, vector DIMENSIONS rotated by
+  the copy index — preserves norms and the coordinate distribution
+  exactly while making copies geometrically unrelated (IVF cells /
+  LSH buckets grow in COUNT, not in per-cell duplication).
+
+Emits one JSON line and writes ``SCALECHECK.json`` (snapshot to
+SCALECHECK_r{N}.json when a round records it). ``linear_ok`` = x8/base
+ratio <= RATIO_BOUND (10): an x8 input with fixed per-query session
+overhead should land WELL under 8x wall; 10 leaves headroom for timer
+noise without letting a quadratic family (64x) or a broken-bucketing
+family pass."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bench import _force, git_provenance, settle_gate  # noqa: E402
+from w_userflow_featurestore_spark import get_spark  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+INFLATION = 8
+RATIO_BOUND = 10.0
+TOP_N = 10
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _union(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def build_inflated(spark, base_dir: str, out_dir: str) -> None:
+    """Materialize the x8 fixture (idempotent: a completed build is
+    reused across runs — the fixture is deterministic up to the
+    word-shuffle, which only affects which shingles exist, not how
+    many)."""
+    done = os.path.join(out_dir, "_SCALECHECK_COMPLETE")
+    if os.path.exists(done):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.lexists(dst):
+            os.symlink(os.path.join(base_dir, f"{t}.parquet"), dst)
+
+    ev = spark.read.parquet(os.path.join(base_dir, "events.parquet"))
+    u_stride = ev.agg(F.max("user_id")).first()[0] + 1
+    e_stride = ev.agg(F.max("event_id")).first()[0] + 1
+    _union([ev] + [
+        ev.withColumn("user_id", F.col("user_id") + F.lit(k * u_stride))
+          .withColumn("event_id", F.col("event_id") + F.lit(k * e_stride))
+        for k in range(1, INFLATION)]) \
+        .repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "events.parquet"))
+
+    dc = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    d_stride = dc.agg(F.max("doc_id")).first()[0] + 1
+    shuffled = F.concat_ws(" ", F.shuffle(F.split(F.col("text"), " ")))
+    _union([dc] + [
+        dc.withColumn("doc_id", F.col("doc_id") + F.lit(k * d_stride))
+          .withColumn("text", shuffled)
+          .withColumn("n_chars", F.length("text"))
+        for k in range(1, INFLATION)]) \
+        .repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "documents.parquet"))
+
+    em = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    v_stride = em.agg(F.max("vec_id")).first()[0] + 1
+    parts = [em]
+    for k in range(1, INFLATION):
+        rot = F.expr(
+            f"concat(slice(embedding, {k + 1}, size(embedding) - {k}),"
+            f" slice(embedding, 1, {k}))")
+        parts.append(
+            em.withColumn("vec_id", F.col("vec_id") + F.lit(k * v_stride))
+              .withColumn("embedding", rot))
+    _union(parts).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet"))
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+
+
+def slowest_queries(top_n: int = TOP_N) -> list[str]:
+    """Top-N slowest from the newest committed bench snapshot
+    (BASE or DETAIL, largest parsed round; DETAIL outranks BASE within
+    a round) — the adjudicated ranking, not the volatile working
+    BENCH_DETAIL.json."""
+    snaps = []
+    for f in os.listdir(_HERE):
+        m = re.fullmatch(r"BENCH_(BASE|DETAIL)_r(\d+)\.json", f)
+        if m:
+            snaps.append((int(m.group(2)), m.group(1) == "DETAIL", f))
+    if not snaps:
+        raise SystemExit("no BENCH_BASE_r*/BENCH_DETAIL_r*.json "
+                         "snapshot to rank by")
+    with open(os.path.join(_HERE, max(snaps)[2])) as fh:
+        detail = json.load(fh)
+    times = {n: v for n, v in detail["queries"].items()
+             if not isinstance(v, dict)}
+    return sorted(times, key=times.get, reverse=True)[:top_n]
+
+
+def _time(fn, spark, sf_dir: str, repeat: int = 2) -> float:
+    _force(fn(spark, sf_dir))                     # warm-up, untimed
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.environ.get("SPARK_GRAFT_SCALECHECK_DIR",
+                             "/tmp/scalecheck_x8")
+    gate = settle_gate(
+        round(os.getloadavg()[1], 2),
+        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD5", "1.5")),
+        os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1")
+    spark = get_spark(app_name="scalecheck")
+    build_inflated(spark, base_dir, out_dir)
+
+    qs = entrymod.queries()
+    results: dict = {}
+    for name in slowest_queries():
+        fn = qs[name]
+        base_sec = _time(fn, spark, base_dir)
+        x8_sec = _time(fn, spark, out_dir)
+        ratio = round(x8_sec / base_sec, 2) if base_sec > 0 else None
+        results[name] = {"base_sec": base_sec, "x8_sec": x8_sec,
+                         "ratio": ratio,
+                         "linear_ok": bool(ratio is not None
+                                           and ratio <= RATIO_BOUND)}
+        print(f"{name}: {base_sec}s -> {x8_sec}s (x{ratio})",
+              file=sys.stderr)
+
+    out = {"metric": "scale_slope_x8", "inflation": INFLATION,
+           "ratio_bound": RATIO_BOUND, "base_dir": base_dir,
+           "queries": results,
+           "all_linear_ok": all(r["linear_ok"]
+                                for r in results.values()),
+           "loadavg": [round(x, 2) for x in os.getloadavg()],
+           "settle_gate": gate,
+           **git_provenance()}
+    line = json.dumps(out, separators=(",", ":"))
+    with open(os.path.join(_HERE, "SCALECHECK.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
