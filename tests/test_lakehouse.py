@@ -1396,3 +1396,184 @@ def test_randomized_pruning_is_row_identical_to_unpruned(spark, tmp_path):
                 f"({len(truth)}); missing="
                 f"{[r for r in truth if r not in got][:5]!r}")
     assert trial >= min(_PRUNE_TRIALS, 100)
+
+
+# ------------------------------------- randomized mutation harness
+#
+# Write-path counterpart of the pruning harness above: the DML /
+# maintenance surface (append, MERGE, DELETE WHERE, UPDATE WHERE,
+# dynamic partition overwrite, compact, expire, vacuum, rollback) is
+# exercised as a RANDOM SEQUENCE against a driver-side model of the
+# table. After every commit the table read must be row-identical to
+# the model, and every surviving historical snapshot must time-travel
+# back to the exact state the model had when it was committed.
+#
+# Ground truth for the predicate-carrying ops (DELETE/UPDATE WHERE)
+# is Spark itself: the set of matching keys is computed by running
+# `_apply_filters` over the pre-op read — so the harness tests that
+# the file-granular copy-on-write rewrite (stats-pruned candidates ->
+# containment scan -> victim rewrite) implements EXACTLY the
+# declarative predicate, including the rows it must NOT touch
+# (NULL-predicate rows, non-matching rows co-located in victim files).
+
+_MUT_SEQS = int(os.environ.get("SPARK_GRAFT_MUT_SEQS", "5"))
+_MUT_OPS = 14
+_MUT_DDL = "k bigint, p string, v bigint, s string"
+# partition pool deliberately includes dir-escaping-required values:
+# merge victim resolution and overwrite dir matching must survive
+# Hive escaping + the _metadata.file_path URI-encoding layer
+_P_POOL = ["us", "eu:1", "ap p", "jp"]
+_S_POOL = [None, "", "x", "éé", "a b"]
+
+
+def _mut_df(spark, rows_):
+    return spark.createDataFrame(
+        [(r["k"], r["p"], r["v"], r["s"]) for r in rows_],
+        _MUT_DDL).coalesce(2)
+
+
+def test_randomized_mutation_sequence_matches_model(spark, tmp_path):
+    for si in range(_MUT_SEQS):
+        rng = _random.Random(20260817 + si)
+        t = LogTable.create(spark, str(tmp_path / f"mut{si}"),
+                            partition_by=["p"], stats_columns=["v"])
+        model: dict = {}     # k -> (p, v, s)
+        history: list = []   # (snapshot_id, canon rows) on the live chain
+        ctr = [0]
+
+        def fresh_rows(n, parts=None):
+            out = []
+            for _ in range(n):
+                k = ctr[0]
+                ctr[0] += 1
+                out.append({"k": k, "p": rng.choice(parts or _P_POOL),
+                            "v": rng.choice([None, rng.randint(-5, 99)]),
+                            "s": rng.choice(_S_POOL)})
+            return out
+
+        def model_rows():
+            return [(k, *vals) for k, vals in model.items()]
+
+        def hit_keys(fl):
+            cur = t.read().select("k", "p", "v")
+            return {r["k"] for r in
+                    LogTable._apply_filters(cur, fl).select("k").collect()}
+
+        def gen_fl():
+            data = [{"k": k, "p": p, "v": v}
+                    for k, (p, v, _s) in model.items()] or \
+                   [{"k": 0, "p": "us", "v": 0}]
+            return _gen_filters(
+                rng, {"k": "bigint", "p": "string", "v": "bigint"}, data)
+
+        sid = t.append(_mut_df(spark, (first := fresh_rows(6))))
+        for r in first:
+            model[r["k"]] = (r["p"], r["v"], r["s"])
+        history.append((sid, _canon_rows(model_rows())))
+
+        for op_i in range(_MUT_OPS):
+            op = rng.choice(
+                ["append", "append_txn", "merge", "delete", "update",
+                 "overwrite", "compact", "expire", "vacuum", "rollback"])
+            committed = True
+            if op == "append":
+                rows_ = fresh_rows(rng.randint(1, 5))
+                sid = t.append(_mut_df(spark, rows_))
+                for r in rows_:
+                    model[r["k"]] = (r["p"], r["v"], r["s"])
+            elif op == "append_txn":
+                rows_ = fresh_rows(rng.randint(1, 3))
+                tok = f"mut{si}-{op_i}"
+                df = _mut_df(spark, rows_)
+                sid = t.append(df, txn=tok)
+                assert t.append(df, txn=tok) == sid, \
+                    "txn replay must be a no-op returning the same id"
+                for r in rows_:
+                    model[r["k"]] = (r["p"], r["v"], r["s"])
+            elif op == "merge":
+                existing = rng.sample(sorted(model),
+                                      min(len(model), rng.randint(1, 4)))
+                staged = fresh_rows(rng.randint(0, 3))
+                for k in existing:   # update; may MOVE partition
+                    staged.append({"k": k, "p": rng.choice(_P_POOL),
+                                   "v": rng.choice(
+                                       [None, rng.randint(-5, 99)]),
+                                   "s": rng.choice(_S_POOL)})
+                if not staged:
+                    committed = False
+                else:
+                    sid = t.merge(_mut_df(spark, staged), keys=["k"])
+                    for r in staged:
+                        model[r["k"]] = (r["p"], r["v"], r["s"])
+            elif op == "delete":
+                fl = gen_fl()
+                gone = hit_keys(fl)
+                sid = t.delete_where(fl)
+                for k in gone:
+                    del model[k]
+                committed = bool(gone)
+            elif op == "update":
+                fl = gen_fl()
+                hit = hit_keys(fl)
+                sets: dict = {"v": rng.choice(
+                    [None, rng.randint(1000, 1999)])}
+                if rng.random() < 0.4:  # partition relocation
+                    sets["p"] = rng.choice(_P_POOL)
+                sid = t.update_where(fl, sets)
+                for k in hit:
+                    p, v, s = model[k]
+                    model[k] = (sets.get("p", p), sets["v"], s)
+                committed = bool(hit)
+            elif op == "overwrite":
+                rows_ = fresh_rows(
+                    rng.randint(1, 5),
+                    parts=rng.sample(_P_POOL, rng.randint(1, 2)))
+                parts_in_df = {r["p"] for r in rows_}
+                sid = t.overwrite_partitions(_mut_df(spark, rows_))
+                for k in [k for k, (p, _v, _s) in model.items()
+                          if p in parts_in_df]:
+                    del model[k]
+                for r in rows_:
+                    model[r["k"]] = (r["p"], r["v"], r["s"])
+            elif op == "compact":
+                sid = t.compact(target_files=rng.randint(1, 2))
+            elif op == "expire":
+                t.expire_snapshots(keep_last=rng.randint(2, 5))
+                alive = {s.snapshot_id for s in t.snapshots()}
+                history = [h for h in history if h[0] in alive]
+                committed = False
+            elif op == "vacuum":
+                t.vacuum(retention_seconds=0.0)
+                committed = False
+            elif op == "rollback":
+                alive = {s.snapshot_id for s in t.snapshots()}
+                cands = [h for h in history if h[0] in alive]
+                if len(cands) < 2 or rng.random() < 0.5:
+                    committed = False  # keep rollback rare
+                else:
+                    target_sid, state = rng.choice(cands[:-1])
+                    sid = t.rollback(target_sid)
+                    model = {r[0]: (r[1], r[2], r[3]) for r in state}
+                    history = [h for h in history
+                               if h[0] <= target_sid]
+            if committed:
+                history.append((sid, _canon_rows(model_rows())))
+            got = _canon_rows(
+                t.read().select("k", "p", "v", "s").collect())
+            want = _canon_rows(model_rows())
+            assert got == want, (
+                f"mutation divergence (seq seed {20260817 + si}, "
+                f"op {op_i} = {op}): table rows ({len(got)}) != model "
+                f"({len(want)}); extra={[r for r in got if r not in want][:5]!r} "
+                f"missing={[r for r in want if r not in got][:5]!r}")
+
+        # surviving snapshots must time-travel to their recorded state
+        alive = {s.snapshot_id for s in t.snapshots()}
+        cands = [h for h in history if h[0] in alive]
+        for sid_, state in rng.sample(cands, min(len(cands), 4)):
+            got = _canon_rows(
+                t.read(snapshot_id=sid_)
+                 .select("k", "p", "v", "s").collect())
+            assert got == state, (
+                f"time-travel divergence at snapshot {sid_} "
+                f"(seq seed {20260817 + si})")
