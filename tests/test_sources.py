@@ -211,3 +211,180 @@ def test_zorder_key_guards_bit_budget(spark):
         zorder_key(df, [f"c{i}" for i in range(9)], bits=8)   # 72 bits
     with pytest.raises(ValueError, match="at least one"):
         zorder_key(df, [])
+
+
+def test_merge_upsert_retires_key_moved_across_partitions(spark, tmp_path):
+    """A staged row that MOVES a key into a different partition must
+    retire the key's old row even though its partition is absent from
+    the staged batch — parity with LogTable.merge, whose file-granular
+    victim scan is partition-blind. Before the victim-partition scan
+    landed, the old row survived and the merge yielded a duplicate key
+    (the runner's silver merge — keys=[session_id],
+    partition_by=[datetime] — hits exactly this when a late earlier
+    event shifts a session's start date)."""
+    path = str(tmp_path / "t")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    merge_upsert(spark, path, _frame(spark, [(1, d1, "a"), (2, d1, "b")]),
+                 keys=["k"], partition_by=["datetime"])
+    # k=2 moves d1 -> d2; k=1 (co-located in d1's files) must survive
+    merge_upsert(spark, path, _frame(spark, [(2, d2, "B")]),
+                 keys=["k"], partition_by=["datetime"])
+    got = rows(spark.read.parquet(path), "k", "datetime", "v")
+    assert got == [(1, d1, "a"), (2, d2, "B")]
+
+
+def test_merge_upsert_null_partition_keeps_unmatched_rows(spark, tmp_path):
+    """Rows in the NULL partition (__HIVE_DEFAULT_PARTITION__) that do
+    NOT match a staged key must survive a merge that writes into that
+    partition: the partition semi-join is eqNullSafe, so the NULL
+    partition matches itself and its unmatched rows reach `kept` before
+    the dynamic overwrite replaces the directory."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b")], "k long, p string, v string")
+    merge_upsert(spark, path, base, keys=["k"], partition_by=["p"])
+    staged = spark.createDataFrame(
+        [(2, None, "B")], "k long, p string, v string")
+    merge_upsert(spark, path, staged, keys=["k"], partition_by=["p"])
+    got = rows(spark.read.parquet(path), "k", "v")
+    assert got == [(1, "a"), (2, "B")]
+
+
+def test_compact_partitions_compacts_the_null_partition(spark, tmp_path):
+    import datetime as dtm
+
+    from w_userflow_featurestore_spark.sources import compact_partitions
+
+    path = str(tmp_path / "fragnull")
+    for i in range(4):
+        spark.createDataFrame(
+            [(i, None if i % 2 == 0 else dtm.date(2024, 1, 1))],
+            "id long, datetime date") \
+            .coalesce(1).write.mode("append") \
+            .partitionBy("datetime").parquet(path)
+    before = {f for f in spark.read.parquet(path).inputFiles()
+              if "__HIVE_DEFAULT_PARTITION__" in f}
+    assert len(before) == 2
+    n = compact_partitions(spark, path, ["datetime"])
+    assert n == 2
+    got = spark.read.parquet(path)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3]
+    after = {f for f in got.inputFiles()
+             if "__HIVE_DEFAULT_PARTITION__" in f}
+    assert len(after) == 1
+
+
+# ------------------------------------- randomized DML harness
+#
+# Plain-parquet counterpart of the LogTable mutation harness in
+# tests/test_lakehouse.py: seeded random sequences of append / MERGE
+# (updates may MOVE keys across partitions) / dynamic partition
+# overwrite / compaction against a driver-side model, row-identical
+# after every op. This is the fallback write path streaming ingest and
+# the runner use when no LogTable exists at the target, so its MERGE
+# must present the same end state the transactional format produces.
+
+_PQ_SEQS = int(__import__("os").environ.get("SPARK_GRAFT_PQDML_SEQS", "4"))
+_PQ_OPS = 9
+_PQ_DDL = "k bigint, p string, v bigint, s string"
+# dir-escaping-required values plus the NULL partition; NO empty
+# string — Hive dir encoding collapses '' to the default partition on
+# read, so round-tripping it is undefined for every parquet engine
+_PQ_P_POOL = ["us", "eu:1", "ap p", "jp", None]
+_PQ_S_POOL = [None, "", "x", "éé", "a b"]
+
+
+def test_randomized_parquet_dml_matches_model(spark, tmp_path):
+    import random
+
+    from w_userflow_featurestore_spark.sources import compact_partitions
+
+    def canon(rows_):
+        return sorted((tuple(r) for r in rows_), key=repr)
+
+    for si in range(_PQ_SEQS):
+        rng = random.Random(20260818 + si)
+        path = str(tmp_path / f"pq{si}")
+        model: dict = {}          # k -> (p, v, s)
+        ctr = [0]
+
+        def fresh(n, parts=None):
+            out = []
+            for _ in range(n):
+                k = ctr[0]
+                ctr[0] += 1
+                out.append({"k": k, "p": rng.choice(parts or _PQ_P_POOL),
+                            "v": rng.choice([None, rng.randint(-5, 99)]),
+                            "s": rng.choice(_PQ_S_POOL)})
+            return out
+
+        def df_of(rows_):
+            return spark.createDataFrame(
+                [(r["k"], r["p"], r["v"], r["s"]) for r in rows_],
+                _PQ_DDL).coalesce(2)
+
+        def absorb(rows_):
+            for r in rows_:
+                model[r["k"]] = (r["p"], r["v"], r["s"])
+
+        first = fresh(5)
+        merge_upsert(spark, path, df_of(first),
+                     keys=["k"], partition_by=["p"])
+        absorb(first)
+
+        for op_i in range(_PQ_OPS):
+            op = rng.choice(["append", "merge", "merge", "overwrite",
+                             "compact"])
+            if op == "append":
+                rows_ = fresh(rng.randint(1, 4))
+                write_partitioned(df_of(rows_), path, ["p"], mode="append")
+                absorb(rows_)
+            elif op == "merge":
+                existing = rng.sample(sorted(model),
+                                      min(len(model), rng.randint(1, 3)))
+                staged = fresh(rng.randint(0, 3))
+                for k in existing:   # update; may MOVE partition
+                    staged.append(
+                        {"k": k, "p": rng.choice(_PQ_P_POOL),
+                         "v": rng.choice([None, rng.randint(-5, 99)]),
+                         "s": rng.choice(_PQ_S_POOL)})
+                if staged:
+                    merge_upsert(spark, path, df_of(staged),
+                                 keys=["k"], partition_by=["p"])
+                    absorb(staged)
+            elif op == "overwrite":
+                rows_ = fresh(rng.randint(1, 4),
+                              parts=rng.sample(_PQ_P_POOL,
+                                               rng.randint(1, 2)))
+                parts_in = {r["p"] for r in rows_}
+                overwrite_partitions(df_of(rows_), path, ["p"])
+                for k in [k for k, t in model.items() if t[0] in parts_in]:
+                    del model[k]
+                absorb(rows_)
+            elif op == "compact":
+                compact_partitions(spark, path, ["p"])
+            got = canon(spark.read.parquet(path)
+                        .select("k", "p", "v", "s").collect())
+            want = canon([(k, *t) for k, t in model.items()])
+            assert got == want, (
+                f"parquet DML divergence (seq seed {20260818 + si}, "
+                f"op {op_i} = {op}): table ({len(got)}) != model "
+                f"({len(want)}); "
+                f"extra={[r for r in got if r not in want][:5]!r} "
+                f"missing={[r for r in want if r not in got][:5]!r}")
+
+
+def test_merge_upsert_drops_emptied_victim_partition(spark, tmp_path):
+    """When EVERY row of a partition is matched and its keys all move
+    elsewhere, the merged output holds zero rows for it — and dynamic
+    overwrite cannot express "replace with nothing", so the stale
+    directory must be dropped explicitly (found by the randomized DML
+    harness below: the moved key's old row survived as a duplicate)."""
+    path = str(tmp_path / "t")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    merge_upsert(spark, path, _frame(spark, [(1, d1, "a")]),
+                 keys=["k"], partition_by=["datetime"])
+    merge_upsert(spark, path, _frame(spark, [(1, d2, "A")]),
+                 keys=["k"], partition_by=["datetime"])
+    got = rows(spark.read.parquet(path), "k", "datetime", "v")
+    assert got == [(1, d2, "A")]

@@ -175,6 +175,46 @@ def write_bucketed(df: DataFrame, table: str, keys: list[str],
     w.saveAsTable(table)
 
 
+def _delete_partition_dirs(target_path: str, partition_by: list[str],
+                           part_rows: list[dict]) -> None:
+    """Remove the Hive partition directories matching ``part_rows``.
+
+    Matching parses each dir segment (unquote + null sentinel) and
+    compares through :func:`lakehouse._part_matches` — the same
+    formatting/coercion rules the pruning layer uses — instead of
+    re-implementing Spark's dir-name escaping for the write direction.
+    Local-filesystem paths only, like the rest of the plain-parquet
+    fallback (the transactional LogTable format owns remote/production
+    storage and deletes by commit, not by directory).
+    """
+    import shutil
+    from urllib.parse import unquote
+
+    from w_userflow_featurestore_spark.sources.lakehouse import _part_matches
+
+    cands = [target_path]
+    for col in partition_by:            # walk nested hive levels in order
+        nxt = []
+        for base in cands:
+            try:
+                segs = os.listdir(base)
+            except FileNotFoundError:
+                continue
+            nxt.extend(os.path.join(base, seg) for seg in segs
+                       if seg.startswith(f"{col}="))
+        cands = nxt
+    for d in cands:
+        vals: dict = {}
+        for seg in os.path.relpath(d, target_path).split(os.sep):
+            c, v = seg.split("=", 1)
+            vals[c] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                       else unquote(v))
+        for row in part_rows:
+            if all(_part_matches(vals[c], row[c]) for c in partition_by):
+                shutil.rmtree(d, ignore_errors=True)
+                break
+
+
 def merge_upsert(spark: SparkSession, target_path: str, staged: DataFrame,
                  keys: list[str], partition_by: list[str],
                  format: str = "auto") -> None:
@@ -208,8 +248,34 @@ def merge_upsert(spark: SparkSession, target_path: str, staged: DataFrame,
         return
     # restrict the rewrite to partitions present in the staged batch
     parts = staged.select(*partition_by).distinct()
-    affected = target.join(parts.hint("broadcast"), on=partition_by, how="left_semi")
-    kept = affected.join(staged.select(*keys).distinct(), on=keys, how="left_anti")
+    skey = staged.select(*keys).distinct()
+    moves_possible = not set(partition_by) <= set(keys)
+    if moves_possible:
+        # A staged row may MOVE a key into a different partition; the
+        # key's old row then lives in a partition the staged batch does
+        # not mention, and scoping the rewrite to staged partitions
+        # alone would leave it alive — a duplicate key after the merge
+        # (LogTable.merge is immune by construction: its victim scan is
+        # file-granular on keys, partition-blind). Partitions holding a
+        # matched key therefore join the rewrite set. Skipped when the
+        # merge key contains every partition column: key equality then
+        # pins the partition, victim partitions are necessarily staged
+        # partitions, and the reference's day-keyed MERGE keeps its
+        # partition-scoped scan with no extra pass over the target.
+        victim_parts = (target.join(skey.hint("broadcast"), on=keys,
+                                    how="left_semi")
+                        .select(*partition_by).distinct())
+        parts = parts.unionByName(victim_parts).distinct()
+    # eqNullSafe: a NULL partition value (__HIVE_DEFAULT_PARTITION__)
+    # must still match its own partition, or its non-matched rows are
+    # dropped by the dynamic overwrite of that directory
+    pa = parts.hint("broadcast").alias("__parts")
+    cond = None
+    for c in partition_by:
+        eq = F.col(f"__t.{c}").eqNullSafe(F.col(f"__parts.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    affected = target.alias("__t").join(pa, on=cond, how="left_semi")
+    kept = affected.join(skey, on=keys, how="left_anti")
     kept = kept.select(*staged.columns)
     # localCheckpoint breaks lineage so the overwrite of the target files
     # cannot race the scan feeding it (read-before-overwrite hazard). Only
@@ -228,7 +294,26 @@ def merge_upsert(spark: SparkSession, target_path: str, staged: DataFrame,
         merged = kept.unionByName(staged).localCheckpoint(eager=True)
     else:
         merged = kept.localCheckpoint(eager=True).unionByName(staged)
+    # Dynamic overwrite replaces only partitions PRESENT in the output —
+    # it cannot express "replace with nothing". A victim partition whose
+    # every row was matched (its keys all moved elsewhere) has zero
+    # merged rows, so its stale files would survive the write; find
+    # those BEFORE the overwrite (the `parts` plan still scans the
+    # pre-write target files — only `kept` is lineage-cut) and drop the
+    # directories after it lands. EXCEPT (subtract) is null-safe, so
+    # the NULL partition participates. A crash between the write and
+    # the sweep leaves the stale rows, and re-running the same merge
+    # converges: the stale keys still match, re-electing the same empty
+    # victims. Both frames are partition-count-sized; the sweep never
+    # runs in the keys-contain-partition case (no moves -> no emptied
+    # victims possible).
+    emptied = []
+    if moves_possible:
+        emptied = [r.asDict() for r in parts.subtract(
+            merged.select(*partition_by).distinct()).collect()]
     overwrite_partitions(merged, target_path, partition_by, format="parquet")
+    if emptied:
+        _delete_partition_dirs(target_path, partition_by, emptied)
 
 
 def compact_partitions(spark: SparkSession, path: str,
@@ -261,7 +346,10 @@ def compact_partitions(spark: SparkSession, path: str,
     for part in partitions:
         pred = None
         for k, v in part.items():
-            c = F.col(k) == F.lit(v)
+            # eqNullSafe: `col == NULL` is never true, so a plain
+            # equality would silently skip the __HIVE_DEFAULT_PARTITION__
+            # (NULL) partition every sweep while still counting it
+            c = F.col(k).eqNullSafe(F.lit(v))
             pred = c if pred is None else (pred & c)
         chunk = df.where(pred)
         # size the output by actual partition bytes via the scan stats
