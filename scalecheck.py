@@ -40,14 +40,18 @@ overhead should land WELL under 8x wall; 10 leaves headroom for timer
 noise without letting a quadratic family (64x) or a broken-bucketing
 family pass.
 
-Queries that land ABOVE the linear INFLATION mark but inside the bound
-get a second measurement with their documented scale lever applied
-(``LEVERS``): the registered queries pin bucketing parameters to
-fixture-sized values, so the mild super-linearity is the in-cell /
-in-bucket quadratic term surfacing at fixed parameters — the operator
-docstrings' stated mitigation (scale ``n_centroids`` / ``planes`` with
-the corpus) is what a 100TB deployment would do, and the lever entry
-records empirically that it restores a linear-or-better slope."""
+Queries with a documented scale lever (``LEVERS``) always get a second
+x8 measurement with the lever applied: the registered queries pin
+bucketing parameters to fixture-sized values, so their fixed-parameter
+super-linearity is the in-cell / in-bucket quadratic term the operator
+docstrings already name — the stated mitigation (scale ``n_centroids``
+/ ``planes`` with the corpus) is what a 100TB deployment would do, and
+the lever entry records empirically that it restores a
+linear-or-better slope. Measuring unconditionally (not only on a
+bound breach) keeps the artifact's content deterministic: the
+quadratic term rides the boot's cache/load state, so the same query
+reads 7.4x on one run and 10.5x on another — the lever evidence must
+not flicker with it."""
 
 from __future__ import annotations
 
@@ -77,12 +81,14 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # values (16 IVF cells, 4 LSH planes), so an x8 corpus at FIXED
 # parameters grows in-cell/in-bucket pair work x64 — a parameter
 # pathology the operator docstrings already name, not a plan defect.
-# When a query's measured ratio exceeds the linear INFLATION mark, the
-# harness re-times it at x8 with its docstring's lever applied
+# The harness re-times each registered top-N query at x8 with its
+# docstring's lever applied
 # (n_centroids scaled with the corpus for the IVF family — the
 # SemDeDup paper's constant-cell-size regime; +log2(INFLATION) planes
 # for the LSH family — bucket COUNT x8, bucket size constant) and
-# records that the lever restores a linear-or-better slope.
+# records that the lever restores a linear-or-better slope. Levers
+# are timed for every registered query in the top-N (see module
+# docstring: unconditional, so artifact content is boot-invariant).
 _LG2 = INFLATION.bit_length() - 1  # log2 of the inflation factor
 
 LEVERS: dict = {
@@ -228,8 +234,7 @@ def main() -> None:
                                            and ratio <= RATIO_BOUND)}
         print(f"{name}: {base_sec}s -> {x8_sec}s (x{ratio})",
               file=sys.stderr)
-        if (ratio is not None and ratio > INFLATION
-                and name in LEVERS):
+        if ratio is not None and name in LEVERS:
             desc, lfn = LEVERS[name]
             lever_sec = _time(lfn, spark, out_dir)
             lratio = (round(lever_sec / base_sec, 2)
