@@ -1577,3 +1577,132 @@ def test_randomized_mutation_sequence_matches_model(spark, tmp_path):
             assert got == state, (
                 f"time-travel divergence at snapshot {sid_} "
                 f"(seq seed {20260817 + si})")
+
+
+# ------------------------------------- concurrent multi-writer harness
+#
+# The commit protocol's concurrency story, exercised end-to-end: N
+# threads run random DML sequences against ONE table concurrently,
+# each owning a DISJOINT key range. Appends retry sequence numbers
+# internally (CAS loop); rewrite ops (merge / delete / compact) raise
+# ConcurrentCommitError when they lose a race and are re-run by the
+# caller — exactly the protocol _commit documents. Because the key
+# ranges are disjoint, the final state is order-independent: whatever
+# the interleaving, the table must equal the union of the per-thread
+# models. A lost commit, a double-applied rewrite, or a rewrite that
+# clobbers a concurrent writer's files all diverge. The log must also
+# come out as ONE linear chain with contiguous snapshot ids — no forks
+# outside rollback, no gaps.
+
+_CONC_THREADS = 4
+_CONC_OPS = 6
+
+
+def test_concurrent_writers_disjoint_keys_linearize(spark, tmp_path):
+    import threading
+    import time as _time
+
+    from w_userflow_featurestore_spark.sources import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "conc")
+    t = LogTable.create(spark, path, partition_by=["p"],
+                        stats_columns=["v"])
+    models: list = [dict() for _ in range(_CONC_THREADS)]
+    errors: list = []
+
+    def retry(fn, attempts=40):
+        for i in range(attempts):
+            try:
+                return fn()
+            except ConcurrentCommitError:
+                _time.sleep(0.01 * (i % 5))
+        raise AssertionError(f"rewrite starved after {attempts} "
+                             "conflict retries")
+
+    def worker(tid: int) -> None:
+        try:
+            rng = _random.Random(777 + tid)
+            handle = LogTable(spark, path)
+            model = models[tid]
+            base = tid * 1_000_000
+            ctr = [0]
+
+            def fresh(n):
+                out = []
+                for _ in range(n):
+                    out.append({"k": base + ctr[0],
+                                "p": rng.choice(["a", "b"]),
+                                "v": rng.randint(0, 99),
+                                "s": rng.choice(["x", None])})
+                    ctr[0] += 1
+                return out
+
+            def absorb(rows_):
+                for r in rows_:
+                    model[r["k"]] = (r["p"], r["v"], r["s"])
+
+            seeded = fresh(2)
+            handle.append(_mut_df(spark, seeded))
+            absorb(seeded)
+            for _ in range(_CONC_OPS):
+                op = rng.choice(["append", "merge", "merge", "delete",
+                                 "compact"])
+                if op == "append":
+                    rows_ = fresh(rng.randint(1, 3))
+                    handle.append(_mut_df(spark, rows_))
+                    absorb(rows_)
+                elif op == "merge":
+                    staged = fresh(rng.randint(0, 2))
+                    for k in rng.sample(sorted(model),
+                                        min(len(model), 2)):
+                        staged.append({"k": k,
+                                       "p": rng.choice(["a", "b"]),
+                                       "v": rng.randint(100, 199),
+                                       "s": "upd"})
+                    if staged:
+                        retry(lambda: handle.merge(
+                            _mut_df(spark, staged), keys=["k"]))
+                        absorb(staged)
+                elif op == "delete":
+                    if model:
+                        victims = rng.sample(sorted(model),
+                                             min(len(model), 2))
+                        retry(lambda: handle.delete_where(
+                            [("k", "in", victims)]))
+                        for k in victims:
+                            del model[k]
+                elif op == "compact":
+                    try:
+                        retry(lambda: handle.compact(target_files=1),
+                              attempts=8)
+                    except AssertionError:
+                        pass        # row-neutral; starving is harmless
+        except Exception as exc:    # noqa: BLE001 — surfaced below
+            errors.append((tid, exc))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(_CONC_THREADS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, f"worker failures: {errors!r}"
+
+    got = _canon_rows(t.read().select("k", "p", "v", "s").collect())
+    want = _canon_rows([(k, *vals) for m in models
+                        for k, vals in m.items()])
+    assert got == want, (
+        f"concurrent divergence: table ({len(got)}) != union of "
+        f"models ({len(want)}); "
+        f"extra={[r for r in got if r not in want][:5]!r} "
+        f"missing={[r for r in want if r not in got][:5]!r}")
+
+    snaps = t.snapshots()
+    ids = [s.snapshot_id for s in snaps]
+    assert ids == list(range(1, len(ids) + 1)), \
+        f"non-contiguous snapshot ids: {ids}"
+    assert all(s.parent_id == (s.snapshot_id - 1 if s.snapshot_id > 1
+                               else None)
+               for s in snaps), "forked or re-parented chain"
