@@ -701,3 +701,73 @@ def test_streaming_novelty_monitor_recovers_zero_commit_ledger(
             shingle_ledger(spark.createDataFrame(t1, ddl)).collect()}
     assert got == want
     assert LogTable(spark, scores).read().count() == 2
+
+
+def test_streaming_drift_rollup_bounds_ledger_and_keeps_parity(
+        spark, tmp_path):
+    """Same round-9-ADVICE class as the novelty ledger: the drift
+    delta table must not grow one file + |dim| rows per batch forever.
+    With compact_every=1 every batch ends in a roll-up rewrite, so
+    physical rows stay at |days| x |categories| (already summed) while
+    read_drift stays exactly batch-parity — and a checkpoint replay
+    across the rewrite changes nothing."""
+    from w_userflow_featurestore_spark.operators.temporal import (
+        distribution_drift,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable
+    from w_userflow_featurestore_spark.streaming.ingest import (
+        read_drift, read_drift_ledger, streaming_drift_monitor,
+    )
+
+    src, tbl, ckpt = (str(tmp_path / d) for d in ("src", "drift", "ck"))
+
+    def _run(rows):
+        _write_events(spark, src, rows)
+        q = streaming_drift_monitor(
+            spark.readStream.schema(EVENTS_DDL).parquet(src), tbl, ckpt,
+            available_now=True, compact_every=1)
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    tranches = [
+        [_batch(1, "2024-01-01 10:00:00", 1, "view"),
+         _batch(2, "2024-01-01 11:00:00", 1, "click"),
+         _batch(3, "2024-01-02 10:00:00", 2, "view")],
+        [_batch(4, "2024-01-02 12:00:00", 2, "error"),
+         _batch(5, "2024-01-02 13:00:00", 2, "error")],
+        [_batch(6, "2024-01-03 09:00:00", 3, "view")],
+    ]
+    for tranche in tranches:
+        _run(tranche)
+        # roll-up actually replaced the deltas: physical rows ==
+        # distinct (day, category) pairs, no per-batch duplicates
+        summed = {((str(r["datetime"])), r["category"]): r["n"]
+                  for r in read_drift_ledger(spark, tbl).collect()}
+        assert LogTable(spark, tbl).read().count() == len(summed)
+        # summed view == one groupBy-count over the full history
+        want = {(str(r["datetime"]), r["category"]): r["n"]
+                for r in (spark.read.parquet(src)
+                          .groupBy(F.to_date("ts").alias("datetime"),
+                                   F.col("event_type").alias("category"))
+                          .count().withColumnRenamed("count", "n")
+                          .collect())}
+        assert summed == want
+    # drift numbers parity with the batch operator over full history
+    got = {str(r["datetime"]): r for r in read_drift(spark, tbl).collect()}
+    want = {str(r["datetime"]): r for r in
+            distribution_drift(spark.read.parquet(src)).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d]["chi2_micro"] == want[d]["chi2_micro"], d
+        assert got[d]["is_drift"] == want[d]["is_drift"], d
+    # restart on the same checkpoint with no new files: replayed
+    # appends are txn-deduped and the roll-up re-runs on already-
+    # summed content — ledger unchanged across a rewrite commit
+    before = {tuple(r) for r in read_drift_ledger(spark, tbl).collect()}
+    q = streaming_drift_monitor(
+        spark.readStream.schema(EVENTS_DDL).parquet(src), tbl, ckpt,
+        available_now=True, compact_every=1)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert {tuple(r) for r in
+            read_drift_ledger(spark, tbl).collect()} == before

@@ -252,7 +252,8 @@ def streaming_drift_monitor(events: DataFrame, table_path: str,
                             dim_col: str = "event_type",
                             ts_col: str = "ts",
                             trigger_seconds: int | None = 30,
-                            available_now: bool = False):
+                            available_now: bool = False,
+                            compact_every: int | None = 16):
     """Ingest-health monitoring as a streaming job: each micro-batch
     appends its (datetime, category, n) count DELTAS to an append-only
     LogTable ledger with a per-batch txn token — checkpoint recovery
@@ -264,10 +265,22 @@ def streaming_drift_monitor(events: DataFrame, table_path: str,
     over the full event history — no separate streaming math to trust.
 
     Scale: each delta append is O(|dim| x days-in-batch) rows; the
-    ledger grows one tiny file per batch and compacts with
-    ``LogTable.compact()`` like any other table. The stream itself
-    carries no state — aggregation happens inside foreachBatch on the
-    batch frame, so there is no unbounded streaming-state store.
+    ledger grows one tiny file per batch. Every ``compact_every``
+    batches the sink rolls the accumulated deltas up into their
+    group-sum in ONE atomic ``LogTable.rewrite`` commit
+    (``streaming_novelty_monitor``'s discipline): the summed view is
+    unchanged by construction (sum of sums), so ``read_drift``'s
+    numbers are untouched, while physical rows stay bounded by
+    |days| x |categories| + the deltas since the last roll-up and file
+    count by ~``compact_every`` + 1 — without it both grow with stream
+    LIFETIME, one tiny file and |dim|-rows per batch forever. A
+    checkpoint-recovery replay of a roll-up batch re-runs the rewrite
+    on already-summed content — an identical-rows replace commit,
+    idempotent where it matters. ``compact_every=None`` disables the
+    roll-up for deployments running ``LogTable.compact``/rewrite
+    out-of-band. The stream itself carries no state — aggregation
+    happens inside foreachBatch on the batch frame, so there is no
+    unbounded streaming-state store.
     """
     from w_userflow_featurestore_spark.sources import LogTable
 
@@ -278,6 +291,10 @@ def streaming_drift_monitor(events: DataFrame, table_path: str,
         if not inc.isEmpty():
             t = LogTable.create(batch.sparkSession, table_path, [])
             t.append(inc, txn=f"drift:{checkpoint}:{batch_id}")
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                # roll-up: deltas -> their group-sum, one replace commit
+                t.rewrite(read_drift_ledger(batch.sparkSession,
+                                            table_path))
 
     writer = (events.writeStream
               .foreachBatch(_sink)
@@ -287,6 +304,16 @@ def streaming_drift_monitor(events: DataFrame, table_path: str,
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def read_drift_ledger(spark: SparkSession, table_path: str) -> DataFrame:
+    """Current (datetime, category, n) counts over a
+    ``streaming_drift_monitor`` delta table: sum the per-batch deltas —
+    equals one groupBy-count over the full ingested event history."""
+    from w_userflow_featurestore_spark.sources import LogTable
+    return (LogTable(spark, table_path).read()
+            .groupBy("datetime", "category")
+            .agg(F.sum("n").cast("long").alias("n")))
 
 
 def read_drift(spark: SparkSession, table_path: str,
