@@ -54,15 +54,30 @@ _REQUIRED_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
+    # Join-strategy performance confs (guide §3.1/§9, measured round 12:
+    # shuffled-hash beats sort-merge 1.2-1.7x on this engine's equi-join
+    # shapes at every tested SF). Safe at scale: the planner only picks
+    # SHJ when its build-side size conditions hold, and the AQE
+    # threshold converts SMJ->SHJ from ACTUAL post-shuffle sizes.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
 }
+
+#: sessions already configured — _ensure_conf runs inside EVERY queries()
+#: callable, and 8 conf.set py4j roundtrips per construction add up over
+#: a 156-query bench (the conf is session-sticky; one pass suffices).
+_CONF_APPLIED: set[int] = set()
 
 
 def _ensure_conf(spark: SparkSession) -> SparkSession:
+    if id(spark) in _CONF_APPLIED:
+        return spark
     for k, v in _REQUIRED_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:   # noqa: BLE001 — a locked conf: keep going
             pass
+    _CONF_APPLIED.add(id(spark))
     return spark
 
 
@@ -1355,7 +1370,7 @@ def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy(
         F.desc("quality"), F.asc("doc_id"))
     return (docs.select("doc_id", "source",
-                        TX.quality_score(F.col("text")).alias("quality"))
+                        TX.quality_score("text").alias("quality"))
             .withColumn("rank_in_source",
                         F.row_number().over(w).cast("long"))
             .where(F.col("rank_in_source") <= 3))
@@ -1547,9 +1562,9 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", columns=["lang", "text"])
     return (d.groupBy("lang")
              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                  F.sum(TX.token_count_ws(F.col("text")).cast("long"))
+                  F.sum(TX.token_count_ws("text").cast("long"))
                    .cast("long").alias("n_words"),
-                  F.sum(TX.token_count_bpe(F.col("text")).cast("long"))
+                  F.sum(TX.token_count_bpe("text").cast("long"))
                    .cast("long").alias("n_subwords"))
              .select("lang", "n_docs", "n_words", "n_subwords",
                      F.expr("CAST((CAST(n_subwords AS DECIMAL(38,0))"
@@ -2009,9 +2024,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = read_table(spark, sf_dir, "documents")
     return weighted_sample(
-        docs, TX.quality_score(F.col("text")), id_col="doc_id"
+        docs, TX.quality_score("text"), id_col="doc_id"
     ).select("doc_id", "lang",
-             TX.quality_score(F.col("text")).alias("quality"))
+             TX.quality_score("text").alias("quality"))
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2360,7 +2375,7 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.cross_source_overlap(
         read_table(spark, sf_dir, "documents",
                    columns=["doc_id", "text", "source"]),
-        unit=doc_fingerprint(F.col("text")))
+        unit=doc_fingerprint("text"))
 
 
 def q_d4_select(spark: SparkSession, sf_dir: str) -> DataFrame:

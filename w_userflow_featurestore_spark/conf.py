@@ -27,6 +27,16 @@ _DEFAULTS = {
     # estimates) only materialize at real scale; at fixture scale the
     # rule declines and the conf is inert, so enabling is pure upside.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Join strategy (guide §3.1/§9): let the planner choose shuffled-
+    # hash over sort-merge when its build-side size conditions hold
+    # (measured round 12: 1.2-1.7x on this engine's equi-join shapes —
+    # the sort dominates small-to-mid per-partition builds), and let
+    # AQE convert SMJ->SHJ at runtime from ACTUAL post-shuffle
+    # partition sizes (64m per-partition build ceiling — conservative
+    # against executor heaps; sort-merge remains the fallback whenever
+    # either check fails, so the spill-graceful path is never lost).
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # Arrow for the few pandas-UDF extension ops (multimodal / ANN refine).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics for oracle parity: DuckDB reads the

@@ -76,12 +76,26 @@ def signature_index(docs: DataFrame, text_col: str = "text",
     broadcastable in shards, while the corpus text never gets rescanned.
     """
     from w_userflow_featurestore_spark.operators.dedup import (
-        minhash_signatures, normalize_text)
-    hashes = docs.select(
+        _hash60_sql, _norm_sql, _shingles_sql)
+    from w_userflow_featurestore_spark.sources import fan_out
+    # content_hash rides the minhash aggregate as a second GROUP KEY
+    # (it is functionally dependent on the document, so the grouping is
+    # unchanged) instead of a separate scan + doc-keyed join: one pass
+    # over the corpus text, one exchange, zero joins (guide §2.4). The
+    # hash projection sits BELOW the shingle explode (computed once per
+    # doc, replicated per shingle row), and the map-side partial
+    # aggregate collapses the rows again before the exchange.
+    base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    sh = base.select(
         F.col(id_col),
-        F.md5(normalize_text(F.col(text_col))).alias("content_hash"))
-    return hashes.join(minhash_signatures(docs, text_col, id_col,
-                                          n=n, k=k), id_col)
+        F.expr(f"md5({_norm_sql(f'`{text_col}`')})").alias("content_hash"),
+        F.expr(f"explode({_shingles_sql(f'`{text_col}`', n)})")
+         .alias("shingle"))
+    aggs = [F.expr(f"min({_hash60_sql('shingle', seed=i)})").alias(f"mh{i}")
+            for i in range(k)]
+    return (sh.groupBy(id_col, "content_hash").agg(*aggs)
+            .select(id_col, "content_hash",
+                    *[f"mh{i}" for i in range(k)]))
 
 
 def incremental_curate(new_docs: DataFrame, ledger: DataFrame,

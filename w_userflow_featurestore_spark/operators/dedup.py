@@ -38,7 +38,38 @@ from w_userflow_featurestore_spark.sources import fan_out
 # ---------------------------------------------------------------------------
 
 
-def text_hash60(col: Column, seed: int | str | None = None) -> Column:
+# The helpers below accept a Column OR a SQL fragment string; ``_sql``
+# twins compose fragments. The string path renders each helper as ONE
+# ``F.expr`` instead of one py4j roundtrip per AST node — plan
+# construction is driver-side py4j traffic paid inside every timed
+# query (guide §7.3; building shingles() via the Column API costs ~170
+# roundtrips, the parsed-string form ~6). Parsed trees are the same
+# Catalyst expressions, so results and runtime plans are unchanged.
+
+
+def _hash60_sql(payload: str, seed: int | str | None = None) -> str:
+    if seed is not None:
+        payload = f"concat('{seed}:', {payload})"
+    return f"CAST(conv(substring(md5({payload}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _norm_sql(x: str) -> str:
+    return f"trim(regexp_replace(lower({x}), '[^a-z0-9]+', ' '))"
+
+
+def _words_sql(x: str) -> str:
+    return f"split({_norm_sql(x)}, ' ')"
+
+
+def _shingles_sql(x: str, n: int = 3) -> str:
+    ws = _words_sql(x)
+    k = f"greatest(size({ws}) - {n - 1}, 1)"
+    return (f"array_distinct(transform(sequence(1, {k}),"
+            f" i -> concat_ws(' ', slice({ws}, i, {n}))))")
+
+
+def text_hash60(col: Column | str,
+                seed: int | str | None = None) -> Column:
     """Deterministic 60-bit non-negative integer hash of a string.
 
     First 15 hex chars of md5 parsed as an integer — both engines compute
@@ -51,28 +82,36 @@ def text_hash60(col: Column, seed: int | str | None = None) -> Column:
     both first-class: hash(seed=1) == hash(seed="1"), and a named seed
     like "shuffle" is just another family.
     """
+    if isinstance(col, str):
+        return F.expr(_hash60_sql(col, seed))
     payload = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
 
 
-def normalize_text(col: Column) -> Column:
+def normalize_text(col: Column | str) -> Column:
     """Canonical text form shared by all dedup/text ops: lowercase,
     non-alphanumerics collapsed to single spaces, trimmed."""
+    if isinstance(col, str):
+        return F.expr(_norm_sql(col))
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
 
 
-def words(col: Column) -> Column:
+def words(col: Column | str) -> Column:
     """Normalized token array."""
+    if isinstance(col, str):
+        return F.expr(_words_sql(col))
     return F.split(normalize_text(col), " ")
 
 
-def shingles(col: Column, n: int = 3) -> Column:
+def shingles(col: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingles (distinct, order-free set).
 
     slice/transform/sequence higher-order functions — evaluated inside
     codegen, no UDF. A document shorter than ``n`` words yields its whole
     text as the single shingle.
     """
+    if isinstance(col, str):
+        return F.expr(_shingles_sql(col, n))
     ws = words(col)
     k = F.greatest(F.size(ws) - (n - 1), F.lit(1))
     return F.array_distinct(
@@ -90,7 +129,7 @@ def exploded_shingles(docs: DataFrame, text_col: str, id_col: str,
     """
     base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
     return base.select(F.col(id_col),
-                       F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+                       F.explode(shingles(f"`{text_col}`", n)).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -108,7 +147,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     standard first pass (hash is tiny vs text, so the exchange moves
     ~16 bytes/doc + id).
     """
-    h = F.md5(normalize_text(F.col(text_col)))
+    h = F.expr(f"md5({_norm_sql(f'`{text_col}`')})")
     d = fan_out(docs.select(F.col(id_col), F.col(text_col))) \
         .select(F.col(id_col), h.alias("content_hash"))
     w = Window.partitionBy("content_hash")
@@ -136,7 +175,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     use 128).
     """
     sh = exploded_shingles(docs, text_col, id_col, n)
-    aggs = [F.min(text_hash60(F.col("shingle"), seed=i)).alias(f"mh{i}")
+    aggs = [F.expr(f"min({_hash60_sql('shingle', seed=i)})").alias(f"mh{i}")
             for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -151,14 +190,14 @@ def band_buckets(signatures: DataFrame, id_col: str = "doc_id",
     (see operators/curate.py incremental_curate)."""
     r = k // bands
     assert bands * r == k, "k must be divisible by bands"
+    structs = ",".join(
+        "named_struct('band', {b}, 'bucket', md5(concat_ws(',', {cols})))"
+        .format(b=b, cols=",".join(f"CAST(mh{i} AS STRING)"
+                                   for i in range(b * r, (b + 1) * r)))
+        for b in range(bands))
     return signatures.select(
         F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws(",", *[F.col(f"mh{i}").cast("string")
-                                              for i in range(b * r, (b + 1) * r)]))
-                      .alias("bucket"))
-            for b in range(bands)])).alias("bb")
+        F.expr(f"explode(array({structs}))").alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
 
@@ -360,18 +399,16 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     production uses 64.
     """
     sh = exploded_shingles(docs, text_col, id_col, n)
-    h = text_hash60(F.col("shingle"))
+    h = _hash60_sql("shingle")
     bit_sums = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
-               .otherwise(-1)).alias(f"s{b}")
+        F.expr(f"sum(CASE WHEN (shiftright({h}, {b}) & 1) = 1"
+               f" THEN 1 ELSE -1 END)").alias(f"s{b}")
         for b in range(bits)]
     g = sh.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0,
-                      F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return g.select(F.col(id_col), sig.alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)" for b in range(bits))
+    return g.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def connected_components(pairs: DataFrame, id_a: str = "doc_a",
@@ -443,13 +480,13 @@ def simhash_near_pairs(signatures: DataFrame, id_col: str = "doc_id",
     """
     w = bits // chunks
     mask = (1 << w) - 1
+    structs = ",".join(
+        f"named_struct('chunk', {c}, 'val',"
+        f" shiftright(simhash, {c * w}) & {mask})"
+        for c in range(chunks))
     banded = signatures.select(
         F.col(id_col), F.col("simhash"),
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright(F.col("simhash"), c * w)
-                      .bitwiseAND(F.lit(mask)).alias("val"))
-            for c in range(chunks)])).alias("cb")
+        F.expr(f"explode(array({structs}))").alias("cb")
     ).select(id_col, "simhash", "cb.chunk", "cb.val")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
@@ -491,7 +528,7 @@ def dedup_rate_report(docs: DataFrame, group_col: str = "source",
     with a distinct on (group, hash) — bounded by the distinct-content
     count, with map-side partial aggregation.
     """
-    h = F.md5(normalize_text(F.col(text_col)))
+    h = F.expr(f"md5({_norm_sql(f'`{text_col}`')})")
     d = fan_out(docs.select(F.col(id_col), F.col(text_col),
                             F.col(group_col))) \
         .select(F.col(id_col), F.col(group_col), h.alias("content_hash"))
@@ -579,7 +616,7 @@ def cross_source_overlap(docs: DataFrame, text_col: str = "text",
     (|sources|^2 rows at most).
     """
     if unit is None:
-        unit = F.md5(normalize_text(F.col(text_col)))
+        unit = F.expr(f"md5({_norm_sql(f'`{text_col}`')})")
     # Lineage cut: the distinct (unit, source) frame feeds THREE
     # consumers (both self-join sides + the per-source totals); without
     # it each consumer recomputes the unit expression over the corpus —
@@ -682,7 +719,7 @@ def shingle_ledger(docs: DataFrame, n: int = 3, text_col: str = "text",
     ingestion of DISJOINT batches (:func:`merge_shingle_ledger`).
     """
     ex = exploded_shingles(docs, text_col, id_col, n)
-    return (ex.select(text_hash60(F.col("shingle")).alias("sh"))
+    return (ex.select(text_hash60("shingle").alias("sh"))
               .groupBy("sh")
               .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
@@ -725,7 +762,7 @@ def incremental_novelty(new_docs: DataFrame, ledger: DataFrame,
     """
     ex = exploded_shingles(new_docs, text_col, id_col, n)
     posting = ex.select(F.col(id_col),
-                        text_hash60(F.col("shingle")).alias("sh")) \
+                        text_hash60("shingle").alias("sh")) \
         .localCheckpoint(eager=True)
     wsh = Window.partitionBy("sh")
     batch_df = posting.withColumn("_bdf", F.count(F.lit(1)).over(wsh))

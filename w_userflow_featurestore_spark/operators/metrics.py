@@ -46,8 +46,23 @@ def user_daily(sessions: DataFrame,
     same (datetime, user_id) hash-agg instead of a second pass + join
     (user_daily_full fuses the return-interval average this way).
     """
+    # The input is SESSION grain (rollup_sessions groups by (session_id,
+    # user_id)), so within any (datetime, user_id) group every row's
+    # session_id is distinct — including at most one NULL. The
+    # reference's two session-id count-distincts therefore reduce to
+    # plain conditional counts with IDENTICAL values:
+    #   count_distinct(struct(session_id)) == count(1)   (the struct
+    #     wrapper counted NULL ids; count(1) counts those rows too), and
+    #   count_distinct(when(complete, session_id)) == sum(when(complete
+    #     AND session_id IS NOT NULL, 1))  (the bare-column distinct
+    #     SKIPPED a NULL id; the isNotNull term preserves that).
+    # Why it matters at scale (guide §2.3): three distinct aggregates in
+    # one groupBy plan as an Expand that multiplies every session row 4x
+    # through the exchange; with only the entry-type distinct left, the
+    # aggregate plans without the Expand. Values are oracle-pinned
+    # unchanged (the DuckDB SQL still states the count-distinct form).
     g = (sessions.groupBy("datetime", "user_id").agg(
-        F.count_distinct(F.struct("session_id")).alias("total_sessions"),
+        F.count(F.lit(1)).alias("total_sessions"),
         F.sum("is_complete").alias("complete_sessions"),
         F.sum("is_exit").alias("exit_sessions"),
         F.sum(F.when(F.col("session_state") == "IN_PROGRESS", 1).otherwise(0))
@@ -58,8 +73,9 @@ def user_daily(sessions: DataFrame,
         fround(F.sum(F.when(F.col("duration_ms") <= BOUNCE_MS, 1).otherwise(0))
                / F.count(F.lit(1)), 2).alias("bounce_ratio"),
         F.count_distinct("entry_event_type").alias("unique_entry_types"),
-        count_distinct_when(F.col("is_complete") == 1, F.col("session_id"))
-            .alias("completed_session_cnt"),
+        F.count(F.when((F.col("is_complete") == 1)
+                       & F.col("session_id").isNotNull(), F.lit(1)))
+         .alias("completed_session_cnt"),
         *(extra_aggs or []),
     ))
     return (g

@@ -45,7 +45,7 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
                                F.col(text_col)))
     prev = (Window.partitionBy(*part_cols).orderBy(id_col)
             .rowsBetween(Window.unboundedPreceding, -1))
-    toks = token_count_ws(F.col(text_col)).cast("long")
+    toks = token_count_ws(f"`{text_col}`").cast("long")
     out = (docs.withColumn("n_tokens", toks)
            .withColumn("start_offset",
                        F.coalesce(F.sum("n_tokens").over(prev), F.lit(0))

@@ -55,7 +55,7 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], *,
     terms = sorted(set(query_terms))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.filter(words(F.col(text_col)),
+        F.size(F.filter(words(f"`{text_col}`"),
                         lambda w: w != F.lit(""))).alias("dl"))
 
     # broadcast 1-row corpus stats: N docs, total token count
@@ -67,9 +67,9 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], *,
     # (doc_id, term), nothing keyed on the full document set
     postings = (docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.filter(words(F.col(text_col)),
+        F.size(F.filter(words(f"`{text_col}`"),
                         lambda w: w != F.lit(""))).alias("dl"),
-        F.explode(words(F.col(text_col))).alias("term"))
+        F.explode(words(f"`{text_col}`")).alias("term"))
         .where(F.col("term").isin(terms)))
     tf = (postings.groupBy("doc_id", "dl", "term")
           .agg(F.count("*").alias("tf")))

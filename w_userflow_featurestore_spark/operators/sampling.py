@@ -420,7 +420,7 @@ def corpus_shuffle(df: DataFrame, n_shards: int = 256,
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    h = text_hash60(F.col(id_col).cast("string"), seed=seed)
+    h = text_hash60(f"CAST(`{id_col}` AS STRING)", seed=seed)
     w = Window.partitionBy("shard").orderBy("_h", id_col)
     return (df.select(F.col(id_col), h.alias("_h"))
               .withColumn("shard", (F.col("_h") % n_shards).cast("long"))
@@ -487,12 +487,12 @@ def token_budget_mix(docs: DataFrame, budget_tokens: int,
     from w_userflow_featurestore_spark.operators.text import (
         token_count_ws,
     )
-    h = text_hash60(F.col(id_col).cast("string"), seed=seed)
+    h = text_hash60(f"CAST(`{id_col}` AS STRING)", seed=seed)
     # integer div, not float /: _h spans 60 bits, past double's 53-bit
     # mantissa, so float bucketing could misplace boundary rows
     width = -(-(1 << 60) // n_range_buckets)
     base = (docs.select(F.col(id_col), F.col(source_col),
-                        token_count_ws(F.col(text_col)).cast("long")
+                        token_count_ws(f"`{text_col}`").cast("long")
                          .alias("n_tokens"),
                         h.alias("_h"))
                 .withColumn("_b", F.expr(f"_h div {width}")))
@@ -554,7 +554,7 @@ def temperature_mix_weights(docs: DataFrame, budget_tokens: int,
         token_count_ws,
     )
     counts = (docs.groupBy(source_col)
-                  .agg(F.sum(token_count_ws(F.col(text_col)).cast("long"))
+                  .agg(F.sum(token_count_ws(f"`{text_col}`").cast("long"))
                         .cast("long").alias("n_tokens")))
     scaled = F.col("n_tokens").cast("double")
     t = tau
@@ -615,43 +615,57 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
     Returns (doc_id, n_feats, score_bits): feature occurrences (with
     multiplicity) and the summed signed-bit importance.
 
-    Scale shape: features hash into ``n_features`` buckets, so BOTH
+    Scale shape: features hash into ``n_features`` buckets, so the
     count aggregates are bounded-output hash-aggs with map-side
     combine, the weight table is at most n_features rows and
     BROADCASTS onto the doc-feature stream (the corpus never shuffles
     for the scoring join), and one doc-keyed aggregate emits the
-    score. Grams are built row-locally from each doc's word array.
-    The doc-gram subtree is deliberately NOT lineage-cut even though
-    two consumers read it (the r_f aggregate and the scoring join):
-    it is TOKEN-grain — materializing it costs ~16 bytes per corpus
-    gram (petabytes at 100 TB) while recomputing it costs one extra
-    row-local scan+explode pass — the opposite trade from
-    perplexity_buckets' DOC-grain scored frame, which is cut.
+    score. Grams are built row-locally from each doc's word array and
+    collapsed to the (doc, feature, count) grain in ONE partial
+    aggregate whose exchange both consumers (the r_f re-aggregate and
+    the scoring join) share as a ReusedExchange — one gram+hash map
+    pass over the corpus, no token-grain materialization (the previous
+    shape recomputed the token-grain subtree per consumer; guide §2.4:
+    operations keyed the same way share one exchange).
     """
-    from w_userflow_featurestore_spark.operators.dedup import words
+    from w_userflow_featurestore_spark.operators.dedup import (
+        _hash60_sql, _words_sql,
+    )
     from w_userflow_featurestore_spark.sources import fan_out
 
     def grams(frame: DataFrame, *extra_cols: str) -> DataFrame:
-        ws = words(F.col(text_col))
-        bigrams = F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(ws, i),
-                                  F.element_at(ws, i + 1)))
-        allgrams = F.when(F.size(ws) >= 2,
-                          F.concat(ws, bigrams)).otherwise(ws)
+        # single parsed expression per projection (guide §7.3: the
+        # Column-API form of this builder cost ~160 py4j roundtrips,
+        # paid per construction inside every timed DSIR query)
+        ws = _words_sql(f"`{text_col}`")
+        bigrams = (f"transform(sequence(1, size({ws}) - 1),"
+                   f" i -> concat_ws(' ', element_at({ws}, i),"
+                   f" element_at({ws}, i + 1)))")
+        allgrams = (f"CASE WHEN size({ws}) >= 2"
+                    f" THEN concat({ws}, {bigrams}) ELSE {ws} END")
         g = (fan_out(frame.select(*extra_cols, F.col(text_col)))
-             .select(*extra_cols, F.explode(allgrams).alias("_g"))
+             .select(*extra_cols,
+                     F.expr(f"explode({allgrams})").alias("_g"))
              .where(F.col("_g") != ""))
         return g.select(*extra_cols,
-                        F.pmod(text_hash60(F.concat(F.lit("dsir:"),
-                                                    F.col("_g"))),
-                               F.lit(n_features)).alias("f"))
+                        F.expr("pmod({h}, {n})".format(
+                            h=_hash60_sql("concat('dsir:', _g)"),
+                            n=n_features)).alias("f"))
 
     t_counts = (grams(target).groupBy("f")
                 .agg(F.count(F.lit(1)).cast("long").alias("t_f")))
-    doc_feats = grams(docs, id_col)
+    # (doc, f, count) grain FIRST: both consumers (the r_f re-aggregate
+    # and the scoring join) then read the SAME (id, f)-keyed partial
+    # aggregate subtree, so its exchange plans once and the second
+    # consumer replays it as a ReusedExchange — the corpus gram explode
+    # + 60-bit hashing runs ONE map pass instead of two, without
+    # materializing token-grain state (guide §2.4: operations keyed the
+    # same way share one exchange).
+    doc_feats = (grams(docs, id_col)
+                 .groupBy(id_col, "f")
+                 .agg(F.count(F.lit(1)).cast("long").alias("_c")))
     r_counts = (doc_feats.groupBy("f")
-                .agg(F.count(F.lit(1)).cast("long").alias("r_f")))
+                .agg(F.sum("_c").cast("long").alias("r_f")))
     t_tot = t_counts.agg(F.coalesce(F.sum("t_f"), F.lit(0))
                          .alias("_T"))
     r_tot = r_counts.agg(F.coalesce(F.sum("r_f"), F.lit(0))
@@ -672,8 +686,9 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
                        .cast("long").alias("w_bits")))
     return (doc_feats.join(F.broadcast(weights), "f")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
-                 F.sum("w_bits").cast("long").alias("score_bits")))
+            .agg(F.sum("_c").cast("long").alias("n_feats"),
+                 F.sum(F.col("_c") * F.col("w_bits")).cast("long")
+                  .alias("score_bits")))
 
 
 def dsir_select(docs: DataFrame, target: DataFrame,
@@ -946,7 +961,7 @@ def curriculum_order(docs: DataFrame, n_stages: int = 4,
     for s in range(n_stages - 1, 0, -1):
         stage = F.when(F.col("mean_bits") <= F.col(f"_t{s}"),
                        F.lit(s)).otherwise(stage)
-    h = text_hash60(F.col(id_col).cast("string"), seed=seed)
+    h = text_hash60(f"CAST(`{id_col}` AS STRING)", seed=seed)
     wsh = Window.partitionBy("stage", "shard").orderBy("_h", id_col)
     return (scored.crossJoin(F.broadcast(thresholds))
             .select(F.col(id_col), "mean_bits",

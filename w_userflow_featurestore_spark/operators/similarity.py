@@ -55,21 +55,53 @@ def plane_signs(plane: int, dims: int) -> list[int]:
             for d in range(dims)]
 
 
-def quantize(vec: Column, scale: int = SCALE) -> Column:
+# Helpers below accept a Column OR a SQL fragment string. The string
+# path renders the WHOLE expression as one ``F.expr`` — a single py4j
+# roundtrip instead of one per AST node. That matters because plan
+# CONSTRUCTION is driver-side py4j traffic paid inside every timed
+# query (guide §7.3): building bucket_q(planes=8) through the Column
+# API costs ~1,500 roundtrips (measured), the same tree as a parsed
+# string costs ~6. The parsed expressions are identical Catalyst
+# nodes, so runtime plans (and the HOF-vs-flat-codegen trade discussed
+# above) are unchanged.
+
+
+def _quantize_sql(vec: str, scale: int = SCALE) -> str:
+    return (f"transform({vec}, x -> CAST(floor((CAST(x AS DOUBLE)"
+            f" * {scale}) + 0.5D) AS BIGINT))")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+
+def quantize(vec: Column | str, scale: int = SCALE) -> Column:
     """float array -> exact 1e6-scaled BIGINT array (round half up)."""
+    if isinstance(vec, str):
+        return F.expr(_quantize_sql(vec, scale))
     return F.transform(
         vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"))
 
 
-def dot_q(a: Column, b: Column) -> Column:
+def dot_q(a: Column | str, b: Column | str) -> Column:
     """Exact integer dot product of two quantized vector Columns."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def norm_q(a: Column) -> Column:
+def norm_q(a: Column | str) -> Column:
     """Double L2 norm of a quantized vector Column (exact integer
     self-dot under the sqrt)."""
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(a, a)})")
     return F.sqrt(dot_q(a, a))
 
 
@@ -78,7 +110,20 @@ def cosine_q(a: Column, b: Column) -> Column:
     return dot_q(a, b) / (norm_q(a) * norm_q(b))
 
 
-def bucket_q(qv: Column, planes: int = 8, dims: int = 64,
+def _bucket_sql(qv: str, planes: int, dims: int, table: int) -> str:
+    terms = ["CAST(0 AS BIGINT)"]
+    for p in range(planes):
+        signs = ",".join(f"{s}L"
+                         for s in plane_signs(table * planes + p, dims))
+        proj = (f"aggregate(zip_with({qv}, array({signs}),"
+                f" (x, s) -> x * s), CAST(0 AS BIGINT),"
+                f" (acc, v) -> acc + v)")
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN CAST({2 ** p} AS"
+                     f" BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(terms)
+
+
+def bucket_q(qv: Column | str, planes: int = 8, dims: int = 64,
              table: int = 0) -> Column:
     """Random-hyperplane LSH bucket id (SimHash for vectors) from a
     PRE-QUANTIZED vector Column. Bucket bit p = 1 iff plane p's signed
@@ -86,6 +131,8 @@ def bucket_q(qv: Column, planes: int = 8, dims: int = 64,
     independent hash tables can be built (OR-amplification — lsh_topk).
     The sign vectors are inlined literal arrays; each projection is one
     zip_with/aggregate over the shared quantized array."""
+    if isinstance(qv, str):
+        return F.expr(_bucket_sql(qv, planes, dims, table))
     bucket = F.lit(0).cast("long")
     for p in range(planes):
         signs = F.expr("array({})".format(",".join(
@@ -112,9 +159,9 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str, out_id: str,
     if spread:
         base = fan_out(base)
     out = base.select(F.col(id_col).alias(out_id),
-                      quantize(F.col(vec_col)).alias(out_vec))
+                      quantize(f"`{vec_col}`").alias(out_vec))
     if with_norm:
-        out = out.withColumn(with_norm, norm_q(F.col(out_vec)))
+        out = out.withColumn(with_norm, norm_q(f"`{out_vec}`"))
     return out
 
 
@@ -133,7 +180,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    with_norm="q_norm", spread=False)
     c = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
                    with_norm="n_norm")
-    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+    cos = dot_q("q_vec", "n_vec") \
         / (F.col("q_norm") * F.col("n_norm"))
     scored = (c.crossJoin(F.broadcast(q))
                .where(F.col("n_id") != F.col("q_id"))
@@ -150,7 +197,7 @@ def lsh_bucket_assignments(corpus: DataFrame, id_col: str = "vec_id",
     """Corpus -> (id, bucket): the index-build pass (one scan, no shuffle)."""
     return (_quantized(corpus, id_col, vec_col, id_col, "_qv", dims)
             .select(F.col(id_col),
-                    bucket_q(F.col("_qv"), planes, dims).alias("bucket")))
+                    bucket_q("_qv", planes, dims).alias("bucket")))
 
 
 def _banded_ids(df: DataFrame, nid: str, id_col: str, vec_col: str,
@@ -162,7 +209,7 @@ def _banded_ids(df: DataFrame, nid: str, id_col: str, vec_col: str,
         F.col(nid),
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("tbl"),
-                     bucket_q(F.col("_qv"), planes, dims, t).alias("bucket"))
+                     bucket_q("_qv", planes, dims, t).alias("bucket"))
             for t in range(tables)])).alias("tb"),
     ).select(nid, "tb.tbl", "tb.bucket")
 
@@ -198,7 +245,7 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.9,
              .dropDuplicates(["doc_a", "doc_b"]))
     vecs = _quantized(corpus, id_col, vec_col, "_vid", "_vec", dims,
                       with_norm="_norm")
-    cos = dot_q(F.col("doc_a_vec"), F.col("doc_b_vec")) \
+    cos = dot_q("doc_a_vec", "doc_b_vec") \
         / (F.col("norm_a") * F.col("norm_b"))
     return (cand
             .join(vecs.select(F.col("_vid").alias("doc_a"),
@@ -224,9 +271,11 @@ def embedding_dedup(corpus: DataFrame, threshold: float = 0.9,
     return corpus.select(id_col).join(victims, id_col, "left_anti")
 
 
-def l2_q(a: Column, b: Column) -> Column:
+def l2_q(a: Column | str, b: Column | str) -> Column:
     """Exact integer squared-L2 distance of two quantized vectors
     (diffs <= 2e6, squared x 64 dims ~ 2.6e14 — comfortably BIGINT)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_l2_sql(a, b))
     return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
                        F.lit(0).cast("long"), lambda acc, v: acc + v)
 
@@ -244,39 +293,57 @@ def ivf_fit_centroids(corpus: DataFrame, n_centroids: int = 8,
     structure (and this engine's plumbing) is identical either way.
     """
     from w_userflow_featurestore_spark.operators.dedup import text_hash60
-    h = text_hash60(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
+    h = text_hash60(f"concat('ivf:', CAST(`{id_col}` AS STRING))")
     rows = (corpus
             .select(F.col(id_col).alias("_id"),
-                    quantize(F.col(vec_col)).alias("cv"), h.alias("h"))
+                    quantize(f"`{vec_col}`").alias("cv"), h.alias("h"))
             .orderBy("h", "_id").limit(n_centroids).collect())
     return [list(r["cv"]) for r in rows]
 
 
+def _vec_sql(vals: list[int]) -> str:
+    return "array({})".format(",".join(f"{v}L" for v in vals))
+
+
 def _lit_vec(vals: list[int]) -> Column:
     # one expression per centroid, not 64 py4j F.lit round-trips
-    return F.expr("array({})".format(",".join(f"{v}L" for v in vals)))
+    return F.expr(_vec_sql(vals))
 
 
-def _cell_dists(q: Column, centroids: list[list[int]]) -> list[Column]:
+def _cell_dists(q: Column | str, centroids: list[list[int]]) -> list[Column]:
+    if isinstance(q, str):
+        return [F.expr(_l2_sql(q, _vec_sql(cv))) for cv in centroids]
     return [l2_q(q, _lit_vec(cv)) for cv in centroids]
 
 
-def ivf_cell(qcol: Column, centroids: list[list[int]]) -> Column:
+def ivf_cell(qcol: Column | str, centroids: list[list[int]]) -> Column:
     """Nearest-centroid cell id (0-based, lowest cell wins ties) from a
     quantized Column as a pure projection. Convenience/compat form for a
     handful of centroids; ivf_topk's hot path assigns cells through a
     broadcast centroid JOIN instead — inlining n_centroids x dims
     literal terms into the plan stops scaling past ~tens of centroids
     (megabyte task binaries), while a broadcast join takes thousands."""
+    if isinstance(qcol, str):
+        darr = "array({})".format(",".join(
+            _l2_sql(qcol, _vec_sql(cv)) for cv in centroids))
+        return F.expr(f"CAST((array_position({darr}, array_min({darr}))"
+                      f" - 1) AS BIGINT)")
     darr = F.array(*_cell_dists(qcol, centroids))
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
 
 
-def ivf_probe_cells(qcol: Column, centroids: list[list[int]],
+def ivf_probe_cells(qcol: Column | str, centroids: list[list[int]],
                     nprobe: int) -> Column:
     """The ``nprobe`` nearest cell ids for a query vector (distance then
     cell-id order), via array_sort over (dist, cell) structs — struct
     comparison is lexicographic by field position in both engines."""
+    if isinstance(qcol, str):
+        structs = ",".join(
+            f"named_struct('d', {_l2_sql(qcol, _vec_sql(cv))},"
+            f" 'cell', CAST({c} AS BIGINT))"
+            for c, cv in enumerate(centroids))
+        return F.expr(f"slice(transform(array_sort(array({structs})),"
+                      f" s -> s.cell), 1, {int(nprobe)})")
     order = F.array_sort(F.array(*[
         F.struct(d.alias("d"), F.lit(c).cast("long").alias("cell"))
         for c, d in enumerate(_cell_dists(qcol, centroids))]))
@@ -320,7 +387,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     assign = (n.select("n_id", "n_vec")
                .crossJoin(F.broadcast(cdf))
                .select("n_id", "cell",
-                       l2_q(F.col("n_vec"), F.col("cv")).alias("d"))
+                       l2_q("n_vec", "cv").alias("d"))
                .groupBy("n_id")
                .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
     q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
@@ -329,14 +396,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     probes = (q.select("q_id", "q_vec")
                .crossJoin(F.broadcast(cdf))
                .select("q_id", "cell",
-                       l2_q(F.col("q_vec"), F.col("cv")).alias("d"))
+                       l2_q("q_vec", "cv").alias("d"))
                .withColumn("_rn", F.row_number().over(wq))
                .where(F.col("_rn") <= nprobe)
                .select("q_id", "cell"))
     cand = (assign.join(F.broadcast(probes), "cell")
                   .where(F.col("n_id") != F.col("q_id"))
                   .select("q_id", "n_id"))
-    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+    cos = dot_q("q_vec", "n_vec") \
         / (F.col("q_norm") * F.col("n_norm"))
     scored = (cand.join(F.broadcast(q), "q_id")
                   .join(n, "n_id")
@@ -370,7 +437,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     with_norm="q_norm", spread=False)
     nv = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
                     with_norm="n_norm")
-    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+    cos = dot_q("q_vec", "n_vec") \
         / (F.col("q_norm") * F.col("n_norm"))
     scored = (cand.join(F.broadcast(qv), "q_id")
                   .join(nv, "n_id")
@@ -413,7 +480,7 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
     assign = (n.select("_sid", "_svec")
                .crossJoin(F.broadcast(cdf))
                .select("_sid", "cell",
-                       l2_q(F.col("_svec"), F.col("cv")).alias("d"))
+                       l2_q("_svec", "cv").alias("d"))
                .groupBy("_sid")
                .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
     sided = n.join(assign, "_sid")
@@ -423,7 +490,7 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
     b = sided.select(F.col("cell"), F.col("_sid").alias("b_id"),
                      F.col("_svec").alias("b_vec"),
                      F.col("_snorm").alias("b_norm"))
-    cos = dot_q(F.col("a_vec"), F.col("b_vec")) \
+    cos = dot_q("a_vec", "b_vec") \
         / (F.col("a_norm") * F.col("b_norm"))
     victims = (a.join(b, "cell")
                 .where(F.col("a_id") < F.col("b_id"))
@@ -473,11 +540,10 @@ def cluster_balanced_sample(corpus: DataFrame, per_cluster: int = 5,
     assign = (n.select("_sid", "_svec")
                .crossJoin(F.broadcast(cdf))
                .select("_sid", "cell",
-                       l2_q(F.col("_svec"), F.col("cv")).alias("d"))
+                       l2_q("_svec", "cv").alias("d"))
                .groupBy("_sid")
                .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
-    h = text_hash60(F.concat(F.lit(f"{salt}:"),
-                             F.col("_sid").cast("string")))
+    h = text_hash60(f"concat('{salt}:', CAST(_sid AS STRING))")
     wrk = Window.partitionBy("cell").orderBy("_h", "_sid")
     wall = Window.partitionBy("cell")
     return (assign.withColumn("_h", h)
@@ -532,7 +598,7 @@ def _ivf_assign(vecs: DataFrame, cdf: DataFrame, id_col: str,
     return (n.crossJoin(F.broadcast(cdf))
              .select("vec_id",
                      F.struct("cell", "qvec", "norm").alias("_carry"),
-                     F.struct(l2_q(F.col("qvec"), F.col("cv")).alias("d"),
+                     F.struct(l2_q("qvec", "cv").alias("d"),
                               F.col("cell")).alias("_key"))
              .groupBy("vec_id")
              .agg(F.min_by("_carry", "_key").alias("s"))
@@ -575,7 +641,7 @@ def ivf_index_search(spark, table_path: str, queries: DataFrame,
     probes = (q.select("q_id", "q_vec")
                .crossJoin(F.broadcast(cdf))
                .select("q_id", "cell",
-                       l2_q(F.col("q_vec"), F.col("cv")).alias("d"))
+                       l2_q("q_vec", "cv").alias("d"))
                .withColumn("_rn", F.row_number().over(wq))
                .where(F.col("_rn") <= nprobe)
                .select("q_id", "cell"))
@@ -585,7 +651,7 @@ def ivf_index_search(spark, table_path: str, queries: DataFrame,
     vecs = vt.read(filters=[("cell", "in", cells)])
     cand = (vecs.join(F.broadcast(probes), "cell")
                 .where(F.col("vec_id") != F.col("q_id")))
-    cos = dot_q(F.col("q_vec"), F.col("qvec")) \
+    cos = dot_q("q_vec", "qvec") \
         / (F.col("q_norm") * F.col("norm"))
     scored = (cand.join(F.broadcast(q), "q_id")
                   .select("q_id", F.col("vec_id").alias("n_id"),
@@ -609,9 +675,9 @@ def _quantized_labeled(df: DataFrame, id_col: str, vec_col: str,
     if spread:
         base = fan_out(base)
     return (base.select(F.col(id_col).alias(out_id),
-                        quantize(F.col(vec_col)).alias(out_vec),
+                        quantize(f"`{vec_col}`").alias(out_vec),
                         F.col(label_col).alias(out_lab))
-                .withColumn(with_norm, norm_q(F.col(out_vec))))
+                .withColumn(with_norm, norm_q(f"`{out_vec}`")))
 
 
 def hard_negative_mining(corpus: DataFrame, queries: DataFrame,
@@ -647,7 +713,7 @@ def hard_negative_mining(corpus: DataFrame, queries: DataFrame,
     c = _quantized_labeled(corpus, id_col, vec_col, label_col,
                            "n_id", "n_vec", "n_label", dims,
                            with_norm="n_norm")
-    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+    cos = dot_q("q_vec", "n_vec") \
         / (F.col("q_norm") * F.col("n_norm"))
     scored = (c.crossJoin(F.broadcast(q))
                .where((F.col("n_id") != F.col("q_id"))
@@ -690,7 +756,7 @@ def knn_label_agreement(corpus: DataFrame, queries: DataFrame,
     c = _quantized_labeled(corpus, id_col, vec_col, label_col,
                            "n_id", "n_vec", "n_label", dims,
                            with_norm="n_norm")
-    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+    cos = dot_q("q_vec", "n_vec") \
         / (F.col("q_norm") * F.col("n_norm"))
     scored = (c.crossJoin(F.broadcast(q))
                .where(F.col("n_id") != F.col("q_id"))
@@ -806,7 +872,7 @@ def ivf_recall_sweep(corpus: DataFrame, queries: DataFrame, k: int = 5,
     assign = (n.select("n_id", "n_vec")
                .crossJoin(F.broadcast(cdf))
                .select("n_id", "cell",
-                       l2_q(F.col("n_vec"), F.col("cv")).alias("d"))
+                       l2_q("n_vec", "cv").alias("d"))
                .groupBy("n_id")
                .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
     q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
@@ -815,14 +881,14 @@ def ivf_recall_sweep(corpus: DataFrame, queries: DataFrame, k: int = 5,
     probes = (q.select("q_id", "q_vec")
                .crossJoin(F.broadcast(cdf))
                .select("q_id", "cell",
-                       l2_q(F.col("q_vec"), F.col("cv")).alias("d"))
+                       l2_q("q_vec", "cv").alias("d"))
                .withColumn("probe_rank", F.row_number().over(wq))
                .where(F.col("probe_rank") <= pmax)
                .select("q_id", "cell", "probe_rank"))
     cand = (assign.join(F.broadcast(probes), "cell")
                   .where(F.col("n_id") != F.col("q_id"))
                   .select("q_id", "n_id", "probe_rank"))
-    cos = dot_q(F.col("q_vec"), F.col("n_vec")) \
+    cos = dot_q("q_vec", "n_vec") \
         / (F.col("q_norm") * F.col("n_norm"))
     scored = (cand.join(F.broadcast(q), "q_id")
                   .join(n, "n_id")

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from w_userflow_featurestore_spark.functions import exact_avg, fround
 from w_userflow_featurestore_spark.operators.dedup import (
-    normalize_text, text_hash60, words,
+    _hash60_sql, _norm_sql, _words_sql, normalize_text, text_hash60, words,
 )
 from w_userflow_featurestore_spark.sources import fan_out
 
@@ -35,29 +35,61 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 
+# Compound leaf helpers accept a Column OR a SQL fragment string; the
+# string path renders the whole expression as ONE ``F.expr`` instead of
+# one py4j roundtrip per AST node (guide §7.3 — plan construction is
+# driver-side traffic paid inside every timed query). The parsed trees
+# are the same Catalyst expressions; double literals are written with
+# the ``D`` suffix so SQL types match ``F.lit(float)`` exactly.
+
+
+def _stop_hits_sql(ws: str, stopwords: tuple[str, ...]) -> str:
+    arr = ",".join(f"'{w}'" for w in stopwords)
+    return f"size(filter({ws}, w -> array_contains(array({arr}), w)))"
+
+
 def _stop_hits(ws: Column, stopwords: tuple[str, ...]) -> Column:
     """Frequency-sensitive stopword hit count (filter+size, JVM-side)."""
     arr = F.array(*[F.lit(w) for w in stopwords])
     return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
 
 
-def token_count_ws(col: Column) -> Column:
+def token_count_ws(col: Column | str) -> Column:
     """Whitespace token count over the normalized text."""
+    if isinstance(col, str):
+        return F.expr(f"size({_words_sql(col)})")
     return F.size(words(col))
 
 
-def token_count_bpe(col: Column) -> Column:
+def token_count_bpe(col: Column | str) -> Column:
     """BPE-ish subword proxy: count of letter-run / digit-run / symbol
     matches in the RAW lowercased text (punctuation counts, as a real
     byte-pair pretokenizer would see it)."""
+    if isinstance(col, str):
+        pat = BPE_TOKEN_RE.replace("\\", "\\\\")
+        return F.expr(f"regexp_count(lower({col}), '{pat}')")
     return F.regexp_count(F.lower(col), F.lit(BPE_TOKEN_RE))
 
 
-def lang_id(col: Column) -> Column:
+def _lang_id_sql(x: str) -> str:
+    ws = _words_sql(x)
+    hits = {lang: _stop_hits_sql(ws, prof)
+            for lang, prof in LANG_PROFILES.items()}
+    best = "greatest({})".format(",".join(hits.values()))
+    out = "'und'"
+    for lang in reversed(list(LANG_PROFILES)):      # earlier profile wins ties
+        out = (f"CASE WHEN ((({hits[lang]}) > 0) AND (({hits[lang]}) ="
+               f" ({best}))) THEN '{lang}' ELSE {out} END")
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
     """Stopword-profile language ID: argmax of per-language hit counts,
     'und' (undetermined) when nothing matches. Deterministic tie-break =
     LANG_PROFILES order. Accuracy is corpus-dependent (it is a heuristic);
     the contract is determinism + zero shuffle."""
+    if isinstance(col, str):
+        return F.expr(_lang_id_sql(col))
     ws = words(col)
     hits = {lang: _stop_hits(ws, prof) for lang, prof in LANG_PROFILES.items()}
     best = F.greatest(*hits.values())
@@ -67,11 +99,30 @@ def lang_id(col: Column) -> Column:
     return out
 
 
-def quality_score(col: Column) -> Column:
+def _quality_sql(x: str) -> str:
+    ws = _words_sql(x)
+    n_tok = f"size({ws})"
+    n_alpha = f"length(regexp_replace(lower({x}), '[^a-z0-9]', ''))"
+    norm = _norm_sql(x)
+    mean_wl = f"((length({norm}) - ({n_tok} - 1)) / {n_tok})"
+    len_score = f"least({n_tok} / 64.0D, 1.0D)"
+    alpha_ratio = f"({n_alpha} / length({x}))"
+    stop = _stop_hits_sql(ws, LANG_PROFILES["en"])
+    stop_density = f"least((({stop}) * 8.0D) / {n_tok}, 1.0D)"
+    wl_score = (f"CASE WHEN (({mean_wl} >= 3.0D) AND ({mean_wl} <= 8.0D))"
+                f" THEN 1.0D ELSE 0.5D END")
+    q = (f"(((0.35D * {len_score}) + (0.25D * {alpha_ratio}))"
+         f" + (0.25D * ({wl_score}))) + (0.15D * {stop_density})")
+    return f"floor((({q}) * 100.0D) + 0.5D) / 100.0D"
+
+
+def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic from length, alpha ratio, mean
     word length, and stopword density — the standard cheap pre-filter for
     training-corpus curation. Weights are fixed; each component is a pure
     arithmetic expression of the raw text."""
+    if isinstance(col, str):
+        return F.expr(_quality_sql(col))
     n_tok = token_count_ws(col)
     n_raw = F.length(col)
     n_alpha = F.length(F.regexp_replace(F.lower(col), "[^a-z0-9]", ""))
@@ -88,10 +139,17 @@ def quality_score(col: Column) -> Column:
                   + F.lit(0.25) * wl_score + F.lit(0.15) * stop_density, 2)
 
 
-def doc_fingerprint(col: Column, n: int = 5) -> Column:
+def doc_fingerprint(col: Column | str, n: int = 5) -> Column:
     """Bottom-1 rolling fingerprint: min 60-bit hash over word n-gram
     shingles (array_min(transform(...)) — per-row, no explode). Two docs
     sharing their minimal shingle collide — the winnowing building block."""
+    if isinstance(col, str):
+        ws = _words_sql(col)
+        k = f"greatest(size({ws}) - {n - 1}, 1)"
+        sh = (f"transform(sequence(1, {k}),"
+              f" i -> concat_ws(' ', slice({ws}, i, {n})))")
+        return F.expr(f"array_min(transform({sh},"
+                      f" s -> {_hash60_sql('s')}))")
     ws = words(col)
     k = F.greatest(F.size(ws) - (n - 1), F.lit(1))
     sh = F.transform(F.sequence(F.lit(1), k),
@@ -139,7 +197,7 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
                         lambda i: F.array_min(F.slice(hs_col, i, w))))
     ).otherwise(F.array(F.array_min(hs_col)))
     return (fan_out(docs.select(F.col(id_col), F.col(text_col)))
-            .withColumn("__winnow_norm", normalize_text(F.col(text_col)))
+            .withColumn("__winnow_norm", normalize_text(f"`{text_col}`"))
             .withColumn("__winnow_hs", hs)
             .select(F.col(id_col), F.explode(fps).alias("fingerprint")))
 
@@ -150,18 +208,18 @@ def text_profile(docs: DataFrame, text_col: str = "text",
     (fan_out spreads the projection across cores when the input is a
     single split; no-op at scale)."""
     docs = fan_out(docs.select(F.col(id_col), F.col(text_col)))
-    c = F.col(text_col)
+    c = f"`{text_col}`"
     # long casts: DuckDB's len()/count() yield BIGINT, Spark's size()/
     # regexp_count() yield INT — align so schema comparison is width-proof
     return docs.select(
         F.col(id_col),
         token_count_ws(c).cast("long").alias("n_tokens_ws"),
         token_count_bpe(c).cast("long").alias("n_tokens_bpe"),
-        F.length(c).cast("long").alias("n_chars_raw"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
         lang_id(c).alias("lang_pred"),
         quality_score(c).alias("quality"),
         doc_fingerprint(c).alias("fingerprint"),
-        F.md5(normalize_text(c)).alias("content_hash"),
+        F.expr(f"md5({_norm_sql(c)})").alias("content_hash"),
     )
 
 
@@ -201,12 +259,20 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
                       (total > 0).cast("int").alias("has_pii"))
 
 
-def _max_run(sorted_arr: Column) -> Column:
+def _max_run(sorted_arr: Column | str) -> Column:
     """Count of the most frequent element of a SORTED array = longest run
     of equal adjacent elements — one linear ``aggregate()`` pass per row.
     This turns "mode count", normally an explode + groupBy shuffle, into
     a row-local expression: the per-doc sort is O(n log n) inside codegen
     and the corpus never shuffles."""
+    if isinstance(sorted_arr, str):
+        run = "CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END"
+        return F.expr(
+            f"aggregate({sorted_arr},"
+            f" named_struct('prev', '', 'run', 0, 'best', 0),"
+            f" (acc, x) -> named_struct('prev', x, 'run', {run},"
+            f" 'best', greatest(acc.best, {run})),"
+            f" acc -> acc.best)")
     zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
                     F.lit(0).alias("best"))
 
@@ -237,7 +303,7 @@ def repetition_profile(docs: DataFrame, text_col: str = "text",
     ``sequence(1, 0)``).
     """
     docs = fan_out(docs.select(F.col(id_col), F.col(text_col)))
-    ws = words(F.col(text_col))
+    ws = words(f"`{text_col}`")
     empty = F.array().cast("array<string>")
     out = (docs.withColumn("__ws", ws)
            .withColumn("__n", F.size(F.col("__ws"))))
@@ -280,9 +346,9 @@ def corpus_language_stats(docs: DataFrame, text_col: str = "text",
     docs = fan_out(docs.select(*[F.col(c) for c in dims],
                                F.col(text_col)))
     p = docs.select(*dims,
-                    lang_id(F.col(text_col)).alias("lang_pred"),
-                    quality_score(F.col(text_col)).alias("quality"),
-                    token_count_ws(F.col(text_col)).alias("n_tokens_ws"))
+                    lang_id(f"`{text_col}`").alias("lang_pred"),
+                    quality_score(f"`{text_col}`").alias("quality"),
+                    token_count_ws(f"`{text_col}`").alias("n_tokens_ws"))
     return (p.groupBy(*dims, "lang_pred")
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   # exact_avg: quality is 2-decimal; integer-scaled sum is
@@ -302,7 +368,7 @@ def frequent_tokens(docs: DataFrame, k: int = 20,
     — no global sort materialization. Ties break on the token string so
     the boundary of the top-k set is deterministic in any engine."""
     toks = (fan_out(docs.select(F.col(text_col)))
-            .select(F.explode(words(F.col(text_col))).alias("token"))
+            .select(F.explode(words(f"`{text_col}`")).alias("token"))
             .where(F.col("token") != ""))
     return (toks.groupBy("token")
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -327,7 +393,7 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     docs = fan_out(docs.select(F.col(id_col), F.col(text_col)))
-    out = (docs.withColumn("__ws", words(F.col(text_col)))
+    out = (docs.withColumn("__ws", words(f"`{text_col}`"))
            .withColumn("__n", F.size(F.col("__ws"))))
     n, ws = F.col("__n"), F.col("__ws")
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
@@ -366,7 +432,7 @@ def vocab_coverage(docs: DataFrame, vocab_k: int = 100,
     oracle's inner unnest)."""
     toks = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
             .select(F.col(id_col),
-                    F.explode(words(F.col(text_col))).alias("token"))
+                    F.explode(words(f"`{text_col}`")).alias("token"))
             .where(F.col("token") != ""))
     vocab = (toks.groupBy("token")
              .agg(F.count(F.lit(1)).alias("_n"))
@@ -471,7 +537,7 @@ def line_dedup(docs: DataFrame, max_occurrences: int = 2,
              .select(F.col(id_col), "pos",
                      F.trim(F.col("_raw")).alias("line")))
     nonempty = (lines.where(F.col("line") != "")
-                     .withColumn("_lh", text_hash60(F.col("line"))))
+                     .withColumn("_lh", text_hash60("line")))
     hot = (nonempty.groupBy("_lh")
                    .agg(F.count(F.lit(1)).alias("_occ"))
                    .where(F.col("_occ") > max_occurrences)
@@ -586,7 +652,7 @@ def _excise_spans(docs: DataFrame, spans: DataFrame, text_col: str,
                                  F.col("span_end").alias("e")))
                     .alias("_spans")))
     base = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
-            .select(F.col(id_col), words(F.col(text_col)).alias("_ws")))
+            .select(F.col(id_col), words(f"`{text_col}`").alias("_ws")))
     j = (base.join(per_doc, id_col, "left")
              .withColumn("_spans",
                          F.coalesce(F.col("_spans"),
@@ -616,7 +682,7 @@ def _gram_postings(docs: DataFrame, k: int, text_col: str,
     if k < 2:
         raise ValueError("k-gram spans need k >= 2")
     base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
-    ws = words(F.col(text_col))
+    ws = words(f"`{text_col}`")
     n = F.size(ws)
     grams = F.when(
         n >= k,
@@ -791,19 +857,26 @@ def token_surprisal(docs: DataFrame, text_col: str = "text",
     """
     toks = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
             .select(F.col(id_col),
-                    F.explode(words(F.col(text_col))).alias("token"))
+                    F.explode(words(f"`{text_col}`")).alias("token"))
             .where(F.col("token") != ""))
-    lm = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    # (doc, token, count) grain FIRST: the LM aggregate and the scoring
+    # join then read the SAME (id, token)-keyed partial aggregate, so
+    # its exchange plans once and replays as a ReusedExchange — the
+    # token explode + normalization runs ONE map pass instead of two
+    # (guide §2.4: operations keyed the same way share one exchange).
+    toks_cnt = (toks.groupBy(id_col, "token")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    lm = toks_cnt.groupBy("token").agg(F.sum("_c").alias("n_t"))
     total = lm.agg(F.sum("n_t").alias("n_total"))
     bits = (lm.crossJoin(F.broadcast(total))
               .withColumn("bits",
                           (F.length(F.bin(F.expr("n_total DIV n_t")))
                            - 1).cast("long"))
               .select("token", "bits"))
-    return (toks.join(bits, "token")
+    return (toks_cnt.join(bits, "token")
                 .groupBy(id_col)
-                .agg(F.count(F.lit(1)).alias("n_tokens"),
-                     F.sum("bits").alias("sum_bits"))
+                .agg(F.sum("_c").alias("n_tokens"),
+                     F.sum(F.col("_c") * F.col("bits")).alias("sum_bits"))
                 .select(F.col(id_col),
                         F.col("n_tokens").cast("long"),
                         F.col("sum_bits").cast("long"),
@@ -856,19 +929,18 @@ def quality_filter_verdict(docs: DataFrame, *,
     """
     docs = fan_out(docs.select(F.col(id_col), F.col(text_col),
                                *[F.col(c) for c in carry_cols]))
-    c = F.col(text_col)
+    c = f"`{text_col}`"
     out = (docs.withColumn("__ws", words(c))
                .withColumn("__n", F.size(F.col("__ws")))
                .withColumn("__q", quality_score(c))
                .withColumn("__lang", lang_id(c)))
     n, wsc = F.col("__n"), F.col("__ws")
-    empty = F.array().cast("array<string>")
-    bigrams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(wsc, i, 2)))).otherwise(empty)
-    top_word = _max_run(F.array_sort(wsc)).cast("double") / n
+    bigrams_sql = ("CASE WHEN __n >= 2 THEN transform(sequence(1,"
+                   " __n - 1), i -> concat_ws(' ', slice(__ws, i, 2)))"
+                   " ELSE CAST(array() AS ARRAY<STRING>) END")
+    top_word = _max_run("array_sort(__ws)").cast("double") / n
     top_bigram = F.coalesce(
-        _max_run(F.array_sort(bigrams)).cast("double")
+        _max_run(f"array_sort({bigrams_sql})").cast("double")
         / F.nullif(n - 1, F.lit(0)), F.lit(0.0))
     distinct_ratio = F.size(F.array_distinct(wsc)).cast("double") / n
     repetitive = ((top_word > F.lit(top_word_max))
@@ -926,7 +998,7 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text",
     counts reuse the same token stream (unigram hash-agg), joined into
     the LM on the context word.
     """
-    ws = words(F.col(text_col))
+    ws = words(f"`{text_col}`")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 1),
         lambda i: F.struct(F.element_at(ws, i).alias("w1"),
@@ -938,19 +1010,25 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text",
                    F.col("p.w2").alias("w2"))
            .where((F.col("w1") != "") & (F.col("w2") != "")))
     uni = (fan_out(docs.select(F.col(text_col)))
-           .select(F.explode(words(F.col(text_col))).alias("w1"))
+           .select(F.explode(words(f"`{text_col}`")).alias("w1"))
            .where(F.col("w1") != "")
            .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
-    lm2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # (doc, bigram, count) grain FIRST — the LM aggregate and the
+    # scoring join share the (id, w1, w2) partial aggregate's exchange
+    # (ReusedExchange), so the bigram build runs one map pass instead
+    # of two (guide §2.4; same shape as token_surprisal/dsir).
+    big_cnt = (big.groupBy(id_col, "w1", "w2")
+               .agg(F.count(F.lit(1)).alias("_c")))
+    lm2 = big_cnt.groupBy("w1", "w2").agg(F.sum("_c").alias("c2"))
     bits = (lm2.join(uni, "w1")
                .withColumn("bits",
                            (F.length(F.bin(F.expr("c1 DIV c2"))) - 1)
                             .cast("long"))
                .select("w1", "w2", "bits"))
-    return (big.join(bits, ["w1", "w2"])
+    return (big_cnt.join(bits, ["w1", "w2"])
                .groupBy(id_col)
-               .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                    F.sum("bits").alias("sum_bits"))
+               .agg(F.sum("_c").alias("n_bigrams"),
+                    F.sum(F.col("_c") * F.col("bits")).alias("sum_bits"))
                .select(F.col(id_col),
                        F.col("n_bigrams").cast("long"),
                        F.col("sum_bits").cast("long"),
@@ -1040,7 +1118,7 @@ def bpe_pair_counts(docs: DataFrame, k: int = 20,
     map-side combine, TakeOrdered top-k. All row-local HOFs, no UDFs.
     """
     word_freq = (fan_out(docs.select(F.col(text_col)))
-                 .select(F.explode(words(F.col(text_col))).alias("w"))
+                 .select(F.explode(words(f"`{text_col}`")).alias("w"))
                  .where(F.col("w") != "")
                  .groupBy("w")
                  .agg(F.count(F.lit(1)).alias("freq")))
@@ -1071,9 +1149,19 @@ def bpe_pair_counts(docs: DataFrame, k: int = 20,
 BPE_OPEN, BPE_CLOSE = "\x01", "\x02"
 
 
-def _bpe_symbols(syms: Column) -> Column:
+def _bpe_symbols_sql(syms: str) -> str:
+    """SQL twin of :func:`_bpe_symbols` (one F.expr instead of ~30 py4j
+    roundtrips; the sentinels are embedded as raw characters in the
+    parsed string literal)."""
+    return (f"split(CAST(substring({syms}, 2, length({syms}) - 2)"
+            f" AS STRING), '{BPE_CLOSE}{BPE_OPEN}')")
+
+
+def _bpe_symbols(syms: Column | str) -> Column:
     """Symbol array from the wrapped representation: strip the leading
     \\x01 and trailing \\x02, split on the \\x02\\x01 seam."""
+    if isinstance(syms, str):
+        return F.expr(_bpe_symbols_sql(syms))
     return F.split(F.substring(syms, 2, F.length(syms) - 2)
                    .cast("string"), BPE_CLOSE + BPE_OPEN)
 
@@ -1083,14 +1171,13 @@ def bpe_pair_stats(symbolized: DataFrame) -> DataFrame:
     frame (syms, freq) — the quantity :func:`bpe_train` argmaxes each
     round. Returns (left_sym, right_sym, n_occurrences); one hash
     aggregate with map-side combine over the DISTINCT-word frame."""
-    arr = _bpe_symbols(F.col("syms"))
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - 1),
-        lambda i: F.struct(F.element_at(arr, i).alias("left_sym"),
-                           F.element_at(arr, i + 1).alias("right_sym")))
+    arr = _bpe_symbols_sql("syms")
+    pairs = (f"transform(sequence(1, size({arr}) - 1),"
+             f" i -> named_struct('left_sym', element_at({arr}, i),"
+             f" 'right_sym', element_at({arr}, i + 1)))")
     return (symbolized
-            .where(F.size(arr) >= 2)     # sequence(1,0) would descend
-            .select(F.explode(pairs).alias("p"), "freq")
+            .where(F.expr(f"size({arr}) >= 2"))  # sequence(1,0) descends
+            .select(F.expr(f"explode({pairs})").alias("p"), "freq")
             .groupBy(F.col("p.left_sym").alias("left_sym"),
                      F.col("p.right_sym").alias("right_sym"))
             .agg(F.sum("freq").cast("long").alias("n_occurrences")))
@@ -1101,7 +1188,7 @@ def bpe_vocab(symbolized: DataFrame) -> DataFrame:
     occurrence of a symbol weighted by its word's corpus frequency.
     Returns (symbol, n_occurrences)."""
     return (symbolized
-            .select(F.explode(_bpe_symbols(F.col("syms")))
+            .select(F.explode(_bpe_symbols("syms"))
                      .alias("symbol"), "freq")
             .groupBy("symbol")
             .agg(F.sum("freq").cast("long").alias("n_occurrences")))
@@ -1150,7 +1237,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         raise ValueError("n_merges must be >= 0")
     S, E = BPE_OPEN, BPE_CLOSE
     word_freq = (fan_out(docs.select(F.col(text_col)))
-                 .select(F.explode(words(F.col(text_col))).alias("w"))
+                 .select(F.explode(words(f"`{text_col}`")).alias("w"))
                  .where(F.col("w") != "")
                  .groupBy("w")
                  .agg(F.count(F.lit(1)).cast("long").alias("freq")))
@@ -1159,11 +1246,11 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         .localCheckpoint(eager=True)
 
     def symbolize(upto: list[tuple]):
-        col = F.col("syms")
+        # one parsed expr per round, not 4 py4j roundtrips per merge
+        expr = "syms"
         for _, a, b, _, _ in upto:
-            col = F.replace(col, F.lit(f"{S}{a}{E}{S}{b}{E}"),
-                            F.lit(f"{S}{a}{b}{E}"))
-        return base.select(col.alias("syms"), "freq")
+            expr = f"replace({expr}, '{S}{a}{E}{S}{b}{E}', '{S}{a}{b}{E}')"
+        return base.select(F.expr(expr).alias("syms"), "freq")
 
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
@@ -1202,13 +1289,12 @@ def bpe_apply(docs: DataFrame, merges: list[tuple],
     the merge list rides the plan as literals.
     """
     S, E = BPE_OPEN, BPE_CLOSE
-    col = F.regexp_replace("w", "(.)", f"{S}$1{E}")
+    col = f"regexp_replace(w, '(.)', '{S}$1{E}')"
     for _, a, b, _, _ in merges:
-        col = F.replace(col, F.lit(f"{S}{a}{E}{S}{b}{E}"),
-                        F.lit(f"{S}{a}{b}{E}"))
+        col = f"replace({col}, '{S}{a}{E}{S}{b}{E}', '{S}{a}{b}{E}')"
     dw = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
           .select(F.col(id_col),
-                  F.explode(words(F.col(text_col))).alias("w"))
+                  F.explode(words(f"`{text_col}`")).alias("w"))
           .where(F.col("w") != "")
           .groupBy(id_col, "w")
           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
@@ -1524,7 +1610,7 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
     """
     tf = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
           .select(F.col(id_col),
-                  F.explode(words(F.col(text_col))).alias("term"))
+                  F.explode(words(f"`{text_col}`")).alias("term"))
           .where(F.col("term") != "")
           .groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf")))
@@ -1597,7 +1683,7 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     The final top-k is a LIMIT over the surviving pair frame — the
     orderBy feeds a TakeOrderedAndProject, never a full sort.
     """
-    ws = words(F.col(text_col))
+    ws = words(f"`{text_col}`")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 1),
         lambda i: F.struct(F.element_at(ws, i).alias("w1"),
@@ -1608,7 +1694,7 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
            .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
            .where((F.col("w1") != "") & (F.col("w2") != "")))
     uni = (fan_out(docs.select(F.col(text_col)))
-           .select(F.explode(words(F.col(text_col))).alias("w"))
+           .select(F.explode(words(f"`{text_col}`")).alias("w"))
            .where(F.col("w") != "")
            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     cxy_all = (big.groupBy("w1", "w2")
@@ -1688,7 +1774,7 @@ def lang_id_confusion(docs: DataFrame, text_col: str = "text",
     """
     p = (fan_out(docs.select(F.col(label_col), F.col(text_col)))
          .select(F.col(label_col).alias("lang"),
-                 lang_id(F.col(text_col)).alias("lang_pred")))
+                 lang_id(f"`{text_col}`").alias("lang_pred")))
     g = (p.groupBy("lang", "lang_pred")
           .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
     w = Window.partitionBy("lang")
