@@ -1082,9 +1082,12 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-feature stream, so the corpus never shuffles for scoring."""
     docs = read_table(spark, sf_dir, "documents",
                       columns=["doc_id", "text", "lang"])
-    return SMP.dsir_importance(
-        docs.select("doc_id", "text"),
-        docs.where(F.col("lang") == "en").select("text"))
+    # target stated as a predicate over the SAME frame: the target
+    # feature counts derive from the shared (doc, f) partial aggregate
+    # — one gram explode pass over the corpus instead of two (round 12,
+    # guide §2.3/§2.4)
+    return SMP.dsir_importance(docs, None,
+                               target_pred=F.col("lang") == "en")
 
 
 N_DSIR_BUDGET = 200
@@ -1102,10 +1105,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram-threshold plan must reproduce."""
     docs = read_table(spark, sf_dir, "documents",
                       columns=["doc_id", "text", "lang"])
-    return SMP.dsir_select(
-        docs.select("doc_id", "text"),
-        docs.where(F.col("lang") == "en").select("text"),
-        budget_docs=N_DSIR_BUDGET)
+    # one-pass target counts via predicate (see q_dsir_importance)
+    return SMP.dsir_select(docs, None, budget_docs=N_DSIR_BUDGET,
+                           target_pred=F.col("lang") == "en")
 
 
 N_DSIR_BUDGET_TOKENS = 10_000
@@ -1123,10 +1125,10 @@ def q_dsir_select_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over (score DESC, doc_id)."""
     docs = read_table(spark, sf_dir, "documents",
                       columns=["doc_id", "text", "lang"])
-    return SMP.dsir_select_tokens(
-        docs.select("doc_id", "text"),
-        docs.where(F.col("lang") == "en").select("text"),
-        budget_tokens=N_DSIR_BUDGET_TOKENS)
+    # one-pass target counts via predicate (see q_dsir_importance)
+    return SMP.dsir_select_tokens(docs, None,
+                                  budget_tokens=N_DSIR_BUDGET_TOKENS,
+                                  target_pred=F.col("lang") == "en")
 
 
 def q_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:

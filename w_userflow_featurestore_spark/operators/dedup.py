@@ -360,27 +360,39 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     degenerate stop-shingles whose posting lists would blow up the join
     (a shingle shared by 1 M docs contributes 10^12 pairs but zero
     information); the planted-near-dup recall loss is negligible.
+
+    Scale shape (round 12, guide §2.3/§2.4): |A| is ``size()`` of the
+    distinct-shingle array, computed ROW-LOCALLY in the same projection
+    that explodes it, and ridden through the posting self-join as one
+    extra integer per side — so the old separate sizes aggregate (a
+    full second explode pass + an id-keyed exchange) and the two
+    join-backs of the pair frame are gone. The sizes are functionally
+    dependent on the pair key, so they join the groupBy key for free
+    (no extra groups, no aggregate buffer).
     """
-    sh = exploded_shingles(docs, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    arr = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+           .select(F.col(id_col),
+                   shingles(f"`{text_col}`", n).alias("_arr")))
+    sh = arr.select(F.col(id_col), F.size("_arr").alias("sz"),
+                    F.explode("_arr").alias("shingle"))
     if max_posting is not None:
         ok = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pl"))
                 .where(F.col("pl") <= max_posting))
         sh = sh.join(ok.select("shingle"), "shingle", "left_semi")
     a, b = sh.alias("a"), sh.alias("b")
-    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-              .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
-                       F.col(f"b.{id_col}").alias("doc_b"))
-              .agg(F.count(F.lit(1)).alias("common")))
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (common.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard",
-                        fround(F.col("common")
-                               / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 2))
-            .where(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    return (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"),
+                      F.col("a.sz").alias("sz_a"),
+                      F.col("b.sz").alias("sz_b"))
+             .agg(F.count(F.lit(1)).alias("common"))
+             .withColumn("jaccard",
+                         fround(F.col("common")
+                                / (F.col("sz_a") + F.col("sz_b")
+                                   - F.col("common")), 2))
+             .where(F.col("jaccard") >= threshold)
+             .select("doc_a", "doc_b", "jaccard"))
 
 
 # ---------------------------------------------------------------------------

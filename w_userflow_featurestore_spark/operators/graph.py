@@ -41,11 +41,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     Scale shape per iteration: one src-keyed join of the edge list with
     the rank vector (+ the precomputed out-weight), one dst-keyed hash
     aggregate — the canonical distributed PageRank step. N rides a
-    1-row broadcast; nothing collects. The loop INVARIANTS (edge list,
-    node set, out-weights) are materialized once with localCheckpoint
-    before the loop — the GraphX discipline: without it, a lazily
-    composed 10-iteration plan re-derives the edge subtree in every
-    iteration (measured 181 shuffles vs 36 on the item graph). Pass
+    1-row broadcast; nothing collects. The loop INVARIANTS (the edge
+    list with its out-weight attached, and the per-node teleport/base
+    frame) are materialized once with localCheckpoint before the loop
+    — the GraphX discipline: without it, a lazily composed
+    10-iteration plan re-derives the edge subtree in every iteration
+    (measured 181 shuffles vs 36 on the item graph). Pass
     ``checkpoint_every`` to additionally cut the RANK vector's lineage
     every k iterations on deep runs (plan growth is linear either way;
     checkpointing trades re-execution risk for scheduler size).
@@ -56,28 +57,37 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         .alias("_w")).localCheckpoint(eager=True)
     nodes = (e.select(F.col("_src").alias("_n"))
               .union(e.select(F.col("_dst").alias("_n")))
-              .distinct().localCheckpoint(eager=True))
+              .distinct())
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n_nodes"))
-    outw = (e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
-             .localCheckpoint(eager=True))
-    teleport = F.expr(
-        f"(({100 - damping_pct}) * ({scale} DIV _n_nodes)) DIV 100")
-    ranks = (nodes.crossJoin(F.broadcast(n1))
-                  .select("_n", F.expr(f"{scale} DIV _n_nodes")
-                                 .alias("_rq")))
+    # Loop-invariant hoisting (round 12, guide §2.4): the out-weight
+    # join and the teleport/base-rank cross join are identical in every
+    # iteration — attach _outw to the edge list ONCE and precompute the
+    # per-node teleport term ONCE, so the loop body is exactly one
+    # rank join + one dst-keyed aggregate + one node-keyed left join
+    # per iteration (previously: two joins + a per-iteration broadcast
+    # cross join on top of those).
+    ew = (e.join(e.groupBy("_src").agg(F.sum("_w").alias("_outw")),
+                 "_src")
+           .localCheckpoint(eager=True))
+    base = (nodes.crossJoin(F.broadcast(n1))
+                 .select("_n",
+                         F.expr(f"((({100 - damping_pct}) *"
+                                f" ({scale} DIV _n_nodes)) DIV 100)")
+                          .alias("_tele"),
+                         F.expr(f"{scale} DIV _n_nodes").alias("_rq0"))
+                 .localCheckpoint(eager=True))
+    ranks = base.select("_n", F.col("_rq0").alias("_rq"))
     for i in range(iterations):
-        contrib = (e.join(ranks, e["_src"] == ranks["_n"])
-                    .join(outw, "_src")
-                    .select(F.col("_dst").alias("_n"),
-                            F.expr("(_rq * _w) DIV _outw").alias("_c")))
+        contrib = (ew.join(ranks, ew["_src"] == ranks["_n"])
+                     .select(F.col("_dst").alias("_n"),
+                             F.expr("(_rq * _w) DIV _outw").alias("_c")))
         sums = contrib.groupBy("_n").agg(F.sum("_c").alias("_s"))
-        ranks = (nodes.crossJoin(F.broadcast(n1))
-                      .join(sums, "_n", "left")
-                      .select("_n",
-                              (teleport
-                               + F.expr(f"({damping_pct} *"
-                                        f" coalesce(_s, 0L)) DIV 100"))
-                              .alias("_rq")))
+        ranks = (base.join(sums, "_n", "left")
+                     .select("_n",
+                             (F.col("_tele")
+                              + F.expr(f"({damping_pct} *"
+                                       f" coalesce(_s, 0L)) DIV 100"))
+                             .alias("_rq")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("_n").alias(id_out),

@@ -269,7 +269,18 @@ def top_item_per_day(item_metrics: DataFrame) -> DataFrame:
 def binge_ratio(events: DataFrame, min_items: int = 2) -> DataFrame:
     """Share of users touching >= N distinct items per (day, event_type) —
     reference A10 (gold_webtoon_daily_metrics.py:88-101): two-level agg
-    with a guarded ratio."""
+    with a guarded ratio.
+
+    The second level's inputs are keyed BY user (one row per
+    (day, type, user) from the first groupBy), so the reference's two
+    user count-distincts reduce to plain conditional counts with
+    IDENTICAL values — count_distinct(user) == count(user) over
+    user-unique rows, and the conditional distinct likewise. Why it
+    matters at scale (round 12, guide §2.3): two distinct aggregates
+    in one groupBy plan as an Expand that doubles every per-user row
+    through the exchange; the plain-count form aggregates map-side
+    with no row multiplication. Values are oracle-pinned unchanged
+    (the DuckDB SQL still states the count-distinct form)."""
     item = F.from_json(F.col("props"), "k INT")["k"]
     per_user = (events
                 .withColumn("item_k", item)
@@ -277,9 +288,9 @@ def binge_ratio(events: DataFrame, min_items: int = 2) -> DataFrame:
                 .groupBy("datetime", "event_type", "user_id")
                 .agg(F.count_distinct("item_k").alias("n_items")))
     return (per_user.groupBy("datetime", "event_type").agg(
-                F.count_distinct("user_id").alias("unique_users"),
-                count_distinct_when(F.col("n_items") >= min_items, F.col("user_id"))
-                    .alias("binge_users"))
+                F.count("user_id").alias("unique_users"),
+                F.count(F.when(F.col("n_items") >= min_items,
+                               F.col("user_id"))).alias("binge_users"))
             .withColumn("binge_ratio",
                         rate(F.col("binge_users"), F.col("unique_users"))))
 
@@ -293,21 +304,34 @@ def retention_yesterday_anchored(sessions: DataFrame, dim: str) -> DataFrame:
     day at a time with a driver-side date_add; doing all days in one plan
     removes the driver round-trip, SURVEY.md P7 note). Output row = the
     *today* date, ratio = retained / yesterday_users.
+
+    Plan shape (round 12, guide §2.4): the reference's self-join is
+    replaced by ONE pass over the distinct (day, dim, user) frame — a
+    user active on day d is retained iff their NEXT active day (lead
+    over the per-(dim, user) day sequence) is d+1, which is exactly
+    when the self-join's probe row exists. The rows are distinct per
+    (dim, user, day), so the join's two count_distincts reduce to plain
+    conditional counts — no second corpus-wide exchange for the join
+    and no Expand for the double distinct; values are oracle-pinned
+    unchanged (the DuckDB SQL still states the join + count-distinct
+    form).
     """
     days = sessions.select(F.col("datetime"), F.col(dim), F.col("user_id")).distinct()
-    y = days.alias("y")
-    t = days.alias("t")
-    joined = y.join(
-        t,
-        (F.col(f"y.{dim}") == F.col(f"t.{dim}"))
-        & (F.col("t.user_id") == F.col("y.user_id"))
-        & (F.col("t.datetime") == F.date_add(F.col("y.datetime"), 1)),
-        "left")
-    return (joined.groupBy(
-                F.date_add(F.col("y.datetime"), 1).alias("datetime"),
-                F.col(f"y.{dim}").alias(dim))
-            .agg(F.count_distinct(F.col("y.user_id")).alias("yesterday_users"),
-                 F.count_distinct(F.col("t.user_id")).alias("retained_users"))
+    w = Window.partitionBy(dim, "user_id").orderBy("datetime")
+    nxt = F.lead("datetime").over(w)
+    # dim IS NOT NULL guard: the join form never matches a NULL dim
+    # (NULL != NULL in the ON clause), while the window partition
+    # groups NULL dims together — without the guard a NULL-dim user
+    # active on consecutive days would count as retained here but not
+    # in the join/oracle form
+    return (days.withColumn("_retained",
+                            (nxt == F.date_add(F.col("datetime"), 1))
+                            & F.col(dim).isNotNull())
+            .groupBy(F.date_add(F.col("datetime"), 1).alias("datetime"),
+                     F.col(dim))
+            .agg(F.count("user_id").alias("yesterday_users"),
+                 F.count(F.when(F.col("_retained"), F.col("user_id")))
+                  .alias("retained_users"))
             .withColumn("retention_rate",
                         rate(F.col("retained_users"), F.col("yesterday_users"))))
 
@@ -316,20 +340,24 @@ def retention_today_anchored(sessions: DataFrame, dim: str) -> DataFrame:
     """D1 retention, today-anchored with new-user split — reference A16
     (gold_country_daily_metrics.py:100-128): today's distinct (dim,user)
     LEFT JOIN yesterday's; returning = matched, new = today - returning.
-    Note the direction is the OPPOSITE of A11 — both are kept as-is."""
+    Note the direction is the OPPOSITE of A11 — both are kept as-is.
+
+    Plan shape (round 12, guide §2.4): same single-pass window rewrite
+    as :func:`retention_yesterday_anchored`, with ``lag`` — a user is
+    returning on day d iff their PREVIOUS active day is d-1. The
+    NULL-dim guard mirrors the join's NULL != NULL non-match; values
+    are oracle-pinned unchanged (the DuckDB SQL still states the
+    join + count-distinct form)."""
     days = sessions.select(F.col("datetime"), F.col(dim), F.col("user_id")).distinct()
-    t = days.alias("t")
-    y = days.alias("y")
-    joined = t.join(
-        y,
-        (F.col(f"t.{dim}") == F.col(f"y.{dim}"))
-        & (F.col("t.user_id") == F.col("y.user_id"))
-        & (F.col("y.datetime") == F.date_sub(F.col("t.datetime"), 1)),
-        "left")
-    g = (joined.groupBy(F.col("t.datetime").alias("datetime"),
-                        F.col(f"t.{dim}").alias(dim))
-         .agg(F.count_distinct(F.col("t.user_id")).alias("today_users"),
-              F.count_distinct(F.col("y.user_id")).alias("returning_users")))
+    w = Window.partitionBy(dim, "user_id").orderBy("datetime")
+    prv = F.lag("datetime").over(w)
+    g = (days.withColumn("_returning",
+                         (prv == F.date_sub(F.col("datetime"), 1))
+                         & F.col(dim).isNotNull())
+         .groupBy("datetime", dim)
+         .agg(F.count("user_id").alias("today_users"),
+              F.count(F.when(F.col("_returning"), F.col("user_id")))
+               .alias("returning_users")))
     return (g.withColumn("new_users", F.col("today_users") - F.col("returning_users"))
              .withColumn("returning_ratio",
                          rate(F.col("returning_users"), F.col("today_users")))

@@ -587,10 +587,11 @@ def temperature_mix_weights(docs: DataFrame, budget_tokens: int,
                      .alias("budget_tokens")))
 
 
-def dsir_importance(docs: DataFrame, target: DataFrame,
+def dsir_importance(docs: DataFrame, target: DataFrame | None,
                     n_features: int = 10_000,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id", *,
+                    target_pred: Column | None = None) -> DataFrame:
     """Data Selection with Importance Resampling (Xie et al. 2023):
     score every raw document by how much its hashed n-gram features
     look like a TARGET domain sample — importance =
@@ -652,8 +653,9 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
                             h=_hash60_sql("concat('dsir:', _g)"),
                             n=n_features)).alias("f"))
 
-    t_counts = (grams(target).groupBy("f")
-                .agg(F.count(F.lit(1)).cast("long").alias("t_f")))
+    if (target is None) == (target_pred is None):
+        raise ValueError("dsir_importance: pass exactly one of "
+                         "target / target_pred")
     # (doc, f, count) grain FIRST: both consumers (the r_f re-aggregate
     # and the scoring join) then read the SAME (id, f)-keyed partial
     # aggregate subtree, so its exchange plans once and the second
@@ -661,9 +663,29 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
     # + 60-bit hashing runs ONE map pass instead of two, without
     # materializing token-grain state (guide §2.4: operations keyed the
     # same way share one exchange).
-    doc_feats = (grams(docs, id_col)
-                 .groupBy(id_col, "f")
-                 .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    if target_pred is not None:
+        # target ⊆ docs stated as a predicate: the target feature
+        # counts are then sums of the per-doc counts over the flagged
+        # docs — derived from the SAME (doc, f) partial aggregate, so
+        # the target side costs zero extra corpus passes (round 12,
+        # guide §2.3/§2.4; the separate-frame path below pays a second
+        # gram explode over the target sample). The flag is per-doc
+        # constant, so adding it to the group key changes no group.
+        base = docs.select(F.col(id_col), F.col(text_col),
+                           F.coalesce(target_pred, F.lit(False))
+                            .alias("_tgt"))
+        doc_feats_t = (grams(base, id_col, "_tgt")
+                       .groupBy(id_col, "_tgt", "f")
+                       .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+        t_counts = (doc_feats_t.where(F.col("_tgt")).groupBy("f")
+                    .agg(F.sum("_c").cast("long").alias("t_f")))
+        doc_feats = doc_feats_t.drop("_tgt")
+    else:
+        t_counts = (grams(target).groupBy("f")
+                    .agg(F.count(F.lit(1)).cast("long").alias("t_f")))
+        doc_feats = (grams(docs, id_col)
+                     .groupBy(id_col, "f")
+                     .agg(F.count(F.lit(1)).cast("long").alias("_c")))
     r_counts = (doc_feats.groupBy("f")
                 .agg(F.sum("_c").cast("long").alias("r_f")))
     t_tot = t_counts.agg(F.coalesce(F.sum("t_f"), F.lit(0))
@@ -691,10 +713,11 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
                   .alias("score_bits")))
 
 
-def dsir_select(docs: DataFrame, target: DataFrame,
+def dsir_select(docs: DataFrame, target: DataFrame | None,
                 budget_docs: int, n_features: int = 10_000,
                 text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", *,
+                target_pred: Column | None = None) -> DataFrame:
     """The RESAMPLING half of DSIR (Xie et al. 2023): keep the
     ``budget_docs`` documents whose :func:`dsir_importance` score says
     they look most like the target domain — exact top-k by
@@ -720,8 +743,9 @@ def dsir_select(docs: DataFrame, target: DataFrame,
     if budget_docs <= 0:
         raise ValueError("budget_docs must be > 0 — an empty selection "
                          "is never what a resampling run means")
-    scores = dsir_importance(docs, target, n_features,
-                             text_col, id_col).localCheckpoint(eager=True)
+    scores = dsir_importance(docs, target, n_features, text_col,
+                             id_col, target_pred=target_pred) \
+        .localCheckpoint(eager=True)
     hist = (scores.groupBy("score_bits")
                   .agg(F.count(F.lit(1)).alias("_n")))
     wd = (Window.orderBy(F.desc("score_bits"))
@@ -748,10 +772,11 @@ def dsir_select(docs: DataFrame, target: DataFrame,
                 .unionByName(tie_kept.select(*out_cols)))
 
 
-def dsir_select_tokens(docs: DataFrame, target: DataFrame,
+def dsir_select_tokens(docs: DataFrame, target: DataFrame | None,
                        budget_tokens: int, n_features: int = 10_000,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id", *,
+                       target_pred: Column | None = None) -> DataFrame:
     """:func:`dsir_select` restated in the units a training budget is
     actually denominated in — TOKENS, not documents (the same
     doc-count -> token-count upgrade :func:`token_budget_mix` makes
@@ -781,7 +806,8 @@ def dsir_select_tokens(docs: DataFrame, target: DataFrame,
         # everything — the exact opposite of what was asked
         raise ValueError("budget_tokens must be > 0")
     scores = (dsir_importance(docs, target, n_features,
-                              text_col, id_col)
+                              text_col, id_col,
+                              target_pred=target_pred)
               .join(docs.select(
                         F.col(id_col),
                         _token_count(F.col(text_col)).cast("long")

@@ -357,6 +357,37 @@ def _centroids_df(spark, centroids: list[list[int]]) -> DataFrame:
     return spark.createDataFrame(rows, "cell long, cv array<bigint>")
 
 
+def _assign_cells(vecs: DataFrame, id_col: str, vec_col: str,
+                  cdf: DataFrame, n_cells: int) -> DataFrame:
+    """Nearest-cell id per quantized vector via the broadcast centroid
+    join: (id, cell) with the lexicographic (distance, cell) min —
+    lowest cell wins ties, ivf_cell's semantics.
+
+    The (d, cell) min is ENCODED into one BIGINT, ``d * n_cells +
+    cell`` (round 12): min over the encoding equals the lexicographic
+    min because 0 <= cell < n_cells and d >= 0, and it is exact while
+    ``d * n_cells`` fits a BIGINT — d <= dims * (2 * SCALE)^2 ~ 2.6e14
+    at 64 dims, so anything through ~10k centroids is safe. A plain
+    ``min(BIGINT)`` hash-aggregates with map-side partial combine and
+    ships 8 bytes per pre-combine row, where the ``min_by(cell,
+    struct(d, cell))`` form planned as SortAggregate (a sort on every
+    branch of every consumer). Oversized quantizers keep the struct
+    form.
+    """
+    j = vecs.crossJoin(F.broadcast(cdf))
+    if n_cells <= 16384:
+        return (j.select(F.col(id_col),
+                         (l2_q(vec_col, "cv") * n_cells + F.col("cell"))
+                          .alias("_dc"))
+                 .groupBy(id_col).agg(F.min("_dc").alias("_dc"))
+                 .select(F.col(id_col),
+                         (F.col("_dc") % n_cells).alias("cell")))
+    return (j.select(F.col(id_col), "cell",
+                     l2_q(vec_col, "cv").alias("d"))
+             .groupBy(id_col)
+             .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 8, nprobe: int = 2,
@@ -384,12 +415,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    with_norm="n_norm")
     # nearest cell per corpus vector: min (distance, cell) — lowest cell
     # wins ties, matching ivf_cell's array_position semantics
-    assign = (n.select("n_id", "n_vec")
-               .crossJoin(F.broadcast(cdf))
-               .select("n_id", "cell",
-                       l2_q("n_vec", "cv").alias("d"))
-               .groupBy("n_id")
-               .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
+    assign = _assign_cells(n.select("n_id", "n_vec"), "n_id", "n_vec",
+                           cdf, n_centroids)
     q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
                    with_norm="q_norm", spread=False)
     wq = Window.partitionBy("q_id").orderBy("d", "cell")
@@ -477,12 +504,8 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
     cdf = _centroids_df(corpus.sparkSession, cents)
     n = _quantized(corpus, id_col, vec_col, "_sid", "_svec", dims,
                    with_norm="_snorm")
-    assign = (n.select("_sid", "_svec")
-               .crossJoin(F.broadcast(cdf))
-               .select("_sid", "cell",
-                       l2_q("_svec", "cv").alias("d"))
-               .groupBy("_sid")
-               .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
+    assign = _assign_cells(n.select("_sid", "_svec"), "_sid", "_svec",
+                           cdf, n_centroids)
     sided = n.join(assign, "_sid")
     a = sided.select(F.col("cell"), F.col("_sid").alias("a_id"),
                      F.col("_svec").alias("a_vec"),
@@ -537,12 +560,8 @@ def cluster_balanced_sample(corpus: DataFrame, per_cluster: int = 5,
     cents = ivf_fit_centroids(corpus, n_centroids, id_col, vec_col)
     cdf = _centroids_df(corpus.sparkSession, cents)
     n = _quantized(corpus, id_col, vec_col, "_sid", "_svec", dims)
-    assign = (n.select("_sid", "_svec")
-               .crossJoin(F.broadcast(cdf))
-               .select("_sid", "cell",
-                       l2_q("_svec", "cv").alias("d"))
-               .groupBy("_sid")
-               .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
+    assign = _assign_cells(n.select("_sid", "_svec"), "_sid", "_svec",
+                           cdf, n_centroids)
     h = text_hash60(f"concat('{salt}:', CAST(_sid AS STRING))")
     wrk = Window.partitionBy("cell").orderBy("_h", "_sid")
     wall = Window.partitionBy("cell")
@@ -869,12 +888,8 @@ def ivf_recall_sweep(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cdf = _centroids_df(corpus.sparkSession, cents)
     n = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
                    with_norm="n_norm")
-    assign = (n.select("n_id", "n_vec")
-               .crossJoin(F.broadcast(cdf))
-               .select("n_id", "cell",
-                       l2_q("n_vec", "cv").alias("d"))
-               .groupBy("n_id")
-               .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
+    assign = _assign_cells(n.select("n_id", "n_vec"), "n_id", "n_vec",
+                           cdf, n_centroids)
     q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
                    with_norm="q_norm", spread=False)
     wq = Window.partitionBy("q_id").orderBy("d", "cell")

@@ -1560,26 +1560,52 @@ def bpe_version_drift(spark, table_path: str, docs: DataFrame,
     drift_bp = old_bp - new_bp (>= 0 when the new version extends the
     old merge list — more merges never split a word further).
 
-    Scale shape: two :func:`bpe_apply` passes (each at the
-    (doc, distinct-word) grain, merges riding as literals) joined on
-    the doc key — both sides aggregate to doc grain before the join,
-    so the exchange moves two small integer columns per doc.
+    Scale shape (round 12): ONE pass at the (doc, distinct-word) grain
+    — both versions' symbol counts are computed side by side in the
+    same projection (the replace chains ride as literals; when the new
+    version extends the old, codegen shares the old chain as the new
+    chain's prefix subexpression), then one per-doc rollup. The
+    previous shape ran two full :func:`bpe_apply` passes over the
+    corpus and joined them on the doc key (guide §2.4: don't compute
+    the same grain twice to join it back together); output is
+    bit-identical — same counts, same DECIMAL basis-point arithmetic.
     """
-    old = bpe_apply(docs, bpe_load(spark, table_path, v_old),
-                    text_col, id_col)
-    new = bpe_apply(docs, bpe_load(spark, table_path, v_new),
-                    text_col, id_col)
-    o = old.select(F.col(id_col), F.col("n_words"),
-                   F.col("n_tokens").alias("old_tokens"),
-                   F.col("tokens_per_word_bp").alias("old_bp"))
-    n = new.select(F.col(id_col),
-                   F.col("n_tokens").alias("new_tokens"),
-                   F.col("tokens_per_word_bp").alias("new_bp"))
-    return (o.join(n, id_col)
-             .select(id_col, "n_words", "old_tokens", "new_tokens",
-                     "old_bp", "new_bp",
-                     (F.col("old_bp") - F.col("new_bp")).cast("long")
-                      .alias("drift_bp")))
+    S, E = BPE_OPEN, BPE_CLOSE
+
+    def chain(merges: list[tuple]) -> str:
+        col = f"regexp_replace(w, '(.)', '{S}$1{E}')"
+        for _, a, b, _, _ in merges:
+            col = f"replace({col}, '{S}{a}{E}{S}{b}{E}', '{S}{a}{b}{E}')"
+        return col
+
+    col_old = chain(bpe_load(spark, table_path, v_old))
+    col_new = chain(bpe_load(spark, table_path, v_new))
+    from w_userflow_featurestore_spark.operators.dedup import words
+    from w_userflow_featurestore_spark.sources import fan_out
+    dw = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+          .select(F.col(id_col),
+                  F.explode(words(f"`{text_col}`")).alias("w"))
+          .where(F.col("w") != "")
+          .groupBy(id_col, "w")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    enc = (dw.withColumn("_n_old",
+                         F.size(_bpe_symbols(col_old)).cast("long"))
+             .withColumn("_n_new",
+                         F.size(_bpe_symbols(col_new)).cast("long")))
+    bp = ("CAST((CAST({tok} AS DECIMAL(38,0)) * 10000)"
+          " DIV n_words AS BIGINT)")
+    return (enc.groupBy(id_col)
+            .agg(F.sum("cnt").cast("long").alias("n_words"),
+                 F.sum(F.col("cnt") * F.col("_n_old")).cast("long")
+                  .alias("old_tokens"),
+                 F.sum(F.col("cnt") * F.col("_n_new")).cast("long")
+                  .alias("new_tokens"))
+            .select(F.col(id_col), "n_words", "old_tokens", "new_tokens",
+                    F.expr(bp.format(tok="old_tokens")).alias("old_bp"),
+                    F.expr(bp.format(tok="new_tokens")).alias("new_bp"))
+            .withColumn("drift_bp",
+                        (F.col("old_bp") - F.col("new_bp"))
+                        .cast("long")))
 
 
 def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
