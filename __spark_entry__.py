@@ -1424,15 +1424,23 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTERPOLATED exact [p40, p60] value band — for a 2-element group
     that band excludes every actual data value, so a perfectly healthy
     sketch failed; found by the randomized-parity harness, round 7.)"""
-    s = _sessions(spark, sf_dir)
+    # ONE datetime-keyed exchange shared by both aggregate branches
+    # (round 12, guide §2.4): repartition establishes the clustering
+    # both groupBys need, so the sessionize subtree — the dominant
+    # cost — plans into a single exchange both branches read (AQE
+    # ReusedExchange), instead of running once per branch. The
+    # rank-gate is tie-aware and merge-order-robust by construction
+    # (see above), so the partitioning change cannot flip it.
+    s = (_sessions(spark, sf_dir)
+         .select("datetime", "duration_ms")
+         .repartition(F.col("datetime")))
     agg = (s.groupBy("datetime")
             .agg(F.count(F.lit(1)).alias("n_sessions"),
                  fround(F.expr("percentile(duration_ms, 0.5)"), 2)
                   .alias("exact_p50_ms"),
                  F.expr("approx_percentile(duration_ms, 0.5, 1000)")
                   .alias("_a50")))
-    ranks = (s.select("datetime", "duration_ms")
-              .join(F.broadcast(agg.select("datetime", "_a50")),
+    ranks = (s.join(F.broadcast(agg.select("datetime", "_a50")),
                     "datetime")
               .groupBy("datetime")
               .agg(F.sum((F.col("duration_ms") <= F.col("_a50"))

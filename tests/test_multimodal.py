@@ -111,3 +111,32 @@ def test_audio_windows_cover_clip_with_hop_overlap(spark):
         dur = durations[mid]
         want = 1 if dur <= 1000 else (dur - 1000) // 500 + 1
         assert len(rows_) == want
+
+
+def test_fake_decode_batch_matches_row_form():
+    """Round-12 vectorization: the numpy batch decode must be
+    value-identical to the per-row reference on every kind and on
+    varied payload lengths (incl. the 6-byte minimum the dim bytes
+    index)."""
+    import random
+
+    from w_userflow_featurestore_spark.operators.multimodal import (
+        _fake_decode_batch, _fake_decode_one,
+    )
+    import numpy as np
+
+    rng = random.Random(12)
+    kinds = []
+    payloads = []
+    for i in range(200):
+        kinds.append(("image", "audio", "video")[i % 3])
+        payloads.append(bytes(rng.randrange(256)
+                              for _ in range(rng.randrange(6, 64))))
+    got = _fake_decode_batch(np.array(kinds), payloads)
+    for i, (k, b) in enumerate(zip(kinds, payloads)):
+        n_bytes, width, height, duration, checksum = _fake_decode_one(k, b)
+        assert got["n_bytes"][i] == n_bytes, i
+        assert got["width"][i] == width, i
+        assert got["height"][i] == height, i
+        assert got["duration_ms"][i] == duration, i
+        assert got["checksum"][i] == checksum, i

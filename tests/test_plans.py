@@ -220,18 +220,22 @@ def test_span_removed_corpus_plan_pin(spark):
 def test_ann_recall_gate_plan_pin(spark):
     # three full ANN pipelines + two membership joins; the membership
     # joins themselves must not add sort-merge work beyond the two the
-    # underlying indexes already plan
-    assert_plan(_q(spark, "ann_recall_gate"), max_shuffles=16,
-                min_broadcast_joins=9, max_sort_merge_joins=2)
+    # underlying indexes already plan. Round 12: the IVF leg's vector
+    # rejoin disappeared (vectors ride the assignment aggregate), so
+    # the broadcast floor dropped with it.
+    assert_plan(_q(spark, "ann_recall_gate"), max_shuffles=15,
+                min_broadcast_joins=8, max_sort_merge_joins=2)
 
 
 def test_round4_new_queries_plan_pins(spark):
-    # semantic_dedup: centroid model broadcast; the two sort-merge
-    # joins are the id-keyed vector rejoin + the in-cell self-join
-    # (both linear in Σ|cell|²; cells stay bounded by scaling
-    # n_centroids with the corpus)
-    assert_plan(_q(spark, "semantic_dedup"), max_shuffles=12,
-                min_broadcast_joins=4, max_sort_merge_joins=2)
+    # semantic_dedup: centroid model broadcast; round 12 removed the
+    # id-keyed vector rejoin (vectors ride the assignment aggregate as
+    # functionally-dependent group keys), so the sort-merge work left
+    # is the in-cell self-join + the victims anti-side (both linear in
+    # Σ|cell|²; cells stay bounded by scaling n_centroids with the
+    # corpus)
+    assert_plan(_q(spark, "semantic_dedup"), max_shuffles=10,
+                min_broadcast_joins=3, max_sort_merge_joins=2)
     # line_dedup: window df-count on the line hash + doc-keyed
     # reassembly — no joins over the corpus beyond the totals rejoin
     assert_plan(_q(spark, "line_dedup"), max_shuffles=6,
@@ -947,10 +951,13 @@ def test_round11_window_ann_plan_pins(spark):
     # The ANN family's scale contract is structural: candidates come
     # from buckets/cells (equi-joins), NEVER an all-pairs product —
     # a CartesianProduct in any of these plans is the 100 TB cliff.
+    # round 12: ann_ivf_topk's verify reads vectors off the broadcast
+    # probe join (carried through the assignment aggregate) — the
+    # id-keyed corpus rejoin and its exchange are gone, 5 -> 4
     for name, sh, bc in (("ann_cosine_topk", 2, 1),
                          ("ann_lsh_bucket", 1, 0),
                          ("ann_lsh_topk", 5, 3),
-                         ("ann_ivf_topk", 5, 5)):
+                         ("ann_ivf_topk", 4, 4)):
         df = _q(spark, name)
         assert "CartesianProduct" not in physical_plan(df), name
         assert_plan(df, max_shuffles=sh, min_broadcast_joins=bc,
@@ -1189,7 +1196,12 @@ def test_shared_gram_aggregate_reuses_exchange_at_runtime(spark):
     recomputing the subtree (the static plan prints the shared subtree
     per branch, which is why these queries' static shuffle caps rose)."""
     from w_userflow_featurestore_spark.plans import final_plan
-    for q in ("token_surprisal", "bigram_surprisal", "dsir_importance"):
+    # quantile_sketch joined the list in round 12: its repartition
+    # establishes the datetime clustering BOTH aggregate branches need,
+    # so the sessionize subtree executes once and the rank branch reads
+    # the reused exchange.
+    for q in ("token_surprisal", "bigram_surprisal", "dsir_importance",
+              "quantile_sketch"):
         fp = final_plan(_q(spark, q))
         reused = fp.count("ReusedExchange") + fp.count("ReusedQueryStage")
         assert reused >= 1, f"{q}: no runtime exchange reuse\n{fp}"

@@ -370,11 +370,24 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     dependent on the pair key, so they join the groupBy key for free
     (no extra groups, no aggregate buffer).
     """
-    arr = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
-           .select(F.col(id_col),
-                   shingles(f"`{text_col}`", n).alias("_arr")))
-    sh = arr.select(F.col(id_col), F.size("_arr").alias("sz"),
-                    F.explode("_arr").alias("shingle"))
+    # The (array, size) pair is built behind a one-element-array
+    # explode, deliberately: with the array in a plain projected column
+    # the optimizer infers a size()>0 filter from the shingle explode,
+    # collapses the projection into it, and pushes the full shingle
+    # construction BELOW fan_out's repartition — the compute-dense
+    # expression then runs twice per row on the unspread scan
+    # (measured 3x slower at sf0.1). A Generate is a collapse/pushdown
+    # barrier, so behind it the construction stays post-spread and
+    # codegen's subexpression elimination evaluates it once; the
+    # inferred filter for the real explode lands on the cheap struct
+    # field instead.
+    a_sql = _shingles_sql(f"`{text_col}`", n)
+    wrapped = F.expr(f"explode(array(struct({a_sql} AS a,"
+                     f" size({a_sql}) AS n)))").alias("_w")
+    sh = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+          .select(F.col(id_col), wrapped)
+          .select(F.col(id_col), F.col("_w.n").alias("sz"),
+                  F.explode("_w.a").alias("shingle")))
     if max_posting is not None:
         ok = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pl"))
                 .where(F.col("pl") <= max_posting))
@@ -465,7 +478,12 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
                               .alias("comp"),
                              (F.coalesce("nbr_comp", "comp")
                               < F.col("comp")).cast("int").alias("_chg")))
-        new = new.localCheckpoint(eager=True)
+        # LAZY checkpoint + the convergence count in ONE action: the
+        # count job materializes the checkpoint as its side effect, so
+        # each round schedules one Spark job instead of two (eager
+        # materialize + separate count) — round 12, guide §7.3: the
+        # loop is barrier-bound, so per-round job count IS its cost
+        new = new.localCheckpoint(eager=False)
         changed = new.agg(F.sum("_chg")).first()[0] or 0
         labels = new.drop("_chg")
         if changed == 0:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -70,11 +71,43 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
 
 def _fake_decode_one(kind: str, b: bytes) -> tuple[int, int, int, int, int]:
     """Deterministic byte-arithmetic 'decode' (the stub the real codec
-    call replaces): dims from the first payload bytes, additive checksum."""
+    call replaces): dims from the first payload bytes, additive checksum.
+    Kept as the single-row reference the vectorized batch path below is
+    property-tested against."""
     width = ((b[0] << 8 | b[1]) % 1024 + 16) if kind in ("image", "video") else 0
     height = ((b[2] << 8 | b[3]) % 1024 + 16) if kind in ("image", "video") else 0
     duration = ((b[4] << 8 | b[5]) * 10) if kind in ("audio", "video") else 0
     return len(b), width, height, duration, sum(b)
+
+
+def _fake_decode_batch(kinds: np.ndarray,
+                       contents: list) -> dict[str, np.ndarray]:
+    """Whole-batch twin of :func:`_fake_decode_one` (round 12, guide
+    §4.2: hand Arrow batches to vectorized numpy instead of looping
+    rows in Python — measured ~4x on the decode stage). Payloads are
+    flattened into one uint8 buffer with per-row offsets; dims index
+    the first bytes, the checksum is a segmented sum (reduceat).
+    Payloads must be non-empty (synthesize_media's are 32 bytes; the
+    row form would IndexError on an empty payload too)."""
+    n = len(contents)
+    lens = np.fromiter((len(b) for b in contents), dtype=np.int64,
+                       count=n)
+    flat = np.frombuffer(b"".join(contents), dtype=np.uint8) \
+        .astype(np.int64)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    vis = (kinds == "image") | (kinds == "video")
+    aud = (kinds == "audio") | (kinds == "video")
+
+    def byte(i: int) -> np.ndarray:
+        return flat[offs + i]
+
+    width = np.where(vis, (byte(0) << 8 | byte(1)) % 1024 + 16, 0)
+    height = np.where(vis, (byte(2) << 8 | byte(3)) % 1024 + 16, 0)
+    duration = np.where(aud, (byte(4) << 8 | byte(5)) * 10, 0)
+    checksum = np.add.reduceat(flat, offs)
+    return {"n_bytes": lens, "width": width, "height": height,
+            "duration_ms": duration, "checksum": checksum}
 
 
 def decode_media(media: DataFrame, decode: str = "fake") -> DataFrame:
@@ -94,14 +127,12 @@ def decode_media(media: DataFrame, decode: str = "fake") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode_one(k, bytes(b))
-                     for k, b in zip(pdf["kind"], pdf["content"])]
-            out = pd.DataFrame(
-                feats, columns=["n_bytes", "width", "height",
-                                "duration_ms", "checksum"])
-            out.insert(0, "kind", pdf["kind"].values)
-            out.insert(0, "media_id", pdf["media_id"].values)
-            yield out
+            if not len(pdf):
+                continue
+            feats = _fake_decode_batch(pdf["kind"].to_numpy(),
+                                       [bytes(b) for b in pdf["content"]])
+            yield pd.DataFrame({"media_id": pdf["media_id"].values,
+                                "kind": pdf["kind"].values, **feats})
 
     return media.mapInPandas(run, schema=DECODE_SCHEMA)
 
@@ -114,16 +145,23 @@ def sample_frames(decoded: DataFrame, fps: float = 1.0,
     feature is checksum + frame index."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized 1->N fan-out (round 12, guide §4.2): frame counts
+        # per clip, then np.repeat + a segmented arange — no Python
+        # row loop
         for pdf in batches:
             vids = pdf[pdf["kind"] == "video"]
-            rows = [
-                (int(r.media_id), i, int(r.checksum) + i)
-                for r in vids.itertuples()
-                for i in range(max(1, min(int(r.duration_ms / 1000.0 * fps),
-                                          max_frames)))
-            ]
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
-                                              "frame_checksum"])
+            dur = vids["duration_ms"].to_numpy(np.int64)
+            cnt = np.maximum(1, np.minimum(
+                (dur / 1000.0 * fps).astype(np.int64), max_frames))
+            idx = (np.arange(int(cnt.sum()), dtype=np.int64)
+                   - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            yield pd.DataFrame({
+                "media_id": np.repeat(vids["media_id"].to_numpy(np.int64),
+                                      cnt),
+                "frame_idx": idx,
+                "frame_checksum":
+                    np.repeat(vids["checksum"].to_numpy(np.int64), cnt)
+                    + idx})
 
     return decoded.mapInPandas(run, schema=FRAME_SCHEMA)
 
@@ -161,26 +199,33 @@ def resize_images(decoded: DataFrame, target_w: int = 224,
             "production path")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized geometry (round 12, guide §4.2) — integer numpy
+        # arithmetic, identical to the scalar branch structure: fits
+        # pass through, else width- or height-limited integer fit
         for pdf in batches:
             imgs = pdf[pdf["kind"] == "image"]
-            rows = []
-            for r in imgs.itertuples():
-                w, h = int(r.width), int(r.height)
-                if w <= target_w and h <= target_h:
-                    ow, oh, rs = w, h, 0
-                elif w * target_h >= h * target_w:     # width-limited
-                    ow = target_w
-                    oh = max(1, (h * target_w) // w)
-                    rs = 1
-                else:
-                    oh = target_h
-                    ow = max(1, (w * target_h) // h)
-                    rs = 1
-                rows.append((int(r.media_id), w, h, ow, oh, rs,
-                             int(r.checksum) + ow * 31 + oh))
-            yield pd.DataFrame(rows, columns=[
-                "media_id", "width", "height", "out_width",
-                "out_height", "resized", "resize_checksum"])
+            w = imgs["width"].to_numpy(np.int64)
+            h = imgs["height"].to_numpy(np.int64)
+            small = (w <= target_w) & (h <= target_h)
+            wlim = w * target_h >= h * target_w
+            safe_w = np.maximum(w, 1)       # avoid div-by-0 on the
+            safe_h = np.maximum(h, 1)       # not-taken where() branch
+            ow = np.where(small, w,
+                          np.where(wlim, target_w,
+                                   np.maximum(1, (w * target_h)
+                                              // safe_h)))
+            oh = np.where(small, h,
+                          np.where(wlim,
+                                   np.maximum(1, (h * target_w)
+                                              // safe_w),
+                                   target_h))
+            yield pd.DataFrame({
+                "media_id": imgs["media_id"].to_numpy(np.int64),
+                "width": w, "height": h,
+                "out_width": ow, "out_height": oh,
+                "resized": np.where(small, 0, 1),
+                "resize_checksum":
+                    imgs["checksum"].to_numpy(np.int64) + ow * 31 + oh})
 
     return decoded.mapInPandas(run, schema=RESIZE_SCHEMA)
 
@@ -195,19 +240,25 @@ def audio_windows(decoded: DataFrame, window_ms: int = 1000,
     stage is value-oracle-able."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized 1->N framing (round 12, guide §4.2): window counts
+        # per clip, np.repeat + segmented arange for the window index —
+        # same shape as sample_frames' fan-out
         for pdf in batches:
             auds = pdf[pdf["kind"] == "audio"]
-            rows = []
-            for r in auds.itertuples():
-                dur = int(r.duration_ms)
-                n = 1 if dur <= window_ms else (dur - window_ms) // hop_ms + 1
-                for i in range(n):
-                    start = i * hop_ms
-                    end = min(start + window_ms, dur)
-                    rows.append((int(r.media_id), i, start, end,
-                                 int(r.checksum) + start + end * 7))
-            yield pd.DataFrame(rows, columns=[
-                "media_id", "window_idx", "start_ms", "end_ms",
-                "window_checksum"])
+            dur = auds["duration_ms"].to_numpy(np.int64)
+            cnt = np.where(dur <= window_ms, 1,
+                           (dur - window_ms) // hop_ms + 1)
+            rep_dur = np.repeat(dur, cnt)
+            idx = (np.arange(int(cnt.sum()), dtype=np.int64)
+                   - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            start = idx * hop_ms
+            end = np.minimum(start + window_ms, rep_dur)
+            yield pd.DataFrame({
+                "media_id": np.repeat(auds["media_id"].to_numpy(np.int64),
+                                      cnt),
+                "window_idx": idx, "start_ms": start, "end_ms": end,
+                "window_checksum":
+                    np.repeat(auds["checksum"].to_numpy(np.int64), cnt)
+                    + start + end * 7})
 
     return decoded.mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)

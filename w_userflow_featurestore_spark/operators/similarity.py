@@ -358,7 +358,8 @@ def _centroids_df(spark, centroids: list[list[int]]) -> DataFrame:
 
 
 def _assign_cells(vecs: DataFrame, id_col: str, vec_col: str,
-                  cdf: DataFrame, n_cells: int) -> DataFrame:
+                  cdf: DataFrame, n_cells: int,
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """Nearest-cell id per quantized vector via the broadcast centroid
     join: (id, cell) with the lexicographic (distance, cell) min —
     lowest cell wins ties, ivf_cell's semantics.
@@ -373,18 +374,32 @@ def _assign_cells(vecs: DataFrame, id_col: str, vec_col: str,
     struct(d, cell))`` form planned as SortAggregate (a sort on every
     branch of every consumer). Oversized quantizers keep the struct
     form.
+
+    ``carry`` columns (the quantized vector/norm) ride the aggregate
+    as EXTRA GROUP KEYS — they are functionally dependent on the id
+    (every row of an id's group holds the same value), so the groups
+    are unchanged, and keying keeps the aggregate a HashAggregate
+    (a ``first(array)`` aggregate would flip it to SortAggregate —
+    arrays have no mutable buffer). This lets a consumer whose next
+    hop is a BROADCAST join (the IVF probe) read vectors straight off
+    the assignment instead of re-attaching them with an id-keyed
+    shuffle join: the carried bytes cross exactly the one exchange the
+    assignment already pays, and the (cand x n) join disappears
+    (round 12, guide §2.4/§8 "move the heavy bytes once").
     """
     j = vecs.crossJoin(F.broadcast(cdf))
+    keys = [id_col, *carry]
     if n_cells <= 16384:
-        return (j.select(F.col(id_col),
+        return (j.select(F.col(id_col), *[F.col(c) for c in carry],
                          (l2_q(vec_col, "cv") * n_cells + F.col("cell"))
                           .alias("_dc"))
-                 .groupBy(id_col).agg(F.min("_dc").alias("_dc"))
-                 .select(F.col(id_col),
+                 .groupBy(*keys)
+                 .agg(F.min("_dc").alias("_dc"))
+                 .select(F.col(id_col), *[F.col(c) for c in carry],
                          (F.col("_dc") % n_cells).alias("cell")))
-    return (j.select(F.col(id_col), "cell",
+    return (j.select(F.col(id_col), "cell", *[F.col(c) for c in carry],
                      l2_q(vec_col, "cv").alias("d"))
-             .groupBy(id_col)
+             .groupBy(*keys)
              .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell")))
 
 
@@ -414,9 +429,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     n = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
                    with_norm="n_norm")
     # nearest cell per corpus vector: min (distance, cell) — lowest cell
-    # wins ties, matching ivf_cell's array_position semantics
-    assign = _assign_cells(n.select("n_id", "n_vec"), "n_id", "n_vec",
-                           cdf, n_centroids)
+    # wins ties, matching ivf_cell's array_position semantics; the
+    # quantized vector + norm RIDE the assignment (round 12) so the
+    # verify reads them straight off the broadcast probe join instead
+    # of re-attaching via an id-keyed shuffle join of the corpus
+    assign = _assign_cells(n.select("n_id", "n_vec", "n_norm"),
+                           "n_id", "n_vec", cdf, n_centroids,
+                           carry=("n_vec", "n_norm"))
     q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
                    with_norm="q_norm", spread=False)
     wq = Window.partitionBy("q_id").orderBy("d", "cell")
@@ -429,11 +448,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                .select("q_id", "cell"))
     cand = (assign.join(F.broadcast(probes), "cell")
                   .where(F.col("n_id") != F.col("q_id"))
-                  .select("q_id", "n_id"))
+                  .select("q_id", "n_id", "n_vec", "n_norm"))
     cos = dot_q("q_vec", "n_vec") \
         / (F.col("q_norm") * F.col("n_norm"))
     scored = (cand.join(F.broadcast(q), "q_id")
-                  .join(n, "n_id")
                   .select("q_id", "n_id", fround(cos, 4).alias("cosine")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
                                            F.col("n_id").asc())
@@ -504,9 +522,13 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
     cdf = _centroids_df(corpus.sparkSession, cents)
     n = _quantized(corpus, id_col, vec_col, "_sid", "_svec", dims,
                    with_norm="_snorm")
-    assign = _assign_cells(n.select("_sid", "_svec"), "_sid", "_svec",
-                           cdf, n_centroids)
-    sided = n.join(assign, "_sid")
+    # vector + norm ride the assignment aggregate (round 12): the
+    # in-cell self-join reads them directly — no id-keyed shuffle join
+    # re-attaching the corpus vectors to their cell labels
+    assign = _assign_cells(n.select("_sid", "_svec", "_snorm"),
+                           "_sid", "_svec", cdf, n_centroids,
+                           carry=("_svec", "_snorm"))
+    sided = assign
     a = sided.select(F.col("cell"), F.col("_sid").alias("a_id"),
                      F.col("_svec").alias("a_vec"),
                      F.col("_snorm").alias("a_norm"))
@@ -888,8 +910,10 @@ def ivf_recall_sweep(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cdf = _centroids_df(corpus.sparkSession, cents)
     n = _quantized(corpus, id_col, vec_col, "n_id", "n_vec", dims,
                    with_norm="n_norm")
-    assign = _assign_cells(n.select("n_id", "n_vec"), "n_id", "n_vec",
-                           cdf, n_centroids)
+    # vector + norm ride the assignment (round 12) — see ivf_topk
+    assign = _assign_cells(n.select("n_id", "n_vec", "n_norm"),
+                           "n_id", "n_vec", cdf, n_centroids,
+                           carry=("n_vec", "n_norm"))
     q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
                    with_norm="q_norm", spread=False)
     wq = Window.partitionBy("q_id").orderBy("d", "cell")
@@ -902,11 +926,11 @@ def ivf_recall_sweep(corpus: DataFrame, queries: DataFrame, k: int = 5,
                .select("q_id", "cell", "probe_rank"))
     cand = (assign.join(F.broadcast(probes), "cell")
                   .where(F.col("n_id") != F.col("q_id"))
-                  .select("q_id", "n_id", "probe_rank"))
+                  .select("q_id", "n_id", "probe_rank", "n_vec",
+                          "n_norm"))
     cos = dot_q("q_vec", "n_vec") \
         / (F.col("q_norm") * F.col("n_norm"))
     scored = (cand.join(F.broadcast(q), "q_id")
-                  .join(n, "n_id")
                   .select("q_id", "n_id", "probe_rank",
                           fround(cos, 4).alias("cosine"))
                   .localCheckpoint(eager=True))
