@@ -163,3 +163,45 @@ def test_sub_second_gap_rejected(spark):
         stateful_sessionize(ev, gap_ms=999)
     # the boundary value itself is legal
     assign_sessions(ev, gap_ms=1000)
+
+
+def test_entry_type_carry_matches_min_by_reference(spark):
+    """Round-12: assign_sessions carries the session's first event type
+    (window last-over-boundary) so rollup groups on it instead of a
+    SortAggregate-forcing min_by. Pin value equivalence against the
+    min_by reference on the hostile edges: NULL type AT the session
+    head (must stay NULL, not borrow a neighbor), equal-timestamp ties
+    (event_id breaks them), multi-session users, interleaved users."""
+    from pyspark.sql import functions as F
+
+    data = [
+        # user 1, session A: tie at 10:00:00 -> event_id 1 wins (NULL!)
+        (2, "2024-01-01 10:00:00", 1, "click", 2.0, '{"k": 1}'),
+        (1, "2024-01-01 10:00:00", 1, None, 1.0, '{"k": 1}'),
+        (3, "2024-01-01 10:05:00", 1, "purchase", 60.0, '{"k": 2}'),
+        # user 1, session B after 31-min gap: head type 'view'
+        (4, "2024-01-01 10:36:00", 1, "view", 1.0, '{"k": 1}'),
+        (5, "2024-01-01 10:37:00", 1, "error", 0.0, '{"k": 1}'),
+        # user 2 interleaved, single event with NULL type
+        (6, "2024-01-01 10:02:00", 2, None, 5.0, '{"k": 9}'),
+        # user 3: two sessions, both non-null heads
+        (7, "2024-01-01 09:00:00", 3, "view", 1.0, '{"k": 1}'),
+        (8, "2024-01-01 09:40:00", 3, "click", 1.0, '{"k": 1}'),
+    ]
+    assigned = assign_sessions(_events(spark, data))
+    assert "_first_event_type" in assigned.columns
+    got = {(r["session_id"], r["user_id"]): r["entry_event_type"]
+           for r in rollup_sessions(assigned).collect()}
+    ref = {(r["session_id"], r["user_id"]): r["e"]
+           for r in assigned.groupBy("session_id", "user_id")
+           .agg(F.min_by("event_type",
+                         F.struct(F.col("ts"), F.col("event_id")))
+                .alias("e")).collect()}
+    assert got == ref
+    # and the hostile specifics explicitly: NULL heads stay NULL
+    by_user = {}
+    for (sid, uid), e in sorted(got.items()):
+        by_user.setdefault(uid, []).append(e)
+    assert by_user[1] == [None, "view"]
+    assert by_user[2] == [None]
+    assert by_user[3] == ["view", "click"]

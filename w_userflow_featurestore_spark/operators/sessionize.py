@@ -66,10 +66,29 @@ def assign_sessions(events: DataFrame, user_col: str = "user_id",
     # running last-boundary timestamp: same single (user) exchange as
     # the lag — no extra shuffle for the session-start lookup
     start_ms = F.max(F.when(is_new == 1, epoch_ms(F.col(ts_col)))).over(cum)
-    return events.withColumn(
+    out = events.withColumn(
         "session_id",
         (F.col(user_col) * F.lit(10_000_000_000)
          + F.floor(start_ms / 1000)).cast("long"))
+    if "event_type" in events.columns:
+        # The session's ENTRY event type, carried forward from the
+        # boundary row over the SAME window frame (round 12): every row
+        # of a session then holds its session's first event's type, so
+        # rollup_sessions can GROUP on it instead of aggregating it
+        # with min_by(event_type, struct(ts, event_id)) — a struct
+        # buffer that forces the whole rollup into SortAggregate (an
+        # extra sort on every session-derived query). The struct
+        # wrapper keeps a NULL type at the session head NULL (bare
+        # last(..., ignorenulls) would borrow the previous session's
+        # type); the window's (ts, tiebreak) order IS min_by's
+        # struct(ts, event_id) tie-break, so values are identical —
+        # oracle- and property-pinned.
+        first_t = F.last(
+            F.when(is_new == 1,
+                   F.struct(F.col("event_type").alias("v"))),
+            ignorenulls=True).over(cum)["v"]
+        out = out.withColumn("_first_event_type", first_t)
+    return out
 
 
 def rollup_sessions(events_with_sessions: DataFrame,
@@ -83,32 +102,51 @@ def rollup_sessions(events_with_sessions: DataFrame,
     """
     e = events_with_sessions
     item = F.from_json(F.col("props"), "k INT")["k"]  # schema-ful JSON decode (S2)
+    aggs = [
+        F.min(ts_col).alias("start_time"),
+        F.max(ts_col).alias("end_time"),
+        (epoch_ms(F.max(ts_col)) - epoch_ms(F.min(ts_col))).alias("duration_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value")).alias("sum_value"),
+        fround(F.max("value"), 2).alias("max_value"),
+        F.count_distinct(item).alias("n_items"),
+        presence_flag(F.col("event_type"), "purchase").alias("seen_purchase"),
+        presence_flag(F.col("event_type"), "error").alias("seen_error"),
+        presence_flag(F.col("event_type"), "click").alias("seen_click"),
+        presence_flag(F.col("event_type"), "view").alias("seen_view"),
+    ]
+    # entry type = the FIRST event's type by (ts, event_id) —
+    # deterministic under equal timestamps, and a NULL type at the
+    # session head stays NULL (the honest answer) instead of silently
+    # borrowing the next event's type. The oracle's
+    # list(... ORDER BY ts, event_id)[1] mirrors both behaviors
+    # (DuckDB's arg_min would skip NULLs — caught by the randomized
+    # parity harness).
+    if "_first_event_type" in e.columns:
+        # assign_sessions carried the entry type to every session row
+        # (constant within the group), so it joins the GROUP KEY —
+        # with the min_by struct gone every aggregate has a mutable
+        # buffer and the rollup plans as a HashAggregate instead of
+        # Sort + SortAggregate on every session-derived query
+        # (round 12, guide §2.4; value-identical, oracle-pinned).
+        g = (e.groupBy(F.col("session_id"), F.col(user_col),
+                       F.col("_first_event_type")
+                        .alias("entry_event_type"))
+             .agg(*aggs))
+        cols = ["session_id", user_col, "start_time", "end_time",
+                "duration_ms", "n_events", "entry_event_type",
+                "sum_value", "max_value", "n_items", "seen_purchase",
+                "seen_error", "seen_click", "seen_view"]
+        return g.select(*cols).withColumn("datetime",
+                                          F.to_date("start_time"))
+    # generic path for callers that assigned session ids elsewhere:
+    # min_by over the (ts, id) struct pins the same tie-break
+    entry = F.min_by("event_type",
+                     F.struct(F.col(ts_col), F.col("event_id"))) \
+        .alias("entry_event_type")
     return (
         e.groupBy("session_id", user_col)
-         .agg(
-             F.min(ts_col).alias("start_time"),
-             F.max(ts_col).alias("end_time"),
-             (epoch_ms(F.max(ts_col)) - epoch_ms(F.min(ts_col))).alias("duration_ms"),
-             F.count(F.lit(1)).alias("n_events"),
-             # entry type = the FIRST event's type by (ts, event_id) —
-             # deterministic under equal timestamps, and a NULL type at
-             # the session head stays NULL (the honest answer) instead
-             # of silently borrowing the next event's type. min_by over
-             # the (ts, id) struct pins the tie-break; the oracle's
-             # list(... ORDER BY ts, event_id)[1] mirrors both
-             # behaviors (DuckDB's arg_min would skip NULLs — caught
-             # by the randomized parity harness).
-             F.min_by("event_type",
-                      F.struct(F.col(ts_col), F.col("event_id")))
-             .alias("entry_event_type"),
-             exact_sum(F.col("value")).alias("sum_value"),
-             fround(F.max("value"), 2).alias("max_value"),
-             F.count_distinct(item).alias("n_items"),
-             presence_flag(F.col("event_type"), "purchase").alias("seen_purchase"),
-             presence_flag(F.col("event_type"), "error").alias("seen_error"),
-             presence_flag(F.col("event_type"), "click").alias("seen_click"),
-             presence_flag(F.col("event_type"), "view").alias("seen_view"),
-         )
+         .agg(*aggs[:4], entry, *aggs[4:])
          .withColumn("datetime", F.to_date("start_time"))
     )
 

@@ -530,11 +530,20 @@ def line_dedup(docs: DataFrame, max_occurrences: int = 2,
     TEXT rides only the data exchanges; the aggregate and the
     anti-join carry hashes.
     """
+    # The per-doc TOTAL line count rides every exploded row as a
+    # row-local size() (round 12, guide §2.3/§2.4): it is functionally
+    # dependent on the doc, so it joins the reassembly GROUP KEY for
+    # free — the old shape paid a second full explode pass, an
+    # id-keyed aggregate and a join to re-attach it. The doc text's
+    # split() is evaluated twice per row (size + the generator), far
+    # cheaper than that extra pass.
     lines = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
              .select(F.col(id_col),
+                     F.size(F.split(F.col(text_col), "\n"))
+                      .cast("long").alias("_n_total"),
                      F.posexplode(F.split(F.col(text_col), "\n"))
                       .alias("pos", "_raw"))
-             .select(F.col(id_col), "pos",
+             .select(F.col(id_col), "_n_total", "pos",
                      F.trim(F.col("_raw")).alias("line")))
     nonempty = (lines.where(F.col("line") != "")
                      .withColumn("_lh", text_hash60("line")))
@@ -543,22 +552,19 @@ def line_dedup(docs: DataFrame, max_occurrences: int = 2,
                    .where(F.col("_occ") > max_occurrences)
                    .select("_lh"))
     kept = nonempty.join(hot, "_lh", "left_anti")
-    totals = lines.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n_total"))
-    out = (kept.groupBy(id_col)
-               .agg(F.array_sort(F.collect_list(
-                        F.struct("pos", "line"))).alias("_ordered"))
-               .select(F.col(id_col),
-                       F.array_join(
-                           F.transform(F.col("_ordered"),
-                                       lambda s: s["line"]),
-                           "\n").alias("clean_text"),
-                       F.size("_ordered").cast("long")
-                        .alias("n_lines_kept")))
-    return (out.join(totals, id_col)
-               .select(id_col, "clean_text", "n_lines_kept",
-                       (F.col("_n_total") - F.col("n_lines_kept"))
-                        .cast("long").alias("n_lines_dropped")))
+    return (kept.groupBy(id_col, "_n_total")
+                .agg(F.array_sort(F.collect_list(
+                         F.struct("pos", "line"))).alias("_ordered"))
+                .select(F.col(id_col),
+                        F.array_join(
+                            F.transform(F.col("_ordered"),
+                                        lambda s: s["line"]),
+                            "\n").alias("clean_text"),
+                        F.size("_ordered").cast("long")
+                         .alias("n_lines_kept"),
+                        (F.col("_n_total")
+                         - F.size("_ordered")).cast("long")
+                         .alias("n_lines_dropped")))
 
 
 def duplicate_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
