@@ -833,3 +833,59 @@ def test_remove_duplicate_spans_excises_exactly_the_spans(spark):
         3: ("", 10, 10, 1),                 # self-repetition covers all
         4: ("one two three four five", 5, 0, 0),
     }
+
+
+def test_bpe_train_batched_equals_sequential_reference(spark):
+    """Round-12 batched argmax selection must reproduce the sequential
+    limit(1)-per-round loop EXACTLY — merge order, tie-breaks, and
+    selection-time counts — on corpora exercising both regimes: skewed
+    disjoint pairs (several merges accepted per counting round) and a
+    hot shared symbol (where batching must refuse and fall back to
+    one-per-round)."""
+    from pyspark.sql import functions as F
+
+    from w_userflow_featurestore_spark.operators.text import (
+        bpe_pair_stats, bpe_train, BPE_OPEN as S, BPE_CLOSE as E,
+    )
+    from w_userflow_featurestore_spark.operators.dedup import words
+
+    def sequential(docs, n_merges):
+        word_freq = (docs.select(F.explode(words("`text`")).alias("w"))
+                     .where(F.col("w") != "")
+                     .groupBy("w")
+                     .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+        base = word_freq.select(
+            F.regexp_replace("w", "(.)", f"{S}$1{E}").alias("syms"),
+            "freq")
+        merges = []
+        for rank in range(1, n_merges + 1):
+            expr = "syms"
+            for _, a, b, _, _ in merges:
+                expr = (f"replace({expr}, '{S}{a}{E}{S}{b}{E}',"
+                        f" '{S}{a}{b}{E}')")
+            best = (bpe_pair_stats(base.select(F.expr(expr).alias("syms"),
+                                               "freq"))
+                    .orderBy(F.desc("n_occurrences"), F.asc("left_sym"),
+                             F.asc("right_sym"))
+                    .limit(1).collect())
+            if not best:
+                break
+            a, b, n = (best[0]["left_sym"], best[0]["right_sym"],
+                       int(best[0]["n_occurrences"]))
+            merges.append((rank, a, b, a + b, n))
+        return merges
+
+    corpora = [
+        # skewed disjoint: th/es/on families dominate independently
+        ["the the the these those", "on one only the", "es es the on"],
+        # hot shared symbol 'a': aa ab ac all compete through 'a'
+        ["aa ab ac aaa aab", "aba aab abc", "aa aa ab"],
+        # ties everywhere: every word twice
+        ["xy xz yz", "xy xz yz"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                     "doc_id long, text string")
+        got, _ = bpe_train(docs, n_merges=6)
+        want = sequential(docs, 6)
+        assert got == want, (texts, got, want)
