@@ -924,6 +924,10 @@ def _model_bpe(word_freq: dict, k: int):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(docs=bpe_corpus_strategy)
 @example(docs=[["aaa", "aa", "a"]])      # overlap: greedy scan order
+@example(docs=[[], ["1a1", "111b1"]])    # round-12 batching: a pair
+# DERIVED from an accepted merge (('11','1b') -> '111b' then
+# ('111b','1')) ties a disjoint candidate's count and wins the lex
+# tie-break — the batch must reject the tied candidate
 @example(docs=[["ab", "ab", "ba"]])      # tie between (a,b) and (b,a)
 @example(docs=[["a", "b"]])              # nothing mergeable
 def test_bpe_train_matches_independent_model(spark, docs):

@@ -1258,57 +1258,31 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
             expr = f"replace({expr}, '{S}{a}{E}{S}{b}{E}', '{S}{a}{b}{E}')"
         return base.select(F.expr(expr).alias("syms"), "freq")
 
-    # Batched argmax rounds (round 12): one counting pass can accept
-    # SEVERAL merges when the tail of the top-K provably equals what
-    # sequential selection would pick, cutting the k driver barriers
-    # (the loop's real cost) without changing a single merge. After
-    # applying argmax pair p=(a,b), the only pair counts that change
-    # involve a, b, or the new symbol ab; when ab is BRAND-NEW, every
-    # pair involving it starts from zero and its count is bounded by an
-    # OLD pair's that shares a symbol with p ((x,ab) <= (x,a);
-    # (ab,y) <= (b,y)). So the next sorted candidate q, symbol-DISJOINT
-    # from every pair accepted this round, is still the exact
-    # sequential argmax provided its count STRICTLY exceeds (i) every
-    # seen pair sharing a symbol with the accepted set and (ii) every
-    # pair below the fetched top-K (bounded by the K-th count) — ties
-    # could flip the (count, left, right) tie-break, so only strict
-    # dominance accepts. If ab already EXISTS as a symbol (only
-    # possible when a previous merge produced the same string — initial
-    # symbols are single characters), pairs involving it can GAIN
-    # occurrences and the bound fails, so that acceptance ends the
-    # batch. Worst case accepts 1/round = the sequential loop; skewed
-    # pair distributions — the common case — accept several. Merge
-    # list, per-merge selection-time counts, and the final symbol state
-    # are bit-identical to the sequential loop (the DuckDB oracle
-    # replays the sequential form and pins it).
-    top_k = max(16, n_merges)
+    # Round-12 note — batched argmax selection was TRIED and REVERTED
+    # (guide §1.1: measure the ideal, switch back when it loses).
+    # Accepting several top-K pairs per counting round is only
+    # sequential-exact when a candidate's count strictly dominates
+    # every fetched pair sharing a symbol with the accepted set —
+    # including TIES sorted after it, because a pair derived from an
+    # accepted merge can tie the candidate and steal the
+    # (count, left, right) tie-break (hypothesis-found, pinned as the
+    # "1a1/111b1" @example on test_bpe_train_matches_independent_
+    # model). Under that sound condition, char-level pair counts —
+    # whose top pairs all share a handful of hot symbols — accept one
+    # pair per round anyway (measured 8 rounds for 8 merges on the
+    # fixture corpus), so the batching bought nothing and the simple
+    # sequential loop stays.
     merges: list[tuple] = []
-    created: set[str] = set()
-    while len(merges) < n_merges:
-        rows = (bpe_pair_stats(symbolize(merges))
+    for rank in range(1, n_merges + 1):
+        best = (bpe_pair_stats(symbolize(merges))
                 .orderBy(F.desc("n_occurrences"), F.asc("left_sym"),
                          F.asc("right_sym"))
-                .limit(top_k).collect())
-        if not rows:
+                .limit(1).collect())
+        if not best:
             break                        # fully fused: nothing to merge
-        saw_all = len(rows) < top_k
-        floor_n = int(rows[-1]["n_occurrences"])
-        used: set[str] = set()
-        blocked_max = -1
-        for i, r in enumerate(rows):
-            if len(merges) >= n_merges:
-                break
-            a, b, n = r["left_sym"], r["right_sym"], int(r["n_occurrences"])
-            if i > 0 and (a in used or b in used):
-                blocked_max = max(blocked_max, n)
-                continue
-            if i > 0 and not (n > blocked_max and (saw_all or n > floor_n)):
-                break   # sorted desc: no later row can qualify either
-            merges.append((len(merges) + 1, a, b, a + b, n))
-            used |= {a, b, a + b}
-            if a + b in created:
-                break   # pre-existing symbol: counts may inflate
-            created.add(a + b)
+        a, b, n = (best[0]["left_sym"], best[0]["right_sym"],
+                   best[0]["n_occurrences"])
+        merges.append((rank, a, b, a + b, int(n)))
     return merges, symbolize(merges)
 
 
