@@ -146,28 +146,39 @@ def summary_line(out: dict, budget: int = _LINE_BUDGET) -> str:
 
 
 def settle_gate(load5: float, max_load5: float,
-                forced: bool) -> dict:
-    """Refuse to bench on an unsettled machine (round-11 verdict, Next
-    round #3): even SAME-boot bases carry residual machine-state
-    variance on sub-2s queries — round 11's round-end run, launched
-    right after a 40-minute full-suite run (5-min loadavg ~6.7),
-    flagged an untouched query at 1.9x its idle-machine base, and a
-    judge+builder adjudication cycle was spent proving it was load.
-    The 5-MINUTE loadavg is the gate (the 1-minute figure forgives a
-    just-finished suite run too quickly). ``SPARK_GRAFT_BENCH_FORCE=1``
-    overrides, and the override is stamped into the artifact so a
-    reviewer sees the context without an adjudication round.
+                strict: bool) -> dict:
+    """Annotate (never refuse) a bench run on an unsettled machine.
 
-    Returns the settle-gate record to stamp into the artifact; raises
-    SystemExit when the gate refuses."""
-    rec = {"load5": load5, "max_load5": max_load5, "forced": forced}
-    if load5 > max_load5 and not forced:
-        raise SystemExit(
-            f"settle gate: 5-min loadavg {load5} > {max_load5} — the "
-            "machine has not drained recent load and sub-2s timings "
-            "would be inflated. Wait for the load to settle (watch "
-            "/proc/loadavg) or set SPARK_GRAFT_BENCH_FORCE=1 to "
-            "record anyway (the artifact is annotated).")
+    History: round 11 lost a judge+builder adjudication cycle to a
+    load-inflated timing, so round 12 added a gate that REFUSED
+    (SystemExit) when the 5-min loadavg exceeded the threshold. That
+    broke the artifact contract harder than noise ever did: the
+    driver runs on a shared box it does not idle first and cannot set
+    env overrides, so round 12 shipped with ZERO driver bench data —
+    both the 32-core and 8-core runs died rc=1 (round-12 verdict,
+    What's wrong #1). A bench that refuses to print the contract line
+    is worse than one that prints an annotated noisy line.
+
+    So: the run ALWAYS proceeds and the artifact carries
+    ``{"load5", "max_load5", "settled": bool}`` — a reviewer sees an
+    unsettled context directly in the JSON, no adjudication needed,
+    and ``bench_compare.py``'s drift normalization + min-of-N already
+    absorb most of the inflation. The old refusal behavior survives
+    ONLY behind ``SPARK_GRAFT_BENCH_STRICT=1``, an opt-in the builder
+    uses locally when it wants a hard guarantee of a settled base."""
+    settled = load5 <= max_load5
+    rec = {"load5": load5, "max_load5": max_load5, "settled": settled}
+    if not settled:
+        print(
+            f"settle gate: 5-min loadavg {load5} > {max_load5} — "
+            "recording anyway; artifact annotated settled:false "
+            "(set SPARK_GRAFT_BENCH_STRICT=1 to refuse instead).",
+            file=sys.stderr)
+        if strict:
+            raise SystemExit(
+                f"settle gate (STRICT): 5-min loadavg {load5} > "
+                f"{max_load5} and SPARK_GRAFT_BENCH_STRICT=1 — "
+                "refusing per explicit opt-in.")
     return rec
 
 
@@ -179,7 +190,7 @@ def main() -> None:
     gate = settle_gate(
         round(os.getloadavg()[1], 2),
         float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD5", "1.5")),
-        os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1")
+        os.environ.get("SPARK_GRAFT_BENCH_STRICT", "0") == "1")
 
     spark = get_spark(app_name="bench")
 

@@ -217,7 +217,7 @@ def main() -> None:
     gate = settle_gate(
         round(os.getloadavg()[1], 2),
         float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD5", "1.5")),
-        os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1")
+        os.environ.get("SPARK_GRAFT_BENCH_STRICT", "0") == "1")
     spark = get_spark(app_name="scalecheck")
     build_inflated(spark, base_dir, out_dir)
 

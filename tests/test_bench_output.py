@@ -144,18 +144,25 @@ def test_bench_compare_default_base_prefers_same_boot_base(
         bench_compare._default_base()) == "BENCH_BASE_r12.json"
 
 
-def test_settle_gate_refuses_loaded_machine_and_force_annotates():
-    """Round-11 verdict #3: bench.py must refuse (or loudly annotate)
-    when the 5-min loadavg says the machine hasn't drained recent
-    load — round 11 spent an adjudication cycle proving a 1.9x 'flag'
-    was the post-suite load, not code."""
+def test_settle_gate_annotates_and_never_refuses_by_default():
+    """Round-12 verdict #1: the refusal path (SystemExit at loadavg >
+    threshold) blanked BOTH of the driver's r12 bench runs (rc=1, no
+    parsed JSON line) because the driver can neither idle the box nor
+    set env overrides. The gate must ALWAYS let the run proceed and
+    stamp ``settled: true/false`` into the artifact; refusal survives
+    only behind the explicit SPARK_GRAFT_BENCH_STRICT=1 opt-in."""
     import pytest
-    rec = bench.settle_gate(0.8, 1.5, forced=False)
-    assert rec == {"load5": 0.8, "max_load5": 1.5, "forced": False}
-    with pytest.raises(SystemExit, match="settle gate"):
-        bench.settle_gate(6.7, 1.5, forced=False)
-    rec = bench.settle_gate(6.7, 1.5, forced=True)
-    assert rec["forced"] is True and rec["load5"] == 6.7
+    rec = bench.settle_gate(0.8, 1.5, strict=False)
+    assert rec == {"load5": 0.8, "max_load5": 1.5, "settled": True}
+    # loaded machine, default mode: proceeds, annotated unsettled
+    rec = bench.settle_gate(6.7, 1.5, strict=False)
+    assert rec == {"load5": 6.7, "max_load5": 1.5, "settled": False}
+    # loaded machine, explicit strict opt-in: refuses
+    with pytest.raises(SystemExit, match="STRICT"):
+        bench.settle_gate(6.7, 1.5, strict=True)
+    # strict opt-in on a settled machine: proceeds normally
+    rec = bench.settle_gate(0.8, 1.5, strict=True)
+    assert rec["settled"] is True
 
 
 def test_bench_compare_normalizes_uniform_drift():
