@@ -214,6 +214,40 @@ def test_ivf_topk_matches_brute_force_within_probed_cells(spark):
     assert recall >= 0.3                           # 2/8 cells probed
 
 
+def test_assign_cells_gate_is_dims_aware_and_forms_agree(spark):
+    """Round-13 ADVICE fix: the encoded-BIGINT fast path in
+    _assign_cells must be gated on dims * (2*SCALE)^2 * n_cells
+    fitting int64, not on a fixed n_cells threshold — at dims >= 143
+    the old n_cells<=16384 gate let d * n_cells silently overflow and
+    mis-assign cells. Pins (a) both forms agree where the fast path is
+    legal, (b) an overflow-risky dims takes the struct form (whose
+    plan has a min_by SortAggregate, detectable via 'sort' in the
+    plan) and still assigns correctly."""
+    from w_userflow_featurestore_spark.operators.similarity import (
+        SCALE, _assign_cells, _centroids_df)
+    from w_userflow_featurestore_spark.sources import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = SIM.ivf_fit_centroids(emb, n_centroids=8)
+    cdf = _centroids_df(spark, cents)
+    n = SIM._quantized(emb, "vec_id", "embedding", "_id", "_vec", 64)
+    fast = _assign_cells(n.select("_id", "_vec"), "_id", "_vec", cdf,
+                         8, dims=64)
+    # dims=64: 64 * (2e6)^2 * 9 = 2.3e15 << 2^63 — fast path legal
+    assert 64 * (2 * SCALE) ** 2 * 9 < 2 ** 63
+    # an overflow-risky dims (1024 dims x 2^21 cells would wrap):
+    # force the struct form by passing a huge n_cells-equivalent gate
+    big_dims = 2 ** 63 // ((2 * SCALE) ** 2 * 9) + 1
+    safe = _assign_cells(n.select("_id", "_vec"), "_id", "_vec", cdf,
+                         8, dims=big_dims)
+    # the risky dims actually selected the min_by struct form
+    plan_fast = fast._jdf.queryExecution().optimizedPlan().toString()
+    plan_safe = safe._jdf.queryExecution().optimizedPlan().toString()
+    assert "min_by" not in plan_fast and "min_by" in plan_safe
+    got_fast = {r["_id"]: r["cell"] for r in fast.collect()}
+    got_safe = {r["_id"]: r["cell"] for r in safe.collect()}
+    assert got_fast == got_safe and got_fast  # forms agree, non-empty
+
+
 def test_connected_components_long_chain_converges(spark):
     # a 13-node chain (diameter 12 >> a near-dup cluster's 2-3, but
     # inside the default 50-round budget): min-label propagation must

@@ -132,6 +132,13 @@ def test_fake_decode_batch_matches_row_form():
         kinds.append(("image", "audio", "video")[i % 3])
         payloads.append(bytes(rng.randrange(256)
                               for _ in range(rng.randrange(6, 64))))
+    # round-13 ADVICE fix pins: short payloads the ROW form accepts —
+    # a 4-byte image (needs bytes 0-3 only) as the LAST row used to
+    # IndexError in the batch form (unmasked byte(4)/byte(5) reads
+    # past the flattened buffer), and mid-buffer short rows read their
+    # neighbor's bytes. Masked padded reads must equal the row form.
+    kinds += ["image", "image"]
+    payloads += [bytes([7, 7, 7, 7]), bytes([1, 2, 3, 4])]
     got = _fake_decode_batch(np.array(kinds), payloads)
     for i, (k, b) in enumerate(zip(kinds, payloads)):
         n_bytes, width, height, duration, checksum = _fake_decode_one(k, b)
@@ -140,3 +147,15 @@ def test_fake_decode_batch_matches_row_form():
         assert got["height"][i] == height, i
         assert got["duration_ms"][i] == duration, i
         assert got["checksum"][i] == checksum, i
+
+    # a mid-batch short image between audio rows must not read its
+    # neighbor's bytes into its own (discarded) duration lane, and an
+    # empty payload raises the documented clear error
+    import pytest
+    got2 = _fake_decode_batch(
+        np.array(["audio", "image", "audio"]),
+        [bytes(range(6)), bytes([9, 9, 9, 9]), bytes(range(6))])
+    assert got2["width"][1] == ((9 << 8 | 9) % 1024 + 16)
+    assert got2["duration_ms"][1] == 0
+    with pytest.raises(ValueError, match="empty payload"):
+        _fake_decode_batch(np.array(["image"]), [b""])

@@ -50,6 +50,16 @@ def assign_sessions(events: DataFrame, user_col: str = "user_id",
     session. Two sessions of one user start > gap apart (minutes), so
     epoch-second granularity cannot collide; unique across users for
     user_id < ~9.2e8 (long headroom above the 1e10 multiplier).
+
+    When the input has an ``event_type`` column the output ALSO
+    carries ``_first_event_type`` — the session's entry event type,
+    constant across every row of a session BY CONSTRUCTION here. It
+    is an internal carry for :func:`rollup_sessions` (which groups on
+    it to stay a HashAggregate); drop it before handing the frame to
+    an external sink that selects ``*``. Do not fabricate the column
+    yourself: :func:`rollup_sessions` trusts it to be session-constant
+    and a non-constant value silently splits a session into duplicate
+    rollup rows (round-13 ADVICE note).
     """
     if gap_ms < 1000:
         raise ValueError(
@@ -99,6 +109,13 @@ def rollup_sessions(events_with_sessions: DataFrame,
     One row per session: time bounds, duration, entry event, value
     aggregates, distinct item count, and 0/1 presence flags per event type
     (the reference's seen_enter/seen_scroll/seen_complete/seen_exit).
+
+    Contract on ``_first_event_type``: when present it must be the
+    :func:`assign_sessions` carry (session-constant) — the fast path
+    below groups on it, so a caller-fabricated non-constant value
+    would split sessions into duplicate rows. Frames whose session
+    ids were assigned elsewhere (no carry column) take the generic
+    min_by path, which derives the entry type itself.
     """
     e = events_with_sessions
     item = F.from_json(F.col("props"), "k INT")["k"]  # schema-ful JSON decode (S2)

@@ -359,7 +359,8 @@ def _centroids_df(spark, centroids: list[list[int]]) -> DataFrame:
 
 def _assign_cells(vecs: DataFrame, id_col: str, vec_col: str,
                   cdf: DataFrame, n_cells: int,
-                  carry: tuple[str, ...] = ()) -> DataFrame:
+                  carry: tuple[str, ...] = (),
+                  dims: int = 64) -> DataFrame:
     """Nearest-cell id per quantized vector via the broadcast centroid
     join: (id, cell) with the lexicographic (distance, cell) min —
     lowest cell wins ties, ivf_cell's semantics.
@@ -367,13 +368,16 @@ def _assign_cells(vecs: DataFrame, id_col: str, vec_col: str,
     The (d, cell) min is ENCODED into one BIGINT, ``d * n_cells +
     cell`` (round 12): min over the encoding equals the lexicographic
     min because 0 <= cell < n_cells and d >= 0, and it is exact while
-    ``d * n_cells`` fits a BIGINT — d <= dims * (2 * SCALE)^2 ~ 2.6e14
-    at 64 dims, so anything through ~10k centroids is safe. A plain
-    ``min(BIGINT)`` hash-aggregates with map-side partial combine and
-    ships 8 bytes per pre-combine row, where the ``min_by(cell,
-    struct(d, cell))`` form planned as SortAggregate (a sort on every
-    branch of every consumer). Oversized quantizers keep the struct
-    form.
+    ``d * n_cells + cell`` fits a BIGINT — d <= dims * (2 * SCALE)^2,
+    so the gate is ``dims * (2*SCALE)^2 * (n_cells + 1) < 2^63``
+    (round-13 ADVICE fix: a fixed n_cells <= 16384 gate silently
+    overflowed for dims >~ 140, e.g. 1024-dim embeddings — dims is a
+    public parameter on ivf_topk/semantic_dedup/ivf_recall_sweep).
+    A plain ``min(BIGINT)`` hash-aggregates with map-side partial
+    combine and ships 8 bytes per pre-combine row, where the
+    ``min_by(cell, struct(d, cell))`` form planned as SortAggregate
+    (a sort on every branch of every consumer). Oversized
+    quantizer/dims combinations keep the struct form.
 
     ``carry`` columns (the quantized vector/norm) ride the aggregate
     as EXTRA GROUP KEYS — they are functionally dependent on the id
@@ -389,7 +393,8 @@ def _assign_cells(vecs: DataFrame, id_col: str, vec_col: str,
     """
     j = vecs.crossJoin(F.broadcast(cdf))
     keys = [id_col, *carry]
-    if n_cells <= 16384:
+    d_max = dims * (2 * SCALE) ** 2          # max squared-L2 distance
+    if d_max * (n_cells + 1) < 2 ** 63:
         return (j.select(F.col(id_col), *[F.col(c) for c in carry],
                          (l2_q(vec_col, "cv") * n_cells + F.col("cell"))
                           .alias("_dc"))
@@ -435,7 +440,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # of re-attaching via an id-keyed shuffle join of the corpus
     assign = _assign_cells(n.select("n_id", "n_vec", "n_norm"),
                            "n_id", "n_vec", cdf, n_centroids,
-                           carry=("n_vec", "n_norm"))
+                           carry=("n_vec", "n_norm"), dims=dims)
     q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
                    with_norm="q_norm", spread=False)
     wq = Window.partitionBy("q_id").orderBy("d", "cell")
@@ -527,7 +532,7 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
     # re-attaching the corpus vectors to their cell labels
     assign = _assign_cells(n.select("_sid", "_svec", "_snorm"),
                            "_sid", "_svec", cdf, n_centroids,
-                           carry=("_svec", "_snorm"))
+                           carry=("_svec", "_snorm"), dims=dims)
     sided = assign
     a = sided.select(F.col("cell"), F.col("_sid").alias("a_id"),
                      F.col("_svec").alias("a_vec"),
@@ -583,7 +588,7 @@ def cluster_balanced_sample(corpus: DataFrame, per_cluster: int = 5,
     cdf = _centroids_df(corpus.sparkSession, cents)
     n = _quantized(corpus, id_col, vec_col, "_sid", "_svec", dims)
     assign = _assign_cells(n.select("_sid", "_svec"), "_sid", "_svec",
-                           cdf, n_centroids)
+                           cdf, n_centroids, dims=dims)
     h = text_hash60(f"concat('{salt}:', CAST(_sid AS STRING))")
     wrk = Window.partitionBy("cell").orderBy("_h", "_sid")
     wall = Window.partitionBy("cell")
@@ -913,7 +918,7 @@ def ivf_recall_sweep(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # vector + norm ride the assignment (round 12) — see ivf_topk
     assign = _assign_cells(n.select("n_id", "n_vec", "n_norm"),
                            "n_id", "n_vec", cdf, n_centroids,
-                           carry=("n_vec", "n_norm"))
+                           carry=("n_vec", "n_norm"), dims=dims)
     q = _quantized(queries, id_col, vec_col, "q_id", "q_vec", dims,
                    with_norm="q_norm", spread=False)
     wq = Window.partitionBy("q_id").orderBy("d", "cell")
