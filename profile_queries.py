@@ -1,13 +1,13 @@
-"""Round-12 measurement harness (guide §1): per-query build/exec split,
+"""Round-13 measurement harness (guide §1): per-query build/exec split,
 Spark job count, and formatted plans.
 
 For each declared query: time the Python-side DataFrame construction
 (plan build, py4j traffic) separately from the noop-sink execution, count
 the Spark jobs the execution schedules (multi-job queries pay scheduling
-overhead per job), and dump .explain("formatted") to plans/r12/.
+overhead per job), and dump .explain("formatted") to plans/r13/.
 
 Usage: python profile_queries.py [out_suffix] [query ...]
-Writes PROFILE_r12<out_suffix>.json and plans/r12/<query>_<out_suffix or
+Writes PROFILE_r13<out_suffix>.json and plans/r13/<query>_<out_suffix or
 'before'>.txt. Not part of the bench contract — a diagnostic tool only.
 """
 from __future__ import annotations
@@ -27,12 +27,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="profile_r12")
+    spark = get_spark(app_name="profile_r13")
     sc = spark.sparkContext
     qs = entrymod.queries()
     names = [n for n in qs if not only or n in only]
     plans_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "plans", "r12")
+                             "plans", "r13")
     os.makedirs(plans_dir, exist_ok=True)
 
     # session warm-up so the first measured query isn't paying JVM warmup
@@ -45,7 +45,7 @@ def main() -> None:
     out: dict[str, dict] = {}
     for n in names:
         fn = qs[n]
-        sc.setJobDescription(f"r12-profile:{n}")
+        sc.setJobDescription(f"r13-profile:{n}")
         try:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -75,7 +75,7 @@ def main() -> None:
               file=sys.stderr)
     sc.setJobDescription(None)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        f"PROFILE_r12_{suffix}.json")
+                        f"PROFILE_r13_{suffix}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     tot_b = sum(v.get("build_sec", 0) for v in out.values())

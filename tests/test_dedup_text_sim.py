@@ -696,6 +696,37 @@ def test_bpe_registry_versions_are_pinned_and_latest_resolves(spark, tmp_path):
     assert bpe_load(spark, path) == [tuple(m) for m in m4]
 
 
+def test_bpe_registry_manifest_version_probe(spark, tmp_path, monkeypatch):
+    """Round 13: the latest-version probe inside bpe_save/bpe_load
+    reads max(tokenizer_version) from MANIFEST stats (driver-side, no
+    Spark job) instead of a full table read+agg+collect. Pins (a) the
+    probe equals the read-based max after multiple publishes, (b) with
+    unusable stats the probe returns None and the callers fall back to
+    the read path with identical results."""
+    from pyspark.sql import functions as F
+    from w_userflow_featurestore_spark.operators.text import (
+        _registry_max_version, bpe_load, bpe_save, bpe_train,
+    )
+    from w_userflow_featurestore_spark.sources import LogTable, read_table
+    docs = read_table(spark, SF0001, "documents",
+                      columns=["doc_id", "text"])
+    m3, _ = bpe_train(docs, n_merges=3)
+    path = str(tmp_path / "tokenizer")
+    bpe_save(spark, path, m3[:1])
+    bpe_save(spark, path, m3)
+    t = LogTable(spark, path)
+    read_max = t.read().agg(
+        F.max("tokenizer_version").alias("v")).collect()[0]["v"]
+    assert _registry_max_version(t) == int(read_max) == 2
+    # unusable stats -> None -> callers take the read fallback
+    monkeypatch.setattr(LogTable, "files_stats", lambda self, *a: {})
+    assert _registry_max_version(t) is None
+    v3, _ = bpe_save(spark, path, m3[:2])
+    assert v3 == 3                      # fallback still counts correctly
+    monkeypatch.undo()
+    assert bpe_load(spark, path) == [tuple(m) for m in m3[:2]]
+
+
 def test_bpe_registry_rollback_and_idempotent_replay(spark, tmp_path):
     """The registry rides LogTable's snapshot machinery: rollback
     restores the earlier published state, and a txn-tagged save

@@ -449,3 +449,25 @@ def test_fan_out_memo_caches_per_plan(spark):
     before = dict(P._FANOUT_PARTS_MEMO)
     P.fan_out(read_table(spark, SF0001, "documents").select("doc_id"))
     assert P._FANOUT_PARTS_MEMO == before
+
+
+def test_read_table_schema_memo_pins_identical_relation(spark):
+    """Round 13: read_table memoizes the inferred parquet schema per
+    (session, path) and pins it via .schema(...) on later calls —
+    skipping footer re-inference (~40-80 ms driver time per call, paid
+    inside every timed query). The pinned relation must be IDENTICAL
+    to the inferred one: same schema (incl. the nanos->timestamp
+    normalization), same rows."""
+    from w_userflow_featurestore_spark.sources import parquet as P
+    key = (id(spark), f"{SF0001}/events.parquet")
+    P._SCHEMA_MEMO.pop(key, None)
+    inferred = read_table(spark, SF0001, "events")
+    assert key in P._SCHEMA_MEMO           # first call populated the memo
+    pinned = read_table(spark, SF0001, "events")
+    assert pinned.schema == inferred.schema
+    a = rows(inferred, "event_id", "user_id", "ts")
+    b = rows(pinned, "event_id", "user_id", "ts")
+    assert a == b and a
+    # pruned variants still push down through the pinned schema
+    pr = read_table(spark, SF0001, "events", columns=["event_id"])
+    assert pr.columns == ["event_id"]

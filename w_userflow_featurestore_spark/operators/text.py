@@ -1334,6 +1334,30 @@ BPE_MERGE_SCHEMA = ("tokenizer_version long, merge_rank long,"
                     " merged string, n_occurrences long")
 
 
+def _registry_max_version(t) -> int | None:
+    """Exact ``max(tokenizer_version)`` read from the registry's
+    MANIFEST stats — pure driver-side metadata, no Spark job (round
+    13, guide §7.3: the latest-version probe inside bpe_save/bpe_load
+    was a full table read+agg+collect per call). Sound because every
+    publish stamps the version onto every row of its single file and
+    the table declares ``stats_columns=["tokenizer_version"]``, so
+    max-over-file-maxes is the column max. Returns None whenever ANY
+    live file lacks a usable max stat (absent column, refused type,
+    all-null) — the caller then falls back to the read path; the
+    probe is an optimization, never a second source of truth."""
+    stats = t.files_stats()
+    if not stats:
+        return None
+    hi = None
+    for fs in stats.values():
+        cs = fs.get("tokenizer_version")
+        if not cs or cs[1] is None:
+            return None
+        if hi is None or cs[1] > hi:
+            hi = cs[1]
+    return int(hi)
+
+
 def bpe_save(spark, table_path: str, merges: list[tuple],
              txn: str | None = None) -> tuple[int, int]:
     """Persist a trained BPE merge list as a VERSIONED LogTable artifact
@@ -1379,8 +1403,10 @@ def bpe_save(spark, table_path: str, merges: list[tuple],
                           .agg(F.max("tokenizer_version").alias("v"))
                           .collect()[0]["v"])
                     return int(v), s.snapshot_id
-        prev = t.read().agg(
-            F.max("tokenizer_version").alias("v")).collect()[0]["v"]
+        prev = _registry_max_version(t)
+        if prev is None:                 # manifest stats unusable
+            prev = t.read().agg(
+                F.max("tokenizer_version").alias("v")).collect()[0]["v"]
         version = int(prev or 0) + 1
     rows = [(version, 0, None, None, None, len(merges))]
     rows += [(version, int(r), a, b, m, int(n))
@@ -1414,8 +1440,10 @@ def bpe_load(spark, table_path: str,
     from w_userflow_featurestore_spark.sources import LogTable
     t = LogTable(spark, table_path)
     if version is None:
-        latest = t.read().agg(
-            F.max("tokenizer_version").alias("v")).collect()[0]["v"]
+        latest = _registry_max_version(t)
+        if latest is None:               # manifest stats unusable
+            latest = t.read().agg(
+                F.max("tokenizer_version").alias("v")).collect()[0]["v"]
         if latest is None:
             raise ValueError(f"no tokenizer versions at {table_path}")
         version = int(latest)

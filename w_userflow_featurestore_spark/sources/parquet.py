@@ -38,6 +38,17 @@ _NANO_TS_COLS = {
     "lineitem": ["l_shipdate"],
 }
 
+#: (session id, table path) -> inferred StructType. Plan METADATA only
+#: (what Spark's own footer inference would return), never row data or
+#: results — the same class as _FANOUT_PARTS_MEMO below. Re-inferring
+#: the schema costs a footer read + datasource resolution per call
+#: (~40-80 ms driver time, measured round 13 guide §7.3); pinning the
+#: memoized schema via .schema(...) skips it while producing the
+#: IDENTICAL relation (fixture tables are immutable within a session;
+#: a regenerated fixture needs a new session, as with Spark's own
+#: FileStatusCache). Bounded: one StructType per table per process.
+_SCHEMA_MEMO: dict[tuple[int, str], T.StructType] = {}
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str,
                where: Column | None = None,
@@ -61,7 +72,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str,
     take the normal pushdown path; the nanos detour exists only because
     Spark's vectorized reader rejects parquet TIMESTAMP(NANOS).)
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if ts_filter is not None:
         c, lo, hi = ts_filter
         raw = df.schema[c].dataType
