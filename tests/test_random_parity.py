@@ -11,6 +11,12 @@ each one — the oracle is an independent implementation, so agreement
 on arbitrary data pins the SEMANTICS, not the fixture.
 """
 
+# Round 13: max_examples trimmed ~2x so the driver's full-suite run
+# fits its wall-clock budget (VERIFY_r12 truncated at ~87% with zero
+# failures). Deep sweeps: raise them locally or via a hypothesis
+# profile; seeds/strategies are unchanged.
+
+
 from __future__ import annotations
 
 import datetime as dt
@@ -177,7 +183,7 @@ def _write_instance(dirpath, tables: dict) -> None:
             str(dirpath / f"{extra}.parquet"))
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(tables=micro_instance())
@@ -238,7 +244,7 @@ def events_instance(draw):
     return events
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(events=events_instance())
@@ -342,7 +348,7 @@ def docs_instance(draw):
     return docs
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(docs=docs_instance())
@@ -385,7 +391,7 @@ EVENT_QUERIES_2 = [
 ]
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(events=events_instance())
@@ -455,7 +461,7 @@ def embeddings_instance(draw):
     return emb
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(emb=embeddings_instance())
@@ -498,7 +504,7 @@ EVENT_QUERIES_3 = [
 ]
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(events=events_instance())
@@ -553,7 +559,7 @@ DOC_QUERIES_2 = [
 ]
 
 
-@settings(max_examples=3, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(docs=docs_instance())
@@ -594,7 +600,7 @@ EVENT_QUERIES_4 = [
 ]
 
 
-@settings(max_examples=3, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(events=events_instance())
@@ -627,7 +633,7 @@ def test_event_queries_batch4_match_oracles(spark, tmp_path_factory,
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=3, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(docs=docs_instance(), emb=embeddings_instance())

@@ -284,7 +284,8 @@ def test_compact_partitions_compacts_the_null_partition(spark, tmp_path):
 # the runner use when no LogTable exists at the target, so its MERGE
 # must present the same end state the transactional format produces.
 
-_PQ_SEQS = int(__import__("os").environ.get("SPARK_GRAFT_PQDML_SEQS", "4"))
+# Round 13: 4 -> 2 seeded sequences by default (env knob for deep runs)
+_PQ_SEQS = int(__import__("os").environ.get("SPARK_GRAFT_PQDML_SEQS", "2"))
 _PQ_OPS = 9
 _PQ_DDL = "k bigint, p string, v bigint, s string"
 # dir-escaping-required values plus the NULL partition; NO empty

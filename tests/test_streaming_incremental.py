@@ -200,7 +200,19 @@ def test_stateful_sessionize_emits_classified_closed_sessions(spark, tmp_path):
          .writeStream.format("memory").queryName("stateful_sess")
          .outputMode("append").trigger(availableNow=True)
          .option("checkpointLocation", str(tmp_path / "ckpt3")).start())
-    q.awaitTermination(180)
+    # A ProcessingTimeTimeout state store keeps the availableNow query
+    # alive until the LAST pending timeout fires (600 s default here),
+    # so awaitTermination would burn its whole budget (measured: this
+    # single test ate 204 s, all of it waiting). The two closed
+    # sessions land with the one data batch — poll for them, then stop
+    # the query explicitly (round 13, VERIFY wall-clock budget).
+    import time as _time
+    deadline = _time.time() + 180
+    while _time.time() < deadline \
+            and spark.table("stateful_sess").count() < 2:
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
     got = {r["session_id"]: r for r in spark.table("stateful_sess").collect()}
 
     # only the two gap-closed sessions of user 1 emit; open sessions
