@@ -67,19 +67,31 @@ def assign_sessions(events: DataFrame, user_col: str = "user_id",
             "epoch-SECOND of the session start, so a sub-second gap could "
             "start two sessions of one user within the same second and "
             "silently merge them under one id (corrupting MERGE upserts)")
-    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
-    prev_ms = F.lag(epoch_ms(F.col(ts_col))).over(w)
-    is_new = F.when(
-        prev_ms.isNull() | (epoch_ms(F.col(ts_col)) - prev_ms > gap_ms), 1
-    ).otherwise(0)
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # The whole window chain renders as SQL fragments parsed by ONE
+    # F.expr per output column (round 13, guide §7.3): the Column-API
+    # form cost ~80 ms of py4j roundtrips per construction, paid inside
+    # every one of the ~20 session-derived timed queries. The parsed
+    # trees are the same Catalyst expressions (verified optimizedPlan-
+    # identical against the Column form when landing this), so runtime
+    # plans and values are unchanged. The lag fragment is written out
+    # twice below; the analyzer collapses equal window expressions, so
+    # one Window operator (and one user-keyed exchange) remains.
+    order_sql = (f"PARTITION BY `{user_col}` ORDER BY `{ts_col}` ASC,"
+                 f" `{order_tiebreak}` ASC")
+    cum_sql = (f"{order_sql} ROWS BETWEEN UNBOUNDED PRECEDING"
+               f" AND CURRENT ROW")
+    lag_sql = f"lag(unix_millis(`{ts_col}`)) OVER ({order_sql})"
+    is_new_sql = (f"(CASE WHEN (({lag_sql}) IS NULL"
+                  f" OR (unix_millis(`{ts_col}`) - ({lag_sql})"
+                  f" > {int(gap_ms)})) THEN 1 ELSE 0 END)")
     # running last-boundary timestamp: same single (user) exchange as
     # the lag — no extra shuffle for the session-start lookup
-    start_ms = F.max(F.when(is_new == 1, epoch_ms(F.col(ts_col)))).over(cum)
+    start_sql = (f"max(CASE WHEN {is_new_sql} = 1 THEN"
+                 f" unix_millis(`{ts_col}`) END) OVER ({cum_sql})")
     out = events.withColumn(
         "session_id",
-        (F.col(user_col) * F.lit(10_000_000_000)
-         + F.floor(start_ms / 1000)).cast("long"))
+        F.expr(f"CAST(`{user_col}` * 10000000000 +"
+               f" floor(({start_sql}) / 1000) AS BIGINT)"))
     if "event_type" in events.columns:
         # The session's ENTRY event type, carried forward from the
         # boundary row over the SAME window frame (round 12): every row
@@ -93,11 +105,11 @@ def assign_sessions(events: DataFrame, user_col: str = "user_id",
         # type); the window's (ts, tiebreak) order IS min_by's
         # struct(ts, event_id) tie-break, so values are identical —
         # oracle- and property-pinned.
-        first_t = F.last(
-            F.when(is_new == 1,
-                   F.struct(F.col("event_type").alias("v"))),
-            ignorenulls=True).over(cum)["v"]
-        out = out.withColumn("_first_event_type", first_t)
+        out = out.withColumn(
+            "_first_event_type",
+            F.expr(f"(last(CASE WHEN {is_new_sql} = 1 THEN"
+                   f" named_struct('v', `event_type`) END, true)"
+                   f" OVER ({cum_sql})).v"))
     return out
 
 
@@ -118,19 +130,34 @@ def rollup_sessions(events_with_sessions: DataFrame,
     min_by path, which derives the entry type itself.
     """
     e = events_with_sessions
-    item = F.from_json(F.col("props"), "k INT")["k"]  # schema-ful JSON decode (S2)
+    # Aggregates render as SQL fragments parsed by one F.expr each
+    # (round 13, guide §7.3 — the Column-API list cost ~100 ms of py4j
+    # per construction across ~20 session-derived queries). Fragments
+    # mirror functions.exact_sum / fround / presence_flag EXACTLY
+    # (double literals suffixed D so the parser does not widen to
+    # DECIMAL); parsed trees verified optimizedPlan-identical to the
+    # Column form when landing this.
+    def _seen(v: str) -> str:
+        return (f"max(CASE WHEN `event_type` = '{v}' THEN 1 ELSE 0 END)")
+
+    # fround(x, 2) == (FLOOR(x * 100.0D + 0.5D) / 100.0D)
+    _sum_scaled = "sum(CAST(FLOOR(`value` * 100.0D + 0.5D) AS BIGINT))"
     aggs = [
-        F.min(ts_col).alias("start_time"),
-        F.max(ts_col).alias("end_time"),
-        (epoch_ms(F.max(ts_col)) - epoch_ms(F.min(ts_col))).alias("duration_ms"),
-        F.count(F.lit(1)).alias("n_events"),
-        exact_sum(F.col("value")).alias("sum_value"),
-        fround(F.max("value"), 2).alias("max_value"),
-        F.count_distinct(item).alias("n_items"),
-        presence_flag(F.col("event_type"), "purchase").alias("seen_purchase"),
-        presence_flag(F.col("event_type"), "error").alias("seen_error"),
-        presence_flag(F.col("event_type"), "click").alias("seen_click"),
-        presence_flag(F.col("event_type"), "view").alias("seen_view"),
+        F.expr(f"min(`{ts_col}`)").alias("start_time"),
+        F.expr(f"max(`{ts_col}`)").alias("end_time"),
+        F.expr(f"unix_millis(max(`{ts_col}`)) -"
+               f" unix_millis(min(`{ts_col}`))").alias("duration_ms"),
+        F.expr("count(1)").alias("n_events"),
+        F.expr(f"FLOOR(({_sum_scaled} / 100.0D) * 100.0D + 0.5D)"
+               " / 100.0D").alias("sum_value"),
+        F.expr("FLOOR(max(`value`) * 100.0D + 0.5D) / 100.0D")
+         .alias("max_value"),
+        F.expr("count(DISTINCT from_json(`props`, 'k INT').k)")
+         .alias("n_items"),          # schema-ful JSON decode (S2)
+        F.expr(_seen("purchase")).alias("seen_purchase"),
+        F.expr(_seen("error")).alias("seen_error"),
+        F.expr(_seen("click")).alias("seen_click"),
+        F.expr(_seen("view")).alias("seen_view"),
     ]
     # entry type = the FIRST event's type by (ts, event_id) —
     # deterministic under equal timestamps, and a NULL type at the
@@ -158,8 +185,8 @@ def rollup_sessions(events_with_sessions: DataFrame,
                                           F.to_date("start_time"))
     # generic path for callers that assigned session ids elsewhere:
     # min_by over the (ts, id) struct pins the same tie-break
-    entry = F.min_by("event_type",
-                     F.struct(F.col(ts_col), F.col("event_id"))) \
+    entry = F.expr(f"min_by(`event_type`, named_struct("
+                   f"'{ts_col}', `{ts_col}`, 'event_id', `event_id`))") \
         .alias("entry_event_type")
     return (
         e.groupBy("session_id", user_col)
@@ -184,20 +211,26 @@ def classify_sessions(sessions: DataFrame, now: str,
     (:139-141). Rule order is load-bearing: a session with both purchase
     and error is COMPLETE, matching the reference's when-chain.
     """
-    now_ms = epoch_ms(F.to_timestamp(F.lit(now)))
-    state: Column = (
-        F.when((F.col("seen_purchase") == 1) &
-               (F.col("max_value") >= complete_threshold), "COMPLETE")
-         .when(F.col("seen_error") == 1, "EXIT")
-         .when(now_ms - epoch_ms(F.col("end_time")) > timeout_ms, "TIMEOUT_EXIT")
-         .otherwise("IN_PROGRESS"))
+    # one parsed expr per output column (round 13, guide §7.3); the
+    # when-chain fragment mirrors the Column form exactly — float
+    # threshold suffixed D, ``now`` single-quote-escaped
+    now_lit = str(now).replace("'", "''")
+    state_sql = (
+        "CASE WHEN (`seen_purchase` = 1 AND `max_value` >="
+        f" {float(complete_threshold)}D) THEN 'COMPLETE'"
+        " WHEN `seen_error` = 1 THEN 'EXIT'"
+        f" WHEN (unix_millis(to_timestamp('{now_lit}')) -"
+        f" unix_millis(`end_time`)) > {int(timeout_ms)}"
+        " THEN 'TIMEOUT_EXIT' ELSE 'IN_PROGRESS' END")
     return (sessions
-            .withColumn("session_state", state)
+            .withColumn("session_state", F.expr(state_sql))
             .withColumn("is_complete",
-                        F.when(F.col("session_state") == "COMPLETE", 1).otherwise(0))
+                        F.expr("CASE WHEN `session_state` = 'COMPLETE'"
+                               " THEN 1 ELSE 0 END"))
             .withColumn("is_exit",
-                        F.when(F.col("session_state").isin("EXIT", "TIMEOUT_EXIT"), 1)
-                         .otherwise(0)))
+                        F.expr("CASE WHEN `session_state` IN"
+                               " ('EXIT', 'TIMEOUT_EXIT')"
+                               " THEN 1 ELSE 0 END")))
 
 
 def sessionize(events: DataFrame, now: str,
